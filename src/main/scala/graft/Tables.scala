@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table access + oracle-exactness helpers shared by all query modules.
+  *
+  * Exactness discipline (SURVEY.md §5): every aggregate that the DuckDB
+  * oracle re-computes must be bit-identical across engines. Sums of
+  * doubles are order-dependent, so monetary aggregates are computed over
+  * scaled integers (cents / 10^-4 / 10^-6 units) which sum exactly in any
+  * order, then divided back to a double at the end — the final
+  * integer→double conversion and division are IEEE-deterministic and
+  * identical in Spark and DuckDB.
+  */
+object Tables {
+
+  /** Load a driver testdata table: `$dir/$name.parquet`. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact sum of a fixed-point value with `scale` decimal digits:
+    * round to scaled integer per row (exact: inputs are decimal-valued),
+    * sum as long (exact), divide back (deterministic). The SQL twin is
+    * `SUM(CAST(round(expr * 10^scale) AS BIGINT)) / 10^scale.0`.
+    */
+  def exactSum(e: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(e * lit(f)).cast("long")) / lit(f)
+  }
+
+  /** Exact average of a fixed-point value (exact integer sum / count). */
+  def exactAvg(e: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(e * lit(f)).cast("long")) / lit(f) / count(lit(1))
+  }
+
+  /** SQL twin of [[exactSum]] for the DuckDB oracle. */
+  def sqlExactSum(expr: String, scale: Int): String = {
+    val f = "1" + "0" * scale
+    s"SUM(CAST(round(($expr) * $f) AS BIGINT)) / $f.0"
+  }
+
+  /** SQL twin of [[exactAvg]]. */
+  def sqlExactAvg(expr: String, scale: Int): String = {
+    val f = "1" + "0" * scale
+    s"SUM(CAST(round(($expr) * $f) AS BIGINT)) / $f.0 / COUNT(1)"
+  }
+}

@@ -1,0 +1,341 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Batch relational operator corpus over the TPC-H-ish driver tables.
+  *
+  * Each query maps 1:1 to an operator row of SURVEY.md §2 (scan, filter,
+  * project/map, flatMap, distinct, union-all, joins incl. broadcast /
+  * semi / anti, cross, aggregation with combiners, secondary sort,
+  * first-n, top-k per group, repartition). The reference
+  * ([U] stratosphere-examples/.../relational/TPCHQuery3.java and the
+  * javaApiOperators ITCases, per SURVEY.md §2/§5) expresses these as
+  * hand-written PACT UDF dataflows; here each is a declarative Spark plan
+  * so Catalyst gets pushdown / pruning / join-selection for free.
+  *
+  * Scale posture (100 TB): all plans are shuffle-minimal — dimension
+  * joins are broadcast, aggregates are partial-before-shuffle (Catalyst
+  * HashAggregate), scans carry pushed filters + pruned columns. Nothing
+  * collects to the driver except bounded top-k results.
+  */
+object Relational {
+
+  // ---- flagship: TPCH Q3 (shipping priority) -------------------------
+  /** Reference flagship relational example: filter customers by segment,
+    * orders by date, join lineitem, aggregate revenue, top-10.
+    * [U] stratosphere-examples/.../record/relational/TPCHQuery3.java
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1997-06-01"
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit(cutoff)))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > to_timestamp(lit(cutoff)))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---- TPCH Q1: wide aggregation with partial-agg combiner -----------
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        exactAvg(col("l_quantity"), 2).as("avg_qty"),
+        exactAvg(col("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  // ---- TPCH Q5-ish: multi-join with broadcast dimension chain --------
+  def q5LocalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val supp = t(spark, dir, "supplier")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ---- TPCH Q6: global aggregate (AllReduce) -------------------------
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(exactSum(col("l_extendedprice") * col("l_discount"), 4)
+        .as("revenue"))
+
+  // ---- map / project (element-wise) ----------------------------------
+  def qProjectMap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        (col("o_totalprice") * lit(0.9)).as("net_price"),
+        upper(col("o_orderpriority")).as("prio"),
+        substring(col("o_orderstatus"), 1, 1).as("status"))
+
+  // ---- filter --------------------------------------------------------
+  def qFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_discount") === 0.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  // ---- flatMap: WordCount (the reference's flagship example) ---------
+  /** [U] stratosphere-examples/.../wordcount/WordCount.java — flatMap
+    * tokenize + grouped count with combiner. */
+  def qWordCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // ---- distinct ------------------------------------------------------
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_linenumber")
+      .distinct()
+
+  // ---- union (UNION ALL, reference semantics) ------------------------
+  def qUnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "orders").select(col("o_orderkey").as("k"))
+    val b = t(spark, dir, "lineitem").select(col("l_orderkey").as("k"))
+    a.union(b).groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+  }
+
+  // ---- broadcast join (joinWithTiny) ---------------------------------
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+
+  // ---- semi join -----------------------------------------------------
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .join(t(spark, dir, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_partkey")),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_brand", "p_type")
+
+  // ---- anti join -----------------------------------------------------
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  // ---- cross (Cartesian) ---------------------------------------------
+  def qCross(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region").select("r_name")
+      .crossJoin(t(spark, dir, "nation").select("n_name"))
+
+  // ---- secondary sort within group (sortGroup + reduceGroup) ---------
+  /** Reference: SortedGrouping + GroupReduceFunction iterating a group in
+    * secondary-sort order. Declarative Spark form: per-key ordered
+    * aggregation (array_sort over collected structs — deterministic
+    * because l_linenumber is unique within order). */
+  def qSortGroupConcat(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("l_linenumber"), col("l_returnflag")))),
+          x => x.getField("l_returnflag")),
+        ",").as("flags"))
+
+  // ---- top-k per group (window) --------------------------------------
+  def qTopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  // ---- first(n): global sort + limit ---------------------------------
+  def qFirstN(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(5)
+
+  // ---- global aggregate (min/max/sum/count) --------------------------
+  def qAggGlobal(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      sum(col("l_quantity")).as("sum_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      count(lit(1)).as("n"))
+
+  // ---- group-by + having ---------------------------------------------
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice"), 2).as("total_spent"))
+      .filter(col("n_orders") >= 12)
+
+  // ---- explicit repartition (partitionByHash) then aggregate ---------
+  /** Reference partitionByHash ([U] .../operators/PartitionOperator.java):
+    * semantically a no-op; demonstrates explicit hash redistribution. */
+  def qPartitionByHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .repartition(col("l_suppkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+
+  // ---- registry ------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q5_local_volume" -> (q5LocalVolume _),
+    "q6_forecast" -> (q6Forecast _),
+    "q_project_map" -> (qProjectMap _),
+    "q_filter" -> (qFilter _),
+    "q_wordcount" -> (qWordCount _),
+    "q_distinct" -> (qDistinct _),
+    "q_union_all" -> (qUnionAll _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_cross" -> (qCross _),
+    "q_sortgroup_concat" -> (qSortGroupConcat _),
+    "q_topk_per_group" -> (qTopKPerGroup _),
+    "q_first_n" -> (qFirstN _),
+    "q_agg_global" -> (qAggGlobal _),
+    "q_having" -> (qHaving _),
+    "q_partition_by_hash" -> (qPartitionByHash _),
+  )
+
+  private val rev = sqlExactSum("l_extendedprice * (1 - l_discount)", 4)
+
+  val oracleSql: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $rev AS revenue
+         FROM lineitem, orders, customer
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1997-06-01'
+           AND l_shipdate > TIMESTAMP '1997-06-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           ${sqlExactSum("l_extendedprice", 2)} AS sum_base_price,
+           $rev AS sum_disc_price,
+           ${sqlExactSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+           ${sqlExactAvg("l_quantity", 2)} AS avg_qty,
+           ${sqlExactAvg("l_extendedprice", 2)} AS avg_price,
+           COUNT(1) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q5_local_volume" ->
+      s"""SELECT n_name, $rev AS revenue
+         FROM lineitem, orders, customer, supplier, nation, region
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_forecast" ->
+      s"""SELECT ${sqlExactSum("l_extendedprice * l_discount", 4)} AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q_project_map" ->
+      """SELECT o_orderkey, year(o_orderdate) AS o_year,
+           o_totalprice * 0.9 AS net_price,
+           upper(o_orderpriority) AS prio,
+           substring(o_orderstatus, 1, 1) AS status
+         FROM orders""",
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity > 45 AND l_discount = 0.0""",
+    "q_wordcount" ->
+      """SELECT word, COUNT(1) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word""",
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem",
+    "q_union_all" ->
+      """SELECT k, COUNT(1) AS cnt FROM (
+           SELECT o_orderkey AS k FROM orders
+           UNION ALL SELECT l_orderkey AS k FROM lineitem)
+         GROUP BY k""",
+    "q_join_broadcast" ->
+      """SELECT p_brand, SUM(l_quantity) AS sum_qty, COUNT(1) AS cnt
+         FROM lineitem, part WHERE l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+         WHERE p_partkey IN (
+           SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "q_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_sortgroup_concat" ->
+      """SELECT l_orderkey,
+           string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag) AS flags
+         FROM lineitem GROUP BY l_orderkey""",
+    "q_topk_per_group" ->
+      """SELECT * FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+               AS INT) AS rk
+           FROM lineitem) WHERE rk <= 3""",
+    "q_first_n" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""",
+    "q_agg_global" ->
+      """SELECT SUM(l_quantity) AS sum_qty, MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price, COUNT(1) AS n
+         FROM lineitem""",
+    "q_having" ->
+      s"""SELECT o_custkey, COUNT(1) AS n_orders,
+           ${sqlExactSum("o_totalprice", 2)} AS total_spent
+         FROM orders GROUP BY o_custkey HAVING COUNT(1) >= 12""",
+    "q_partition_by_hash" ->
+      """SELECT l_suppkey, SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY l_suppkey""",
+  )
+}
