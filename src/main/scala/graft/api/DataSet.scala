@@ -1,0 +1,322 @@
+package graft.api
+
+import scala.collection.mutable.ArrayBuffer
+import scala.reflect.ClassTag
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.{broadcast => bcastHint, col}
+
+/** Reference-parity functional API surface (SURVEY.md §2), Spark-first.
+  *
+  * Mirrors the reference's `DataSet<T>` second-order-function API
+  * ([U] stratosphere-java/.../api/java/DataSet.java): map / flatMap /
+  * filter / distinct / union / join / coGroup / cross / groupBy /
+  * reduce / reduceGroup / sortGroup / first / partitionByHash /
+  * rebalance, plus broadcast sets and rich (open/close) functions.
+  *
+  * Design: thin delegation onto `Dataset[T]` so Catalyst/Tungsten own
+  * optimization and execution. Typed lambda forms are provided for
+  * reference parity; for hot paths callers should prefer the Column
+  * forms (`selectExpr`, `filterExpr`, `joinOn`) which stay inside
+  * whole-stage codegen and get predicate pushdown.
+  */
+class GDataSet[T](val ds: Dataset[T]) extends Serializable {
+
+  def spark: SparkSession = ds.sparkSession
+
+  // ---- element-wise ([U] MapDriver / FlatMapDriver / FilterOperatorBase)
+
+  def map[U: Encoder](f: T => U): GDataSet[U] = new GDataSet(ds.map(f))
+
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): GDataSet[U] =
+    new GDataSet(ds.flatMap(f))
+
+  /** Reference `FlatMapFunction` shape: UDF receives a [[Collector]].
+    * [U] stratosphere-core/.../api/common/functions/FlatMapFunction. */
+  def flatMapWithCollector[U: Encoder](f: (T, Collector[U]) => Unit): GDataSet[U] =
+    new GDataSet(ds.flatMap { t =>
+      val c = new Collector[U]; f(t, c); c.buffer
+    })
+
+  def filter(p: T => Boolean): GDataSet[T] = new GDataSet(ds.filter(p))
+
+  /** Column-expression forms — preferred (codegen + pushdown). */
+  def filterExpr(cond: Column): GDataSet[T] = new GDataSet(ds.filter(cond))
+
+  /** Reference `project(fields...)` → relational select (type dropped).
+    * [U] .../api/java/operators/ProjectOperator.java */
+  def project(fields: String*): DataFrame = ds.toDF().select(fields.map(col): _*)
+
+  /** Rich-function map: `open`/`close` per partition with access to
+    * broadcast sets, mirroring RichFunction + RuntimeContext.
+    * [U] stratosphere-core/.../api/common/functions/AbstractRichFunction */
+  def mapRich[U: Encoder](rich: RichMapFunction[T, U]): GDataSet[U] =
+    new GDataSet(ds.mapPartitions { it =>
+      rich.open()
+      val out = it.map(rich.map)
+      // close() after the iterator is exhausted:
+      new Iterator[U] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) rich.close(); h }
+        def next(): U = out.next()
+      }
+    })
+
+  // ---- distinct / union ([U] DistinctOperator, UnionOperator) --------
+
+  def distinct(): GDataSet[T] = new GDataSet(ds.distinct())
+
+  /** Bag union = UNION ALL, exactly the reference semantics. */
+  def union(other: GDataSet[T]): GDataSet[T] = new GDataSet(ds.union(other.ds))
+
+  // ---- joins ([U] JoinOperator; hints map to Spark join hints) -------
+
+  def join[U](other: GDataSet[U]): JoinBuilder[T, U] =
+    new JoinBuilder(this, other, JoinHint.OptimizerChooses)
+
+  /** `joinWithTiny`: other side is small → broadcast it. */
+  def joinWithTiny[U](other: GDataSet[U]): JoinBuilder[T, U] =
+    new JoinBuilder(this, other, JoinHint.BroadcastSecond)
+
+  /** `joinWithHuge`: this side is small → broadcast it. */
+  def joinWithHuge[U](other: GDataSet[U]): JoinBuilder[T, U] =
+    new JoinBuilder(this, other, JoinHint.BroadcastFirst)
+
+  /** Column-condition join (preferred, stays relational). */
+  def joinOn[U](other: GDataSet[U], cond: Column): GDataSet[(T, U)] =
+    new GDataSet(ds.joinWith(other.ds, cond, "inner"))
+
+  // ---- coGroup ([U] CoGroupOperator → KeyValueGroupedDataset.cogroup)
+
+  def coGroup[U](other: GDataSet[U]): CoGroupBuilder[T, U] =
+    new CoGroupBuilder(this, other)
+
+  // ---- cross ([U] CrossOperator → CartesianProduct/BNLJ) -------------
+
+  def cross[U](other: GDataSet[U])(
+      implicit e: Encoder[(T, U)]): GDataSet[(T, U)] =
+    new GDataSet(ds.joinWith(other.ds, org.apache.spark.sql.functions.lit(true), "inner"))
+
+  def crossWithTiny[U](other: GDataSet[U])(
+      implicit e: Encoder[(T, U)]): GDataSet[(T, U)] =
+    new GDataSet(ds.joinWith(bcastHint(other.ds), org.apache.spark.sql.functions.lit(true), "inner"))
+
+  def crossWithHuge[U](other: GDataSet[U])(
+      implicit e: Encoder[(T, U)]): GDataSet[(T, U)] =
+    new GDataSet(bcastHint(ds).joinWith(other.ds, org.apache.spark.sql.functions.lit(true), "inner"))
+
+  // ---- grouping / reduction ([U] Grouping, ReduceDriver, GroupReduceDriver)
+
+  def groupBy[K: Encoder](key: T => K): GGrouping[K, T] =
+    new GGrouping(ds.groupByKey(key))
+
+  /** Global reduce ([U] AllReduceDriver): associative pairwise fold. */
+  def reduce(f: (T, T) => T): GDataSet[T] = {
+    implicit val enc: Encoder[T] = ds.encoder
+    new GDataSet(ds.groupByKey(_ => 0)(org.apache.spark.sql.Encoders.scalaInt)
+      .reduceGroups(f).map(_._2))
+  }
+
+  /** Global group-reduce ([U] AllGroupReduceDriver): whole input as one
+    * iterator. Driver-side parallelism collapses to 1 by definition —
+    * same as the reference (parallelism-1 task). */
+  def reduceGroup[U: Encoder](f: Iterator[T] => IterableOnce[U]): GDataSet[U] = {
+    implicit val enc: Encoder[T] = ds.encoder
+    new GDataSet(ds.repartition(1).mapPartitions(it => f(it).iterator))
+  }
+
+  // ---- sorting / first-n ([U] FirstReducer, sink ordering) -----------
+
+  def sortPartition(c: Column*): GDataSet[T] = new GDataSet(ds.sortWithinPartitions(c: _*))
+
+  def first(n: Int): GDataSet[T] = new GDataSet(ds.limit(n))
+
+  def orderBy(c: Column*): GDataSet[T] = new GDataSet(ds.orderBy(c: _*))
+
+  // ---- physical redistribution ([U] PartitionOperator) ---------------
+
+  def partitionByHash(fields: String*): GDataSet[T] =
+    new GDataSet(ds.repartition(fields.map(col): _*))
+
+  def rebalance(parallelism: Int): GDataSet[T] = new GDataSet(ds.repartition(parallelism))
+
+  // ---- iterations (SURVEY.md §2.8; bodies in Iterations.scala) -------
+
+  /** Bulk iteration ([U] IterativeDataSet.iterate/closeWith). */
+  def iterate(maxIterations: Int)(body: GDataSet[T] => GDataSet[T]): GDataSet[T] =
+    new GDataSet(Iterations.bulk(ds, maxIterations)(d => body(new GDataSet(d)).ds))
+
+  // ---- sinks ([U] FileOutputFormat family; part-file model matches) --
+
+  def writeAsCsv(path: String, overwrite: Boolean = true): Unit =
+    ds.toDF().write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .option("header", "true").csv(path)
+
+  def writeAsText(path: String, overwrite: Boolean = true): Unit =
+    ds.toDF().selectExpr("concat_ws(',', *) as value")
+      .write.mode(if (overwrite) "overwrite" else "errorifexists").text(path)
+
+  def writeAsParquet(path: String, overwrite: Boolean = true): Unit =
+    ds.write.mode(if (overwrite) "overwrite" else "errorifexists").parquet(path)
+
+  def print(): Unit = ds.show(false)
+
+  def collectSeq(): Seq[T] = ds.collect().toSeq
+
+  def count(): Long = ds.count()
+}
+
+/** Reference `Collector<T>` ([U] stratosphere-core/.../util/Collector.java). */
+final class Collector[U] extends Serializable {
+  private[api] val buffer = new ArrayBuffer[U]
+  def collect(u: U): Unit = buffer += u
+}
+
+/** Rich function with open/close lifecycle + broadcast-set access
+  * ([U] AbstractRichFunction / RuntimeContext). Broadcast sets are
+  * captured as Spark broadcasts at definition time. */
+abstract class RichMapFunction[T, U] extends Serializable {
+  private var bsets: Map[String, Broadcast[Seq[Any]]] = Map.empty
+  private[api] def withBroadcastSets(m: Map[String, Broadcast[Seq[Any]]]): this.type = {
+    bsets = m; this
+  }
+  def getBroadcastVariable[B](name: String): Seq[B] =
+    bsets(name).value.asInstanceOf[Seq[B]]
+  def open(): Unit = {}
+  def close(): Unit = {}
+  def map(t: T): U
+}
+
+object RichMapFunction {
+  /** Reference `withBroadcastSet(set, name)`: materialize a (small)
+    * dataset and attach it to a rich function as a named broadcast. */
+  def withBroadcastSet[T, U, B](rich: RichMapFunction[T, U],
+      set: GDataSet[B], name: String): RichMapFunction[T, U] = {
+    val b = set.spark.sparkContext
+      .broadcast(set.ds.collect().toSeq.asInstanceOf[Seq[Any]])
+    rich.withBroadcastSets(Map(name -> b))
+  }
+}
+
+sealed trait JoinHint
+object JoinHint {
+  case object OptimizerChooses extends JoinHint
+  case object BroadcastFirst extends JoinHint
+  case object BroadcastSecond extends JoinHint
+}
+
+/** `ds1.join(ds2).where(k1).equalTo(k2)` builder ([U] JoinOperator). */
+final class JoinBuilder[T, U](left: GDataSet[T], right: GDataSet[U], hint: JoinHint) {
+  def where[K: Encoder](k: T => K): JoinWhere[T, U, K] = new JoinWhere(left, right, hint, k)
+}
+
+final class JoinWhere[T, U, K: Encoder](left: GDataSet[T], right: GDataSet[U],
+    hint: JoinHint, lk: T => K) {
+  def equalTo(rk: U => K): JoinPredicate[T, U, K] =
+    new JoinPredicate(left, right, hint, lk, rk)
+}
+
+final class JoinPredicate[T, U, K: Encoder](left: GDataSet[T], right: GDataSet[U],
+    hint: JoinHint, lk: T => K, rk: U => K) {
+
+  private def paired(implicit lt: Encoder[(K, T)], rt: Encoder[(K, U)]) = {
+    val (lkf, rkf) = (lk, rk) // local copies: don't capture `this` in closures
+    val l0 = left.ds.map(t => (lkf(t), t))
+    val r0 = right.ds.map(u => (rkf(u), u))
+    val l = if (hint == JoinHint.BroadcastFirst) bcastHint(l0) else l0
+    val r = if (hint == JoinHint.BroadcastSecond) bcastHint(r0) else r0
+    l.joinWith(r, l("_1") === r("_1"), "inner")
+  }
+
+  /** Default join result = pair of matching elements. */
+  def build(implicit lt: Encoder[(K, T)], rt: Encoder[(K, U)],
+      out: Encoder[(T, U)]): GDataSet[(T, U)] =
+    new GDataSet(paired.map(p => (p._1._2, p._2._2)))
+
+  /** `JoinFunction` form. */
+  def apply[O: Encoder](f: (T, U) => O)(
+      implicit lt: Encoder[(K, T)], rt: Encoder[(K, U)]): GDataSet[O] = {
+    val g = f // local copy: don't capture `this`
+    new GDataSet(paired.map(p => g(p._1._2, p._2._2)))
+  }
+}
+
+/** `ds1.coGroup(ds2).where(k1).equalTo(k2).apply(f)` ([U] CoGroupOperator):
+  * per-key pair of iterators — superset of join / outer join / except. */
+final class CoGroupBuilder[T, U](left: GDataSet[T], right: GDataSet[U]) {
+  def where[K: Encoder](k: T => K): CoGroupWhere[T, U, K] =
+    new CoGroupWhere(left, right, k)
+}
+
+final class CoGroupWhere[T, U, K: Encoder](left: GDataSet[T], right: GDataSet[U], lk: T => K) {
+  def equalTo(rk: U => K): CoGroupPredicate[T, U, K] =
+    new CoGroupPredicate(left, right, lk, rk)
+}
+
+final class CoGroupPredicate[T, U, K: Encoder](left: GDataSet[T], right: GDataSet[U],
+    lk: T => K, rk: U => K) {
+  def apply[O: Encoder](f: (K, Iterator[T], Iterator[U]) => IterableOnce[O]): GDataSet[O] = {
+    implicit val lenc: Encoder[T] = left.ds.encoder
+    implicit val renc: Encoder[U] = right.ds.encoder
+    val l = left.ds.groupByKey(lk)
+    val r = right.ds.groupByKey(rk)
+    new GDataSet(l.cogroup(r)((k, li, ri) => f(k, li, ri).iterator))
+  }
+}
+
+/** Grouped operations ([U] UnsortedGrouping / SortedGrouping). */
+final class GGrouping[K, T](val kv: org.apache.spark.sql.KeyValueGroupedDataset[K, T]) {
+
+  /** Per-key pairwise reduce ([U] ReduceDriver; combiner automatic —
+    * Catalyst splits typed reduceGroups into partial + final). */
+  def reduce(f: (T, T) => T)(implicit e: Encoder[(K, T)]): GDataSet[(K, T)] =
+    new GDataSet(kv.reduceGroups(f))
+
+  /** Per-key iterator reduce ([U] GroupReduceDriver / flatMapGroups). */
+  def reduceGroup[U: Encoder](f: (K, Iterator[T]) => IterableOnce[U]): GDataSet[U] =
+    new GDataSet(kv.flatMapGroups((k, it) => f(k, it).iterator))
+
+  /** Secondary sort + group reduce ([U] SortedGrouping.sortGroup →
+    * sort-based local strategy): the group iterator arrives in
+    * `sortCols` order (Spark's flatMapSortedGroups = sort-merge group). */
+  def sortGroupReduce[U: Encoder](sortCols: Column*)(
+      f: (K, Iterator[T]) => IterableOnce[U]): GDataSet[U] =
+    new GDataSet(kv.flatMapSortedGroups(sortCols: _*)((k, it) => f(k, it).iterator))
+
+  /** First-n per group ([U] FirstReducer). */
+  def first(n: Int)(implicit e: Encoder[T]): GDataSet[T] =
+    new GDataSet(kv.flatMapGroups((_, it) => it.take(n)))
+
+  def mapGroups[U: Encoder](f: (K, Iterator[T]) => U): GDataSet[U] =
+    new GDataSet(kv.mapGroups(f))
+}
+
+/** Reference `ExecutionEnvironment` ([U] .../api/java/ExecutionEnvironment.java). */
+class GraftEnvironment(val spark: SparkSession) {
+
+  def fromCollection[T: Encoder](data: Seq[T]): GDataSet[T] =
+    new GDataSet(spark.createDataset(data))
+
+  def fromElements[T: Encoder](data: T*): GDataSet[T] = fromCollection(data)
+
+  /** [U] TextInputFormat: one string per line. */
+  def readTextFile(path: String): GDataSet[String] = {
+    import spark.implicits._
+    new GDataSet(spark.read.textFile(path))
+  }
+
+  /** [U] CsvInputFormat: delimited with declared field types. */
+  def readCsvFile(path: String, delimiter: String = ",",
+      header: Boolean = false, schema: Option[String] = None): GDataSet[org.apache.spark.sql.Row] = {
+    var r = spark.read.option("delimiter", delimiter).option("header", header.toString)
+    r = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
+    new GDataSet(r.csv(path))
+  }
+
+  def readParquet(path: String): GDataSet[org.apache.spark.sql.Row] =
+    new GDataSet(spark.read.parquet(path))
+
+  /** Accumulator parity ([U] IntCounter/LongCounter). */
+  def longCounter(name: String): org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator(name)
+}

@@ -1,0 +1,148 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.Iterations
+
+/** The reference's signature iterative workloads, Spark-first.
+  *
+  * ConnectedComponents and PageRank are the canonical delta/bulk
+  * iteration examples ([U] stratosphere-examples/.../graph/
+  * ConnectedComponents.java, PageRankBasic.java; iteration machinery
+  * per SURVEY.md §2.8). KMeans is the canonical bulk iteration over
+  * points + broadcast centers ([U] .../clustering/KMeans.java).
+  *
+  * Determinism note: PageRank aggregates per-node contributions as
+  * scaled integers (1e12 units) so the result is independent of
+  * summation order — required for the cross-engine oracle, and harmless
+  * at scale (long sums are cheaper than doubles + exact).
+  */
+object Algorithms {
+
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge set, as a delta iteration: the workset carries only
+    * vertices whose component label changed last step.
+    *
+    * edges: (src: long, dst: long) — treated as undirected.
+    * returns: (vertex: long, component: long) = min vertex id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    // loop-invariant edge set: persist once (the analogue of the
+    // reference's iteration-boundary cache — recomputing the
+    // union+distinct shuffle every superstep dominated runtime 7:1)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vertices = und.select(col("src").as("vertex")).distinct()
+    val init = vertices.withColumn("component", col("vertex"))
+
+    Iterations.delta(init, init, Seq("vertex"), maxIterations) { (solution, workset) =>
+      // candidate labels: each changed vertex pushes its component to
+      // neighbors (aliases: all frames share lineage with `init`)
+      val msgs = workset.alias("w").join(und.alias("g"), col("w.vertex") === col("g.src"))
+        .groupBy(col("g.dst").as("vertex"))
+        .agg(min(col("w.component")).as("cand"))
+      // keep only real improvements vs the current solution
+      val delta = msgs.alias("m").join(solution.alias("s"), col("m.vertex") === col("s.vertex"))
+        .filter(col("m.cand") < col("s.component"))
+        .select(col("m.vertex").as("vertex"), col("m.cand").as("component"))
+      (delta, delta)
+    }
+  }
+
+  /** PageRank with `iterations` fixed supersteps (bulk iteration).
+    * Contributions are summed exactly in 1e-12 units (see class doc).
+    * edges are treated as directed; dangling mass is not redistributed
+    * (matches the reference's simple PageRankBasic semantics).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = vertices.count()
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    // loop-invariant: edges with source out-degree, pre-keyed by dst
+    val withDeg = e.join(outDeg, e("src") === outDeg("id")).select(col("src"), col("dst"), col("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val init = vertices.withColumn("rank", lit(1.0 / n))
+    val result = Iterations.bulk(init, iterations) { ranks =>
+      val contribs = ranks.join(withDeg, ranks("id") === withDeg("src"))
+        .select(col("dst").as("id"),
+          round(col("rank") / col("outdeg") * lit(1e12)).cast("long").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("csum"))
+      // rank re-quantized to 1e-12 via single-arg round (identical
+      // semantics in Spark and DuckDB, unlike round(x, 12)) so every
+      // superstep is bit-reproducible cross-engine.
+      vertices.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (round((lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("csum"), lit(0L)) / lit(1e12))) * lit(1e12))
+            .cast("long") / lit(1e12)).as("rank"))
+    }
+    result
+  }
+
+  /** KMeans over fixed-dimension float-array points: `iterations` bulk
+    * supersteps of assign (broadcast centroids) + recompute.
+    * points: (id: long, features: array<float/double>).
+    * returns: (id, cluster) final assignment.
+    */
+  def kMeans(points: DataFrame, k: Int, iterations: Int = 3): DataFrame = {
+    val pts = points.select(col("id"), col("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic seeding: the k lowest ids become clusters 0..k-1.
+    // Centroids live on the driver + broadcast — the reference's
+    // KMeans broadcast-set pattern ([U] .../clustering/KMeans.java);
+    // only k*dim scalars ever cross the driver boundary.
+    var centroids: Array[(Int, Array[Double])] = pts.orderBy(col("id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
+    val spark = points.sparkSession
+    val dim = centroids.head._2.length
+
+    for (_ <- 1 to iterations) {
+      val b = spark.sparkContext.broadcast(centroids)
+      val assignExpr = assignUdf(b)
+      val assigned = pts.withColumn("cluster", assignExpr(col("features")))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("features")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (c, old) =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val vec = new Array[Double](dim)
+            var n = 0L
+            rows.foreach { r => vec(r.getInt(1)) = r.getDouble(2); n = r.getLong(3) }
+            (c, vec.map(_ / n))
+          case None => (c, old)
+        }
+      }
+      b.unpersist()
+    }
+    val bFinal = spark.sparkContext.broadcast(centroids)
+    val res = pts.withColumn("cluster", assignUdf(bFinal)(col("features")))
+      .select(col("id"), col("cluster"))
+    res
+  }
+
+  private def assignUdf(b: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) =
+    udf { features: Seq[Float] =>
+      var best = -1; var bestD = Double.MaxValue
+      for ((c, cent) <- b.value) {
+        var d = 0.0
+        var i = 0
+        while (i < cent.length) {
+          val diff = features(i) - cent(i); d += diff * diff; i += 1
+        }
+        // strict < keeps the lowest cluster id on ties → deterministic
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+}

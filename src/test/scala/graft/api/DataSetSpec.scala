@@ -1,0 +1,157 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Top-level so Spark serializes only the function, not the suite. */
+class LookupRich extends RichMapFunction[Int, String] {
+  @transient private var m: Map[Int, String] = _
+  override def open(): Unit =
+    m = getBroadcastVariable[(Int, String)]("lookup").toMap
+  def map(i: Int): String = m.getOrElse(i, "?")
+}
+
+/** Mirrors the reference's javaApiOperators ITCases (SURVEY.md §5):
+  * tiny inline datasets, unordered golden-set compares. */
+class DataSetSpec extends SparkSpec {
+
+  lazy val env = new GraftEnvironment(spark)
+  import spark.implicits._
+
+  // the reference's canonical 3-tuple fixture ([U] CollectionDataSets.java)
+  def tuples3: GDataSet[(Int, Long, String)] = env.fromCollection(Seq(
+    (1, 1L, "Hi"), (2, 2L, "Hello"), (3, 2L, "Hello world"),
+    (4, 3L, "Hello world, how are you?"), (5, 3L, "I am fine."),
+    (6, 3L, "Luke Skywalker")))
+
+  test("map: 1->1 transform") {
+    val got = tuples3.map(t => (t._1 + 1, t._3.length)).collectSeq().sorted
+    assert(got == Seq((2, 2), (3, 5), (4, 11), (5, 25), (6, 10), (7, 14)))
+  }
+
+  test("flatMap with Collector (reference FlatMapFunction shape)") {
+    val got = env.fromElements("a b", "c")
+      .flatMapWithCollector[String]((s, out) => s.split(" ").foreach(out.collect))
+      .collectSeq().sorted
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("filter") {
+    assert(tuples3.filter(_._2 == 3L).count() == 3)
+  }
+
+  test("project drops to DataFrame columns") {
+    val got = tuples3.project("_1", "_3")
+    assert(got.columns.toSeq == Seq("_1", "_3") && got.count() == 6)
+  }
+
+  test("distinct + union (bag semantics: union = UNION ALL)") {
+    val a = env.fromElements(1, 2, 2, 3)
+    val b = env.fromElements(3, 4)
+    assert(a.union(b).count() == 6) // no implicit dedup
+    assert(a.union(b).distinct().count() == 4)
+  }
+
+  test("join where/equalTo with JoinFunction") {
+    val words = env.fromCollection(Seq((1, "one"), (2, "two"), (2, "zwei")))
+    val got = tuples3.join(words).where(_._1).equalTo(_._1)
+      .apply((l, r) => (l._3, r._2)).collectSeq().sorted
+    assert(got == Seq(("Hello", "two"), ("Hello", "zwei"), ("Hi", "one")))
+  }
+
+  test("joinWithTiny broadcasts the small side") {
+    val tiny = env.fromCollection(Seq((1, "x")))
+    val j = tuples3.joinWithTiny(tiny).where(_._1).equalTo(_._1).build
+    val plan = j.ds.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in plan:\n$plan")
+    assert(j.count() == 1)
+  }
+
+  test("coGroup: per-key iterator pair (outer-join-like semantics)") {
+    val a = env.fromCollection(Seq((1, "a1"), (1, "a2"), (2, "b")))
+    val b = env.fromCollection(Seq((2, "x"), (3, "y")))
+    val got = a.coGroup(b).where(_._1).equalTo(_._1)
+      .apply[(Int, Int, Int)]((k, l, r) => Seq((k, l.size, r.size)))
+      .collectSeq().sorted
+    assert(got == Seq((1, 2, 0), (2, 1, 1), (3, 0, 1)))
+  }
+
+  test("cross: cartesian with pair output") {
+    val got = env.fromElements(1, 2).cross(env.fromElements("a", "b")).collectSeq().sorted
+    assert(got == Seq((1, "a"), (1, "b"), (2, "a"), (2, "b")))
+  }
+
+  test("groupBy.reduce: per-key pairwise reduce") {
+    val got = tuples3.groupBy(_._2).reduce((a, b) =>
+        (a._1 + b._1, a._2, if (a._1 < b._1) a._3 else b._3))
+      .map(_._2).collectSeq().map(t => (t._1, t._2)).sorted
+    assert(got == Seq((1, 1L), (5, 2L), (15, 3L)))
+  }
+
+  test("groupBy.reduceGroup: full-group iterator") {
+    val got = tuples3.groupBy(_._2)
+      .reduceGroup[(Long, Int)]((k, it) => Seq((k, it.size)))
+      .collectSeq().sorted
+    assert(got == Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("sortGroup + reduceGroup: secondary sort order inside group") {
+    val got = tuples3.groupBy(_._2)
+      .sortGroupReduce[(Long, String)](col("_1").desc) { (k, it) =>
+        Seq((k, it.map(_._1).mkString("-")))
+      }.collectSeq().sorted
+    assert(got == Seq((1L, "1"), (2L, "3-2"), (3L, "6-5-4")))
+  }
+
+  test("global reduce (AllReduce)") {
+    val got = env.fromElements(1, 2, 3, 4).reduce(_ + _).collectSeq()
+    assert(got == Seq(10))
+  }
+
+  test("global reduceGroup sees everything as one group") {
+    val got = env.fromElements(3, 1, 2)
+      .reduceGroup[Int](it => Seq(it.sum)).collectSeq()
+    assert(got == Seq(6))
+  }
+
+  test("first(n) global and per group") {
+    assert(tuples3.first(2).count() == 2)
+    val perGroup = tuples3.groupBy(_._2).first(2).count()
+    assert(perGroup == 5) // groups of size 1,2,3 -> 1+2+2
+  }
+
+  test("partitionByHash keeps data intact; rebalance round-robins") {
+    assert(tuples3.partitionByHash("_2").count() == 6)
+    val reb = tuples3.rebalance(3)
+    assert(reb.ds.rdd.getNumPartitions == 3 && reb.count() == 6)
+  }
+
+  test("mapRich: open/close + broadcast set (withBroadcastSet parity)") {
+    val lookup = env.fromCollection(Seq((1, "one"), (2, "two"), (3, "three")))
+    val withBc = RichMapFunction.withBroadcastSet(new LookupRich, lookup, "lookup")
+    val got = env.fromElements(1, 3, 9).mapRich(withBc).collectSeq().sorted
+    assert(got == Seq("?", "one", "three"))
+  }
+
+  test("accumulator parity (LongCounter)") {
+    val acc = env.longCounter("seen")
+    env.fromElements(1, 2, 3).map { i => acc.add(1); i }.count()
+    assert(acc.value == 3)
+  }
+
+  test("bulk iteration: incrementing converges at maxIterations") {
+    val got = env.fromElements(0, 10).iterate(5)(d => d.map(_ + 1))
+      .collectSeq().sorted
+    assert(got == Seq(5, 15))
+  }
+
+  test("csv/text round trip (FileOutputFormat part-file model)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    tuples3.writeAsCsv(s"$dir/csv")
+    val back = env.readCsvFile(s"$dir/csv", header = true)
+    assert(back.count() == 6)
+    env.fromElements("x", "y").writeAsText(s"$dir/txt")
+    assert(env.readTextFile(s"$dir/txt").collectSeq().sorted == Seq("x", "y"))
+  }
+}

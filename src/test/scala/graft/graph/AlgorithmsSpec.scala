@@ -1,0 +1,65 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden tests mirroring the reference's iteration ITCases
+  * ([U] ConnectedComponentsITCase, DanglingPageRank, KMeansITCase):
+  * small graphs with hand-checked fixpoints. */
+class AlgorithmsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // two components: {1,2,3,4} (path) and {5,6}; plus isolated-via-self 7-8 pair
+  def edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (7L, 8L))
+    .toDF("src", "dst")
+
+  test("connectedComponents: min-label fixpoint on a 3-component graph") {
+    val got = Algorithms.connectedComponents(edges, maxIterations = 20)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 7L), (8L, 7L)))
+  }
+
+  test("vertex-centric CC agrees with delta-iteration CC") {
+    val a = Algorithms.connectedComponents(edges, 20)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = VertexCentric.connectedComponentsVC(edges, 20)
+      .select("vertex", "component")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("connectedComponents converges early (delta iteration terminates on empty workset)") {
+    // a long path needs ~n supersteps; maxIterations larger than needed must still stop
+    val path = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Algorithms.connectedComponents(path, maxIterations = 50)
+    assert(got.filter(col("component") === 1L).count() == 10)
+  }
+
+  test("pageRank: ranks sum to <= 1 and high-in-degree node wins") {
+    // star: everyone points at 1
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)).toDF("src", "dst")
+    val pr = Algorithms.pageRank(star, iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(1L) > pr(2L))
+    // simple PageRank: dangling mass leaks (not redistributed), so the
+    // sum only stays bounded above by 1
+    assert(pr.values.forall(_ > 0) && pr.values.sum <= 1.0 + 1e-9)
+    // determinism: second run identical
+    val pr2 = Algorithms.pageRank(star, iterations = 3).as[(Long, Double)].collect().toMap
+    assert(pr == pr2)
+  }
+
+  test("kMeans: separable 1-d-ish clusters recovered, deterministic") {
+    val pts = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array(base + (i % 3) * 0.1f, base - (i % 3) * 0.1f))
+    }.toDF("id", "features")
+    val got = Algorithms.kMeans(pts, k = 2, iterations = 5)
+      .as[(Long, Int)].collect().toMap
+    val evens = (0 until 20 by 2).map(i => got(i.toLong)).toSet
+    val odds = (1 until 20 by 2).map(i => got(i.toLong)).toSet
+    assert(evens.size == 1 && odds.size == 1 && evens != odds)
+  }
+}
