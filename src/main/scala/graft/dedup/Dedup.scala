@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §7
+  * phase 4): exact, n-gram-Jaccard similarity join, MinHash+LSH, and
+  * SimHash. All hashing is the portable arithmetic family from
+  * TextFunctions so results are deterministic and (where output) the
+  * DuckDB oracle can reproduce them exactly.
+  *
+  * 100 TB posture: every path is a keyed shuffle — no driver-side
+  * state. The Jaccard join explodes distinct shingles and self-joins
+  * on (lang, shingle); LSH replaces that quadratic-ish candidate step
+  * with band-bucket joins whose volume is O(matches) for random text.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full text: histogram of group sizes
+    * (hash-groupBy; the degenerate-but-canonical exact dedup scan). */
+  def exactDupHistogram(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text")).agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies")).agg(count(lit(1)).as("n_groups"))
+
+  /** All document pairs with n-gram-shingle Jaccard >= threshold,
+    * via an exact PPJoin-style prefix filter: for J(a,b) >= t, a and b
+    * must share at least one of each other's ⌊(1-t)·|S|⌋+1 globally
+    * rarest shingles — so only prefix shingles generate candidates
+    * (no false negatives), and every candidate is verified against
+    * the full shingle sets. A naive shared-shingle self-join is
+    * quadratic in per-shingle document frequency (~700M intermediate
+    * rows at sf0.1); the prefix filter keeps candidates O(true pairs).
+    * Output is exact integers only (common/na/nb) — float-free for
+    * the oracle comparison.
+    */
+  def jaccardSimilarityJoin(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialized once: reused by the explode and both verify joins
+    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val docFreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = ex.join(docFreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id"), col("sh")).alias("sa"), col("da") === col("sa.doc_id"))
+      .join(sets.select(col("doc_id"), col("sh")).alias("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("common"),
+        size(col("sa.sh")).as("na"), size(col("sb.sh")).as("nb"))
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= threshold)
+  }
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  val NumHashes = 32
+  val BandSize = 4 // -> 8 bands
+
+  /** Deterministic LCG-style hash coefficients (driver-side constants,
+    * embedded identically into the SQL oracle). */
+  val hashCoeffs: Seq[(Long, Long)] = (0 until NumHashes).map { i =>
+    ((1103515245L * (i + 1)) % HashMod, (12345L + 1013904223L * i) % HashMod)
+  }
+
+  /** 32-slot MinHash signature over distinct shingle values. */
+  def minhashSignature(text: Column): Column =
+    minhashSignature_(shingleVals(text))
+
+  /** Signature from an already-computed shingle-value array column. */
+  def minhashSignature_(sv: Column): Column =
+    array(hashCoeffs.map { case (a, b) =>
+      array_min(transform(sv, v => (v * a + b) % HashMod))
+    }: _*)
+
+  /** Band keys: polynomial combine of each band's minhashes (exact,
+    * < 2^63, no modulo needed). */
+  def bandKeys(sig: Column): Column =
+    array((0 until NumHashes / BandSize).map { bi =>
+      (0 until BandSize).map(r => element_at(sig, bi * BandSize + r + 1))
+        .reduceLeft((acc, m) => acc * 31 + m)
+    }: _*)
+
+  /** MinHash-LSH near-duplicate pairs: candidates share >= 1 band;
+    * candidates are then verified with exact shingle-set Jaccard
+    * (array_intersect), so the output has no false positives. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // materialize the distinct-shingle arrays ONCE: higher-order
+    // functions run interpreted, and without this barrier Catalyst's
+    // CollapseProject inlines the shingleVals expression into every
+    // one of the 32 minhash expressions (measured 25x slowdown), and
+    // the frame is reused by the bucket join + both verify joins.
+    val sv = docs.select(col("doc_id"), shingleVals(col("text")).as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = sv.select(col("doc_id"), col("sv"),
+        minhashSignature_(col("sv")).as("sig"))
+      .withColumn("bands", bandKeys(col("sig")))
+    val buckets = withSig.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val cand = buckets.alias("x")
+      .join(buckets.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(withSig.select(col("doc_id"), col("sv")).alias("sa"), col("da") === col("sa.doc_id"))
+      .join(withSig.select(col("doc_id"), col("sv")).alias("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa.sv"), col("sb.sv"))).as("common"),
+        size(col("sa.sv")).as("na"), size(col("sb.sv")).as("nb"))
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= threshold)
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  val SimHashBits = 16
+
+  /** 16-bit SimHash over token wordVals: bit b is set iff the sum of
+    * (+1 / -1) votes from each token's hash bit b is positive. */
+  def simhash(text: Column): Column = {
+    val hv = transform(tokens(text), w => (wordVal(w) * 2654435761L) % HashMod)
+    (0 until SimHashBits).map { b =>
+      when(aggregate(hv, lit(0L),
+        (acc, v) => acc + (shiftright(v, b).bitwiseAND(1) * 2 - 1)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+  }
+
+  /** SQL twin of [[simhash]] for the DuckDB oracle. */
+  def sqlSimhash(textExpr: String): String = {
+    val hv = s"""list_transform(string_split($textExpr, ' '),
+      w -> (CAST(ascii(w)*1024 + ascii(right(w,1))*32 + length(w) AS BIGINT)
+            * 2654435761) % $HashMod)"""
+    (0 until SimHashBits).map { b =>
+      s"""(CASE WHEN list_sum(list_transform($hv,
+            v -> ((v >> $b) & 1) * 2 - 1)) > 0
+          THEN ${1L << b} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+  }
+}

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.text.TextFunctions
+import graft.text.TextFunctions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.multimodal.Multimodal
+
+/** LLM-training-data pipeline queries (SURVEY.md §7 phase 4) over the
+  * documents/embeddings tables: dedup family, similarity search, text
+  * analysis, multimodal plumbing.
+  *
+  * Oracle discipline: the oracle only ever runs at sf0.01, so oracle
+  * SQL may use brute-force candidate generation (all pairs sharing a
+  * shingle) even where the Spark side uses the scalable exact
+  * algorithm (prefix filter / LSH) — outputs agree because both
+  * verify candidates exactly against full shingle sets. MinHash is
+  * the exception: LSH false negatives are part of its semantics, so
+  * its oracle replicates signatures and banding arithmetic exactly.
+  */
+object TextOps {
+
+  // ---- dedup ---------------------------------------------------------
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupHistogram(t(spark, dir, "documents"))
+
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardSimilarityJoin(t(spark, dir, "documents"), 0.8)
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(spark, dir, "documents"), 0.5)
+
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  // ---- text analysis -------------------------------------------------
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), predictedLang(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTokens(col("text")).cast("long")).as("total_tokens"),
+        exactAvg(meanWordLen(col("text")), 6).as("avg_word_len"),
+        exactAvg(stopwordRatio(col("text")), 6).as("avg_stopword_ratio"))
+
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(nTokens(col("text")).cast("long")).as("n_ws_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(((col("n_chars") + 3) / 4).cast("long")).as("est_bpe_tokens"))
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+
+  // ---- similarity search ---------------------------------------------
+
+  def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+  }
+
+  def qKnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+  }
+
+  // ---- multimodal ----------------------------------------------------
+
+  def qMultimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.formatStats(Multimodal.asMediaTable(t(spark, dir, "documents")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_simhash" -> (qSimhash _),
+    "q_lang_id" -> (qLangId _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_token_stats" -> (qTokenStats _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_knn_brute" -> (qKnnBrute _),
+    "q_knn_lsh" -> (qKnnLsh _),
+    "q_multimodal" -> (qMultimodal _),
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val shinglesCte =
+    s"""sh AS (SELECT doc_id, unnest(${sqlShingles3("text")}) AS s FROM documents),
+       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+  private def jaccardVerifySql(threshold: Double): String =
+    s"""SELECT da, db, common, ca.n AS na, cb.n AS nb
+       FROM pairs JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+       WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $threshold"""
+
+  private val minhashSqlParts: (String, String) = {
+    val p = TextFunctions.HashMod
+    val mins = Dedup.hashCoeffs.map { case (a, b) =>
+      s"list_min(list_transform(sv, v -> (v*$a + $b) % $p))"
+    }
+    val sig = s"[${mins.mkString(",\n            ")}]"
+    val bands = (0 until Dedup.NumHashes / Dedup.BandSize).map { bi =>
+      (0 until Dedup.BandSize).map(r => s"mh[${bi * Dedup.BandSize + r + 1}]")
+        .reduceLeft((acc, m) => s"($acc*31 + $m)")
+    }.mkString("[", ", ", "]")
+    (sig, bands)
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT n_copies, COUNT(1) AS n_groups FROM (
+           SELECT text, COUNT(1) AS n_copies FROM documents GROUP BY text)
+         GROUP BY n_copies""",
+    "q_dedup_jaccard" ->
+      s"""WITH $shinglesCte,
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         ${jaccardVerifySql(0.8)}""",
+    "q_dedup_minhash" ->
+      s"""WITH sv0 AS (SELECT doc_id, ${sqlShingleVals3("text")} AS sv FROM documents),
+         sig AS (SELECT doc_id, sv, ${minhashSqlParts._1} AS mh FROM sv0),
+         bnd AS (SELECT doc_id, sv, ${minhashSqlParts._2} AS bands FROM sig),
+         bk AS (SELECT doc_id, i AS band_idx, bands[i] AS band_key
+                FROM bnd, unnest(generate_series(1, ${Dedup.NumHashes / Dedup.BandSize})) AS t(i)),
+         cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                  FROM bk x JOIN bk y ON x.band_idx = y.band_idx
+                    AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         ver AS (SELECT da, db,
+                   len(list_intersect(sa.sv, sb.sv)) AS common,
+                   len(sa.sv) AS na, len(sb.sv) AS nb
+                 FROM cand JOIN sv0 sa ON da = sa.doc_id
+                   JOIN sv0 sb ON db = sb.doc_id)
+         SELECT da, db, common, na, nb FROM ver
+         WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""",
+    "q_simhash" ->
+      s"""SELECT doc_id, CAST(${Dedup.sqlSimhash("text")} AS BIGINT) AS simhash
+         FROM documents""",
+    "q_lang_id" ->
+      s"""SELECT lang, ${sqlPredictedLang("text")} AS predicted, COUNT(1) AS n
+         FROM documents GROUP BY lang, predicted""",
+    "q_text_quality" ->
+      s"""SELECT lang, COUNT(1) AS n_docs,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           ${sqlExactAvg("CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE) / len(string_split(text,' '))", 6)} AS avg_word_len,
+           ${sqlExactAvg(s"CAST(${sqlLangScore("text", TextFunctions.Stopwords)} AS DOUBLE) / len(string_split(text,' '))", 6)} AS avg_stopword_ratio
+         FROM documents GROUP BY lang""",
+    "q_token_stats" ->
+      """SELECT lang, source,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_ws_tokens,
+           SUM(n_chars) AS n_chars,
+           SUM((n_chars + 3) // 4) AS est_bpe_tokens
+         FROM documents GROUP BY lang, source""",
+    "q_fingerprint" ->
+      s"""SELECT doc_id, ${sqlFingerprint("text")} AS fingerprint FROM documents""",
+    "q_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         sims AS (
+           SELECT qid, c.vec_id AS cid,
+             ${Similarity.sqlSimRounded("qv", "c.embedding", 64)} AS sim
+           FROM q JOIN embeddings c ON qid <> c.vec_id),
+         ranked AS (
+           SELECT qid, cid, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
+           FROM sims)
+         SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    "q_multimodal" ->
+      """SELECT 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format, COUNT(1) AS n,
+           SUM(64 + length(text) % 577) AS sum_width,
+           SUM(64 + (length(text) * 31) % 433) AS sum_height,
+           MAX(64 + length(text) % 577) AS max_width
+         FROM documents GROUP BY 1""",
+    // q_knn_lsh: no oracle — hyperplane float sums are order-sensitive
+    // cross-engine; recall vs brute force is asserted in SimilaritySpec.
+  )
+}

