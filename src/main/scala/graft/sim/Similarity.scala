@@ -44,9 +44,11 @@ object Similarity {
     * before ranking and ties break on vec_id, so the selection is
     * fully deterministic. */
   /** Cosine quantized to 1e-6 via single-arg round (identical
-    * across engines, unlike round(x, 6)). */
+    * across engines, unlike round(x, 6)). Uses the codegen'd
+    * CosineSim expression — same arithmetic as [[cosine]], ~10x
+    * faster than the interpreted HOF path. */
   def simRounded(a: Column, b: Column): Column =
-    round(cosine(a, b) * lit(1e6)).cast("long") / lit(1e6)
+    round(graft.functions.CosineSim.cosineSim(a, b) * lit(1e6)).cast("long") / lit(1e6)
 
   def sqlSimRounded(a: String, b: String, dim: Int): String =
     s"CAST(round((${sqlCosine(a, b, dim)}) * 1e6) AS BIGINT) / 1e6"

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Plan-shape audits — the analogue of the reference's compiler tests
+  * ([U] stratosphere-compiler/src/test: assert chosen ship/local
+  * strategies on the OptimizedPlan; SURVEY.md §5). Each assertion
+  * pins a property that matters at 100 TB: filters reaching the
+  * parquet scan, column pruning, broadcast vs shuffle join selection,
+  * partial (map-side) aggregation, codegen coverage.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String = {
+    val df = graft.SparkEntry.queries(q)(spark, dir)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter pushed to parquet scan; columns pruned") {
+    val p = executedPlan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_partkey"), "unused columns must not be read:\n" + p)
+  }
+
+  test("q1: aggregation is partial (map-side combine) then final") {
+    val p = executedPlan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q3: dimension side broadcast, no shuffle of lineitem for the cust join") {
+    val p = executedPlan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("q5: the full dimension chain broadcasts (no shuffle joins for dims)") {
+    val p = executedPlan("q5_local_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q6: global aggregate reads only the columns it needs") {
+    val p = executedPlan("q6_forecast")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"), p)
+  }
+
+  test("semi/anti joins plan as semi/anti (no materialized distinct)") {
+    assert(executedPlan("q_semi_join").contains("LeftSemi"))
+    assert(executedPlan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("wordcount: whole-stage codegen spans the explode + aggregation") {
+    val p = executedPlan("q_wordcount")
+    assert(p.contains("*("), p)
+  }
+
+  test("knn: bounded query side broadcasts; corpus side never shuffles pre-rank") {
+    val p = executedPlan("q_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

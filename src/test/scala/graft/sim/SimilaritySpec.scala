@@ -53,6 +53,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.size <= brute.size + 100)
   }
 
+  test("codegen'd CosineSim matches the HOF formulation bit-for-bit") {
+    val pairs = emb.alias("a").crossJoin(emb.limit(20).alias("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+    val diff = pairs.select(
+        graft.functions.CosineSim.cosineSim(col("a.embedding"), col("b.embedding")).as("fast"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(diff.count() == 0)
+    // and it runs inside whole-stage codegen (not interpreted);
+    // AQE finalizes the plan only after execution
+    val proj = pairs.select(
+      graft.functions.CosineSim.cosineSim(col("a.embedding"), col("b.embedding")))
+    proj.collect()
+    // "*(n)" prefixes mark WholeStageCodegen stages in plan strings
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("cosinesim"), plan)
+  }
+
   test("deterministic: two runs give identical top-k") {
     val q = emb.filter(col("vec_id") < 3)
     val a = Similarity.bruteForceTopK(emb, q, 5).collect().toSeq
