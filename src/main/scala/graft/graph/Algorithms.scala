@@ -28,11 +28,12 @@ object Algorithms {
     */
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
     // loop-invariant edge set: persist once (the analogue of the
-    // reference's iteration-boundary cache — recomputing the
-    // union+distinct shuffle every superstep dominated runtime 7:1)
+    // reference's iteration-boundary cache — recomputing it every
+    // superstep dominated runtime 7:1). Multi-edges are kept: the
+    // min-label combine is idempotent, and the dedup shuffle costs
+    // more than the duplicate messages save.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vertices = und.select(col("src").as("vertex")).distinct()
     val init = vertices.withColumn("component", col("vertex"))

@@ -77,8 +77,14 @@ object Similarity {
     when(terms.reduceLeft(_ + _) >= 0, lit(1)).otherwise(lit(0))
   }
 
-  /** Bucket id = sign pattern across `planes` hyperplanes. */
+  /** Bucket id = sign pattern across `planes` hyperplanes. Runs as an
+    * imperative expression (planes*dim multiplies per row would be a
+    * ~512-node Catalyst tree otherwise); [[lshBucketRef]] keeps the
+    * Column formulation as the parity-tested semantic reference. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    graft.functions.LshBucketExpr.lshBucketFast(vec, planes, dim)
+
+  def lshBucketRef(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map(p => hyperplaneSign(vec, p, dim) * lit(1 << p))
       .reduceLeft(_ + _)
 

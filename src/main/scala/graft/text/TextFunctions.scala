@@ -24,8 +24,14 @@ object TextFunctions {
     (ascii(w) * lit(1024L) + ascii(substring(w, -1, 1)) * lit(32L) + length(w)).cast("long")
 
   /** Rolling polynomial hash over the token stream (document
-    * fingerprint): h = fold(h*31 + wordVal(w) mod p). */
+    * fingerprint): h = fold(h*31 + wordVal(w) mod p). Runs as an
+    * imperative expression (graft.functions.FingerprintExpr); the HOF
+    * formulation below is kept as the semantic reference. */
   def fingerprint(text: Column): Column =
+    graft.functions.TextExprs.fingerprintFast(text)
+
+  /** HOF reference formulation of [[fingerprint] ] (parity-tested). */
+  def fingerprintHof(text: Column): Column =
     aggregate(transform(tokens(text), w => wordVal(w)),
       lit(0L), (acc, v) => (acc * 31 + v) % HashMod)
 
@@ -36,8 +42,14 @@ object TextFunctions {
            w -> CAST(ascii(w)*1024 + ascii(right(w,1))*32 + length(w) AS BIGINT))),
          (acc, v) -> (acc*31 + v) % $HashMod)"""
 
-  /** Distinct word-level n-gram shingles (as strings). */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Distinct word-level n-gram shingles (as strings). n=3 runs as an
+    * imperative expression; other n fall back to the HOF form. */
+  def shingles(text: Column, n: Int = 3): Column =
+    if (n == 3) graft.functions.TextExprs.shingles3Fast(text)
+    else shinglesHof(text, n)
+
+  /** HOF reference formulation of [[shingles]] (parity-tested). */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val ws = tokens(text)
     // guard: Spark's sequence(0, negative) counts DOWN; short docs
     // must yield an empty shingle set (as DuckDB's generate_series does)
@@ -57,8 +69,14 @@ object TextFunctions {
                string_split($textExpr,' ')[i+2]))"""
 
   /** Distinct shingle hash values (rolling hash of each shingle's
-    * words) — the numeric form LSH operates on. */
-  def shingleVals(text: Column, n: Int = 3): Column = {
+    * words) — the numeric form LSH operates on. n=3 runs as an
+    * imperative expression; other n fall back to the HOF form. */
+  def shingleVals(text: Column, n: Int = 3): Column =
+    if (n == 3) graft.functions.TextExprs.shingleVals3Fast(text)
+    else shingleValsHof(text, n)
+
+  /** HOF reference formulation of [[shingleVals]] (parity-tested). */
+  def shingleValsHof(text: Column, n: Int = 3): Column = {
     val ws = tokens(text)
     when(size(ws) >= n,
       array_distinct(transform(

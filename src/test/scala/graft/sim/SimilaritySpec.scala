@@ -71,6 +71,14 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("*(") && plan.contains("cosinesim"), plan)
   }
 
+  test("LshBucketExpr matches the Column hyperplane formulation") {
+    val diff = emb.select(
+        Similarity.lshBucket(col("embedding"), 8, 64).as("fast"),
+        Similarity.lshBucketRef(col("embedding"), 8, 64).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
   test("deterministic: two runs give identical top-k") {
     val q = emb.filter(col("vec_id") < 3)
     val a = Similarity.bruteForceTopK(emb, q, 5).collect().toSeq
