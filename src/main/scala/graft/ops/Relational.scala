@@ -218,6 +218,26 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("sum_qty"))
 
+  // ---- SQL entry: one ANSI string runs verbatim on BOTH engines ------
+  /** TPCH Q10-ish (returned-item customer ranking) written once in
+    * dialect-neutral SQL: Spark executes it via GraftSession (temp
+    * views over the same tables), DuckDB runs the identical string as
+    * the oracle. Demonstrates the engine's raw-SQL entry (Spark's own
+    * parser — the reference has none, SURVEY.md §3.2). */
+  val q10Sql: String =
+    """SELECT c_custkey, c_name,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+       FROM customer, orders, lineitem
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.sql(spark, dir, q10Sql)
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,6 +260,7 @@ object Relational {
     "q_agg_global" -> (qAggGlobal _),
     "q_having" -> (qHaving _),
     "q_partition_by_hash" -> (qPartitionByHash _),
+    "q10_returned_items" -> (q10ReturnedItems _),
   )
 
   private val rev = sqlExactSum("l_extendedprice * (1 - l_discount)", 4)
@@ -337,5 +358,6 @@ object Relational {
     "q_partition_by_hash" ->
       """SELECT l_suppkey, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY l_suppkey""",
+    "q10_returned_items" -> q10Sql,
   )
 }

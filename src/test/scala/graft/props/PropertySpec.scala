@@ -1,0 +1,77 @@
+package graft.props
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.functions.TextHash
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based checks (SURVEY.md §5: the reference has no
+  * property-testing corpus; we add one). ScalaCheck generators with
+  * fixed seeds feed both a local model and the distributed operator;
+  * agreement is the property. (Plain ScalaTest driver — the
+  * scalatest/scalacheck bridge artifact isn't a declared dep.) */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val word: Gen[String] = Gen.oneOf(
+    "agg", "scan", "join", "sort", "data", "key", "row", "col", "the", "a")
+  private val doc: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("property: jaccard join equals the local brute-force model") {
+    for (round <- 1 to 5) {
+      val texts = sample(Gen.listOfN(12, doc), 42L + round)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.jaccardSimilarityJoin(docs, 0.5)
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      val local = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, TextHash.shingles3(UTF8String.fromString(t)).map(_.toString).toSet)
+      }
+      val expected = (for {
+        (a, sa) <- local; (b, sb) <- local
+        if a < b && (sa.nonEmpty || sb.nonEmpty)
+        common = (sa & sb).size
+        if common.toDouble / (sa.size + sb.size - common) >= 0.5
+      } yield (a, b)).toSet
+      assert(got == expected, s"round $round: $texts")
+    }
+  }
+
+  test("property: fingerprint matches a local rolling-hash model") {
+    for (round <- 1 to 5) {
+      val texts = sample(Gen.listOfN(8, doc), 1000L + round)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"), TextFunctions.fingerprint(col("text")))
+        .as[(Long, Long)].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val expected = t.split(" ", -1).foldLeft(0L) { (h, w) =>
+          val first = if (w.isEmpty) 0 else w.charAt(0).toInt
+          val last = if (w.isEmpty) 0 else w.charAt(w.length - 1).toInt
+          (h * 31 + (first * 1024L + last * 32L + w.length)) % 1000000007L
+        }
+        assert(got(i.toLong) == expected, s"round $round doc '$t'")
+      }
+    }
+  }
+
+  test("property: exactSum is invariant under repartitioning") {
+    for (round <- 1 to 5) {
+      val cents = sample(Gen.listOfN(50, Gen.chooseNum(0, 100000)), 7L + round)
+      val vals = cents.map(_ / 100.0)
+      val a = vals.toDF("v").agg(graft.Tables.exactSum(col("v"), 2)).as[Double].head()
+      val b = vals.toDF("v").repartition(7).agg(graft.Tables.exactSum(col("v"), 2))
+        .as[Double].head()
+      assert(a == b)
+      assert(a == cents.map(_.toLong).sum / 100.0)
+    }
+  }
+}
