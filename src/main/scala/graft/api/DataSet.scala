@@ -146,6 +146,24 @@ class GDataSet[T](val ds: Dataset[T]) extends Serializable {
   def iterate(maxIterations: Int)(body: GDataSet[T] => GDataSet[T]): GDataSet[T] =
     new GDataSet(Iterations.bulk(ds, maxIterations)(d => body(new GDataSet(d)).ds))
 
+  /** Delta iteration sugar ([U] DataSet.iterateDelta): this dataset is
+    * the initial solution set; `workset` seeds the working set; `step`
+    * returns (delta, nextWorkset); solution rows are replaced by key.
+    * Drops to DataFrame (keyed updates are relational by nature). */
+  def iterateDelta(workset: DataFrame, keys: Seq[String], maxIterations: Int)(
+      step: (DataFrame, DataFrame) => (DataFrame, DataFrame)): DataFrame =
+    Iterations.delta(ds.toDF(), workset, keys, maxIterations)(step)
+
+  /** Field-wise aggregation builder ([U] AggregateOperator):
+    * `ds.aggregate(SUM, "a").and(MAX, "b").result`. */
+  def aggregate(agg: Aggregations.Value, field: String): AggregateBuilder =
+    AggregateBuilder(ds.toDF(), Nil, agg, field)
+
+  /** Field-name grouping for the aggregate builder
+    * ([U] UnsortedGrouping.aggregate). */
+  def groupByFields(fields: String*): GroupedFields =
+    new GroupedFields(ds.toDF(), fields)
+
   // ---- sinks ([U] FileOutputFormat family; part-file model matches) --
 
   def writeAsCsv(path: String, overwrite: Boolean = true): Unit =
@@ -196,6 +214,45 @@ object RichMapFunction {
       .broadcast(set.ds.collect().toSeq.asInstanceOf[Seq[Any]])
     rich.withBroadcastSets(Map(name -> b))
   }
+}
+
+/** Field-wise built-in aggregations ([U] .../api/java/aggregation/
+  * Aggregations.java + AggregateOperator): `aggregate(SUM, "a")
+  * .and(MAX, "b")` builder over a (grouped) dataset. */
+object Aggregations extends Enumeration {
+  val SUM, MIN, MAX = Value
+}
+
+final class AggregateBuilder(df: DataFrame, groupCols: Seq[String]) {
+  private var aggs: Vector[(Aggregations.Value, String)] = Vector.empty
+
+  def and(agg: Aggregations.Value, field: String): AggregateBuilder = {
+    aggs :+= (agg, field); this
+  }
+
+  def result: DataFrame = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, sum => fsum}
+    val exprs = aggs.map {
+      case (Aggregations.SUM, f) => fsum(col(f)).as(s"sum_$f")
+      case (Aggregations.MIN, f) => fmin(col(f)).as(s"min_$f")
+      case (Aggregations.MAX, f) => fmax(col(f)).as(s"max_$f")
+    }
+    if (groupCols.isEmpty) df.agg(exprs.head, exprs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+}
+
+object AggregateBuilder {
+  def apply(df: DataFrame, groupCols: Seq[String],
+      agg: Aggregations.Value, field: String): AggregateBuilder = {
+    val b = new AggregateBuilder(df, groupCols)
+    b.and(agg, field)
+  }
+}
+
+final class GroupedFields(df: DataFrame, fields: Seq[String]) {
+  def aggregate(agg: Aggregations.Value, field: String): AggregateBuilder =
+    AggregateBuilder(df, fields, agg, field)
 }
 
 sealed trait JoinHint

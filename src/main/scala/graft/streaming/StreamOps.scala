@@ -29,9 +29,25 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based unbounded source over an events-shaped directory. */
-  def readEventStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(path)
+  /** Raw schema of the driver's events parquet: ts is TIMESTAMP(NANOS),
+    * which Spark 4 only reads as a long (legacy nanosAsLong conf). */
+  private val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based unbounded source over an events-shaped parquet
+    * directory. Reads nanosecond timestamps as raw longs and converts
+    * with exact integer division (same discipline as graft.Tables.t —
+    * a TimestampType schema would abort with PARQUET_TYPE_ILLEGAL). */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling event-time windows: (window_start_epoch_s, event_type) →
     * count + exact sum of value (scaled-integer cents). */

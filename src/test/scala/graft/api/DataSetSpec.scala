@@ -146,6 +146,29 @@ class DataSetSpec extends SparkSpec {
     assert(got == Seq(5, 15))
   }
 
+  test("aggregate builder: SUM/MIN/MAX chaining, grouped and global") {
+    val global = tuples3.aggregate(Aggregations.SUM, "_1")
+      .and(Aggregations.MAX, "_2").result.collect()(0)
+    assert(global.getLong(0) == 21L && global.getLong(1) == 3L) // sum(int) -> long
+    val grouped = tuples3.groupByFields("_2")
+      .aggregate(Aggregations.SUM, "_1").and(Aggregations.MIN, "_1").result
+      .orderBy(col("_2")).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(grouped == Seq((1L, 1L, 1), (2L, 5L, 2), (3L, 15L, 4)))
+  }
+
+  test("iterateDelta sugar on the facade") {
+    val sol = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val ws = Seq((1L, 1L)).toDF("k", "v")
+    val got = new GDataSet(sol).iterateDelta(ws, Seq("k"), 3) { (_, w) =>
+      // single step: replace key 1's value with 99, then stop
+      val delta = w.filter(col("v") === 1L)
+        .select(col("k"), lit(99L).as("v"))
+      (delta, delta.filter(lit(false)))
+    }
+    assert(got.orderBy("k").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 99L), (2L, 20L)))
+  }
+
   test("csv/text round trip (FileOutputFormat part-file model)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
     tuples3.writeAsCsv(s"$dir/csv")

@@ -103,6 +103,21 @@ class StreamOpsSpec extends SparkSpec {
       rows.toSeq.toString)
   }
 
+  test("file stream over the real events parquet processes end-to-end") {
+    // the streaming file source needs a directory; link the real file in
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
+    val stream = StreamOps.readEventStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val agg = StreamOps.tumblingAggStream(stream, "1 hour", "1 day")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("filestream").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("filestream").count()
+    assert(n > 0 && n <= 31 * 5) // bounded by days x event types
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
