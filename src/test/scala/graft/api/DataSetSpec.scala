@@ -169,6 +169,17 @@ class DataSetSpec extends SparkSpec {
       Seq((1L, 99L), (2L, 20L)))
   }
 
+  test("salted two-phase aggregation equals the plain aggregate") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"), sum(lit(1L)).as("n"))
+      .orderBy("l_returnflag").collect().toSeq
+    val salted = Salting.saltedSum(li, Seq("l_returnflag"),
+        Seq((col("l_quantity"), "q"), (lit(1L), "n")), saltBuckets = 8)
+      .orderBy("l_returnflag").collect().toSeq
+    assert(plain.map(_.toString) == salted.map(_.toString))
+  }
+
   test("csv/text round trip (FileOutputFormat part-file model)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
     tuples3.writeAsCsv(s"$dir/csv")
