@@ -14,15 +14,24 @@ object GraftSession {
   val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register every driver table under its bare name. Idempotent. */
-  def registerTables(spark: SparkSession, dir: String): Unit =
-    TableNames.foreach { n =>
-      Tables.t(spark, dir, n).createOrReplaceTempView(n)
-    }
+  private val registered = scala.collection.mutable.Set[(SparkSession, String, String)]()
 
-  /** Run SQL against the registered tables. */
-  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
-    registerTables(spark, dir)
+  /** Register driver tables under their bare names. Memoized —
+    * creating a DataFrame reads the parquet footer for its schema, so
+    * re-registering all 10 tables per query would cost seconds. */
+  def registerTables(spark: SparkSession, dir: String,
+      tables: Seq[String] = TableNames): Unit = synchronized {
+    tables.foreach { n =>
+      if (registered.add((spark, dir, n)))
+        Tables.t(spark, dir, n).createOrReplaceTempView(n)
+    }
+  }
+
+  /** Run SQL against the registered tables (narrow `tables` to skip
+    * schema reads for relations the query doesn't touch). */
+  def sql(spark: SparkSession, dir: String, query: String,
+      tables: Seq[String] = TableNames): DataFrame = {
+    registerTables(spark, dir, tables)
     spark.sql(query)
   }
 }

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object Iterations {
 
-  private def withIterationConf[A](spark: SparkSession)(f: => A): A = {
+  private[graft] def withIterationConf[A](spark: SparkSession)(f: => A): A = {
     val key = "spark.sql.constraintPropagation.enabled"
     val old = spark.conf.getOption(key)
     spark.conf.set(key, "false")

@@ -236,7 +236,8 @@ object Relational {
        ORDER BY revenue DESC, c_custkey LIMIT 20"""
 
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
-    graft.GraftSession.sql(spark, dir, q10Sql)
+    graft.GraftSession.sql(spark, dir, q10Sql,
+      tables = Seq("customer", "orders", "lineitem"))
 
   // ---- registry ------------------------------------------------------
 
