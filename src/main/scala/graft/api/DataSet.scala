@@ -74,6 +74,11 @@ class GDataSet[T](val ds: Dataset[T]) extends Serializable {
   def join[U](other: GDataSet[U]): JoinBuilder[T, U] =
     new JoinBuilder(this, other, JoinHint.OptimizerChooses)
 
+  /** Join with an explicit strategy hint ([U] JoinOperatorBase.JoinHint
+    * → Spark's broadcast/merge/shuffle_hash hints). */
+  def joinWithHint[U](other: GDataSet[U], hint: JoinHint): JoinBuilder[T, U] =
+    new JoinBuilder(this, other, hint)
+
   /** `joinWithTiny`: other side is small → broadcast it. */
   def joinWithTiny[U](other: GDataSet[U]): JoinBuilder[T, U] =
     new JoinBuilder(this, other, JoinHint.BroadcastSecond)
@@ -260,6 +265,10 @@ object JoinHint {
   case object OptimizerChooses extends JoinHint
   case object BroadcastFirst extends JoinHint
   case object BroadcastSecond extends JoinHint
+  /** REPARTITION_SORT_MERGE ([U] JoinOperatorBase.JoinHint). */
+  case object SortMerge extends JoinHint
+  /** REPARTITION_HASH_FIRST/SECOND. */
+  case object ShuffleHash extends JoinHint
 }
 
 /** `ds1.join(ds2).where(k1).equalTo(k2)` builder ([U] JoinOperator). */
@@ -280,7 +289,12 @@ final class JoinPredicate[T, U, K: Encoder](left: GDataSet[T], right: GDataSet[U
     val (lkf, rkf) = (lk, rk) // local copies: don't capture `this` in closures
     val l0 = left.ds.map(t => (lkf(t), t))
     val r0 = right.ds.map(u => (rkf(u), u))
-    val l = if (hint == JoinHint.BroadcastFirst) bcastHint(l0) else l0
+    val l = hint match {
+      case JoinHint.BroadcastFirst => bcastHint(l0)
+      case JoinHint.SortMerge => l0.hint("merge")
+      case JoinHint.ShuffleHash => l0.hint("shuffle_hash")
+      case _ => l0
+    }
     val r = if (hint == JoinHint.BroadcastSecond) bcastHint(r0) else r0
     l.joinWith(r, l("_1") === r("_1"), "inner")
   }
@@ -376,4 +390,13 @@ class GraftEnvironment(val spark: SparkSession) {
   /** Accumulator parity ([U] IntCounter/LongCounter). */
   def longCounter(name: String): org.apache.spark.util.LongAccumulator =
     spark.sparkContext.longAccumulator(name)
+
+  /** DistributedCache parity ([U] .../api/common/cache/
+    * DistributedCache.java): ship a file to every executor; tasks
+    * resolve it with [[getCachedFile]]. */
+  def registerCachedFile(path: String): Unit =
+    spark.sparkContext.addFile(path)
+
+  def getCachedFile(name: String): String =
+    org.apache.spark.SparkFiles.get(name)
 }

@@ -169,6 +169,36 @@ class DataSetSpec extends SparkSpec {
       Seq((1L, 99L), (2L, 20L)))
   }
 
+  test("join hints: sort-merge and shuffle-hash plan as hinted") {
+    val words = env.fromCollection(Seq((1, "one"), (2, "two")))
+    val smj = tuples3.joinWithHint(words, JoinHint.SortMerge)
+      .where(_._1).equalTo(_._1).build
+    assert(smj.ds.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val shj = tuples3.joinWithHint(words, JoinHint.ShuffleHash)
+      .where(_._1).equalTo(_._1).build
+    assert(shj.ds.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    assert(smj.count() == 2 && shj.count() == 2)
+  }
+
+  test("sortPartition orders within partitions") {
+    val sorted = tuples3.rebalance(2).sortPartition(col("_1").desc)
+    val perPart = sorted.ds.rdd.mapPartitions(it => Iterator(it.map(_._1).toList))
+      .collect()
+    assert(perPart.forall(l => l == l.sorted.reverse))
+  }
+
+  test("distributed cache: file shipped to tasks (SparkFiles)") {
+    val f = java.nio.file.Files.createTempFile("graft-cache", ".txt")
+    java.nio.file.Files.writeString(f, "lookup-payload")
+    env.registerCachedFile(f.toString)
+    val name = f.getFileName.toString
+    val got = env.fromElements(1, 2).map { _ =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(org.apache.spark.SparkFiles.get(name))))
+    }.collectSeq()
+    assert(got == Seq("lookup-payload", "lookup-payload"))
+  }
+
   test("salted two-phase aggregation equals the plain aggregate") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val plain = li.groupBy(col("l_returnflag"))
