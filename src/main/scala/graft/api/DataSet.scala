@@ -41,6 +41,11 @@ class GDataSet[T](val ds: Dataset[T]) extends Serializable {
 
   def filter(p: T => Boolean): GDataSet[T] = new GDataSet(ds.filter(p))
 
+  /** Reference `mapPartition(MapPartitionFunction)`: UDF sees a whole
+    * partition's iterator ([U] .../operators/MapPartitionOperator). */
+  def mapPartition[U: Encoder](f: Iterator[T] => IterableOnce[U]): GDataSet[U] =
+    new GDataSet(ds.mapPartitions(it => f(it).iterator))
+
   /** Column-expression forms — preferred (codegen + pushdown). */
   def filterExpr(cond: Column): GDataSet[T] = new GDataSet(ds.filter(cond))
 

@@ -91,19 +91,24 @@ object Algorithms {
 
     val init = vertices.withColumn("rank", lit(1.0 / n))
     val result = Iterations.bulk(init, iterations) { ranks =>
-      val contribs = ranks.join(withDeg, ranks("id") === withDeg("src"))
-        .select(col("dst").as("id"),
-          round(col("rank") / col("outdeg") * lit(1e12)).cast("long").as("c"))
+      // one superstep = one aggregation + one left join back onto the
+      // rank frame (not the vertices table — same rows, already
+      // cached via the iteration checkpoint, saves a scan per step)
+      val contribs = ranks.alias("r")
+        .join(withDeg.alias("e"), col("r.id") === col("e.src"))
+        .select(col("e.dst").as("id"),
+          round(col("r.rank") / col("e.outdeg") * lit(1e12)).cast("long").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("csum"))
       // rank re-quantized to 1e-12 via single-arg round (identical
       // semantics in Spark and DuckDB, unlike round(x, 12)) so every
       // superstep is bit-reproducible cross-engine.
-      vertices.join(contribs, Seq("id"), "left")
-        .select(col("id"),
+      ranks.alias("v").join(contribs.alias("m"), col("v.id") === col("m.id"), "left")
+        .select(col("v.id").as("id"),
           (round((lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("csum"), lit(0L)) / lit(1e12))) * lit(1e12))
+            lit(damping) * (coalesce(col("m.csum"), lit(0L)) / lit(1e12))) * lit(1e12))
             .cast("long") / lit(1e12)).as("rank"))
     }
+    vertices.unpersist()
     result
   }
 

@@ -223,9 +223,11 @@ object Relational {
     * dialect-neutral SQL: Spark executes it via GraftSession (temp
     * views over the same tables), DuckDB runs the identical string as
     * the oracle. Demonstrates the engine's raw-SQL entry (Spark's own
-    * parser — the reference has none, SURVEY.md §3.2). */
+    * parser — the reference has none, SURVEY.md §3.2). The broadcast
+    * hint is a no-op comment to DuckDB; Spark uses it to keep the
+    * fact side shuffle-free for the customer join. */
   val q10Sql: String =
-    """SELECT c_custkey, c_name,
+    """SELECT /*+ BROADCAST(customer) */ c_custkey, c_name,
          SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
        FROM customer, orders, lineitem
        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey

@@ -45,6 +45,13 @@ class DataSetSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("_1", "_3") && got.count() == 6)
   }
 
+  test("mapPartition: whole-partition iterator UDF") {
+    val got = env.fromElements(1, 2, 3, 4).rebalance(2)
+      .mapPartition(it => Seq(it.sum))
+      .collectSeq()
+    assert(got.size == 2 && got.sum == 10)
+  }
+
   test("distinct + union (bag semantics: union = UNION ALL)") {
     val a = env.fromElements(1, 2, 2, 3)
     val b = env.fromElements(3, 4)
