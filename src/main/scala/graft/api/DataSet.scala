@@ -381,12 +381,17 @@ class GraftEnvironment(val spark: SparkSession) {
     new GDataSet(spark.read.textFile(path))
   }
 
-  /** [U] CsvInputFormat: delimited with declared field types. */
+  /** [U] CsvInputFormat: delimited with declared field types and the
+    * reference's `includeFields` positional mask. */
   def readCsvFile(path: String, delimiter: String = ",",
-      header: Boolean = false, schema: Option[String] = None): GDataSet[org.apache.spark.sql.Row] = {
+      header: Boolean = false, schema: Option[String] = None,
+      includedFields: Seq[Int] = Nil): GDataSet[org.apache.spark.sql.Row] = {
     var r = spark.read.option("delimiter", delimiter).option("header", header.toString)
     r = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
-    new GDataSet(r.csv(path))
+    val df = r.csv(path)
+    val out = if (includedFields.isEmpty) df
+    else df.select(includedFields.map(i => col(df.columns(i))): _*)
+    new GDataSet(out)
   }
 
   def readParquet(path: String): GDataSet[org.apache.spark.sql.Row] =

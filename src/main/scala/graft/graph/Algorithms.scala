@@ -158,6 +158,68 @@ object Algorithms {
     res
   }
 
+  /** Train KMeans and return the centroid table (driver-side: nlist x
+    * dim scalars — the IVF coarse quantizer). */
+  def kMeansCells(points: DataFrame, k: Int, iterations: Int = 3): Array[(Int, Array[Double])] = {
+    val pts = points.select(col("id"), col("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[(Int, Array[Double])] = pts.orderBy(col("id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
+    val spark = points.sparkSession
+    val dim = centroids.head._2.length
+    for (_ <- 1 to iterations) {
+      val b = spark.sparkContext.broadcast(centroids)
+      val assigned = pts.withColumn("cluster", assignUdf(b)(col("features")))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("features")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (c, old) =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val vec = new Array[Double](dim)
+            var n = 0L
+            rows.foreach { r => vec(r.getInt(1)) = r.getDouble(2); n = r.getLong(3) }
+            (c, vec.map(_ / n))
+          case None => (c, old)
+        }
+      }
+      b.unpersist()
+    }
+    pts.unpersist()
+    centroids
+  }
+
+  /** Nearest-cell assignment column for a float-vector column. */
+  def assignCellUdf(cells: Array[(Int, Array[Double])]) = {
+    val local = cells
+    udf { features: Seq[Float] =>
+      var best = -1; var bestD = Double.MaxValue
+      for ((c, cent) <- local) {
+        var d = 0.0; var i = 0
+        while (i < cent.length) { val t = features(i) - cent(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+  }
+
+  /** The `nprobe` nearest cells for a query vector (deterministic
+    * tie-break by cell id). */
+  def probeCellsUdf(cells: Array[(Int, Array[Double])], nprobe: Int) = {
+    val local = cells
+    udf { features: Seq[Float] =>
+      local.map { case (c, cent) =>
+        var d = 0.0; var i = 0
+        while (i < cent.length) { val t = features(i) - cent(i); d += t * t; i += 1 }
+        (d, c)
+      }.sortBy(identity).take(nprobe).map(_._2)
+    }
+  }
+
   private def assignUdf(b: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) =
     udf { features: Seq[Float] =>
       var best = -1; var bestD = Double.MaxValue

@@ -77,6 +77,11 @@ object TextOps {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
   }
 
+  def qKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
@@ -93,6 +98,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_lsh" -> (qKnnLsh _),
+    "q_knn_ivf" -> (qKnnIvf _),
     "q_multimodal" -> (qMultimodal _),
   )
 
@@ -185,7 +191,8 @@ object TextOps {
            SUM(64 + (length(text) * 31) % 433) AS sum_height,
            MAX(64 + length(text) % 577) AS max_width
          FROM documents GROUP BY 1""",
-    // q_knn_lsh: no oracle — hyperplane float sums are order-sensitive
-    // cross-engine; recall vs brute force is asserted in SimilaritySpec.
+    // q_knn_lsh / q_knn_ivf: no oracle — bucket assignment float sums
+    // are order-sensitive cross-engine; recall vs brute force is
+    // asserted in SimilaritySpec.
   )
 }

@@ -88,6 +88,32 @@ object Similarity {
     (0 until planes).map(p => hyperplaneSign(vec, p, dim) * lit(1 << p))
       .reduceLeft(_ + _)
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
+    * KMeans cells; each query probes only its `nprobe` nearest cells.
+    * Centroids come from the deterministic KMeans in graft.graph (a
+    * bounded nlist x dim array, broadcast via the assignment UDF), so
+    * the corpus side is one narrow cell-id column and the candidate
+    * join touches ~ nprobe/nlist of the corpus per query — the
+    * learned-bucket alternative to the hyperplane LSH below. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+    import graft.graph.Algorithms
+    val pts = corpus.select(col("vec_id").as("id"), col("embedding").as("features"))
+    val cells = Algorithms.kMeansCells(pts, nlist, iterations)
+    val assign = Algorithms.assignCellUdf(cells)
+    val probe = Algorithms.probeCellsUdf(cells, nprobe)
+    val cb = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("cell", assign(col("cv")))
+    val qb = broadcast(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("cell", explode(probe(col("qv")))))
+    val cand = qb.join(cb, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+
   /** ANN top-k with multi-probe LSH: each query probes its own bucket
     * plus every bucket at Hamming distance 1 (flip one hyperplane
     * sign) — near-neighbors that land just across one hyperplane are

@@ -222,6 +222,9 @@ class DataSetSpec extends SparkSpec {
     tuples3.writeAsCsv(s"$dir/csv")
     val back = env.readCsvFile(s"$dir/csv", header = true)
     assert(back.count() == 6)
+    // includeFields positional mask (reference CsvInputFormat feature)
+    val masked = env.readCsvFile(s"$dir/csv", header = true, includedFields = Seq(0, 2))
+    assert(masked.ds.columns.length == 2 && masked.count() == 6)
     env.fromElements("x", "y").writeAsText(s"$dir/txt")
     assert(env.readTextFile(s"$dir/txt").collectSeq().sorted == Seq("x", "y"))
   }

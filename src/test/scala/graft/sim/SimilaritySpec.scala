@@ -71,6 +71,20 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("*(") && plan.contains("cosinesim"), plan)
   }
 
+  test("IVF ANN: higher recall than single-shot LSH at similar candidate volume") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 6)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"IVF recall collapsed: $recall")
+    // determinism
+    val again = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 6)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(ivf == again)
+  }
+
   test("LshBucketExpr matches the Column hyperplane formulation") {
     val diff = emb.select(
         Similarity.lshBucket(col("embedding"), 8, 64).as("fast"),
