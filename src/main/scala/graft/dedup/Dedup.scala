@@ -46,10 +46,15 @@ object Dedup {
     val prefix = ex.join(docFreq, "s")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= floor(lit(1.0 - threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("n"), col("s"))
+    // length filter inside the candidate join (exact: J >= t requires
+    // t*na <= nb <= na/t) prunes dissimilar-size pairs before they
+    // materialize
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= col("a.n") * threshold &&
+          col("b.n") * threshold <= col("a.n"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     cand

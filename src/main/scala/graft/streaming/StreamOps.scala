@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Streaming surface (SURVEY.md §7 phase 3).
@@ -108,6 +108,56 @@ object StreamOps {
           UserStat(uid, n, v)
       }
   }
+
+  case class Session(user_id: Long, session_start: Long, n_events: Long)
+  case class SessionState(start: Long, lastTs: Long, count: Long)
+
+  /** Custom sessionizer via flatMapGroupsWithState with event-time
+    * timeout: sessions are emitted only when the watermark passes
+    * their gap — the reference's "UDF with managed state" flavor,
+    * where session_window (used elsewhere) is the declarative form. */
+  def sessionizeWithState(events: Dataset[Event], watermark: String,
+      gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.toDF().withWatermark("ts", watermark).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed: flush every session whose gap elapsed
+            val cut = state.getOption.getOrElse(Nil)
+            state.remove()
+            cut.iterator.map(s => Session(uid, s.start / 1000, s.count))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var sessions = state.getOption.getOrElse(Nil)
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              sessions = sessions match {
+                case head :: rest if t < head.lastTs + gapMillis =>
+                  SessionState(head.start, math.max(head.lastTs, t), head.count + 1) :: rest
+                case _ => SessionState(t, t, 1L) :: sessions
+              }
+            }
+            state.update(sessions)
+            sessions.headOption.foreach { h =>
+              state.setTimeoutTimestamp(h.lastTs + gapMillis)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Durable parquet sink for a streaming dataflow (append mode with
+    * checkpointing — the production file-sink path; runToMemory is
+    * the test harness). */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").start(path)
 
   /** Drive a streaming DataFrame into an in-memory table and process
     * everything currently available (test/bounded-run harness). */

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Unbounded-execution tests: the batch corpus pins windowed semantics
@@ -116,6 +117,42 @@ class StreamOpsSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val n = spark.table("filestream").count()
     assert(n > 0 && n <= 31 * 5) // bounded by days x event types
+  }
+
+  test("flatMapGroupsWithState sessionizer emits sessions after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val sessions = StreamOps.sessionizeWithState(in.toDS(), "5 minutes",
+      gapMillis = 30 * 60 * 1000)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fmgws").start()
+    // one session for user 1: events at 10:00 and 10:10
+    in.addData(ev(1, 0), ev(2, 10))
+    q.processAllAvailable()
+    // far-future event advances the watermark past the session's gap
+    in.addData(Event(99, Timestamp.valueOf("2024-01-02 10:00:00"), 2L,
+      "click", 1.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Event(100, Timestamp.valueOf("2024-01-03 10:00:00"), 2L,
+      "click", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fmgws").as[StreamOps.Session].collect()
+    assert(got.exists(s => s.user_id == 1 && s.n_events == 2),
+      s"expected user 1's closed session, got ${got.toSeq}")
+  }
+
+  test("parquet streaming sink writes append-mode files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink")
+    val in = MemoryStream[Event]
+    val agg = in.toDF().withWatermark("ts", "1 minute")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = StreamOps.writeParquetStream(agg, s"$dir/out", s"$dir/ckpt")
+    in.addData(ev(1, 0), ev(2, 5))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
   test("batch and streaming tumbling agg agree on the same data") {
