@@ -129,6 +129,27 @@ object Dedup {
         (col("na") + col("nb") - col("common")) >= threshold)
   }
 
+  // ---- embedding-cosine near-dup --------------------------------------
+
+  /** Embedding near-duplicate pairs: same-block (label) vectors with
+    * exact-quantized cosine >= threshold. Blocking keeps the pairing
+    * subquadratic in corpus size (pairs within blocks only — the
+    * standard blocked-dedup contract); the block side is broadcast
+    * (vectors are narrow) so the probe side streams shuffle-free, and
+    * the similarity runs in the codegen'd CosineSim expression. */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double,
+      blockCol: String = "label"): DataFrame = {
+    import graft.sim.Similarity.simRounded
+    val a = emb.select(col("vec_id").as("va"), col(blockCol).as("blk"),
+      col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col(blockCol).as("blk"),
+      col("embedding").as("eb"))
+    a.join(broadcast(b), Seq("blk"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), simRounded(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   val SimHashBits = 16

@@ -34,6 +34,9 @@ object TextOps {
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(spark, dir, "documents"), 0.5)
 
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), 0.35)
+
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -91,6 +94,7 @@ object TextOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_simhash" -> (qSimhash _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -154,6 +158,12 @@ object TextOps {
                    JOIN sv0 sb ON db = sb.doc_id)
          SELECT da, db, common, na, nb FROM ver
          WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""",
+    "q_dedup_embedding" ->
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+           ${graft.sim.Similarity.sqlSimRounded("a.embedding", "b.embedding", 64)} AS sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE ${graft.sim.Similarity.sqlSimRounded("a.embedding", "b.embedding", 64)} >= 0.35""",
     "q_simhash" ->
       s"""SELECT doc_id, CAST(${Dedup.sqlSimhash("text")} AS BIGINT) AS simhash
          FROM documents""",

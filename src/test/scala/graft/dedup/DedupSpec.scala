@@ -56,6 +56,26 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
   }
 
+  test("embedding cosine near-dup: blocked pairs match a local model") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Dedup.embeddingCosinePairs(emb, 0.35)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val local = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def dotS(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => math.round((p * q).toDouble * 1e12) }.sum
+      val c = (dotS(a, b) / 1e12) /
+        (math.sqrt(dotS(a, a) / 1e12) * math.sqrt(dotS(b, b) / 1e12))
+      math.round(c * 1e6) / 1e6
+    }
+    val expected = (for {
+      (ia, la, ea) <- local; (ib, lb, eb) <- local
+      if ia < ib && la == lb && cos(ea, eb) >= 0.35
+    } yield (ia, ib)).toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("simhash: near-identical docs collide in most bits, random docs don't") {
     val d = docsDf(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
