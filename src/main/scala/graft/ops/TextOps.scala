@@ -61,6 +61,7 @@ object TextOps {
     t(spark, dir, "documents")
       .groupBy(col("lang"), col("source"))
       .agg(sum(nTokens(col("text")).cast("long")).as("n_ws_tokens"),
+        sum(bpeTokenCount(col("text")).cast("long")).as("n_bpe_tokens"),
         sum(col("n_chars")).as("n_chars"),
         sum(((col("n_chars") + 3) / 4).cast("long")).as("est_bpe_tokens"))
 
@@ -177,8 +178,9 @@ object TextOps {
            ${sqlExactAvg(s"CAST(${sqlLangScore("text", TextFunctions.Stopwords)} AS DOUBLE) / len(string_split(text,' '))", 6)} AS avg_stopword_ratio
          FROM documents GROUP BY lang""",
     "q_token_stats" ->
-      """SELECT lang, source,
+      s"""SELECT lang, source,
            SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_ws_tokens,
+           SUM(CAST(${TextFunctions.sqlBpeTokenCount("text")} AS BIGINT)) AS n_bpe_tokens,
            SUM(n_chars) AS n_chars,
            SUM((n_chars + 3) // 4) AS est_bpe_tokens
          FROM documents GROUP BY lang, source""",

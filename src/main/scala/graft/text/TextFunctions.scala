@@ -110,6 +110,24 @@ object TextFunctions {
     size(filter(tokens(text), w => w.isin(Stopwords: _*)))
       .cast("double") / nTokens(text)
 
+  /** Punctuation ratio: non-alphanumeric-non-space chars / chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / length(text)
+
+  /** BPE-style pre-tokenization count: alpha runs, digit runs, and
+    * individual symbol chars each count as one token (the word-level
+    * approximation of a byte-pair pre-tokenizer split). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])"), lit(1)))
+
+  def sqlPunctRatio(textExpr: String): String =
+    s"""CAST(length($textExpr) - length(regexp_replace($textExpr, '[^a-zA-Z0-9 ]', '', 'g'))
+        AS DOUBLE) / length($textExpr)"""
+
+  def sqlBpeTokenCount(textExpr: String): String =
+    s"len(regexp_extract_all($textExpr, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])'))"
+
   /** Language ID by marker-word voting: count tokens in each
     * language's marker set; argmax with fixed tie-break order.
     * Marker sets derived from the per-language word distributions of

@@ -1,0 +1,50 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("quality signals on punctuation-bearing text") {
+    val df = Seq(
+      ("hello, world! how are you?", 1L),
+      ("no punct here", 2L),
+      ("a the of and", 3L)).toDF("text", "id")
+    val got = df.select(col("id"),
+        TextFunctions.punctRatio(col("text")).as("punct"),
+        TextFunctions.stopwordRatio(col("text")).as("stop"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+        TextFunctions.nTokens(col("text")).as("ws"))
+      .as[(Long, Double, Double, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // "hello, world! how are you?" -> 3 punct chars / 26 chars
+    assert(math.abs(got(1L)._2 - 3.0 / 26) < 1e-12)
+    assert(got(2L)._2 == 0.0)
+    // bpe tokens: hello , world ! how are you ? = 8; ws tokens = 5
+    assert(got(1L)._4 == 8 && got(1L)._5 == 5)
+    // all four words of doc 3 are stopwords
+    assert(got(3L)._3 == 1.0)
+  }
+
+  test("language ID is deterministic and mechanically sound") {
+    // Accuracy is NOT asserted: the synthetic corpus has no learnable
+    // per-language signal — naive-Bayes log-lift weights fit on
+    // sf0.001 score 16.6% on sf0.01 (vs 20% chance), i.e. the
+    // apparent per-lang word lifts are sampling noise. The operator
+    // contract is determinism + the documented argmax/tie-break
+    // semantics (oracle-checked in q_lang_id).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = docs.select(col("doc_id"),
+      TextFunctions.predictedLang(col("text")).as("pred"))
+    val a = pred.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = pred.as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.map(_._2).toSet.subsetOf(Set("de", "en", "es", "fr", "zh")))
+    // a doc made purely of one lang's markers must predict that lang
+    val forced = Seq(("order query group customer sort", 1L)).toDF("text", "id")
+    val got = forced.select(TextFunctions.predictedLang(col("text"))).as[String].head()
+    assert(got == "fr")
+  }
+}
