@@ -187,6 +187,11 @@ class GDataSet[T](val ds: Dataset[T]) extends Serializable {
   def writeAsParquet(path: String, overwrite: Boolean = true): Unit =
     ds.write.mode(if (overwrite) "overwrite" else "errorifexists").parquet(path)
 
+  /** In-plan metrics ([U] accumulators surfaced via JobExecutionResult;
+    * Spark's Observation = the declarative form). */
+  def observed(obs: org.apache.spark.sql.Observation, exprs: Column*): GDataSet[T] =
+    new GDataSet(ds.observe(obs, exprs.head, exprs.tail: _*))
+
   def print(): Unit = ds.show(false)
 
   def collectSeq(): Seq[T] = ds.collect().toSeq
@@ -365,6 +370,33 @@ final class GGrouping[K, T](val kv: org.apache.spark.sql.KeyValueGroupedDataset[
 
   def mapGroups[U: Encoder](f: (K, Iterator[T]) => U): GDataSet[U] =
     new GDataSet(kv.mapGroups(f))
+
+  /** Combinable group-reduce as a typed Aggregator ([U]
+    * GroupCombineFunction / @Combinable): Catalyst splits the
+    * aggregator into partial (combine) + final phases — exactly the
+    * reference's combiner-before-shuffle contract. */
+  def aggWith[U](agg: org.apache.spark.sql.expressions.Aggregator[T, _, U])(
+      implicit e: Encoder[(K, U)]): GDataSet[(K, U)] =
+    new GDataSet(kv.agg(agg.toColumn))
+}
+
+/** Reference-style combinable aggregators (SURVEY.md §2.10). */
+object Aggregators {
+
+  /** Top-k smallest by an extracted key — the classic combinable
+    * group-reduce that a naive full-group iterator would do without a
+    * combiner. Buffer is bounded at k, so partial aggregation ships
+    * O(k) per partition instead of the whole group. */
+  def topK[T: Encoder](k: Int, key: T => Double)(
+      implicit e: Encoder[Seq[T]]): org.apache.spark.sql.expressions.Aggregator[T, Seq[T], Seq[T]] =
+    new org.apache.spark.sql.expressions.Aggregator[T, Seq[T], Seq[T]] {
+      def zero: Seq[T] = Seq.empty
+      def reduce(b: Seq[T], a: T): Seq[T] = (b :+ a).sortBy(key).take(k)
+      def merge(b1: Seq[T], b2: Seq[T]): Seq[T] = (b1 ++ b2).sortBy(key).take(k)
+      def finish(r: Seq[T]): Seq[T] = r
+      def bufferEncoder: Encoder[Seq[T]] = implicitly[Encoder[Seq[T]]]
+      def outputEncoder: Encoder[Seq[T]] = implicitly[Encoder[Seq[T]]]
+    }
 }
 
 /** Reference `ExecutionEnvironment` ([U] .../api/java/ExecutionEnvironment.java). */

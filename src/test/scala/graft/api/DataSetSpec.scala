@@ -206,6 +206,22 @@ class DataSetSpec extends SparkSpec {
     assert(got == Seq("lookup-payload", "lookup-payload"))
   }
 
+  test("typed Aggregator: bounded top-k with partial aggregation (combiner)") {
+    val got = tuples3.groupBy(_._2)
+      .aggWith(Aggregators.topK[(Int, Long, String)](2, _._1.toDouble))
+      .collectSeq().map { case (k, v) => (k, v.map(_._1)) }.sortBy(_._1)
+    assert(got == Seq((1L, Seq(1)), (2L, Seq(2, 3)), (3L, Seq(4, 5))))
+  }
+
+  test("observed metrics surface via Observation (accumulator parity)") {
+    val obs = new org.apache.spark.sql.Observation()
+    val ds2 = tuples3.observed(obs, count(lit(1)).as("rows"),
+      sum(col("_1")).as("sum1"))
+    ds2.count()
+    val m = obs.get
+    assert(m("rows") == 6L && m("sum1") == 21L)
+  }
+
   test("salted two-phase aggregation equals the plain aggregate") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val plain = li.groupBy(col("l_returnflag"))

@@ -60,4 +60,16 @@ class PlanAuditSpec extends SparkSpec {
     val p = executedPlan("q_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("embedding dedup: block side broadcasts, codegen'd cosine in plan") {
+    val p = executedPlan("q_dedup_embedding")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("cosinesim"), p)
+  }
+
+  test("tumbling window agg is partial-then-final over one shuffle") {
+    val p = executedPlan("q_tumbling_hourly")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }
