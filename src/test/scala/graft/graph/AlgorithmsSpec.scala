@@ -37,6 +37,12 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got.filter(col("component") === 1L).count() == 10)
   }
 
+  test("iterations degrade gracefully on empty inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Algorithms.connectedComponents(empty, 5).count() == 0)
+    assert(VertexCentric.connectedComponentsVC(empty, 5).count() == 0)
+  }
+
   test("pageRank: ranks sum to <= 1 and high-in-degree node wins") {
     // star: everyone points at 1
     val star = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)).toDF("src", "dst")

@@ -67,6 +67,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cosinesim"), p)
   }
 
+  test("per-group top-k gets a WindowGroupLimit (no full per-group sort)") {
+    val p = executedPlan("q_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("tumbling window agg is partial-then-final over one shuffle") {
     val p = executedPlan("q_tumbling_hourly")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
