@@ -218,6 +218,33 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("sum_qty"))
 
+  // ---- outer join (reference expresses these via coGroup) ------------
+  /** Full outer join: parts vs per-part sales summaries — rows survive
+    * from both unmatched sides (null-padded), the coGroup-expressible
+    * semantics the reference-era API lacked natively. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sales = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("qty45"))
+    t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+      .join(sales, col("p_partkey") === col("l_partkey"), "full_outer")
+      .select(col("p_partkey"), col("p_brand"), col("qty45"))
+  }
+
+  /** coGroup as a declared query: per-key pair of iterators over
+    * orders and lineitem ([U] CoGroupOperator) — counts both sides,
+    * including keys present in only one input. */
+  def qCoGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = t(spark, dir, "orders").select(col("o_orderkey")).as[Long]
+      .groupByKey(identity)
+    val l = t(spark, dir, "lineitem").select(col("l_orderkey")).as[Long]
+      .groupByKey(identity)
+    o.cogroup(l) { (k, oi, li) =>
+      Iterator((k, oi.size.toLong, li.size.toLong))
+    }.toDF("orderkey", "n_orders", "n_items")
+  }
+
   // ---- SQL entry: one ANSI string runs verbatim on BOTH engines ------
   /** TPCH Q10-ish (returned-item customer ranking) written once in
     * dialect-neutral SQL: Spark executes it via GraftSession (temp
@@ -264,6 +291,8 @@ object Relational {
     "q_having" -> (qHaving _),
     "q_partition_by_hash" -> (qPartitionByHash _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q_outer_join" -> (qOuterJoin _),
+    "q_cogroup" -> (qCoGroup _),
   )
 
   private val rev = sqlExactSum("l_extendedprice * (1 - l_discount)", 4)
@@ -362,5 +391,17 @@ object Relational {
       """SELECT l_suppkey, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY l_suppkey""",
     "q10_returned_items" -> q10Sql,
+    "q_outer_join" ->
+      """SELECT p_partkey, p_brand, qty45
+         FROM part FULL OUTER JOIN (
+           SELECT l_partkey, SUM(l_quantity) AS qty45
+           FROM lineitem WHERE l_quantity >= 45 GROUP BY l_partkey) s
+         ON p_partkey = s.l_partkey""",
+    "q_cogroup" ->
+      """SELECT COALESCE(o.k, l.k) AS orderkey,
+           COALESCE(o.n, 0) AS n_orders, COALESCE(l.n, 0) AS n_items
+         FROM (SELECT o_orderkey AS k, COUNT(1) AS n FROM orders GROUP BY 1) o
+         FULL OUTER JOIN (SELECT l_orderkey AS k, COUNT(1) AS n FROM lineitem GROUP BY 1) l
+         ON o.k = l.k""",
   )
 }
