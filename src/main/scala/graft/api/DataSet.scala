@@ -48,6 +48,8 @@ class GDataSet[T](val ds: Dataset[T]) extends Serializable {
   /** Column-expression forms — preferred (codegen + pushdown). */
   def filterExpr(cond: Column): GDataSet[T] = new GDataSet(ds.filter(cond))
 
+  def selectExpr(exprs: String*): DataFrame = ds.selectExpr(exprs: _*)
+
   /** Reference `project(fields...)` → relational select (type dropped).
     * [U] .../api/java/operators/ProjectOperator.java */
   def project(fields: String*): DataFrame = ds.toDF().select(fields.map(col): _*)

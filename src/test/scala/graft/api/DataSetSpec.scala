@@ -75,6 +75,19 @@ class DataSetSpec extends SparkSpec {
     assert(j.count() == 1)
   }
 
+  test("composite keys: join and groupBy on tuple key selectors") {
+    val other = env.fromCollection(Seq((2L, "Hello", 10), (3L, "I am fine.", 20)))
+    val joined = tuples3.join(other)
+      .where(t => (t._2, t._3)).equalTo(u => (u._1, u._2))
+      .apply((l, r) => (l._1, r._3)).collectSeq().sorted
+    assert(joined == Seq((2, 10), (5, 20)))
+    val grouped = tuples3.groupBy(t => (t._2, t._3.startsWith("Hello")))
+      .reduceGroup[((Long, Boolean), Int)]((k, it) => Seq((k, it.size)))
+      .collectSeq().sortBy(r => (r._1._1, r._1._2))
+    // groups: (1,F)=1, (2,T)={"Hello","Hello world"}=2, (3,F)=2, (3,T)=1
+    assert(grouped.map(_._2).sum == 6 && grouped.size == 4)
+  }
+
   test("coGroup: per-key iterator pair (outer-join-like semantics)") {
     val a = env.fromCollection(Seq((1, "a1"), (1, "a2"), (2, "b")))
     val b = env.fromCollection(Seq((2, "x"), (3, "y")))
