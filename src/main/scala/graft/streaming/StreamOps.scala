@@ -150,6 +150,18 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: both sides watermarked so the state
+    * store can discard rows once the other side's watermark passes the
+    * interval bound — the unbounded-joins-with-bounded-state pattern.
+    * `cond` must include the event-time interval constraint (e.g.
+    * right.ts BETWEEN left.ts AND left.ts + INTERVAL 10 MINUTES) or
+    * state grows without bound. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftWatermark: String, rightWatermark: String,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark("ts", leftWatermark)
+      .join(right.withWatermark("ts", rightWatermark), cond)
+
   /** Durable parquet sink for a streaming dataflow (append mode with
     * checkpointing — the production file-sink path; runToMemory is
     * the test harness). */

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Unbounded-execution tests: the batch corpus pins windowed semantics
@@ -140,6 +140,32 @@ class StreamOpsSpec extends SparkSpec {
     val got = spark.table("fmgws").as[StreamOps.Session].collect()
     assert(got.exists(s => s.user_id == 1 && s.n_events == 2),
       s"expected user 1's closed session, got ${got.toSeq}")
+  }
+
+  test("stream-stream interval join matches purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val left = clicks.toDF()
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("ts"))
+    val right = purchases.toDF()
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("ts"))
+    val joined = StreamOps.intervalJoin(left, right,
+      "10 minutes", "10 minutes",
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("cu"), col("cts"), col("pts"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sjoin").start()
+    // user 1 clicks at 10:00, purchases at 10:05 (match) and 10:30 (no match)
+    clicks.addData(ev(1, 0, user = 1), ev(2, 0, user = 2))
+    purchases.addData(ev(10, 5, user = 1, typ = "purchase"),
+      ev(11, 30, user = 1, typ = "purchase"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sjoin").collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L, got.toSeq.toString)
   }
 
   test("parquet streaming sink writes append-mode files") {
