@@ -42,19 +42,26 @@ object Dedup {
     val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     val docFreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // Exact integer arithmetic for the filter bounds: float forms are
+    // poison — (1.0-0.8)*130 = 25.999...96 shortens the prefix by one
+    // (missed a true pair at sf0.1), and 0.8*130 = 104.000...01
+    // wrongly excludes nb=104 from the length filter. threshold is
+    // carried as tq/1000 and all bounds use integer ceil-division.
+    val tq = math.round(threshold * 1000) // e.g. 0.8 -> 800
+    val ceilTn = floor((lit(tq) * col("n") + lit(999)) / lit(1000.0)) // = ceil(t*n)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     val prefix = ex.join(docFreq, "s")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("n")) + 1)
+      .filter(col("rn") <= col("n") - ceilTn + 1) // prefix len = n - ceil(t*n) + 1
       .select(col("doc_id"), col("n"), col("s"))
     // length filter inside the candidate join (exact: J >= t requires
-    // t*na <= nb <= na/t) prunes dissimilar-size pairs before they
-    // materialize
+    // t*na <= nb and t*nb <= na) prunes dissimilar-size pairs before
+    // they materialize
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") >= col("a.n") * threshold &&
-          col("b.n") * threshold <= col("a.n"))
+          col("b.n") * 1000 >= col("a.n") * tq &&
+          col("b.n") * tq <= col("a.n") * 1000)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     cand
