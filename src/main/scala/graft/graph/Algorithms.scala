@@ -52,20 +52,26 @@ object Algorithms {
       var i = 0
       var done = false
       while (i < maxIterations && !done) {
+        // messages from changed vertices UNION the current solution,
+        // folded by one min-aggregation: newComp = global min;
+        // oldComp = min over solution rows only -> changed iff
+        // newComp < oldComp. One shuffle join + one aggregation per
+        // superstep (the left-join formulation costs a second join).
         val msgs = workset.alias("w")
           .join(und.alias("g"), col("w.vertex") === col("g.src"))
-          .groupBy(col("g.dst").as("vertex"))
-          .agg(min(col("w.component")).as("cand"))
-        val joined = solution.alias("s")
-          .join(msgs.alias("m"), col("s.vertex") === col("m.vertex"), "left")
-          .select(col("s.vertex").as("vertex"), col("s.component").as("component"),
-            col("m.cand").as("cand"))
+          .select(col("g.dst").as("vertex"), col("w.component").as("component"),
+            lit(true).as("is_msg"))
+        val merged = solution
+          .select(col("vertex"), col("component"), lit(false).as("is_msg"))
+          .unionByName(msgs)
+          .groupBy(col("vertex"))
+          .agg(min(col("component")).as("new_comp"),
+            min(when(!col("is_msg"), col("component"))).as("old_comp"))
           .localCheckpoint() // one job per superstep; truncates lineage
-        val nextWorkset = joined.filter(col("cand") < col("component"))
-          .select(col("vertex"), col("cand").as("component"))
-        solution = joined.select(col("vertex"),
-          least(col("component"), coalesce(col("cand"), col("component"))).as("component"))
-        done = nextWorkset.isEmpty // narrow scan over the cached join
+        solution = merged.select(col("vertex"), col("new_comp").as("component"))
+        val nextWorkset = merged.filter(col("new_comp") < col("old_comp"))
+          .select(col("vertex"), col("new_comp").as("component"))
+        done = nextWorkset.isEmpty // narrow scan over the cached agg
         workset = nextWorkset
         i += 1
       }
