@@ -54,6 +54,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             failed.append(name)
             continue
+        # The driver's hash is TYPED: DuckDB HUGEINT/DOUBLE vs Spark
+        # BIGINT/DECIMAL fails even when values are exact (round-1
+        # lesson) — so dtype mismatches are failures here too.
+        if [str(t) for t in got.dtypes] != [str(t) for t in exp.dtypes]:
+            print(f"FAIL {name}: dtypes {list(map(str, got.dtypes))}"
+                  f" != {list(map(str, exp.dtypes))}")
+            failed.append(name)
+            continue
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                           check_exact=True)

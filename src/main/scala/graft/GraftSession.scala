@@ -14,16 +14,28 @@ object GraftSession {
   val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val registered = scala.collection.mutable.Set[(SparkSession, String, String)]()
+  // Weak-keyed by session (so a closed session can be collected);
+  // value maps table name -> the dir its temp view was built from.
+  // Temp views are namespaced only by (session, table): memoizing on
+  // (session, dir, table) would silently serve dirA's view after a
+  // dirB registration (e.g. mixing scale factors in one session).
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
 
-  /** Register driver tables under their bare names. Memoized —
-    * creating a DataFrame reads the parquet footer for its schema, so
-    * re-registering all 10 tables per query would cost seconds. */
+  /** Register driver tables under their bare names. Memoized per
+    * (session, table) — creating a DataFrame reads the parquet footer
+    * for its schema, so re-registering all 10 tables per query would
+    * cost seconds — and re-registered whenever `dir` differs from the
+    * one the live view was built from. */
   def registerTables(spark: SparkSession, dir: String,
       tables: Seq[String] = TableNames): Unit = synchronized {
+    val byTable = registered.computeIfAbsent(spark,
+      _ => scala.collection.mutable.Map.empty[String, String])
     tables.foreach { n =>
-      if (registered.add((spark, dir, n)))
+      if (!byTable.get(n).contains(dir)) {
         Tables.t(spark, dir, n).createOrReplaceTempView(n)
+        byTable(n) = dir
+      }
     }
   }
 

@@ -34,30 +34,55 @@ import org.apache.spark.sql.functions._
   */
 object Iterations {
 
-  private[graft] def withIterationConf[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.constraintPropagation.enabled"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+  /** Shuffle-partition count sized to iteration state: inside a loop
+    * the state is usually tiny next to the session-wide default, and
+    * superstep latency is dominated by (tasks × stages) scheduling
+    * overhead, so partitions scale with rows (~1M rows/partition)
+    * instead of inheriting the scan-sized default. */
+  def statePartitions(stateRows: Long): Int =
+    math.max(4, (stateRows / 1000000L).toInt)
+
+  private[graft] def withIterationConf[A](spark: SparkSession,
+      shufflePartitions: Int = -1)(f: => A): A = {
+    val keys = Seq("spark.sql.constraintPropagation.enabled" -> "false") ++
+      (if (shufflePartitions > 0)
+        Seq("spark.sql.shuffle.partitions" -> shufflePartitions.toString)
+      else Nil)
+    val old = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try f
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
   /** Bulk iteration ([U] BulkIterationBase): iterate `body` up to
     * `maxIterations` times, optionally stopping early when
     * `terminate(prev, next)` returns true (the reference's
-    * termination-criterion dataset / convergence aggregator). */
-  def bulk[T](init: Dataset[T], maxIterations: Int)(
+    * termination-criterion dataset / convergence aggregator).
+    *
+    * `checkpointEvery`: materialize + truncate lineage every k
+    * supersteps instead of each. For a fixed-n loop with no custom
+    * `terminate`, k = n folds the whole iteration into ONE Spark job
+    * (no per-superstep materialization barrier); keep k small enough
+    * that the composed plan stays shallow (k supersteps deep). With a
+    * custom `terminate`, leave k = 1 — the termination action would
+    * recompute the un-checkpointed chain every step.
+    * `shufflePartitions`: scope the loop's shuffles to state size
+    * (see [[statePartitions]]); -1 keeps the session default. */
+  def bulk[T](init: Dataset[T], maxIterations: Int, checkpointEvery: Int = 1,
+      shufflePartitions: Int = -1)(
       body: Dataset[T] => Dataset[T],
       terminate: (Dataset[T], Dataset[T]) => Boolean = (_: Dataset[T], _: Dataset[T]) => false)
-      : Dataset[T] = withIterationConf(init.sparkSession) {
+      : Dataset[T] = withIterationConf(init.sparkSession, shufflePartitions) {
     var cur = init.localCheckpoint() // eager: materialize + truncate lineage
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
-      val next = body(cur).localCheckpoint()
+      val raw = body(cur)
+      val atBarrier = (i + 1) % checkpointEvery == 0 || i + 1 == maxIterations
+      val next = if (atBarrier) raw.localCheckpoint() else raw
       done = terminate(cur, next)
       cur = next
       i += 1
@@ -78,9 +103,9 @@ object Iterations {
     * trade at cluster scale (documented gap, SURVEY.md §7.4).
     */
   def delta(initSolution: DataFrame, initWorkset: DataFrame, keys: Seq[String],
-      maxIterations: Int)(
+      maxIterations: Int, shufflePartitions: Int = -1)(
       step: (DataFrame, DataFrame) => (DataFrame, DataFrame)): DataFrame =
-    withIterationConf(initSolution.sparkSession) {
+    withIterationConf(initSolution.sparkSession, shufflePartitions) {
       val keyCols = keys.map(col)
       var solution = initSolution.localCheckpoint()
       var workset = initWorkset.localCheckpoint()

@@ -141,9 +141,11 @@ object Dedup {
   /** Embedding near-duplicate pairs: same-block (label) vectors with
     * exact-quantized cosine >= threshold. Blocking keeps the pairing
     * subquadratic in corpus size (pairs within blocks only — the
-    * standard blocked-dedup contract); the block side is broadcast
-    * (vectors are narrow) so the probe side streams shuffle-free, and
-    * the similarity runs in the codegen'd CosineSim expression. */
+    * standard blocked-dedup contract). Both sides are the FULL corpus,
+    * so the join is a shuffle hash join on the block key — never a
+    * broadcast (a corpus-wide broadcast OOMs the executors at scale);
+    * per-block pair volume is bounded by the blocking, and the
+    * similarity runs in the codegen'd CosineSim expression. */
   def embeddingCosinePairs(emb: DataFrame, threshold: Double,
       blockCol: String = "label"): DataFrame = {
     import graft.sim.Similarity.simRounded
@@ -151,7 +153,7 @@ object Dedup {
       col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("vb"), col(blockCol).as("blk"),
       col("embedding").as("eb"))
-    a.join(broadcast(b), Seq("blk"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("blk"))
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"), simRounded(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= threshold)

@@ -79,7 +79,8 @@ object Events {
          sessions AS (
            SELECT user_id, session_id, COUNT(1) AS n_events
            FROM islands GROUP BY user_id, session_id)
-         SELECT user_id, COUNT(1) AS n_sessions, SUM(n_events) AS n_events,
+         SELECT user_id, COUNT(1) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
            MAX(n_events) AS max_session_events
          FROM sessions GROUP BY user_id""",
     "q_dedup_keys" ->

@@ -255,7 +255,7 @@ object Relational {
     * fact side shuffle-free for the customer join. */
   val q10Sql: String =
     """SELECT /*+ BROADCAST(customer) */ c_custkey, c_name,
-         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
        FROM customer, orders, lineitem
        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
          AND o_orderdate >= TIMESTAMP '1996-01-01'

@@ -173,16 +173,16 @@ object TextOps {
          FROM documents GROUP BY lang, predicted""",
     "q_text_quality" ->
       s"""SELECT lang, COUNT(1) AS n_docs,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            ${sqlExactAvg("CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE) / len(string_split(text,' '))", 6)} AS avg_word_len,
            ${sqlExactAvg(s"CAST(${sqlLangScore("text", TextFunctions.Stopwords)} AS DOUBLE) / len(string_split(text,' '))", 6)} AS avg_stopword_ratio
          FROM documents GROUP BY lang""",
     "q_token_stats" ->
       s"""SELECT lang, source,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_ws_tokens,
-           SUM(CAST(${TextFunctions.sqlBpeTokenCount("text")} AS BIGINT)) AS n_bpe_tokens,
-           SUM(n_chars) AS n_chars,
-           SUM((n_chars + 3) // 4) AS est_bpe_tokens
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(${TextFunctions.sqlBpeTokenCount("text")}) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS est_bpe_tokens
          FROM documents GROUP BY lang, source""",
     "q_fingerprint" ->
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fingerprint FROM documents""",
@@ -197,11 +197,14 @@ object TextOps {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
            FROM sims)
          SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    // strlen = UTF-8 BYTE length in DuckDB, mirroring the byte-based
+    // FakeCodec arithmetic (payload.length on the encoded text); the
+    // character-count length() would diverge on any non-ASCII doc.
     "q_multimodal" ->
       """SELECT 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format, COUNT(1) AS n,
-           SUM(64 + length(text) % 577) AS sum_width,
-           SUM(64 + (length(text) * 31) % 433) AS sum_height,
-           MAX(64 + length(text) % 577) AS max_width
+           CAST(SUM(64 + strlen(text) % 577) AS BIGINT) AS sum_width,
+           CAST(SUM(64 + (strlen(text) * 31) % 433) AS BIGINT) AS sum_height,
+           CAST(MAX(64 + strlen(text) % 577) AS INT) AS max_width
          FROM documents GROUP BY 1""",
     // q_knn_lsh / q_knn_ivf: no oracle — bucket assignment float sums
     // are order-sensitive cross-engine; recall vs brute force is

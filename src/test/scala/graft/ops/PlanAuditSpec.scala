@@ -61,9 +61,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("embedding dedup: block side broadcasts, codegen'd cosine in plan") {
+  test("embedding dedup: shuffle join on block key, NEVER a corpus broadcast") {
+    // Both join sides are the full corpus: a BroadcastExchange here is
+    // the one plan shape that cannot survive 100 TB (VERDICT r1 #2).
     val p = executedPlan("q_dedup_embedding")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastExchange"), "corpus must not broadcast:\n" + p)
     assert(p.contains("cosinesim"), p)
   }
 
