@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 
 /** Nearest-centroid assignment over a float-vector column, as a
   * codegen'd expression (replaces the boxed Seq[Float] UDFs the round-1
@@ -24,10 +24,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatT
   * ([U] stratosphere-examples/.../clustering/KMeans.java).
   */
 case class NearestCellExpr(child: Expression, cells: Array[Array[Double]])
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
   override def nullSafeEval(v: Any): Any =
     NearestCell.assign(v.asInstanceOf[ArrayData], cells)
@@ -45,10 +44,9 @@ case class NearestCellExpr(child: Expression, cells: Array[Array[Double]])
 /** The `nprobe` nearest cell ids, ordered by (quantized distance,
   * cell id) — the IVF multi-probe expansion for the query side. */
 case class NearestCellsExpr(child: Expression, cells: Array[Array[Double]],
-    nprobe: Int) extends UnaryExpression with ExpectsInputTypes {
+    nprobe: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
   override def nullSafeEval(v: Any): Any =
     NearestCell.probes(v.asInstanceOf[ArrayData], cells, nprobe)
@@ -69,7 +67,10 @@ object NearestCell {
     * round((v_i - c_i)^2 * 1e12) as longs. Terms are <= ~4e12 and dims
     * are small, so the long sum never approaches overflow. */
   def quantDist(v: ArrayData, cent: Array[Double]): Long = {
-    val n = math.min(v.numElements(), cent.length)
+    val n = v.numElements()
+    if (n != cent.length)
+      throw new IllegalArgumentException(
+        s"vector dim $n != centroid dim ${cent.length}")
     var d = 0L
     var i = 0
     while (i < n) {
