@@ -68,8 +68,9 @@ object Dedup {
       .join(sets.select(col("doc_id"), col("sh")).alias("sa"), col("da") === col("sa.doc_id"))
       .join(sets.select(col("doc_id"), col("sh")).alias("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("common"),
-        size(col("sa.sh")).as("na"), size(col("sb.sh")).as("nb"))
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("common"),
+        size(col("sa.sh")).cast("long").as("na"),
+        size(col("sb.sh")).cast("long").as("nb"))
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= threshold)
   }
@@ -130,8 +131,9 @@ object Dedup {
       .join(withSig.select(col("doc_id"), col("sv")).alias("sa"), col("da") === col("sa.doc_id"))
       .join(withSig.select(col("doc_id"), col("sv")).alias("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
-        size(array_intersect(col("sa.sv"), col("sb.sv"))).as("common"),
-        size(col("sa.sv")).as("na"), size(col("sb.sv")).as("nb"))
+        size(array_intersect(col("sa.sv"), col("sb.sv"))).cast("long").as("common"),
+        size(col("sa.sv")).cast("long").as("na"),
+        size(col("sb.sv")).cast("long").as("nb"))
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= threshold)
   }

@@ -141,125 +141,66 @@ object Algorithms {
   }
 
   /** KMeans over fixed-dimension float-array points: `iterations` bulk
-    * supersteps of assign (broadcast centroids) + recompute.
-    * points: (id: long, features: array<float/double>).
+    * supersteps of assign + recompute, then a final assignment pass.
+    * points: (id: long, features: array<float>).
     * returns: (id, cluster) final assignment.
     */
   def kMeans(points: DataFrame, k: Int, iterations: Int = 3): DataFrame = {
-    val pts = points.select(col("id"), col("features"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic seeding: the k lowest ids become clusters 0..k-1.
-    // Centroids live on the driver + broadcast — the reference's
-    // KMeans broadcast-set pattern ([U] .../clustering/KMeans.java);
-    // only k*dim scalars ever cross the driver boundary.
-    var centroids: Array[(Int, Array[Double])] = pts.orderBy(col("id")).limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
-    val spark = points.sparkSession
-    val dim = centroids.head._2.length
-
-    for (_ <- 1 to iterations) {
-      val b = spark.sparkContext.broadcast(centroids)
-      val assignExpr = assignUdf(b)
-      val assigned = pts.withColumn("cluster", assignExpr(col("features")))
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("features")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCluster = sums.groupBy(_.getInt(0))
-      centroids = centroids.map { case (c, old) =>
-        byCluster.get(c) match {
-          case Some(rows) =>
-            val vec = new Array[Double](dim)
-            var n = 0L
-            rows.foreach { r => vec(r.getInt(1)) = r.getDouble(2); n = r.getLong(3) }
-            (c, vec.map(_ / n))
-          case None => (c, old)
-        }
-      }
-      b.unpersist()
-    }
-    val bFinal = spark.sparkContext.broadcast(centroids)
-    val res = pts.withColumn("cluster", assignUdf(bFinal)(col("features")))
-      .select(col("id"), col("cluster"))
-    res
+    val cents = kMeansCentroids(points, k, iterations)
+    points.select(col("id"),
+      graft.functions.NearestCell.nearestCell(col("features"), cents).as("cluster"))
   }
 
-  /** Train KMeans and return the centroid table (driver-side: nlist x
-    * dim scalars — the IVF coarse quantizer). */
-  def kMeansCells(points: DataFrame, k: Int, iterations: Int = 3): Array[(Int, Array[Double])] = {
+  /** Train KMeans and return the centroid matrix (row index = cluster
+    * id; k x dim driver-side scalars — the IVF coarse quantizer and
+    * the reference's broadcast-set KMeans centroids,
+    * [U] stratosphere-examples/.../clustering/KMeans.java).
+    *
+    * Every arithmetic step is exact and order-independent, so the full
+    * training trajectory is bit-reproducible in the DuckDB oracle
+    * (Iterative.oracleSql q_kmeans):
+    *   - seeding: the k lowest ids become clusters 0..k-1;
+    *   - assignment: codegen'd NearestCellExpr argmin over quantized
+    *     squared L2 (per-term round((v-c)^2 * 1e12) summed as longs,
+    *     lowest cluster id on ties);
+    *   - recompute: per-dimension sums of round(v * 1e12) as longs,
+    *     centroid = (sum.toDouble / 1e12) / n (fixed IEEE expression
+    *     on exact inputs); empty clusters keep their old centroid.
+    * Only k*dim scalars ever cross the driver boundary per iteration.
+    */
+  def kMeansCentroids(points: DataFrame, k: Int,
+      iterations: Int = 3): Array[Array[Double]] = {
+    import graft.functions.NearestCell
     val pts = points.select(col("id"), col("features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Array[(Int, Array[Double])] = pts.orderBy(col("id")).limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
-    val spark = points.sparkSession
-    val dim = centroids.head._2.length
+    var centroids: Array[Array[Double]] = pts.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = centroids.head.length
     for (_ <- 1 to iterations) {
-      val b = spark.sparkContext.broadcast(centroids)
-      val assigned = pts.withColumn("cluster", assignUdf(b)(col("features")))
+      val assigned = pts.withColumn("cluster",
+        NearestCell.nearestCell(col("features"), centroids))
       val sums = assigned
         .select(col("cluster"), posexplode(col("features")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(round(col("v").cast("double") * lit(1e12)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val byCluster = sums.groupBy(_.getInt(0))
-      centroids = centroids.map { case (c, old) =>
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
         byCluster.get(c) match {
           case Some(rows) =>
             val vec = new Array[Double](dim)
-            var n = 0L
-            rows.foreach { r => vec(r.getInt(1)) = r.getDouble(2); n = r.getLong(3) }
-            (c, vec.map(_ / n))
-          case None => (c, old)
+            var n = 1L
+            rows.foreach { r =>
+              vec(r.getInt(1)) = r.getLong(2).toDouble / 1e12
+              n = r.getLong(3)
+            }
+            vec.map(_ / n)
+          case None => old
         }
       }
-      b.unpersist()
     }
     pts.unpersist()
     centroids
   }
-
-  /** Nearest-cell assignment column for a float-vector column. */
-  def assignCellUdf(cells: Array[(Int, Array[Double])]) = {
-    val local = cells
-    udf { features: Seq[Float] =>
-      var best = -1; var bestD = Double.MaxValue
-      for ((c, cent) <- local) {
-        var d = 0.0; var i = 0
-        while (i < cent.length) { val t = features(i) - cent(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-      }
-      best
-    }
-  }
-
-  /** The `nprobe` nearest cells for a query vector (deterministic
-    * tie-break by cell id). */
-  def probeCellsUdf(cells: Array[(Int, Array[Double])], nprobe: Int) = {
-    val local = cells
-    udf { features: Seq[Float] =>
-      local.map { case (c, cent) =>
-        var d = 0.0; var i = 0
-        while (i < cent.length) { val t = features(i) - cent(i); d += t * t; i += 1 }
-        (d, c)
-      }.sortBy(identity).take(nprobe).map(_._2)
-    }
-  }
-
-  private def assignUdf(b: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) =
-    udf { features: Seq[Float] =>
-      var best = -1; var bestD = Double.MaxValue
-      for ((c, cent) <- b.value) {
-        var d = 0.0
-        var i = 0
-        while (i < cent.length) {
-          val diff = features(i) - cent(i); d += diff * diff; i += 1
-        }
-        // strict < keeps the lowest cluster id on ties → deterministic
-        if (d < bestD) { bestD = d; best = c }
-      }
-      best
-    }
 }

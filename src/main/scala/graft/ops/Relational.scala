@@ -100,7 +100,7 @@ object Relational {
   def qProjectMap(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .select(col("o_orderkey"),
-        year(col("o_orderdate")).as("o_year"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
         (col("o_totalprice") * lit(0.9)).as("net_price"),
         upper(col("o_orderpriority")).as("prio"),
         substring(col("o_orderstatus"), 1, 1).as("status"))

@@ -91,22 +91,22 @@ object Similarity {
   /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
     * KMeans cells; each query probes only its `nprobe` nearest cells.
     * Centroids come from the deterministic KMeans in graft.graph (a
-    * bounded nlist x dim array, broadcast via the assignment UDF), so
+    * bounded nlist x dim array, embedded as a codegen reference object
+    * in the NearestCell expressions — no boxed UDF in the path), so
     * the corpus side is one narrow cell-id column and the candidate
     * join touches ~ nprobe/nlist of the corpus per query — the
     * learned-bucket alternative to the hyperplane LSH below. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+    import graft.functions.NearestCell
     import graft.graph.Algorithms
     val pts = corpus.select(col("vec_id").as("id"), col("embedding").as("features"))
-    val cells = Algorithms.kMeansCells(pts, nlist, iterations)
-    val assign = Algorithms.assignCellUdf(cells)
-    val probe = Algorithms.probeCellsUdf(cells, nprobe)
+    val cells = Algorithms.kMeansCentroids(pts, nlist, iterations)
     val cb = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .withColumn("cell", assign(col("cv")))
+      .withColumn("cell", NearestCell.nearestCell(col("cv"), cells))
     val qb = broadcast(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .withColumn("cell", explode(probe(col("qv")))))
+        .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
     val cand = qb.join(cb, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
