@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Native-iteration parity (SURVEY.md §2.8) as driver-side loops.
@@ -34,13 +34,27 @@ import org.apache.spark.sql.functions._
   */
 object Iterations {
 
+  /** Per-superstep iteration statistics — the reference's iteration
+    * aggregator surface ([U] stratosphere-core/.../aggregators/
+    * Aggregator + LongSumAggregator + ConvergenceCriterion, SURVEY.md
+    * §2.10). `changed` is the workset size after the superstep (the
+    * WorksetEmptyConvergenceCriterion input); `aggregates` holds
+    * caller-registered aggregate expressions evaluated over the
+    * superstep's delta. */
+  final case class SuperstepStats(superstep: Int, changed: Long,
+      aggregates: Map[String, Any] = Map.empty)
+
   /** Shuffle-partition count sized to iteration state: inside a loop
     * the state is usually tiny next to the session-wide default, and
     * superstep latency is dominated by (tasks × stages) scheduling
-    * overhead, so partitions scale with rows (~1M rows/partition)
-    * instead of inheriting the scan-sized default. */
-  def statePartitions(stateRows: Long): Int =
-    math.max(4, (stateRows / 1000000L).toInt)
+    * overhead, so partitions scale with rows (~1M rows/partition).
+    * Floored at the cluster's parallelism — a small-state iteration
+    * must still use every core — and capped so petabyte-scale row
+    * counts can't request more partitions than a scheduler handles. */
+  def statePartitions(spark: SparkSession, stateRows: Long): Int =
+    math.min(200000,
+      math.max(spark.sparkContext.defaultParallelism,
+        (stateRows / 1000000L).toInt))
 
   private[graft] def withIterationConf[A](spark: SparkSession,
       shufflePartitions: Int = -1)(f: => A): A = {
@@ -76,6 +90,9 @@ object Iterations {
       body: Dataset[T] => Dataset[T],
       terminate: (Dataset[T], Dataset[T]) => Boolean = (_: Dataset[T], _: Dataset[T]) => false)
       : Dataset[T] = withIterationConf(init.sparkSession, shufflePartitions) {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    require(shufflePartitions == -1 || shufflePartitions > 0,
+      s"shufflePartitions must be positive or -1 (session default), got $shufflePartitions")
     var cur = init.localCheckpoint() // eager: materialize + truncate lineage
     var i = 0
     var done = false
@@ -101,12 +118,28 @@ object Iterations {
     * `delta ∪ (solution ⟕̸ delta)` (anti-join keeps unchanged rows) —
     * O(|solution|) per step but fully distributed, which is the right
     * trade at cluster scale (documented gap, SURVEY.md §7.4).
+    *
+    * Superstep metrics ([U] iteration aggregators, SURVEY.md §2.10):
+    * `aggregators` are aggregate Columns evaluated over each
+    * superstep's delta; `observer` receives a [[SuperstepStats]] per
+    * superstep; `convergence` is the reference's ConvergenceCriterion —
+    * returning true ends the loop (in addition to the built-in
+    * empty-workset termination). All three run on already-checkpointed
+    * frames, and when none is supplied the loop only pays the original
+    * `isEmpty` scan.
     */
   def delta(initSolution: DataFrame, initWorkset: DataFrame, keys: Seq[String],
-      maxIterations: Int, shufflePartitions: Int = -1)(
+      maxIterations: Int, shufflePartitions: Int = -1,
+      aggregators: Map[String, Column] = Map.empty,
+      observer: SuperstepStats => Unit = null,
+      convergence: SuperstepStats => Boolean = null)(
       step: (DataFrame, DataFrame) => (DataFrame, DataFrame)): DataFrame =
     withIterationConf(initSolution.sparkSession, shufflePartitions) {
+      require(shufflePartitions == -1 || shufflePartitions > 0,
+        s"shufflePartitions must be positive or -1 (session default), got $shufflePartitions")
       val keyCols = keys.map(col)
+      val instrumented =
+        observer != null || convergence != null || aggregators.nonEmpty
       var solution = initSolution.localCheckpoint()
       var workset = initWorkset.localCheckpoint()
       var i = 0
@@ -121,7 +154,24 @@ object Iterations {
           .localCheckpoint()
         val nextWorkset =
           if (nextWorkset0 eq delta0) delta else nextWorkset0.localCheckpoint()
-        done = nextWorkset.isEmpty
+        if (instrumented) {
+          val aggVals =
+            if (aggregators.isEmpty) Map.empty[String, Any]
+            else {
+              val names = aggregators.keys.toSeq
+              val row = delta
+                .agg(aggregators(names.head).as(names.head),
+                  names.tail.map(n => aggregators(n).as(n)): _*)
+                .head()
+              names.map(n => n -> row.get(row.fieldIndex(n))).toMap
+            }
+          val stats = SuperstepStats(i + 1, nextWorkset.count(), aggVals)
+          if (observer != null) observer(stats)
+          done = stats.changed == 0 ||
+            (convergence != null && convergence(stats))
+        } else {
+          done = nextWorkset.isEmpty
+        }
         solution = nextSolution
         workset = nextWorkset
         i += 1

@@ -90,8 +90,18 @@ object Dedup {
   def minhashSignature(text: Column): Column =
     minhashSignature_(shingleVals(text))
 
-  /** Signature from an already-computed shingle-value array column. */
+  /** Signature from an already-computed shingle-value array column —
+    * one codegen'd pass over the array (MinHashSigExpr). */
   def minhashSignature_(sv: Column): Column =
+    graft.functions.MinHashSig.minhashSig(sv, hashCoeffs, HashMod)
+
+  /** Column-HOF formulation of the signature: the parity-tested
+    * semantic reference for [[minhashSignature_]] (NumHashes separate
+    * interpreted array_min(transform(..)) passes — correct but slow).
+    * Sole divergence: a NULL input yields [null x k] here (array() is
+    * not null-tolerant) but NULL from the expression form, which is
+    * the saner contract; parity is asserted on non-null inputs. */
+  def minhashSignatureRef(sv: Column): Column =
     array(hashCoeffs.map { case (a, b) =>
       array_min(transform(sv, v => (v * a + b) % HashMod))
     }: _*)

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** One-pass MinHash signature over a distinct-shingle-value array —
+  * imperative form of Dedup.minhashSignatureRef (parity-tested
+  * bit-for-bit in MinHashSigSpec).
+  *
+  * The Column formulation builds NumHashes separate
+  * array_min(transform(...)) higher-order expressions, each of which
+  * runs interpreted and re-walks the input array (VERDICT r1 item 4);
+  * this computes all k minima in a single pass over the array inside
+  * whole-stage codegen. Arithmetic is identical: Java long wraparound
+  * on v*a and Java % sign semantics match Spark's non-ANSI Multiply/
+  * Remainder, and an empty input yields all-null slots exactly like
+  * array_min over an empty array.
+  */
+case class MinHashSigExpr(child: Expression, coeffs: Array[Long], mod: Long)
+    extends UnaryExpression {
+
+  // containsNull: empty inputs produce null slots (array_min parity)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], coeffs, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("coeffs", coeffs, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($v, $ref, ${mod}L);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashSig {
+
+  /** All k = coeffs.length/2 minima of (v*a_i + b_i) % mod in one pass.
+    * coeffs is the flattened [a0, b0, a1, b1, ...] pair array. */
+  def compute(sv: ArrayData, coeffs: Array[Long], mod: Long): ArrayData = {
+    val k = coeffs.length / 2
+    val n = sv.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k)) // all null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val v = sv.getLong(i)
+      var h = 0
+      while (h < k) {
+        val x = (v * coeffs(2 * h) + coeffs(2 * h + 1)) % mod
+        if (x < mins(h)) mins(h) = x
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column API: the k-slot MinHash signature for a long-array column. */
+  def minhashSig(sv: Column, coeffs: Seq[(Long, Long)], mod: Long): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(sv),
+      coeffs.flatMap(c => Seq(c._1, c._2)).toArray, mod))
+}

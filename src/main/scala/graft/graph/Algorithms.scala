@@ -40,7 +40,7 @@ object Algorithms {
     // loop shuffles sized to state, not to the session default: on
     // tiny-state supersteps the cost is tasks x stages scheduling, and
     // at scale ~1M rows/partition keeps partitions memory-sized.
-    val parts = Iterations.statePartitions(2 * eCount)
+    val parts = Iterations.statePartitions(edges.sparkSession, 2 * eCount)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src"))
@@ -102,7 +102,7 @@ object Algorithms {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count()
     val eCount = e.count()
-    val parts = Iterations.statePartitions(eCount)
+    val parts = Iterations.statePartitions(edges.sparkSession, eCount)
     val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     // loop-invariant: edges with source out-degree, pre-partitioned on
     // the join key so no superstep re-shuffles the edge set (only the
@@ -116,8 +116,12 @@ object Algorithms {
     // the end: all supersteps fold into ONE job instead of paying a
     // materialization barrier per step (VERDICT r1: the per-superstep
     // checkpoint+job overhead was 66% of q_pagerank's runtime).
+    // cap the fold depth: one job for the default 3 supersteps, but a
+    // deep fixed-n loop must still truncate lineage periodically or
+    // per-superstep Catalyst analysis cost returns (and codegen
+    // nesting can overflow the stack) — see Iterations.bulk doc.
     val result = Iterations.bulk(init, iterations,
-      checkpointEvery = iterations, shufflePartitions = parts) { ranks =>
+      checkpointEvery = math.min(iterations, 8), shufflePartitions = parts) { ranks =>
       // one superstep = one aggregation + one left join back onto the
       // rank frame (not the vertices table — same rows, already
       // cached via the iteration checkpoint, saves a scan per step)

@@ -24,11 +24,17 @@ import graft.api.Iterations
   */
 object VertexCentric {
 
-  /** @param msg      message expression over column "value" (sender's value)
-    * @param combine  aggregate over column "msg" (e.g. c => min(c))
-    * @param update   (oldValue, combinedMsg) => newValue; newValue != old marks change
+  /** @param msg         message expression over column "value" (sender's value)
+    * @param combine     aggregate over column "msg" (e.g. c => min(c))
+    * @param update      (oldValue, combinedMsg) => newValue; newValue != old marks change
+    * @param observer    per-superstep stats callback ([U] Spargel's
+    *                    iteration aggregators via IterationRuntimeContext)
+    * @param convergence custom ConvergenceCriterion over the stats;
+    *                    true ends the loop early
     */
-  def run(vertices: DataFrame, edges: DataFrame, maxIterations: Int)(
+  def run(vertices: DataFrame, edges: DataFrame, maxIterations: Int,
+      observer: Iterations.SuperstepStats => Unit = null,
+      convergence: Iterations.SuperstepStats => Boolean = null)(
       msg: Column => Column,
       combine: Column => Column,
       update: (Column, Column) => Column): DataFrame = {
@@ -36,7 +42,8 @@ object VertexCentric {
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Iterations.delta(vertices.select(col("id"), col("value")),
-        vertices.select(col("id"), col("value")), Seq("id"), maxIterations) {
+        vertices.select(col("id"), col("value")), Seq("id"), maxIterations,
+        observer = observer, convergence = convergence) {
       (solution, workset) =>
         val msgs = workset.alias("w").join(e.alias("g"), col("w.id") === col("g.src"))
           .select(col("g.dst").as("id"), msg(col("w.value")).as("msg"))

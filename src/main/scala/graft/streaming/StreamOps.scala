@@ -135,16 +135,23 @@ object StreamOps {
             var sessions = state.getOption.getOrElse(Nil)
             sorted.foreach { e =>
               val t = e.ts.getTime
-              sessions = sessions match {
-                case head :: rest if t < head.lastTs + gapMillis =>
-                  SessionState(head.start, math.max(head.lastTs, t), head.count + 1) :: rest
-                case _ => SessionState(t, t, 1L) :: sessions
-              }
+              // merge into every session whose gap-window covers t —
+              // late-but-in-watermark events extend OLD sessions too,
+              // and an event landing between two sessions less than
+              // gap apart bridges them into one (merge-by-overlap;
+              // round-2 compared only against the newest session)
+              val (hit, others) = sessions.partition(s =>
+                t >= s.start - gapMillis && t <= s.lastTs + gapMillis)
+              sessions =
+                if (hit.isEmpty) SessionState(t, t, 1L) :: others
+                else SessionState(
+                  math.min(hit.map(_.start).min, t),
+                  math.max(hit.map(_.lastTs).max, t),
+                  hit.map(_.count).sum + 1) :: others
             }
             state.update(sessions)
-            sessions.headOption.foreach { h =>
-              state.setTimeoutTimestamp(h.lastTs + gapMillis)
-            }
+            if (sessions.nonEmpty)
+              state.setTimeoutTimestamp(sessions.map(_.lastTs).max + gapMillis)
             Iterator.empty
           }
       }

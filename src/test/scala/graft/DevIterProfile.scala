@@ -32,7 +32,7 @@ object DevIterProfile {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = phase("vertices-count")(vertices.count())
     val eCount = phase("e-count")(e.count())
-    val parts = api.Iterations.statePartitions(eCount)
+    val parts = api.Iterations.statePartitions(spark, eCount)
     println(s"n=$n e=$eCount parts=$parts")
     val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(outDeg, e("src") === outDeg("id")).select(col("src"), col("dst"), col("outdeg"))

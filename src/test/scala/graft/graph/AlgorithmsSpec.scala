@@ -37,6 +37,48 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got.filter(col("component") === 1L).count() == 10)
   }
 
+  test("superstep aggregators: observer sees per-superstep changed counts and convergence criterion stops the loop") {
+    import graft.api.Iterations
+    // path 1-2-3-4-5: label 1 reaches vertex 5 after 4 propagation steps
+    val path = (1L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val und = path.union(path.select(col("dst"), col("src")))
+    val vertices = und.select(col("src").as("id")).distinct()
+      .withColumn("value", col("id"))
+    var seen = Vector.empty[Iterations.SuperstepStats]
+    VertexCentric.run(vertices, und, maxIterations = 50,
+      observer = s => seen :+= s)(
+      msg = identity, combine = c => min(c), update = (old, m) => least(old, m))
+    // supersteps run until the workset empties; changed counts shrink
+    // monotonically to 0 and the superstep index increments from 1
+    assert(seen.nonEmpty && seen.last.changed == 0)
+    assert(seen.map(_.superstep) == (1 to seen.size))
+    assert(seen.map(_.changed).sliding(2).forall(w => w.size < 2 || w(0) >= w(1)))
+
+    // a ConvergenceCriterion (changed <= 2) must stop earlier than the
+    // empty-workset fixpoint, and registered aggregators must evaluate
+    var stopped = -1
+    VertexCentric.run(vertices, und, maxIterations = 50,
+      observer = s => stopped = s.superstep,
+      convergence = s => s.changed <= 2)(
+      msg = identity, combine = c => min(c), update = (old, m) => least(old, m))
+    assert(stopped > 0 && stopped < seen.size)
+
+    var aggSeen = Vector.empty[Long]
+    Iterations.delta(vertices, vertices, Seq("id"), 50,
+      aggregators = Map("n_changed" -> count(lit(1))),
+      observer = s => aggSeen :+= s.aggregates("n_changed").asInstanceOf[Long]) {
+      (solution, workset) =>
+        val msgs = workset.alias("w").join(und.alias("g"), col("w.id") === col("g.src"))
+          .select(col("g.dst").as("id"), col("w.value").as("msg"))
+          .groupBy(col("id")).agg(min(col("msg")).as("m"))
+        val delta = solution.alias("s").join(msgs, Seq("id"))
+          .filter(col("m") < col("value"))
+          .select(col("id"), col("m").as("value"))
+        (delta, delta)
+    }
+    assert(aggSeen.nonEmpty && aggSeen.last == 0)
+  }
+
   test("iterations degrade gracefully on empty inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Algorithms.connectedComponents(empty, 5).count() == 0)

@@ -142,6 +142,36 @@ class StreamOpsSpec extends SparkSpec {
       s"expected user 1's closed session, got ${got.toSeq}")
   }
 
+  test("sessionizer merges late events by overlap, not only into the newest session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val sessions = StreamOps.sessionizeWithState(in.toDS(), "10 hours",
+      gapMillis = 30 * 60 * 1000)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fmgws_late").start()
+    // two open sessions for user 1: 10:00 and 11:00 (> 30 min apart)
+    in.addData(ev(1, 0), ev(2, 60))
+    q.processAllAvailable()
+    // late event at 10:10 belongs to the OLD session (10:00), not the
+    // newest (11:00); then 10:40 bridges both into one session
+    in.addData(ev(3, 10))
+    q.processAllAvailable()
+    in.addData(ev(4, 40))
+    q.processAllAvailable()
+    // advance the watermark far enough to flush
+    in.addData(Event(99, Timestamp.valueOf("2024-01-03 10:00:00"), 2L,
+      "click", 1.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Event(100, Timestamp.valueOf("2024-01-04 10:00:00"), 2L,
+      "click", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fmgws_late").as[StreamOps.Session].collect()
+      .filter(_.user_id == 1)
+    assert(got.length == 1 && got.head.n_events == 4,
+      s"expected one merged 4-event session, got ${got.toSeq}")
+  }
+
   test("stream-stream interval join matches purchases to preceding clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
