@@ -36,15 +36,23 @@ object Algorithms {
     // workset side exchanges. Multi-edges are kept: the min-label
     // combine is idempotent, and the dedup shuffle costs more than the
     // duplicate messages save.
-    val eCount = edges.count()
+    // cache the raw edge frame before fanning out: count(), both
+    // union branches, and the first superstep all consume it — without
+    // this the caller's edge-derivation plan (often a windowed scan)
+    // executes three times before the loop even starts.
+    val e0 = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eCount = e0.count()
     // loop shuffles sized to state, not to the session default: on
     // tiny-state supersteps the cost is tasks x stages scheduling, and
     // at scale ~1M rows/partition keeps partitions memory-sized.
     val parts = Iterations.statePartitions(edges.sparkSession, 2 * eCount)
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // materialize from e0's cache, then drop the raw cache
+    e0.unpersist()
     val vertices = und.select(col("src").as("vertex")).distinct()
     val init = vertices.withColumn("component", col("vertex"))
 
@@ -61,29 +69,47 @@ object Algorithms {
       var workset = solution
       var i = 0
       var done = false
+      // Supersteps per materialization barrier. The min-merge is
+      // idempotent, so batching is semantically free, but measured
+      // wall-time got WORSE at batchLen=2: the composed plan
+      // references the previous superstep's aggregation twice
+      // (solution + workset branches) and Spark re-executes the
+      // common subplan, cancelling the saved barrier. Keep 1 unless
+      // exchange reuse lands for this shape.
+      val batchLen = 1
       while (i < maxIterations && !done) {
-        // messages from changed vertices UNION the current solution,
-        // folded by one min-aggregation: newComp = global min;
-        // oldComp = min over solution rows only -> changed iff
-        // newComp < oldComp. One shuffle join + one aggregation per
-        // superstep (the left-join formulation costs a second join).
-        val msgs = workset.alias("w")
-          .join(und.alias("g"), col("w.vertex") === col("g.src"))
-          .select(col("g.dst").as("vertex"), col("w.component").as("component"),
-            lit(true).as("is_msg"))
-        val merged = solution
-          .select(col("vertex"), col("component"), lit(false).as("is_msg"))
-          .unionByName(msgs)
-          .groupBy(col("vertex"))
-          .agg(min(col("component")).as("new_comp"),
-            min(when(!col("is_msg"), col("component"))).as("old_comp"))
-          .localCheckpoint() // one job per superstep; truncates lineage
-        solution = merged.select(col("vertex"), col("new_comp").as("component"))
-        val nextWorkset = merged.filter(col("new_comp") < col("old_comp"))
+        var merged: DataFrame = null
+        var b = 0
+        while (b < batchLen && i + b < maxIterations) {
+          // messages from changed vertices UNION the current solution,
+          // folded by one min-aggregation: newComp = global min;
+          // oldComp = min over solution rows only -> changed iff
+          // newComp < oldComp. One shuffle join + one aggregation per
+          // superstep (the left-join formulation costs a second join).
+          val msgs = workset.alias("w")
+            .join(und.alias("g"), col("w.vertex") === col("g.src"))
+            .select(col("g.dst").as("vertex"), col("w.component").as("component"),
+              lit(true).as("is_msg"))
+          merged = solution
+            .select(col("vertex"), col("component"), lit(false).as("is_msg"))
+            .unionByName(msgs)
+            .groupBy(col("vertex"))
+            .agg(min(col("component")).as("new_comp"),
+              min(when(!col("is_msg"), col("component"))).as("old_comp"))
+          solution = merged.select(col("vertex"), col("new_comp").as("component"))
+          workset = merged.filter(col("new_comp") < col("old_comp"))
+            .select(col("vertex"), col("new_comp").as("component"))
+          b += 1
+        }
+        // barrier: one job materializes the whole batch + truncates
+        // lineage; convergence is checked only here
+        val m = merged.localCheckpoint()
+        solution = m.select(col("vertex"), col("new_comp").as("component"))
+        val nextWorkset = m.filter(col("new_comp") < col("old_comp"))
           .select(col("vertex"), col("new_comp").as("component"))
         done = nextWorkset.isEmpty // narrow scan over the cached agg
         workset = nextWorkset
-        i += 1
+        i += b
       }
       und.unpersist() // solution is checkpointed; the edge cache is dead
       solution
