@@ -86,6 +86,30 @@ object TextOps {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
   }
 
+  // ---- deterministic splits / sampling -------------------------------
+
+  /** Train/val/test split summary: per (split, lang) doc + char counts
+    * — the reproducible-split primitive of a training pipeline. */
+  def qSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("split", graft.pipeline.Sampling.splitLabel(col("doc_id")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+
+  /** Deterministic stratified ~10% sample: per-lang sampled counts. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(graft.pipeline.Sampling.sampleFilter(col("doc_id"), keep = 100))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("n_chars"))
+
+  /** Deterministic fixed-size uniform sample (k smallest by hash
+    * bucket): the reproducible "give me exactly k examples" op. */
+  def qSampleFixed(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.fixedSample(
+        t(spark, dir, "documents"), "doc_id", 100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   // ---- multimodal ----------------------------------------------------
 
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
@@ -105,6 +129,9 @@ object TextOps {
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_multimodal" -> (qMultimodal _),
+    "q_split" -> (qSplit _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_fixed" -> (qSampleFixed _),
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -209,5 +236,23 @@ object TextOps {
     // q_knn_lsh / q_knn_ivf: no oracle — bucket assignment float sums
     // are order-sensitive cross-engine; recall vs brute force is
     // asserted in SimilaritySpec.
+    "q_split" -> {
+      import graft.pipeline.Sampling.sqlSplitLabel
+      s"""SELECT ${sqlSplitLabel("doc_id")} AS split, lang,
+           COUNT(1) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         FROM documents GROUP BY 1, 2"""
+    },
+    "q_sample_stratified" -> {
+      import graft.pipeline.Sampling.sqlIdBucket
+      s"""SELECT lang, COUNT(1) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         FROM documents WHERE ${sqlIdBucket("doc_id", 1000)} < 100
+         GROUP BY lang"""
+    },
+    "q_sample_fixed" -> {
+      import graft.pipeline.Sampling.sqlIdBucket
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         ORDER BY ${sqlIdBucket("doc_id", 1000000)}, doc_id LIMIT 100"""
+    },
   )
 }

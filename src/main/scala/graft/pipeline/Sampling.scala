@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions.HashMod
+
+/** Deterministic sampling / dataset-split operators for training-data
+  * pipelines (driver-mandated scope extension, same family as
+  * graft.dedup): no RNG, no seed state — assignment is a pure
+  * function of the row id, so splits are stable across runs, engines
+  * (DuckDB oracle replicates the arithmetic exactly), cluster sizes,
+  * and re-partitions. That reproducibility-by-construction is the
+  * property a 100 TB pipeline needs: re-running a failed stage must
+  * not reshuffle examples between train and test.
+  *
+  * All operators are narrow per-row expressions (plus an aggregate
+  * where the query wants counts) — no shuffle beyond what the caller
+  * asks for, no driver state.
+  */
+object Sampling {
+
+  /** Stable pseudo-uniform bucket in [0, buckets) from a non-negative
+    * long id: ((id * 2654435761) % 1000000007) % buckets. The
+    * multiplier is the Knuth/Fibonacci hashing constant; intermediates
+    * stay < 2^63 for ids < ~3.5e9 per shard (document ids are
+    * per-corpus sequence numbers, far below that; larger id spaces
+    * should pre-fold with a modulus). */
+  def idBucket(id: Column, buckets: Int): Column =
+    ((id.cast("long") * lit(2654435761L)) % lit(HashMod)) % lit(buckets.toLong)
+
+  def sqlIdBucket(idExpr: String, buckets: Int): String =
+    s"((CAST($idExpr AS BIGINT) * 2654435761) % $HashMod) % $buckets"
+
+  /** Train/val/test assignment by id bucket: [0,train) -> "train",
+    * [train, train+val) -> "val", rest -> "test", out of 1000 mills. */
+  def splitLabel(id: Column, trainMills: Int = 800, valMills: Int = 100): Column = {
+    val b = idBucket(id, 1000)
+    when(b < trainMills, lit("train"))
+      .when(b < trainMills + valMills, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  def sqlSplitLabel(idExpr: String, trainMills: Int = 800, valMills: Int = 100): String =
+    s"""CASE WHEN ${sqlIdBucket(idExpr, 1000)} < $trainMills THEN 'train'
+         WHEN ${sqlIdBucket(idExpr, 1000)} < ${trainMills + valMills} THEN 'val'
+         ELSE 'test' END"""
+
+  /** Deterministic ~rate-fraction sample: keep rows whose bucket (out
+    * of `denom`) is below `keep`. Stratification is free — the bucket
+    * is independent of any grouping column, so per-group keep rates
+    * concentrate around keep/denom. */
+  def sampleFilter(id: Column, keep: Int, denom: Int = 1000): Column =
+    idBucket(id, denom) < keep
+
+  /** Deterministic fixed-size uniform sample: the k smallest rows by
+    * (hash-bucket, id). Runs as TakeOrderedAndProject — a per-partition
+    * top-k plus a single k-row merge on the driver side of the plan,
+    * never a global sort — so it scales to any corpus size. */
+  def fixedSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.orderBy(idBucket(col(idCol), 1000000), col(idCol)).limit(k)
+}
