@@ -16,6 +16,15 @@ object Bench {
     GraftSession.TableNames.foreach { n =>
       try Tables.t(spark, sfDir, n).schema catch { case _: Throwable => () }
     }
+    // exercise the execution surface once on the tiny smoke SF (join,
+    // broadcast, window, explode codegen paths + whole-stage compiler):
+    // otherwise whichever query happens to run first absorbs several
+    // seconds of one-time session setup that isn't its own cost
+    Seq("q3_shipping_priority", "q_topk_per_group", "q_wordcount",
+        "q_connected_components", "q_pagerank").foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
