@@ -122,12 +122,15 @@ object Algorithms {
     * (matches the reference's simple PageRankBasic semantics).
     */
   def pageRank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    // cache the raw edge frame before fan-out: count, both vertex-set
+    // branches, out-degrees, and the withDeg join all consume it
     val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eCount = e.count()
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count()
-    val eCount = e.count()
     val parts = Iterations.statePartitions(edges.sparkSession, eCount)
     val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     // loop-invariant: edges with source out-degree, pre-partitioned on
@@ -165,6 +168,7 @@ object Algorithms {
             lit(damping) * (coalesce(col("m.csum"), lit(0L)) / lit(1e12))) * lit(1e12))
             .cast("long") / lit(1e12)).as("rank"))
     }
+    e.unpersist()
     vertices.unpersist()
     withDeg.unpersist()
     result
