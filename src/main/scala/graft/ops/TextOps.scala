@@ -110,6 +110,16 @@ object TextOps {
         t(spark, dir, "documents"), "doc_id", 100)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Sequence packing: per-(shard, pack) fill stats using the
+    * est-token proxy (n_chars+3)/4 and a 2048-token budget. */
+  def qPack(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packGreedy(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), ((col("n_chars") + 3) / 4).cast("long").as("est_tokens")),
+        "doc_id", "est_tokens", budget = 2048, shards = 64)
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("n_tokens"))
+
   // ---- multimodal ----------------------------------------------------
 
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
@@ -132,6 +142,7 @@ object TextOps {
     "q_split" -> (qSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_fixed" -> (qSampleFixed _),
+    "q_pack" -> (qPack _),
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -253,6 +264,14 @@ object TextOps {
       import graft.pipeline.Sampling.sqlIdBucket
       s"""SELECT doc_id, lang, n_chars FROM documents
          ORDER BY ${sqlIdBucket("doc_id", 1000000)}, doc_id LIMIT 100"""
+    },
+    "q_pack" -> {
+      val inner = graft.pipeline.Packing.sqlPackCte(
+        "(SELECT doc_id, (n_chars + 3) // 4 AS est_tokens FROM documents)",
+        "doc_id", "est_tokens", budget = 2048, shards = 64)
+      s"""SELECT shard, pack, COUNT(1) AS n_docs,
+           CAST(SUM(est_tokens) AS BIGINT) AS n_tokens
+         FROM ($inner) GROUP BY shard, pack"""
     },
   )
 }
