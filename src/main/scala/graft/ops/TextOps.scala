@@ -120,6 +120,16 @@ object TextOps {
       .groupBy(col("shard"), col("pack"))
       .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("n_tokens"))
 
+  /** Benchmark decontamination: the 2% id-hash probe slice plays the
+    * benchmark set; flag the rest of the corpus on >= 3 shared
+    * shingles. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val isProbe = graft.pipeline.Sampling.sampleFilter(col("doc_id"), 20)
+    graft.pipeline.Decontaminate.flagOverlap(
+      docs.filter(!isProbe), docs.filter(isProbe), minCommon = 3)
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
@@ -143,6 +153,7 @@ object TextOps {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_fixed" -> (qSampleFixed _),
     "q_pack" -> (qPack _),
+    "q_decontaminate" -> (qDecontaminate _),
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -273,5 +284,7 @@ object TextOps {
            CAST(SUM(est_tokens) AS BIGINT) AS n_tokens
          FROM ($inner) GROUP BY shard, pack"""
     },
+    "q_decontaminate" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
+      s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < 20", minCommon = 3),
   )
 }

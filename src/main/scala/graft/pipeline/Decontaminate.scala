@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Benchmark decontamination for training corpora: flag every corpus
+  * document sharing at least `minCommon` word-shingles with any
+  * document of a (small) probe/benchmark set — the standard n-gram
+  * overlap check run before training to keep eval data out of the
+  * training set.
+  *
+  * 100 TB posture: the probe side is bounded (a benchmark suite, not
+  * a corpus), so its exploded shingle set is broadcast and the corpus
+  * streams through one narrow explode + broadcast hash join + keyed
+  * aggregation — no shuffle of corpus text, no driver state beyond
+  * the broadcast. Shingle hashing is the portable TextFunctions
+  * arithmetic, so the DuckDB oracle replicates the check exactly.
+  */
+object Decontaminate {
+
+  /** Per contaminated corpus doc: how many probe docs it overlaps and
+    * the largest shingle overlap. Output: (doc_id, n_probes_hit,
+    * max_common), only rows with max_common >= minCommon. */
+  def flagOverlap(corpus: DataFrame, probes: DataFrame,
+      minCommon: Int = 3): DataFrame = {
+    val corpusSh = corpus
+      .select(col("doc_id"), explode(shingleVals(col("text"))).as("s"))
+    val probeSh = probes
+      .select(col("doc_id").as("pid"), explode(shingleVals(col("text"))).as("s"))
+      .distinct()
+    corpusSh.join(broadcast(probeSh), "s")
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_probes_hit"), max(col("common")).as("max_common"))
+  }
+
+  /** SQL twin of [[flagOverlap]] for the DuckDB oracle.
+    * `probePred` selects the probe rows out of the documents table. */
+  def sqlFlagOverlap(probePred: String, minCommon: Int = 3): String =
+    s"""WITH csh AS (
+         SELECT doc_id, unnest(${sqlShingleVals3("text")}) AS s
+         FROM documents WHERE NOT ($probePred)),
+       psh AS (
+         SELECT DISTINCT doc_id AS pid, unnest(${sqlShingleVals3("text")}) AS s
+         FROM documents WHERE $probePred),
+       hits AS (
+         SELECT csh.doc_id, psh.pid, COUNT(1) AS common
+         FROM csh JOIN psh ON csh.s = psh.s
+         GROUP BY csh.doc_id, psh.pid
+         HAVING COUNT(1) >= $minCommon)
+       SELECT doc_id, COUNT(1) AS n_probes_hit, MAX(common) AS max_common
+       FROM hits GROUP BY doc_id"""
+}
