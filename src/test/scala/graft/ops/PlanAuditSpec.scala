@@ -75,6 +75,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("split summary never reads the text column and combines map-side") {
+    val p = executedPlan("q_split")
+    assert(!p.contains("text"), "split stats must not read document bodies:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("packing runs as one shard-hash exchange + window (no global sort)") {
+    val p = executedPlan("q_pack")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("rangepartitioning"), "packing must not global-sort:\n" + p)
+    assert(!p.contains("text"), "packing must not read document bodies:\n" + p)
+  }
+
   test("tumbling window agg is partial-then-final over one shuffle") {
     val p = executedPlan("q_tumbling_hourly")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
