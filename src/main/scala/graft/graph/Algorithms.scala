@@ -102,13 +102,17 @@ object Algorithms {
           b += 1
         }
         // barrier: one job materializes the whole batch + truncates
-        // lineage; convergence is checked only here
-        val m = merged.localCheckpoint()
+        // lineage; the changed-count metric piggybacks on that same
+        // job (Observation), so convergence costs no extra action
+        val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
+        val m = merged
+          .observe(obs, count(when(col("new_comp") < col("old_comp"), true))
+            .as("changed"))
+          .localCheckpoint()
         solution = m.select(col("vertex"), col("new_comp").as("component"))
-        val nextWorkset = m.filter(col("new_comp") < col("old_comp"))
+        done = obs.get("changed").asInstanceOf[Long] == 0L
+        workset = m.filter(col("new_comp") < col("old_comp"))
           .select(col("vertex"), col("new_comp").as("component"))
-        done = nextWorkset.isEmpty // narrow scan over the cached agg
-        workset = nextWorkset
         i += b
       }
       und.unpersist() // solution is checkpointed; the edge cache is dead
