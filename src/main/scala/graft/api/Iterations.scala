@@ -146,14 +146,24 @@ object Iterations {
       var done = workset.isEmpty
       while (i < maxIterations && !done) {
         val (delta0, nextWorkset0) = step(solution, workset)
-        val delta = delta0.localCheckpoint()
+        // the next-workset size rides the checkpoint job as an
+        // observed metric, so neither the empty-workset termination
+        // nor SuperstepStats.changed costs an extra action
+        val sameFrame = nextWorkset0 eq delta0
+        val obsW = org.apache.spark.sql.Observation()
+        val wsCount = count(lit(1)).as("n")
+        val delta =
+          (if (sameFrame) delta0.observe(obsW, wsCount) else delta0)
+            .localCheckpoint()
         // keep rows whose key is NOT in delta, then add the delta rows
         val nextSolution = solution
           .join(delta.select(keyCols: _*), keys, "left_anti")
           .unionByName(delta)
           .localCheckpoint()
         val nextWorkset =
-          if (nextWorkset0 eq delta0) delta else nextWorkset0.localCheckpoint()
+          if (sameFrame) delta
+          else nextWorkset0.observe(obsW, wsCount).localCheckpoint()
+        val changed = obsW.get("n").asInstanceOf[Long]
         if (instrumented) {
           val aggVals =
             if (aggregators.isEmpty) Map.empty[String, Any]
@@ -165,12 +175,12 @@ object Iterations {
                 .head()
               names.map(n => n -> row.get(row.fieldIndex(n))).toMap
             }
-          val stats = SuperstepStats(i + 1, nextWorkset.count(), aggVals)
+          val stats = SuperstepStats(i + 1, changed, aggVals)
           if (observer != null) observer(stats)
           done = stats.changed == 0 ||
             (convergence != null && convergence(stats))
         } else {
-          done = nextWorkset.isEmpty
+          done = changed == 0
         }
         solution = nextSolution
         workset = nextWorkset
