@@ -241,4 +241,20 @@ object Algorithms {
     pts.unpersist()
     centroids
   }
+
+  /** Triangle enumeration over an undirected edge set normalized to
+    * a < b ([U] stratosphere-examples/.../graph/EnumTrianglesBasic
+    * .java): build length-2 paths by joining on the middle vertex,
+    * then close them against the edge set. The a<b normalization
+    * yields each triangle exactly once (x<y<z) with no post-dedup.
+    * Two shuffle joins on vertex keys — the scalable formulation
+    * (candidate volume is sum of per-vertex degree^2, not |E|^2). */
+  def enumTriangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    e.alias("e1")
+      .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(e.alias("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+  }
 }

@@ -68,10 +68,28 @@ object Iterative {
   val KMeansIters = 3
   private val KMeansDim = 64
 
+  /** Triangle count over the part co-occurrence graph of high-quantity
+    * lineitems ([U] EnumTrianglesBasic.java as a production query):
+    * parts are linked when an order contains both with quantity >= 40;
+    * edges normalized a < b so each triangle counts once. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val op = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = op.alias("x")
+      .join(op.alias("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+    Algorithms.enumTriangles(edges)
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_connected_components" -> (qConnectedComponents _),
     "q_pagerank" -> (qPageRank _),
     "q_kmeans" -> (qKMeans _),
+    "q_triangles" -> (qTriangles _),
   )
 
   /** Unrolled fixed-superstep SQL oracles. Every step of every
@@ -169,6 +187,16 @@ object Iterative {
            ${ccSteps.mkString(",\n           ")}
            SELECT comp AS component, COUNT(*) AS n_vertices
            FROM s${ChunkLen + 1} GROUP BY comp""",
+      "q_triangles" ->
+        s"""WITH op AS (
+             SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             FROM lineitem WHERE l_quantity >= 40),
+           ed AS MATERIALIZED (
+             SELECT DISTINCT x.p AS a, y.p AS b
+             FROM op x JOIN op y ON x.o = y.o AND x.p < y.p)
+           SELECT COUNT(1) AS n_triangles
+           FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+           JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b""",
       "q_kmeans" ->
         s"""WITH pts AS (SELECT vec_id, embedding FROM embeddings),
            c0 AS (
