@@ -85,11 +85,29 @@ object Iterative {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Transitive closure of the (directed) customer-chain graph by
+    * path-doubling bulk iteration ([U] TransitiveClosureNaive.java —
+    * upgraded to the doubling formulation: after k supersteps paths of
+    * length <= 2^k are covered, so [[ChunkLen]]-bounded chains need
+    * ceil(log2(ChunkLen)) supersteps, not ChunkLen). Output: reachable
+    * pair count. */
+  def qClosure(spark: SparkSession, dir: String): DataFrame = {
+    val e = custChainEdges(spark, dir)
+    val doublings = 32 - Integer.numberOfLeadingZeros(ChunkLen - 1) // ceil(log2)
+    val closure = graft.api.Iterations.bulk(e, doublings) { c =>
+      c.alias("p").join(c.alias("q"), col("p.dst") === col("q.src"))
+        .select(col("p.src").as("src"), col("q.dst").as("dst"))
+        .union(c).distinct()
+    }
+    closure.agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_connected_components" -> (qConnectedComponents _),
     "q_pagerank" -> (qPageRank _),
     "q_kmeans" -> (qKMeans _),
     "q_triangles" -> (qTriangles _),
+    "q_closure" -> (qClosure _),
   )
 
   /** Unrolled fixed-superstep SQL oracles. Every step of every
@@ -187,6 +205,25 @@ object Iterative {
            ${ccSteps.mkString(",\n           ")}
            SELECT comp AS component, COUNT(*) AS n_vertices
            FROM s${ChunkLen + 1} GROUP BY comp""",
+      "q_closure" -> {
+        val doublings = 32 - Integer.numberOfLeadingZeros(ChunkLen - 1)
+        val steps = (1 to doublings).map { i =>
+          s"""c$i AS MATERIALIZED (
+               SELECT DISTINCT src, dst FROM (
+                 SELECT p.src, q.dst FROM c${i - 1} p JOIN c${i - 1} q ON p.dst = q.src
+                 UNION ALL SELECT src, dst FROM c${i - 1}))"""
+        }
+        s"""WITH ranked AS (
+             SELECT o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
+             FROM orders),
+           c0 AS MATERIALIZED (
+             SELECT o_orderkey AS src, nxt AS dst FROM ranked
+             WHERE nxt IS NOT NULL AND rn % $ChunkLen <> 0),
+           ${steps.mkString(",\n           ")}
+           SELECT COUNT(1) AS n_pairs FROM c$doublings"""
+      },
       "q_triangles" ->
         s"""WITH op AS (
              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
