@@ -74,4 +74,49 @@ class PropertySpec extends SparkSpec {
       assert(a == cents.map(_.toLong).sum / 100.0)
     }
   }
+
+  test("property: enumTriangles equals the local brute-force model") {
+    import graft.graph.Algorithms
+    val edgeGen = Gen.listOfN(25,
+      for { a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L) if a != b }
+      yield (math.min(a, b), math.max(a, b)))
+    for (round <- 1 to 5) {
+      val edges = sample(edgeGen, 7L + round).distinct
+      val got = Algorithms.enumTriangles(edges.toDF("a", "b"))
+        .as[(Long, Long, Long)].collect().toSet
+      val es = edges.toSet
+      val expected = (for {
+        (x, y) <- es; (y2, z) <- es
+        if y2 == y && es.contains((x, z))
+      } yield (x, y, z)).toSet
+      assert(got == expected, s"round $round: $edges")
+    }
+  }
+
+  test("property: path-doubling closure equals the local reachability model") {
+    import graft.api.Iterations
+    val edgeGen = Gen.listOfN(15,
+      for { a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L) if a != b }
+      yield (a, b))
+    for (round <- 1 to 3) {
+      val edges = sample(edgeGen, 99L + round).distinct
+      // doubling: 4 supersteps cover paths of length <= 16 > 10 vertices
+      val closure = Iterations.bulk(edges.toDF("src", "dst"), 4) { c =>
+        c.alias("p").join(c.alias("q"), col("p.dst") === col("q.src"))
+          .select(col("p.src").as("src"), col("q.dst").as("dst"))
+          .union(c).distinct()
+      }
+      val got = closure.as[(Long, Long)].collect().toSet
+      // local model: Floyd-Warshall-style reachability over 10 nodes
+      var reach = edges.toSet
+      var grew = true
+      while (grew) {
+        val next = reach ++ (for { (a, b) <- reach; (b2, c) <- reach if b2 == b }
+          yield (a, c))
+        grew = next.size > reach.size
+        reach = next
+      }
+      assert(got == reach, s"round $round: $edges")
+    }
+  }
 }
