@@ -78,4 +78,26 @@ object Multimodal {
         sum(col("width")).as("sum_width"),
         sum(col("height")).as("sum_height"),
         max(col("width")).as("max_width"))
+
+  /** Fit-within-box resize arithmetic over decoded dimensions: scale
+    * the longer side to `box`, preserve aspect ratio, floor to ints
+    * (all-integer arithmetic — a real resampler consumes these target
+    * dims; the DuckDB oracle replicates them exactly). */
+  def resizedDims(media: DataFrame, box: Int = 224): DataFrame =
+    decodeFeatures(media).toDF()
+      .withColumn("rw",
+        expr(s"(width * $box) div greatest(width, height)").cast("long"))
+      .withColumn("rh",
+        expr(s"(height * $box) div greatest(width, height)").cast("long"))
+
+  /** Frame sampling for video-like payloads: a deterministic pseudo
+    * frame count per payload, every `stride`-th index sampled — the
+    * one-row-to-many-frames decode shape (explode keeps it narrow;
+    * per-frame decode would batch per partition like [[FakeCodec]]). */
+  def sampleFrames(media: DataFrame, stride: Int = 10): DataFrame =
+    media
+      .withColumn("n_frames", (col("n_bytes") % 241 + 8).cast("int"))
+      .select(col("media_id"), col("format"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
 }

@@ -135,6 +135,20 @@ object TextOps {
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.formatStats(Multimodal.asMediaTable(t(spark, dir, "documents")))
 
+  /** Resize plumbing: per-format sums of fit-within-224 target dims. */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizedDims(Multimodal.asMediaTable(t(spark, dir, "documents")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rw")).as("sum_rw"), sum(col("rh")).as("sum_rh"))
+
+  /** Frame-sampling plumbing: per-format sampled-frame counts. */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.asMediaTable(t(spark, dir, "documents")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        sum(col("frame_idx")).as("sum_frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
@@ -149,6 +163,8 @@ object TextOps {
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_multimodal" -> (qMultimodal _),
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_split" -> (qSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_fixed" -> (qSampleFixed _),
@@ -258,6 +274,25 @@ object TextOps {
     // q_knn_lsh / q_knn_ivf: no oracle — bucket assignment float sums
     // are order-sensitive cross-engine; recall vs brute force is
     // asserted in SimilaritySpec.
+    "q_multimodal_resize" ->
+      """WITH dims AS (
+           SELECT 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format,
+             64 + strlen(text) % 577 AS w,
+             64 + (strlen(text) * 31) % 433 AS h
+           FROM documents)
+         SELECT format, COUNT(1) AS n,
+           CAST(SUM((w * 224) // greatest(w, h)) AS BIGINT) AS sum_rw,
+           CAST(SUM((h * 224) // greatest(w, h)) AS BIGINT) AS sum_rh
+         FROM dims GROUP BY format""",
+    "q_multimodal_frames" ->
+      """WITH m AS (
+           SELECT doc_id, 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format,
+             strlen(text) % 241 + 8 AS n_frames
+           FROM documents),
+         fr AS (SELECT format, unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx FROM m)
+         SELECT format, COUNT(1) AS n_frames_sampled,
+           CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx
+         FROM fr GROUP BY format""",
     "q_split" -> {
       import graft.pipeline.Sampling.sqlSplitLabel
       s"""SELECT ${sqlSplitLabel("doc_id")} AS split, lang,
