@@ -24,7 +24,12 @@ object Sampling {
     * multiplier is the Knuth/Fibonacci hashing constant; intermediates
     * stay < 2^63 for ids < ~3.5e9 per shard (document ids are
     * per-corpus sequence numbers, far below that; larger id spaces
-    * should pre-fold with a modulus). */
+    * should pre-fold with a modulus). Negative ids yield negative
+    * buckets (Spark and DuckDB both follow the dividend's sign, so
+    * the engines still agree); splitLabel then sends them all to
+    * "train" — pre-fold to non-negative if ids can be negative.
+    * Stateless and per-row, so the same expression runs unchanged on
+    * Structured Streaming inputs (see StreamOpsSpec). */
   def idBucket(id: Column, buckets: Int): Column =
     ((id.cast("long") * lit(2654435761L)) % lit(HashMod)) % lit(buckets.toLong)
 

@@ -172,6 +172,28 @@ class StreamOpsSpec extends SparkSpec {
       s"expected one merged 4-event session, got ${got.toSeq}")
   }
 
+  test("pipeline split/sample expressions run unchanged on a stream") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val labeled = in.toDS().toDF()
+      .withColumn("split", Sampling.splitLabel(col("event_id")))
+      .filter(Sampling.sampleFilter(col("event_id"), keep = 1000)) // keep all
+    val q = labeled.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_split").start()
+    in.addData((1L to 50L).map(i => ev(i, i.toInt)): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_split")
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 50)
+    // identical assignment to the batch expression
+    val batch = (1L to 50L).toDF("event_id")
+      .select(col("event_id"), Sampling.splitLabel(col("event_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(got == batch)
+  }
+
   test("stream-stream interval join matches purchases to preceding clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
