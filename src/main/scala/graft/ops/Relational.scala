@@ -268,6 +268,21 @@ object Relational {
     graft.GraftSession.sql(spark, dir, q10Sql,
       tables = Seq("customer", "orders", "lineitem"))
 
+  /** Skew-salted aggregation as a driver-checked query: the hot-key
+    * two-phase salted sum must produce exactly the plain GROUP BY
+    * result (scaled-long inner sums keep it order-independent, so the
+    * oracle is the unsalted SQL aggregate). */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Salting.saltedSum(
+      t(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * lit(100)).cast("long").as("cents"),
+          lit(1L).as("one")),
+      keys = Seq("l_returnflag"),
+      sumExprs = Seq((col("cents"), "cents_sum"), (col("one"), "n_rows")))
+      .select(col("l_returnflag"),
+        (col("cents_sum") / lit(100.0)).as("sum_price"), col("n_rows"))
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,6 +306,7 @@ object Relational {
     "q_having" -> (qHaving _),
     "q_partition_by_hash" -> (qPartitionByHash _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_outer_join" -> (qOuterJoin _),
     "q_cogroup" -> (qCoGroup _),
   )
@@ -391,6 +407,11 @@ object Relational {
       """SELECT l_suppkey, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY l_suppkey""",
     "q10_returned_items" -> q10Sql,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+           COUNT(1) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
     "q_outer_join" ->
       """SELECT p_partkey, p_brand, qty45
          FROM part FULL OUTER JOIN (
