@@ -14,6 +14,11 @@ import graft.text.TextFunctions._
   * state. The Jaccard join explodes distinct shingles and self-joins
   * on (lang, shingle); LSH replaces that quadratic-ish candidate step
   * with band-bucket joins whose volume is O(matches) for random text.
+  *
+  * Cache lifetime: jaccard/minhash persist their shingle projection
+  * for reuse across the candidate and verify joins; because the
+  * returned frame is lazy, that cache lives until the caller drops
+  * the frame (context cleaner) or calls spark.catalog.clearCache().
   */
 object Dedup {
 
