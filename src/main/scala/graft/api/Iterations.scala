@@ -84,22 +84,55 @@ object Iterations {
     * custom `terminate`, leave k = 1 — the termination action would
     * recompute the un-checkpointed chain every step.
     * `shufflePartitions`: scope the loop's shuffles to state size
-    * (see [[statePartitions]]); -1 keeps the session default. */
+    * (see [[statePartitions]]); -1 keeps the session default.
+    *
+    * Superstep metrics ([U] bulk iteration aggregators): `aggregators`
+    * are aggregate Columns evaluated over each superstep's state;
+    * `observer` receives a [[SuperstepStats]] per superstep (with
+    * `changed = -1` — a bulk loop has no workset; register a metric
+    * if you need a change count). Metric nodes stay in the composed
+    * plan, so with a folded loop (checkpointEvery > 1) every
+    * superstep's values still materialize at its batch's barrier job
+    * and observers fire there, preserving the one-job fold. */
   def bulk[T](init: Dataset[T], maxIterations: Int, checkpointEvery: Int = 1,
-      shufflePartitions: Int = -1)(
+      shufflePartitions: Int = -1,
+      aggregators: Map[String, Column] = Map.empty,
+      observer: SuperstepStats => Unit = null)(
       body: Dataset[T] => Dataset[T],
       terminate: (Dataset[T], Dataset[T]) => Boolean = (_: Dataset[T], _: Dataset[T]) => false)
       : Dataset[T] = withIterationConf(init.sparkSession, shufflePartitions) {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(shufflePartitions == -1 || shufflePartitions > 0,
       s"shufflePartitions must be positive or -1 (session default), got $shufflePartitions")
+    val instrumented = observer != null
+    val aggs = if (aggregators.nonEmpty) aggregators
+      else Map("rows" -> count(lit(1))) // observe() needs >= 1 metric
+    val aggNames = aggs.keys.toSeq
+    val pending = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, org.apache.spark.sql.Observation)]
     var cur = init.localCheckpoint() // eager: materialize + truncate lineage
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
-      val raw = body(cur)
+      val raw0 = body(cur)
+      val raw = if (instrumented) {
+        val obs = org.apache.spark.sql.Observation()
+        pending += ((i + 1, obs))
+        raw0.observe(obs, aggs(aggNames.head).as(aggNames.head),
+          aggNames.tail.map(n => aggs(n).as(n)): _*)
+      } else raw0
       val atBarrier = (i + 1) % checkpointEvery == 0 || i + 1 == maxIterations
       val next = if (atBarrier) raw.localCheckpoint() else raw
+      if (atBarrier && instrumented) {
+        // the barrier job just executed every pending superstep's
+        // metric node; drain in superstep order
+        pending.foreach { case (step, obs) =>
+          val vals = obs.get
+          observer(SuperstepStats(step, -1L,
+            aggNames.map(n => n -> vals(n)).toMap))
+        }
+        pending.clear()
+      }
       done = terminate(cur, next)
       cur = next
       i += 1

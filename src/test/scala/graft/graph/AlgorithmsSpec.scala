@@ -79,6 +79,25 @@ class AlgorithmsSpec extends SparkSpec {
     assert(aggSeen.nonEmpty && aggSeen.last == 0)
   }
 
+  test("bulk iteration observer fires per superstep even inside a folded loop") {
+    import graft.api.Iterations
+    var seen = Vector.empty[Iterations.SuperstepStats]
+    val init = spark.range(10).toDF("id")
+    // 4 supersteps folded into 2 barrier jobs (checkpointEvery=2):
+    // each step drops the highest id; metrics must still report per
+    // superstep, in order
+    val out = Iterations.bulk(init, 4, checkpointEvery = 2,
+      aggregators = Map("n" -> count(lit(1)), "max_id" -> max(col("id"))),
+      observer = s => seen :+= s) { df =>
+      df.crossJoin(df.agg(max(col("id")).as("m")))
+        .filter(col("id") < col("m")).select(col("id"))
+    }
+    assert(out.count() == 6)
+    assert(seen.map(_.superstep) == (1 to 4))
+    assert(seen.map(_.aggregates("n").asInstanceOf[Long]) == Seq(9L, 8L, 7L, 6L))
+    assert(seen.map(_.aggregates("max_id").asInstanceOf[Long]) == Seq(8L, 7L, 6L, 5L))
+  }
+
   test("iterations degrade gracefully on empty inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Algorithms.connectedComponents(empty, 5).count() == 0)
