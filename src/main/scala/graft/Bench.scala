@@ -16,15 +16,25 @@ object Bench {
     GraftSession.TableNames.foreach { n =>
       try Tables.t(spark, sfDir, n).schema catch { case _: Throwable => () }
     }
-    // exercise the execution surface once on the tiny smoke SF (join,
+    // exercise the execution surface once on a tiny warmup SF (join,
     // broadcast, window, explode codegen paths + whole-stage compiler):
     // otherwise whichever query happens to run first absorbs several
-    // seconds of one-time session setup that isn't its own cost
+    // seconds of one-time session setup that isn't its own cost.
+    // METHODOLOGY (recorded in the output line as "warmup"): since
+    // round 3 the suite is timed warm; totals are not comparable to
+    // rounds 1-2, which timed the first query cold. The warmup dataset
+    // comes from SPARK_GRAFT_WARMUP_DIR, defaulting to the sf0.001
+    // sibling of the benched SF dir; if absent we warm on the benched
+    // dir itself (still warm-methodology, just pricier warmup).
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
+    val warmup = if (new java.io.File(warmupDir).isDirectory) warmupDir else sfDir
     Seq("q3_shipping_priority", "q_topk_per_group", "q_wordcount",
         "q_connected_components", "q_pagerank").foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try SparkEntry.queries(n)(spark, warmup).count()
       catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache() // warmup caches are not the benched SF's
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -38,7 +48,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":"$warmup"}""")
     spark.stop()
   }
 }

@@ -104,6 +104,11 @@ object Iterations {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(shufflePartitions == -1 || shufflePartitions > 0,
       s"shufflePartitions must be positive or -1 (session default), got $shufflePartitions")
+    // aggregators feed the observer; without one their values would be
+    // computed and silently dropped — make the misuse loud (same
+    // contract as delta(), ADVICE r3 #2/#5)
+    require(aggregators.isEmpty || observer != null,
+      "bulk(): aggregators require an observer to consume them")
     val instrumented = observer != null
     val aggs = if (aggregators.nonEmpty) aggregators
       else Map("rows" -> count(lit(1))) // observe() needs >= 1 metric
@@ -136,6 +141,19 @@ object Iterations {
       done = terminate(cur, next)
       cur = next
       i += 1
+    }
+    if (instrumented && pending.nonEmpty) {
+      // a custom terminate stopped the loop between barriers: the
+      // trailing supersteps' metric nodes never ran. Checkpoint once
+      // more (also hands the caller materialized state) and drain, so
+      // the observer sees EVERY superstep (ADVICE r3 #2).
+      cur = cur.localCheckpoint()
+      pending.foreach { case (step, obs) =>
+        val vals = obs.get
+        observer(SuperstepStats(step, -1L,
+          aggNames.map(n => n -> vals(n)).toMap))
+      }
+      pending.clear()
     }
     cur
   }
@@ -170,9 +188,14 @@ object Iterations {
     withIterationConf(initSolution.sparkSession, shufflePartitions) {
       require(shufflePartitions == -1 || shufflePartitions > 0,
         s"shufflePartitions must be positive or -1 (session default), got $shufflePartitions")
+      // aggregator values are only visible through the observer or the
+      // convergence criterion; without either, each superstep would pay
+      // an extra .agg().head() job whose results are discarded — make
+      // the misuse loud instead (ADVICE r3 #2/#5, mirrored in bulk())
+      require(aggregators.isEmpty || observer != null || convergence != null,
+        "delta(): aggregators require an observer or convergence criterion to consume them")
       val keyCols = keys.map(col)
-      val instrumented =
-        observer != null || convergence != null || aggregators.nonEmpty
+      val instrumented = observer != null || convergence != null
       var solution = initSolution.localCheckpoint()
       var workset = initWorkset.localCheckpoint()
       var i = 0

@@ -26,6 +26,10 @@ case class MinHashSigExpr(child: Expression, coeffs: Array[Long], mod: Long)
   // containsNull: empty inputs produce null slots (array_min parity)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireLongArray("minhash_sig", child.dataType)
+
   override def nullSafeEval(input: Any): Any =
     MinHashSig.compute(input.asInstanceOf[ArrayData], coeffs, mod)
 

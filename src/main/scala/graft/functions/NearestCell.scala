@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -28,6 +29,9 @@ case class NearestCellExpr(child: Expression, cells: Array[Array[Double]])
 
   override def dataType: DataType = IntegerType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireFloatArray("nearest_cell", child.dataType)
+
   override def nullSafeEval(v: Any): Any =
     NearestCell.assign(v.asInstanceOf[ArrayData], cells)
 
@@ -47,6 +51,9 @@ case class NearestCellsExpr(child: Expression, cells: Array[Array[Double]],
     nprobe: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireFloatArray("nearest_cells", child.dataType)
 
   override def nullSafeEval(v: Any): Any =
     NearestCell.probes(v.asInstanceOf[ArrayData], cells, nprobe)

@@ -74,6 +74,9 @@ object TextHash {
 case class FingerprintExpr(child: Expression) extends UnaryExpression
     with CodegenFallback {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireString("text_fingerprint", child.dataType)
   override protected def nullSafeEval(input: Any): Any =
     TextHash.fingerprint(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -82,6 +85,9 @@ case class FingerprintExpr(child: Expression) extends UnaryExpression
 case class Shingles3Expr(child: Expression) extends UnaryExpression
     with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireString("shingles3", child.dataType)
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       TextHash.shingles3(input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
@@ -91,6 +97,9 @@ case class Shingles3Expr(child: Expression) extends UnaryExpression
 case class ShingleVals3Expr(child: Expression) extends UnaryExpression
     with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireString("shingle_vals3", child.dataType)
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(TextHash.shingleVals3(input.asInstanceOf[UTF8String]))
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)

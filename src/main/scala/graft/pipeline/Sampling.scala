@@ -20,21 +20,25 @@ import graft.text.TextFunctions.HashMod
 object Sampling {
 
   /** Stable pseudo-uniform bucket in [0, buckets) from a non-negative
-    * long id: ((id * 2654435761) % 1000000007) % buckets. The
-    * multiplier is the Knuth/Fibonacci hashing constant; intermediates
-    * stay < 2^63 for ids < ~3.5e9 per shard (document ids are
-    * per-corpus sequence numbers, far below that; larger id spaces
-    * should pre-fold with a modulus). Negative ids yield negative
-    * buckets (Spark and DuckDB both follow the dividend's sign, so
-    * the engines still agree); splitLabel then sends them all to
-    * "train" — pre-fold to non-negative if ids can be negative.
+    * long id: (((id % 1000000007) * 2654435761) % 1000000007) % buckets.
+    * The multiplier is the Knuth/Fibonacci hashing constant; the id is
+    * pre-folded by the same prime modulus BEFORE the multiply, so the
+    * intermediate product stays < 2^63 for EVERY long id (|id % p| <
+    * 1e9, times 2.66e9 ≈ 2.7e18 < Long.MaxValue) — no silent Spark
+    * wraparound vs DuckDB BIGINT-overflow divergence at any id range.
+    * For ids already < 1e9 (the testdata corpus) the pre-fold is the
+    * identity, so bucket assignments are unchanged. Negative ids yield
+    * negative buckets (Spark and DuckDB both follow the dividend's
+    * sign, so the engines still agree); splitLabel then sends them all
+    * to "train" — pre-fold to non-negative if ids can be negative.
     * Stateless and per-row, so the same expression runs unchanged on
     * Structured Streaming inputs (see StreamOpsSpec). */
   def idBucket(id: Column, buckets: Int): Column =
-    ((id.cast("long") * lit(2654435761L)) % lit(HashMod)) % lit(buckets.toLong)
+    (((id.cast("long") % lit(HashMod)) * lit(2654435761L)) % lit(HashMod)) %
+      lit(buckets.toLong)
 
   def sqlIdBucket(idExpr: String, buckets: Int): String =
-    s"((CAST($idExpr AS BIGINT) * 2654435761) % $HashMod) % $buckets"
+    s"(((CAST($idExpr AS BIGINT) % $HashMod) * 2654435761) % $HashMod) % $buckets"
 
   /** Train/val/test assignment by id bucket: [0,train) -> "train",
     * [train, train+val) -> "val", rest -> "test", out of 1000 mills. */

@@ -98,6 +98,36 @@ class AlgorithmsSpec extends SparkSpec {
     assert(seen.map(_.aggregates("max_id").asInstanceOf[Long]) == Seq(8L, 7L, 6L, 5L))
   }
 
+  test("bulk observer drains trailing supersteps when terminate stops between barriers") {
+    import graft.api.Iterations
+    var seen = Vector.empty[Iterations.SuperstepStats]
+    var steps = 0
+    val init = spark.range(10).toDF("id")
+    // checkpointEvery=3 but a custom terminate stops after superstep 2:
+    // steps 1-2 never hit a barrier, so their metrics must be drained
+    // by the final checkpoint (ADVICE r3 #2)
+    val out = Iterations.bulk(init, 9, checkpointEvery = 3,
+      aggregators = Map("n" -> count(lit(1))),
+      observer = s => seen :+= s)(
+      body = df => df.select(col("id")),
+      terminate = (_, _) => { steps += 1; steps >= 2 })
+    assert(out.count() == 10)
+    assert(seen.map(_.superstep) == (1 to 2))
+    assert(seen.map(_.aggregates("n").asInstanceOf[Long]) == Seq(10L, 10L))
+  }
+
+  test("aggregators without a consumer are rejected loudly") {
+    import graft.api.Iterations
+    val init = spark.range(3).toDF("id")
+    intercept[IllegalArgumentException] {
+      Iterations.bulk(init, 2, aggregators = Map("n" -> count(lit(1))))(identity)
+    }
+    intercept[IllegalArgumentException] {
+      Iterations.delta(init, init, Seq("id"), 2,
+        aggregators = Map("n" -> count(lit(1)))) { (s, w) => (w, w) }
+    }
+  }
+
   test("iterations degrade gracefully on empty inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Algorithms.connectedComponents(empty, 5).count() == 0)
