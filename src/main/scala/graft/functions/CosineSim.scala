@@ -84,6 +84,14 @@ object CosineSim {
     if (s >= 0) math.floor(s + 0.5d).toLong else math.ceil(s - 0.5d).toLong
   }
 
+  /** Same rule at integer 1e-6 units — for term magnitudes (e.g. the
+    * LSH hyperplane products, up to ~5e5) where 1e-12 units would
+    * overflow the long sum. */
+  def rs6(d: Double): Long = {
+    val s = d * 1e6
+    if (s >= 0) math.floor(s + 0.5d).toLong else math.ceil(s - 0.5d).toLong
+  }
+
   /** Column API (Spark 4 Column <-> catalyst Expression bridge). */
   def cosineSim(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge

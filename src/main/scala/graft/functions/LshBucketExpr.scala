@@ -12,9 +12,14 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * form of Similarity.lshBucketRef (parity-tested bit-for-bit; the
   * Column form builds a planes*dim-node expression tree).
   *
-  * Determinism note: per-plane dot products accumulate left-to-right
-  * (d = 0..dim-1), exactly like the Column formulation's reduceLeft
-  * chain, so sign decisions are identical.
+  * Determinism note: per-plane dot products are EXACT-QUANTIZED — each
+  * term v[d]*w(p,d) (a float times an integer: exact in double) is
+  * rounded half-away-from-zero to integer 1e-6 units and summed as
+  * longs, so the sign decision is independent of summation order and
+  * bit-reproducible in the DuckDB oracle (the raw-double accumulation
+  * this replaces was order-dependent and kept q_knn_lsh un-oracled).
+  * Term magnitudes are <= ~5e11 in 1e-6 units, so a 64-dim sum stays
+  * far below both 2^63 and DuckDB's 2^53 double-exact range.
   */
 case class LshBucketExpr(child: Expression, planes: Int, dim: Int)
     extends UnaryExpression with CodegenFallback {
@@ -30,11 +35,11 @@ case class LshBucketExpr(child: Expression, planes: Int, dim: Int)
     var bucket = 0
     var p = 0
     while (p < planes) {
-      var s = 0.0
+      var s = 0L
       var d = 0
       while (d < n) {
         val w = ((p * 8191L + d) * 2654435761L) % 1000003L - 501001L
-        s += v.getFloat(d) * w.toDouble
+        s += CosineSim.rs6(v.getFloat(d) * w.toDouble)
         d += 1
       }
       if (s >= 0) bucket |= (1 << p)

@@ -66,7 +66,55 @@ object Iterative {
 
   val KMeansK = 8
   val KMeansIters = 3
-  private val KMeansDim = 64
+  private[ops] val KMeansDim = 64
+
+  // ---- reusable KMeans-trajectory SQL (shared with the IVF oracle in
+  // TextOps): seed c0 = the k lowest vec_ids, then `iters` x (assign,
+  // recompute). Distances and centroid updates replicate
+  // Algorithms.kMeansCentroids' quantized arithmetic exactly, so the
+  // whole trajectory is bit-reproducible cross-engine for ANY k.
+  import graft.functions.NearestCell.sqlQuantTerm
+
+  private[ops] def kmDist(emb: String, cent: String): String =
+    s"""list_sum(list_transform(generate_series(1, $KMeansDim),
+          i -> ${sqlQuantTerm(s"$emb[i]", s"$cent[i]")}))"""
+
+  private[ops] def kmAssign(cPrev: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+         SELECT p.vec_id, p.embedding, c.cid
+         FROM pts p CROSS JOIN $cPrev c
+         QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY ${kmDist("p.embedding", "c.cent")}, c.cid) = 1)"""
+
+  private[ops] def kmRecompute(aPrev: String, cPrev: String, out: String): String =
+    s"""${out}_sums AS (
+         SELECT cid, i,
+           SUM(CAST(round((embedding[i]) * 1e12) AS BIGINT)) AS s,
+           COUNT(*) AS n
+         FROM $aPrev, unnest(generate_series(1, $KMeansDim)) AS t(i)
+         GROUP BY cid, i),
+       ${out}_new AS (
+         SELECT cid, list((CAST(s AS DOUBLE)/1e12)/n ORDER BY i) AS cent
+         FROM ${out}_sums GROUP BY cid),
+       $out AS MATERIALIZED (
+         SELECT p.cid, COALESCE(nw.cent, p.cent) AS cent
+         FROM $cPrev p LEFT JOIN ${out}_new nw ON p.cid = nw.cid)"""
+
+  /** The full `WITH`-body prefix for a k-cluster trajectory: `pts`,
+    * seed `c0`, and iteration CTEs up to `c$iters` (expects the
+    * embeddings table; prefix is caller-composable with more CTEs). */
+  private[ops] def kmTrajectoryCtes(k: Int, iters: Int): String = {
+    val seed =
+      s"""pts AS (SELECT vec_id, embedding FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))"""
+    val iterCtes = (1 to iters).flatMap { it =>
+      Seq(kmAssign(s"c${it - 1}", s"a$it"), kmRecompute(s"a$it", s"c${it - 1}", s"c$it"))
+    }
+    (seed +: iterCtes).mkString(",\n           ")
+  }
 
   /** Triangle count over the part co-occurrence graph of high-quantity
     * lineitems ([U] EnumTrianglesBasic.java as a production query):
@@ -114,8 +162,8 @@ object Iterative {
     * iteration is exact, order-independent integer/quantized
     * arithmetic (see Algorithms.pageRank / kMeansCentroids /
     * connectedComponents), so these match the Spark loops bit-for-bit.
-    * q_knn_lsh / q_knn_ivf stay rows-only: their bucket layouts are
-    * checked by recall assertions in SimilaritySpec instead.
+    * (The ANN queries' oracles live in TextOps and reuse
+    * [[kmTrajectoryCtes]] for the IVF coarse quantizer.)
     */
   val oracleSql: Map[String, String] = {
     // ---- PageRank: 3 supersteps, 1e-12-quantized rank updates ------
@@ -150,36 +198,6 @@ object Iterative {
              JOIN und ON s.vertex = und.src)
            GROUP BY vertex)"""
     val ccSteps = (1 to ChunkLen + 1).map(i => ccStep(s"s${i - 1}", s"s$i"))
-
-    // ---- KMeans: seed -> (assign, recompute) x3 -> final assign.
-    // Distances and centroid updates replicate kMeansCentroids'
-    // quantized arithmetic exactly (see its doc comment).
-    import graft.functions.NearestCell.sqlQuantTerm
-    def kmDist(emb: String, cent: String) =
-      s"""list_sum(list_transform(generate_series(1, $KMeansDim),
-            i -> ${sqlQuantTerm(s"$emb[i]", s"$cent[i]")}))"""
-    def kmAssign(cPrev: String, out: String) =
-      s"""$out AS MATERIALIZED (
-           SELECT p.vec_id, p.embedding, c.cid
-           FROM pts p CROSS JOIN $cPrev c
-           QUALIFY row_number() OVER (PARTITION BY p.vec_id
-             ORDER BY ${kmDist("p.embedding", "c.cent")}, c.cid) = 1)"""
-    def kmRecompute(aPrev: String, cPrev: String, out: String) =
-      s"""${out}_sums AS (
-           SELECT cid, i,
-             SUM(CAST(round((embedding[i]) * 1e12) AS BIGINT)) AS s,
-             COUNT(*) AS n
-           FROM $aPrev, unnest(generate_series(1, $KMeansDim)) AS t(i)
-           GROUP BY cid, i),
-         ${out}_new AS (
-           SELECT cid, list((CAST(s AS DOUBLE)/1e12)/n ORDER BY i) AS cent
-           FROM ${out}_sums GROUP BY cid),
-         $out AS MATERIALIZED (
-           SELECT p.cid, COALESCE(nw.cent, p.cent) AS cent
-           FROM $cPrev p LEFT JOIN ${out}_new nw ON p.cid = nw.cid)"""
-    val kmIterCtes = (1 to KMeansIters).flatMap { it =>
-      Seq(kmAssign(s"c${it - 1}", s"a$it"), kmRecompute(s"a$it", s"c${it - 1}", s"c$it"))
-    }
 
     Map(
       "q_pagerank" ->
@@ -235,12 +253,7 @@ object Iterative {
            FROM ed e1 JOIN ed e2 ON e1.b = e2.a
            JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b""",
       "q_kmeans" ->
-        s"""WITH pts AS (SELECT vec_id, embedding FROM embeddings),
-           c0 AS (
-             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-             FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
-           ${kmIterCtes.mkString(",\n           ")},
+        s"""WITH ${kmTrajectoryCtes(KMeansK, KMeansIters)},
            ${kmAssign(s"c$KMeansIters", "afinal")}
            SELECT cid AS cluster, COUNT(*) AS n_points FROM afinal GROUP BY cid""",
     )

@@ -262,6 +262,54 @@ object TextOps {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
            FROM sims)
          SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    // ANN oracles: every stage is exact-quantized (LSH plane sums in
+    // 1e-6-unit longs, IVF centroid trajectory + cell argmins in
+    // 1e-12-unit longs, similarity via the shared sqlSimRounded), so
+    // bucket layouts and rankings replicate the Spark side
+    // bit-for-bit. Recall vs brute force stays asserted in
+    // SimilaritySpec — the oracle proves determinism, not quality.
+    "q_knn_lsh" ->
+      s"""WITH qb AS (
+           SELECT vec_id AS qid, embedding AS qv,
+             ${Similarity.sqlLshBucket("embedding", 8, 64)} AS b0
+           FROM embeddings WHERE vec_id < 10),
+         qp AS (
+           SELECT qid, qv,
+             unnest([b0, ${(0 until 8).map(p => s"xor(b0, ${1 << p})").mkString(", ")}]) AS bucket
+           FROM qb),
+         cb AS MATERIALIZED (
+           SELECT vec_id AS cid, embedding AS cv,
+             ${Similarity.sqlLshBucket("embedding", 8, 64)} AS bucket
+           FROM embeddings),
+         cand AS (
+           SELECT qid, cid, ${Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
+           FROM qp JOIN cb USING (bucket) WHERE qid <> cid),
+         ranked AS (
+           SELECT qid, cid, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
+           FROM cand)
+         SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    "q_knn_ivf" ->
+      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
+         cb AS MATERIALIZED (
+           SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
+           FROM pts p CROSS JOIN c3 c
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
+         qp AS (
+           SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
+           FROM pts p CROSS JOIN c3 c
+           WHERE p.vec_id < 10
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
+         cand AS (
+           SELECT qid, cid, ${Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
+           FROM qp JOIN cb USING (cell) WHERE qid <> cid),
+         ranked AS (
+           SELECT qid, cid, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
+           FROM cand)
+         SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
     // strlen = UTF-8 BYTE length in DuckDB, mirroring the byte-based
     // FakeCodec arithmetic (payload.length on the encoded text); the
     // character-count length() would diverge on any non-ASCII doc.
@@ -271,9 +319,6 @@ object TextOps {
            CAST(SUM(64 + (strlen(text) * 31) % 433) AS BIGINT) AS sum_height,
            CAST(MAX(64 + strlen(text) % 577) AS INT) AS max_width
          FROM documents GROUP BY 1""",
-    // q_knn_lsh / q_knn_ivf: no oracle — bucket assignment float sums
-    // are order-sensitive cross-engine; recall vs brute force is
-    // asserted in SimilaritySpec.
     "q_multimodal_resize" ->
       """WITH dims AS (
            SELECT 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format,

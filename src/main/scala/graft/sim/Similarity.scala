@@ -69,13 +69,36 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: component h[p][d] =
     * ((p*8191 + d)*2654435761 mod 1000003) - 501001 (zero-mean ints). */
+  def hyperplaneWeight(p: Int, d: Int): Long =
+    ((p * 8191L + d) * 2654435761L) % 1000003L - 501001L
+
+  /** Sign of the EXACT-QUANTIZED hyperplane dot product: each term
+    * v[d]*w (float times int — exact in double) is rounded to integer
+    * 1e-6 units and summed as longs, so the sign is order-independent
+    * and identical in the DuckDB oracle (see LshBucketExpr's doc). */
   def hyperplaneSign(vec: Column, p: Int, dim: Int): Column = {
     val terms = (0 until dim).map { d =>
-      val w = ((p * 8191L + d) * 2654435761L) % 1000003L - 501001L
-      element_at(vec, d + 1) * lit(w.toDouble)
+      round(element_at(vec, d + 1).cast("double") *
+        lit(hyperplaneWeight(p, d).toDouble) * lit(1e6)).cast("long")
     }
     when(terms.reduceLeft(_ + _) >= 0, lit(1)).otherwise(lit(0))
   }
+
+  /** SQL twin of one plane's quantized dot-product sum (list_sum over
+    * BIGINT terms — order-free). The weight row is embedded as a list
+    * literal; the explicit DOUBLE cast keeps DuckDB from doing float
+    * arithmetic on the FLOAT[] column. */
+  def sqlLshPlaneSum(vec: String, p: Int, dim: Int): String = {
+    val ws = (0 until dim).map(hyperplaneWeight(p, _)).mkString("[", ",", "]")
+    s"""list_sum(list_transform(generate_series(1, $dim),
+        i -> CAST(round(CAST($vec[i] AS DOUBLE) * ($ws)[i] * 1e6) AS BIGINT)))"""
+  }
+
+  /** SQL twin of [[lshBucket]]: the planes-bit sign pattern. */
+  def sqlLshBucket(vec: String, planes: Int, dim: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${sqlLshPlaneSum(vec, p, dim)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
 
   /** Bucket id = sign pattern across `planes` hyperplanes. Runs as an
     * imperative expression (planes*dim multiplies per row would be a

@@ -5,12 +5,11 @@ class EntrySpec extends SparkSpec {
   test("SparkEntry.entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
-  test("every query has either an oracle or a documented rows-only status") {
-    // the 2 ANN queries: bucket layouts are float-order-sensitive
-    // cross-engine; recall vs brute force is asserted in SimilaritySpec
-    val rowsOnly = Set("q_knn_lsh", "q_knn_ivf")
+  test("every query has an oracle (rows-only set is empty since round 4)") {
+    // round 4 made the ANN bucket layouts exact-quantized, so even
+    // q_knn_lsh / q_knn_ivf are oracle-checked now
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly, s"undocumented rows-only queries: ${missing -- rowsOnly}")
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
     // and no orphan oracle entries
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
