@@ -96,6 +96,80 @@ object Relational {
       .agg(exactSum(col("l_extendedprice") * col("l_discount"), 4)
         .as("revenue"))
 
+  // ---- TPCH Q9-ish: product-type profit (5-way join) -----------------
+  /** [U] stratosphere-tests/.../recordJobTests/TPCHQuery9ITCase.java —
+    * profit per (supplier nation, order year) over keyword-matched
+    * parts. Adapted to the driver schema (no partsupp table): supply
+    * cost is modeled as 10% of p_retailprice per unit. Exercises the
+    * deepest join chain in the corpus: lineitem⨝part⨝supplier⨝nation
+    * ⨝orders with two broadcast dims + pushed keyword filter. */
+  def q9ProductTypeProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nation = t(spark, dir, "nation").select("n_nationkey", "n_name")
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    t(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity") * lit(0.1), 4).as("profit"))
+  }
+
+  // ---- WebLogAnalysis shape: filter ⨝ filter ▷ antijoin --------------
+  /** [U] stratosphere-examples/.../relational/WebLogAnalysis.java as a
+    * production query over the driver tables: keyword-filtered parts
+    * (docs), their sales summaries passing an avg-quantity threshold
+    * (ranks; avg is scale-free so selectivity survives SF changes),
+    * minus parts shipped recently (visits antijoin). */
+  def qWebLog(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_name")
+    val ranks = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_items"),
+        exactAvg(col("l_quantity"), 2).as("avg_qty"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+      .filter(col("avg_qty") >= 26.0)
+    val visits = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2001-06-01")))
+      .select(col("l_partkey").as("v_partkey"))
+    docs.join(ranks, col("p_partkey") === col("l_partkey"))
+      .join(visits, col("p_partkey") === col("v_partkey"), "left_anti")
+      .select("p_partkey", "p_name", "n_items", "avg_qty", "revenue")
+  }
+
+  // ---- intersect / except (§2.6: coGroup-expressible in the ref) -----
+  /** Set intersection with SQL INTERSECT semantics (distinct rows). */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  /** Set difference: parts never sold at quantity >= 49 (EXCEPT
+    * semantics, distinct rows; keyed on p_partkey so the result stays
+    * non-degenerate at every scale factor — brand-level saturates at
+    * 25 values). */
+  def qExcept(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(col("p_partkey"))
+      .except(
+        t(spark, dir, "lineitem").filter(col("l_quantity") >= 49)
+          .select(col("l_partkey").as("p_partkey")))
+
+  // ---- rollup (grouping-sets family; free per SURVEY §2.4) -----------
+  /** Hierarchical subtotals over (returnflag, linestatus): the
+    * grouping-sets capability the reference lacked, exposed as a
+    * declared query (one pass, Catalyst Expand — no re-aggregation). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
   // ---- map / project (element-wise) ----------------------------------
   def qProjectMap(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -309,6 +383,11 @@ object Relational {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_outer_join" -> (qOuterJoin _),
     "q_cogroup" -> (qCoGroup _),
+    "q9_product_profit" -> (q9ProductTypeProfit _),
+    "q_weblog" -> (qWebLog _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_rollup" -> (qRollup _),
   )
 
   private val rev = sqlExactSum("l_extendedprice * (1 - l_discount)", 4)
@@ -424,5 +503,39 @@ object Relational {
          FROM (SELECT o_orderkey AS k, COUNT(1) AS n FROM orders GROUP BY 1) o
          FULL OUTER JOIN (SELECT l_orderkey AS k, COUNT(1) AS n FROM lineitem GROUP BY 1) l
          ON o.k = l.k""",
+    "q9_product_profit" ->
+      s"""SELECT n_name, year(o_orderdate) AS o_year,
+           ${sqlExactSum(
+             "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1", 4)} AS profit
+         FROM lineitem, part, supplier, nation, orders
+         WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+           AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+           AND p_name LIKE '%red%'
+         GROUP BY n_name, o_year""",
+    "q_weblog" ->
+      s"""WITH ranks AS (
+           SELECT l_partkey, COUNT(1) AS n_items,
+             ${sqlExactAvg("l_quantity", 2)} AS avg_qty,
+             ${sqlExactSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+           FROM lineitem GROUP BY l_partkey
+           HAVING ${sqlExactAvg("l_quantity", 2)} >= 26.0)
+         SELECT p_partkey, p_name, n_items, avg_qty, revenue
+         FROM part JOIN ranks ON p_partkey = l_partkey
+         WHERE p_name LIKE '%red%'
+           AND p_partkey NOT IN (
+             SELECT l_partkey FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '2001-06-01')""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nationkey FROM supplier""",
+    "q_except" ->
+      """SELECT p_partkey FROM part
+         EXCEPT
+         SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity >= 49""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(1) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
   )
 }
