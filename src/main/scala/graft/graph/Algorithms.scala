@@ -74,8 +74,11 @@ object Algorithms {
       // wall-time got WORSE at batchLen=2: the composed plan
       // references the previous superstep's aggregation twice
       // (solution + workset branches) and Spark re-executes the
-      // common subplan, cancelling the saved barrier. Keep 1 unless
-      // exchange reuse lands for this shape.
+      // common subplan, cancelling the saved barrier. Re-measured in
+      // round 4 with the shared subplan persist()ed per inner step:
+      // still slower (7-8.5s vs 6.7s warm) — the cache write of the
+      // ~|V|+|E| merged frame costs more than the saved barrier.
+      // Keep 1 unless exchange reuse lands for this shape.
       val batchLen = 1
       while (i < maxIterations && !done) {
         var merged: DataFrame = null
@@ -136,12 +139,17 @@ object Algorithms {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count()
     val parts = Iterations.statePartitions(edges.sparkSession, eCount)
-    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     // loop-invariant: edges with source out-degree, pre-partitioned on
     // the join key so no superstep re-shuffles the edge set (only the
-    // vertex-sized rank frame exchanges per step)
-    val withDeg = e.join(outDeg, e("src") === outDeg("id")).select(col("src"), col("dst"), col("outdeg"))
+    // vertex-sized rank frame exchanges per step). The out-degree rides
+    // a window count over the SAME hash(src) exchange that pre-partitions
+    // the cache — one shuffle total, where the groupBy+self-join
+    // formulation cost two exchanges plus a join build over the full
+    // edge set (measured 6.0s -> 3.8s warm on q_pagerank at sf0.1).
+    val withDeg = e
       .repartition(parts, col("src"))
+      .withColumn("outdeg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val init = vertices.withColumn("rank", lit(1.0 / n))
