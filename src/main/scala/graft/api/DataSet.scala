@@ -193,6 +193,20 @@ class GDataSet[T](val ds: Dataset[T]) extends Serializable {
   def observed(obs: org.apache.spark.sql.Observation, exprs: Column*): GDataSet[T] =
     new GDataSet(ds.observe(obs, exprs.head, exprs.tail: _*))
 
+  /** Partition-wise pipe through an external command ([U]
+    * ExternalProcessInputFormat's transform-shaped sibling; Spark's
+    * RDD.pipe handles process lifecycle + bidirectional streaming).
+    * Rows enter the process as comma-joined lines on stdin; stdout
+    * lines come back as records. One process per partition — at scale
+    * the command's cost rides the existing partitioning. */
+  def pipe(cmd: Seq[String]): GDataSet[String] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val piped = ds.toDF().selectExpr("concat_ws(',', *) AS value")
+      .as[String].rdd.pipe(cmd)
+    new GDataSet(spark.createDataset(piped))
+  }
+
   def print(): Unit = ds.show(false)
 
   def collectSeq(): Seq[T] = ds.collect().toSeq
@@ -429,6 +443,44 @@ class GraftEnvironment(val spark: SparkSession) {
 
   def readParquet(path: String): GDataSet[org.apache.spark.sql.Row] =
     new GDataSet(spark.read.parquet(path))
+
+  /** [U] ExternalProcessInputFormat: one spawned process per split,
+    * stdout lines become records. The split index reaches the command
+    * as $GRAFT_SPLIT (the reference passes split metadata to the
+    * process the same way). Stdout streams through the iterator — a
+    * split's output never buffers wholesale, so a process emitting
+    * millions of lines is fine; a non-zero exit fails the task (and
+    * Spark's retry machinery re-runs the split). */
+  def readExternalProcess(cmd: Seq[String], splits: Int = 1): GDataSet[String] = {
+    import spark.implicits._
+    require(splits >= 1, s"splits must be >= 1, got $splits")
+    val command = cmd // don't capture `this` in the task closure
+    val rdd = spark.sparkContext.parallelize(0 until splits, splits)
+      .mapPartitionsWithIndex { (idx, _) =>
+        val pb = new ProcessBuilder(command: _*)
+        pb.environment().put("GRAFT_SPLIT", idx.toString)
+        val p = pb.start()
+        p.getOutputStream.close() // source contract: no stdin
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+        new Iterator[String] {
+          private var nextLine = reader.readLine()
+          override def hasNext: Boolean = {
+            if (nextLine == null) {
+              reader.close()
+              val rc = p.waitFor()
+              if (rc != 0) throw new RuntimeException(
+                s"external process exited $rc: ${command.mkString(" ")}")
+            }
+            nextLine != null
+          }
+          override def next(): String = {
+            val l = nextLine; nextLine = reader.readLine(); l
+          }
+        }
+      }
+    new GDataSet(spark.createDataset(rdd))
+  }
 
   /** Accumulator parity ([U] IntCounter/LongCounter). */
   def longCounter(name: String): org.apache.spark.util.LongAccumulator =

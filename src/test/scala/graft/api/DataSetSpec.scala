@@ -257,4 +257,29 @@ class DataSetSpec extends SparkSpec {
     env.fromElements("x", "y").writeAsText(s"$dir/txt")
     assert(env.readTextFile(s"$dir/txt").collectSeq().sorted == Seq("x", "y"))
   }
+
+  test("readExternalProcess: one process per split, stdout lines as records") {
+    // each split's process sees its index via $GRAFT_SPLIT:
+    // split 0 emits nothing (seq 0), split 1 emits 1, split 2 emits 1 2
+    val got = env.readExternalProcess(
+      Seq("sh", "-c", "seq $GRAFT_SPLIT"), splits = 3)
+      .collectSeq().map(_.toInt).sorted
+    assert(got == Seq(1, 1, 2))
+    // non-zero exit surfaces as a task failure, not silent truncation
+    intercept[org.apache.spark.SparkException] {
+      env.readExternalProcess(Seq("sh", "-c", "echo oops; exit 3")).count()
+    }
+  }
+
+  test("pipe: partition-wise external command transform") {
+    // awk, not grep: grep exits 1 on a partition with zero matches and
+    // PipedRDD treats non-zero exit as task failure
+    val got = env.fromElements("apple", "banana", "cherry")
+      .pipe(Seq("awk", "!/banana/"))
+      .collectSeq().sorted
+    assert(got == Seq("apple", "cherry"))
+    // multi-column rows enter stdin comma-joined
+    val summed = tuples3.pipe(Seq("awk", "-F,", "{ print $2 }")).ds
+    assert(summed.count() == 6)
+  }
 }
