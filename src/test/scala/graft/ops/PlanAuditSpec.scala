@@ -93,4 +93,41 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
+
+  test("q9: all three dims broadcast; keyword filter pushed to the part scan") {
+    val p = executedPlan("q9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("StringContains(p_name,red)"), p)
+  }
+
+  test("weblog: the visits side plans as an anti join, keyword pushed down") {
+    val p = executedPlan("q_weblog")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("StringContains(p_name,red)"), p)
+  }
+
+  test("rollup: one-pass Expand, partial-then-final aggregation") {
+    // AQE prints Final + Initial plans; count nodes in the final only
+    val p = executedPlan("q_rollup").split("== Initial Plan ==")(0)
+    assert(p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // one Expand = one scan; a re-aggregating formulation would scan twice
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+  }
+
+  test("pagerank edge cache: out-degree rides the pre-partition exchange (no join)") {
+    // the loop-invariant withDeg build must be window-over-one-shuffle;
+    // a groupBy+self-join formulation costs two exchanges + a join
+    // build over the full edge set (round-4 perf fix)
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.t(spark, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+    val withDeg = e.repartition(4, col("src"))
+      .withColumn("outdeg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    val p = { withDeg.collect()
+      withDeg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0) }
+    assert(!p.contains("Join"), "outdeg must not need a join:\n" + p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -93,6 +93,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: intersect/except equal the local set models") {
+    val keyList = Gen.listOfN(30, Gen.chooseNum(0L, 14L))
+    for (round <- 1 to 5) {
+      val xs = sample(keyList, 11L + round)
+      val ys = sample(keyList, 211L + round)
+      val xd = xs.toDF("k"); val yd = ys.toDF("k")
+      assert(xd.intersect(yd).as[Long].collect().toSet == (xs.toSet & ys.toSet))
+      assert(xd.except(yd).as[Long].collect().toSet == (xs.toSet -- ys.toSet))
+    }
+  }
+
+  test("property: rollup equals manually-unioned subtotal levels") {
+    val rowGen = Gen.listOfN(40,
+      for { f <- Gen.oneOf("A", "N", "R"); s <- Gen.oneOf("O", "F")
+            q <- Gen.chooseNum(1, 50) } yield (f, s, q.toLong))
+    for (round <- 1 to 3) {
+      val rows = sample(rowGen, 5L + round)
+      val df = rows.toDF("f", "s", "q")
+      val got = df.rollup(col("f"), col("s"))
+        .agg(sum(col("q")).as("sq")).as[(String, String, Long)]
+        .collect().toSet
+      val l2 = rows.groupBy(r => (r._1, r._2)).map { case ((f, s), g) =>
+        (f, s, g.map(_._3).sum) }.toSet
+      val l1 = rows.groupBy(_._1).map { case (f, g) =>
+        (f, null.asInstanceOf[String], g.map(_._3).sum) }.toSet
+      val l0 = Set((null.asInstanceOf[String], null.asInstanceOf[String],
+        rows.map(_._3).sum))
+      assert(got == (l2 ++ l1 ++ l0), s"round $round")
+    }
+  }
+
+  test("property: quantized LSH bucket sign only flips within quantization error of zero") {
+    // the 1e-6 quantization may only disagree with an exact-rational
+    // dot product when the plane sum is within dim/2 quantization
+    // units of zero — i.e. the bucket stays a faithful hyperplane hash
+    import graft.sim.Similarity
+    val dim = 8
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-1000, 1000).map(_ / 997.0f))
+    for (round <- 1 to 5) {
+      val v = sample(vecGen, 31L + round).toArray
+      val bucket = Seq(Tuple1(v)).toDF("embedding")
+        .select(Similarity.lshBucket(col("embedding"), 4, dim).as("b"))
+        .as[Int].head()
+      (0 until 4).foreach { p =>
+        // exact model: BigDecimal dot product of the float values
+        val exact = (0 until dim).map { d =>
+          BigDecimal(v(d).toDouble) * BigDecimal(Similarity.hyperplaneWeight(p, d))
+        }.sum
+        val gotSign = (bucket >> p) & 1
+        val eps = BigDecimal(dim) / 2 / BigDecimal(1000000) // dim/2 quant units
+        if ((exact.abs > eps))
+          assert(gotSign == (if (exact >= 0) 1 else 0),
+            s"round $round plane $p: exact=$exact bucket=$bucket")
+      }
+    }
+  }
+
   test("property: path-doubling closure equals the local reachability model") {
     import graft.api.Iterations
     val edgeGen = Gen.listOfN(15,
