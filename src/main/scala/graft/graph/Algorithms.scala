@@ -78,7 +78,11 @@ object Algorithms {
       // round 4 with the shared subplan persist()ed per inner step:
       // still slower (7-8.5s vs 6.7s warm) — the cache write of the
       // ~|V|+|E| merged frame costs more than the saved barrier.
-      // Keep 1 unless exchange reuse lands for this shape.
+      // A third shape (workset-free supersteps ending in an explicit
+      // repartition so both consumers share one ReuseExchange subtree,
+      // folded 2-4 per barrier) also measured worse (6.3-25s): losing
+      // the shrinking workset re-inflates every superstep to |E|
+      // messages. This formulation is the measured optimum of four.
       val batchLen = 1
       while (i < maxIterations && !done) {
         var merged: DataFrame = null
