@@ -161,6 +161,17 @@ object Relational {
         t(spark, dir, "lineitem").filter(col("l_quantity") >= 49)
           .select(col("l_partkey").as("p_partkey")))
 
+  // ---- distinct aggregation (free superset per SURVEY §2.4) ----------
+  /** count(DISTINCT ...) — absent in the reference (expressible only
+    * as a two-stage reduceGroup there); one declared query pins the
+    * Spark planning (partial distinct before the exchange). */
+  def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
   // ---- rollup (grouping-sets family; free per SURVEY §2.4) -----------
   /** Hierarchical subtotals over (returnflag, linestatus): the
     * grouping-sets capability the reference lacked, exposed as a
@@ -388,6 +399,7 @@ object Relational {
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_rollup" -> (qRollup _),
+    "q_count_distinct" -> (qCountDistinct _),
   )
 
   private val rev = sqlExactSum("l_extendedprice * (1 - l_discount)", 4)
@@ -537,5 +549,11 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty, COUNT(1) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(1) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
   )
 }
