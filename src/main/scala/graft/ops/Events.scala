@@ -42,12 +42,34 @@ object Events {
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
 
+  /** Event-time interval join, batch twin of StreamOps.intervalJoin
+    * (same function, watermarks are no-ops in batch): per purchase,
+    * the same user's clicks in the preceding hour. The interval
+    * condition compares WHOLE-SECOND epochs (cast to long) — the
+    * ns-vs-µs-safe form of an event-time bound (file header note). */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    // two independent reads: a single shared scan makes the ts columns
+    // carry identical attribute ids and Spark rejects the self-join
+    // condition as ambiguous
+    val p = t(spark, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("p_user"), col("ts"))
+    val c = t(spark, dir, "events").filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts"))
+    val cond = p("p_user") === c("c_user") &&
+      c("ts").cast("long") >= p("ts").cast("long") - 3600 &&
+      c("ts").cast("long") < p("ts").cast("long")
+    StreamOps.intervalJoin(p, c, "1 hour", "1 hour", cond)
+      .groupBy(p("pid").as("pid"))
+      .agg(count(lit(1)).as("n_prior_clicks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sliding_daily" -> (qSlidingDaily _),
     "q_sessions" -> (qSessions _),
     "q_dedup_keys" -> (qDedupKeys _),
     "q_json_props" -> (qJsonProps _),
+    "q_interval_join" -> (qIntervalJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -91,5 +113,15 @@ object Events {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
            COUNT(1) AS n
          FROM events GROUP BY k""",
+    "q_interval_join" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS pts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS cts
+           FROM events WHERE event_type = 'click')
+         SELECT pid, COUNT(1) AS n_prior_clicks
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND cts >= pts - 3600 AND cts < pts
+         GROUP BY pid""",
   )
 }
