@@ -157,6 +157,57 @@ object StreamOps {
       }
   }
 
+  /** Arbitrary stateful processing v2 (`transformWithState`): per-key
+    * running count + exact cents total, emitted once per key per
+    * micro-batch. The modern replacement for the reference's
+    * open/close stateful RichFunction pattern — typed per-key state
+    * cells with TTL support, timers, and state evolution, backed by
+    * the RocksDB state store (a TWS requirement; the caller's session
+    * must set spark.sql.streaming.stateStore.providerClass to the
+    * RocksDBStateStoreProvider, see StreamOpsSpec). Totals accumulate
+    * as scaled-long cents — same exactness discipline as the batch
+    * corpus, so state contents are reproducible. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var nEvents: ValueState[Long] = _
+    @transient private var cents: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nEvents = getHandle.getValueState[Long]("n_events",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      cents = getHandle.getValueState[Long]("cents",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      var n = if (nEvents.exists()) nEvents.get() else 0L
+      var c = if (cents.exists()) cents.get() else 0L
+      rows.foreach { r => n += 1; c += r._2 }
+      nEvents.update(n)
+      cents.update(c)
+      Iterator((key, n, c / 100.0))
+    }
+  }
+
+  /** Per-user running totals over an events frame via
+    * [[RunningTotalsProcessor]] (streaming only — TWS has no batch
+    * execution; batch parity is asserted against a plain aggregate in
+    * StreamOpsSpec). */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        round(col("value") * lit(100)).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Stream-stream interval join: both sides watermarked so the state
     * store can discard rows once the other side's watermark passes the
     * interval bound — the unbounded-joins-with-bounded-state pattern.

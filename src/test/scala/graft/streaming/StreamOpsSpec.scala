@@ -249,4 +249,38 @@ class StreamOpsSpec extends SparkSpec {
       .collect().sortBy(r => (r._1, r._2)).toSeq
     assert(batch == stream)
   }
+
+  test("transformWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // TWS requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = StreamOps.runningTotals(in.toDF())
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("tws").start()
+      in.addData(ev(1, 0, user = 1, value = 1.5), ev(2, 1, user = 1, value = 2.0),
+        ev(3, 2, user = 2, value = 10.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 3, user = 1, value = 0.25))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws").as[(Long, Long, Double)].collect()
+      // last emission per key carries the full running state
+      val last = got.groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last(1L) == ((1L, 3L, 3.75)), s"got ${got.toSeq}")
+      assert(last(2L) == ((2L, 1L, 10.0)), s"got ${got.toSeq}")
+      // exactness parity with the batch aggregate (cents discipline)
+      val batchTotal = Seq(1.5, 2.0, 0.25).map(v => math.round(v * 100)).sum / 100.0
+      assert(last(1L)._3 == batchTotal)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
