@@ -258,6 +258,23 @@ class DataSetSpec extends SparkSpec {
     assert(env.readTextFile(s"$dir/txt").collectSeq().sorted == Seq("x", "y"))
   }
 
+  test("reduceGroup streams a huge group through the iterator (SURVEY 7.4 risk 2)") {
+    import spark.implicits._
+    // 2M rows on ONE key: flatMapGroups must stream the sorted group,
+    // and the UDF folds without materializing it — completes in bounded
+    // memory where a naive it.toSeq would balloon
+    val n = 2000000L
+    val got = new GDataSet(spark.range(n).map(i => (1, i)))
+      .groupBy(_._1)
+      .reduceGroup { (k, it) =>
+        var cnt = 0L; var sum = 0L
+        it.foreach { t => cnt += 1; sum += t._2 }
+        Iterator((k, cnt, sum))
+      }
+      .collectSeq()
+    assert(got == Seq((1, n, n * (n - 1) / 2)))
+  }
+
   test("readExternalProcess: one process per split, stdout lines as records") {
     // each split's process sees its index via $GRAFT_SPLIT:
     // split 0 emits nothing (seq 0), split 1 emits 1, split 2 emits 1 2
