@@ -25,6 +25,10 @@ object GraftFunctions {
     "doc_shingles" -> (es => Shingles3Expr(es.head)),
     "doc_shingle_vals" -> (es => ShingleVals3Expr(es.head)),
     "lsh_bucket" -> (es => LshBucketExpr(es.head, 8, 64)),
+    // the engine's standard 32-hash family (graft.dedup.Dedup.hashCoeffs)
+    "minhash_sig" -> (es => MinHashSigExpr(es.head,
+      graft.dedup.Dedup.hashCoeffs.flatMap(c => Seq(c._1, c._2)).toArray,
+      graft.text.TextFunctions.HashMod)),
   )
 
   /** Register into a live session's function registry. Idempotent. */

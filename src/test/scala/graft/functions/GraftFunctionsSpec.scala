@@ -22,6 +22,11 @@ class GraftFunctionsSpec extends SparkSpec {
     val self = spark.sql(
       "SELECT cosine_sim(embedding, embedding) AS c FROM embeddings LIMIT 3").collect()
     assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    // minhash_sig from SQL == the Column API with the standard family
+    val mh = spark.sql(
+      """SELECT doc_id, minhash_sig(doc_shingle_vals(text)) AS sig
+         FROM documents LIMIT 5""").collect()
+    assert(mh.length == 5 && mh.forall(_.getSeq[Any](1).size == 32))
   }
 
   test("extensions class registers the same functions on a fresh session") {
