@@ -3,14 +3,16 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** Random-hyperplane LSH bucket id for a float vector — imperative
   * form of Similarity.lshBucketRef (parity-tested bit-for-bit; the
-  * Column form builds a planes*dim-node expression tree).
+  * Column form builds a planes*dim-node expression tree). Runs as a
+  * tight static-method loop inside whole-stage codegen (the corpus
+  * side computes one bucket per vector on the full table scan).
   *
   * Determinism note: per-plane dot products are EXACT-QUANTIZED — each
   * term v[d]*w(p,d) (a float times an integer: exact in double) is
@@ -22,15 +24,28 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * far below both 2^63 and DuckDB's 2^53 double-exact range.
   */
 case class LshBucketExpr(child: Expression, planes: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireFloatArray("lsh_bucket", child.dataType)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    LshBucketExpr.compute(input.asInstanceOf[ArrayData], planes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.LshBucketExpr.compute($v, $planes, $dim);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object LshBucketExpr {
+
+  /** The quantized sign-pattern bucket (see class doc). */
+  def compute(v: ArrayData, planes: Int, dim: Int): Int = {
     val n = math.min(dim, v.numElements())
     var bucket = 0
     var p = 0
@@ -48,11 +63,6 @@ case class LshBucketExpr(child: Expression, planes: Int, dim: Int)
     bucket
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
-object LshBucketExpr {
   def lshBucketFast(vec: Column, planes: Int, dim: Int): Column =
     Bridge.column(LshBucketExpr(Bridge.expression(vec), planes, dim))
 }
