@@ -69,6 +69,25 @@ object TextOps {
     t(spark, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
 
+  /** Per-document quality FILTER (the keep/drop operator a training
+    * pipeline actually runs; q_text_quality is the stats view): first
+    * failing rule labels the doc. Every rule compares INTEGERS
+    * (cross-multiplied thresholds) so the verdict is trivially
+    * engine-exact. Output: verdict histogram per lang. */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val nt = nTokens(col("text"))
+    val wl = length(col("text")) - nt + lit(1) // total word chars
+    val nStop = size(filter(tokens(col("text")), w => w.isin(Stopwords: _*)))
+    val verdict = when(nt < 20, lit("too_short"))
+      .when(wl > nt * 8, lit("long_words"))
+      .when(nStop * 20 < nt, lit("low_stopword"))
+      .otherwise(lit("ok"))
+    t(spark, dir, "documents")
+      .select(col("lang"), verdict.as("verdict"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   // ---- similarity search ---------------------------------------------
 
   def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -159,6 +178,7 @@ object TextOps {
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_quality_filter" -> (qQualityFilter _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
@@ -251,6 +271,20 @@ object TextOps {
          FROM documents GROUP BY lang, source""",
     "q_fingerprint" ->
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fingerprint FROM documents""",
+    "q_quality_filter" ->
+      s"""WITH q AS (
+           SELECT lang,
+             len(string_split(text, ' ')) AS nt,
+             length(text) - len(string_split(text, ' ')) + 1 AS wl,
+             ${sqlLangScore("text", TextFunctions.Stopwords)} AS ns
+           FROM documents)
+         SELECT lang,
+           CASE WHEN nt < 20 THEN 'too_short'
+                WHEN wl > nt * 8 THEN 'long_words'
+                WHEN ns * 20 < nt THEN 'low_stopword'
+                ELSE 'ok' END AS verdict,
+           COUNT(1) AS n_docs
+         FROM q GROUP BY 1, 2""",
     "q_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
          sims AS (
