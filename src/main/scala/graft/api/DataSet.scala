@@ -214,6 +214,29 @@ class GDataSet[T](val ds: Dataset[T]) extends Serializable {
   def count(): Long = ds.count()
 }
 
+/** Reference `Histogram` accumulator ([U] stratosphere-core/.../api/
+  * common/accumulators/Histogram.java): integer-bucket counts,
+  * merged additively across tasks (AccumulatorV2 form). */
+final class HistogramAccumulator
+    extends org.apache.spark.util.AccumulatorV2[Int, Map[Int, Long]] {
+  private val counts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  override def isZero: Boolean = counts.isEmpty
+  override def copy(): HistogramAccumulator = {
+    val c = new HistogramAccumulator
+    counts.forEach((k, v) => c.counts.put(k, v))
+    c
+  }
+  override def reset(): Unit = counts.clear()
+  override def add(v: Int): Unit = counts.merge(v, 1L, (a, b) => a + b)
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Int, Map[Int, Long]]): Unit =
+    other.value.foreach { case (k, v) => counts.merge(k, v, (a, b) => a + b) }
+  override def value: Map[Int, Long] = {
+    val b = Map.newBuilder[Int, Long]
+    counts.forEach((k, v) => b += (k.intValue -> v.longValue))
+    b.result()
+  }
+}
+
 /** Reference `Collector<T>` ([U] stratosphere-core/.../util/Collector.java). */
 final class Collector[U] extends Serializable {
   private[api] val buffer = new ArrayBuffer[U]
@@ -485,6 +508,17 @@ class GraftEnvironment(val spark: SparkSession) {
   /** Accumulator parity ([U] IntCounter/LongCounter). */
   def longCounter(name: String): org.apache.spark.util.LongAccumulator =
     spark.sparkContext.longAccumulator(name)
+
+  def doubleCounter(name: String): org.apache.spark.util.DoubleAccumulator =
+    spark.sparkContext.doubleAccumulator(name)
+
+  /** Histogram accumulator ([U] .../api/common/accumulators/
+    * Histogram.java): per-bucket counts merged across tasks. */
+  def histogram(name: String): HistogramAccumulator = {
+    val acc = new HistogramAccumulator
+    spark.sparkContext.register(acc, name)
+    acc
+  }
 
   /** DistributedCache parity ([U] .../api/common/cache/
     * DistributedCache.java): ship a file to every executor; tasks

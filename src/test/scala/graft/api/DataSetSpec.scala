@@ -160,6 +160,15 @@ class DataSetSpec extends SparkSpec {
     assert(acc.value == 3)
   }
 
+  test("accumulator parity (DoubleCounter + Histogram)") {
+    val d = env.doubleCounter("weight")
+    val h = env.histogram("buckets")
+    env.fromElements(1, 2, 2, 3, 3, 3).map { i => d.add(i * 0.5); h.add(i); i }
+      .count()
+    assert(d.value == 7.0)
+    assert(h.value == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
+
   test("bulk iteration: incrementing converges at maxIterations") {
     val got = env.fromElements(0, 10).iterate(5)(d => d.map(_ + 1))
       .collectSeq().sorted
