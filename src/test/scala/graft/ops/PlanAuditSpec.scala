@@ -115,6 +115,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(p).size == 1, p)
   }
 
+  test("interval join keys on user equality; the time range is a residual, not a nested loop") {
+    // an event-time interval join that planned as BroadcastNestedLoop
+    // would be |purchases| x |clicks| at scale — the equi-key must
+    // carry the join and the range bounds ride as the join condition
+    val p = executedPlan("q_interval_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop"), "interval join must not nested-loop:\n" + p)
+  }
+
   test("pagerank edge cache: out-degree rides the pre-partition exchange (no join)") {
     // the loop-invariant withDeg build must be window-over-one-shuffle;
     // a groupBy+self-join formulation costs two exchanges + a join
