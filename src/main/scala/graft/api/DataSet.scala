@@ -68,6 +68,30 @@ class GDataSet[T](val ds: Dataset[T]) extends Serializable {
       }
     })
 
+  def flatMapRich[U: Encoder](rich: RichFlatMapFunction[T, U]): GDataSet[U] =
+    new GDataSet(ds.mapPartitions { it =>
+      rich.open()
+      val out = it.flatMap { t =>
+        val c = new Collector[U]
+        rich.flatMap(t, c)
+        c.buffer
+      }
+      new Iterator[U] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) rich.close(); h }
+        def next(): U = out.next()
+      }
+    })
+
+  def filterRich(rich: RichFilterFunction[T]): GDataSet[T] =
+    new GDataSet(ds.mapPartitions { it =>
+      rich.open()
+      val out = it.filter(rich.filter)
+      new Iterator[T] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) rich.close(); h }
+        def next(): T = out.next()
+      }
+    }(ds.encoder))
+
   // ---- distinct / union ([U] DistinctOperator, UnionOperator) --------
 
   def distinct(): GDataSet[T] = new GDataSet(ds.distinct())
@@ -243,10 +267,10 @@ final class Collector[U] extends Serializable {
   def collect(u: U): Unit = buffer += u
 }
 
-/** Rich function with open/close lifecycle + broadcast-set access
+/** Rich function base: open/close lifecycle + broadcast-set access
   * ([U] AbstractRichFunction / RuntimeContext). Broadcast sets are
   * captured as Spark broadcasts at definition time. */
-abstract class RichMapFunction[T, U] extends Serializable {
+abstract class RichFunction extends Serializable {
   private var bsets: Map[String, Broadcast[Seq[Any]]] = Map.empty
   private[api] def withBroadcastSets(m: Map[String, Broadcast[Seq[Any]]]): this.type = {
     bsets = m; this
@@ -255,14 +279,29 @@ abstract class RichMapFunction[T, U] extends Serializable {
     bsets(name).value.asInstanceOf[Seq[B]]
   def open(): Unit = {}
   def close(): Unit = {}
+}
+
+/** [U] RichMapFunction. */
+abstract class RichMapFunction[T, U] extends RichFunction {
   def map(t: T): U
+}
+
+/** [U] RichFlatMapFunction (Collector-style 1→N). */
+abstract class RichFlatMapFunction[T, U] extends RichFunction {
+  def flatMap(t: T, out: Collector[U]): Unit
+}
+
+/** [U] RichFilterFunction. */
+abstract class RichFilterFunction[T] extends RichFunction {
+  def filter(t: T): Boolean
 }
 
 object RichMapFunction {
   /** Reference `withBroadcastSet(set, name)`: materialize a (small)
-    * dataset and attach it to a rich function as a named broadcast. */
-  def withBroadcastSet[T, U, B](rich: RichMapFunction[T, U],
-      set: GDataSet[B], name: String): RichMapFunction[T, U] = {
+    * dataset and attach it to a rich function as a named broadcast.
+    * Works for every [[RichFunction]] kind. */
+  def withBroadcastSet[R <: RichFunction, B](rich: R,
+      set: GDataSet[B], name: String): R = {
     val b = set.spark.sparkContext
       .broadcast(set.ds.collect().toSeq.asInstanceOf[Seq[Any]])
     rich.withBroadcastSets(Map(name -> b))

@@ -154,6 +154,27 @@ class DataSetSpec extends SparkSpec {
     assert(got == Seq("?", "one", "three"))
   }
 
+  test("flatMapRich and filterRich: open/close + broadcast-set access") {
+    val lookup = env.fromCollection(Seq(2, 4))
+    class EvenExpander extends RichFlatMapFunction[Int, String] {
+      @transient private var keep: Set[Int] = _
+      override def open(): Unit = { keep = getBroadcastVariable[Int]("keep").toSet }
+      override def flatMap(t: Int, out: Collector[String]): Unit =
+        if (keep(t)) { out.collect(s"$t"); out.collect(s"$t!") }
+    }
+    val fm = RichMapFunction.withBroadcastSet(new EvenExpander, lookup, "keep")
+    assert(env.fromElements(1, 2, 3, 4).flatMapRich(fm).collectSeq().sorted
+      == Seq("2", "2!", "4", "4!"))
+
+    class KeepRich extends RichFilterFunction[Int] {
+      @transient private var keep: Set[Int] = _
+      override def open(): Unit = { keep = getBroadcastVariable[Int]("keep").toSet }
+      override def filter(t: Int): Boolean = keep(t)
+    }
+    val fr = RichMapFunction.withBroadcastSet(new KeepRich, lookup, "keep")
+    assert(env.fromElements(1, 2, 3, 4).filterRich(fr).collectSeq().sorted == Seq(2, 4))
+  }
+
   test("accumulator parity (LongCounter)") {
     val acc = env.longCounter("seen")
     env.fromElements(1, 2, 3).map { i => acc.add(1); i }.count()
