@@ -93,6 +93,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: idBucket matches a BigInt model for the FULL long range (overflow guard)") {
+    import graft.pipeline.Sampling
+    val ids = Gen.oneOf(
+      Gen.chooseNum(0L, 1000000L),                   // the normal corpus range
+      Gen.chooseNum(Long.MaxValue - 1000000L, Long.MaxValue), // would overflow pre-fix
+      Gen.chooseNum(3400000000L, 4000000000L))       // the old ~3.5e9 cliff
+    for (round <- 1 to 3) {
+      val xs = sample(Gen.listOfN(40, ids), 17L + round)
+      val got = xs.toDF("id")
+        .select(col("id"), Sampling.idBucket(col("id"), 1000).as("b"))
+        .as[(Long, Long)].collect().toMap
+      xs.foreach { id =>
+        val p = BigInt(1000000007L)
+        val expected = ((((BigInt(id) mod p) * BigInt(2654435761L)) mod p)
+          mod BigInt(1000)).toLong
+        assert(got(id) == expected, s"id=$id got=${got(id)} want=$expected")
+      }
+    }
+  }
+
   test("property: intersect/except equal the local set models") {
     val keyList = Gen.listOfN(30, Gen.chooseNum(0L, 14L))
     for (round <- 1 to 5) {
