@@ -35,7 +35,10 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // warmup caches are not the benched SF's
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: each query always runs after the same
+    // predecessors, so per-query numbers are comparable across rounds
+    // (Map iteration order shifts whenever a query is added)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -47,7 +50,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":"$warmup"}""")
     spark.stop()
   }
