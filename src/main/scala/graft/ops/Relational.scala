@@ -181,6 +181,12 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** Full cube over the same pair — all 4 grouping sets in one pass. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
   // ---- map / project (element-wise) ----------------------------------
   def qProjectMap(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -399,6 +405,7 @@ object Relational {
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_count_distinct" -> (qCountDistinct _),
   )
 
@@ -549,6 +556,10 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty, COUNT(1) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(1) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q_count_distinct" ->
       """SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS n_parts,

@@ -288,6 +288,15 @@ class DataSetSpec extends SparkSpec {
     assert(env.readTextFile(s"$dir/txt").collectSeq().sorted == Seq("x", "y"))
   }
 
+  test("approx_count_distinct (HLL) lands within 5% of exact (not oracle-able cross-engine)") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val row = li.agg(countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("reduceGroup streams a huge group through the iterator (SURVEY 7.4 risk 2)") {
     import spark.implicits._
     // 2M rows on ONE key: flatMapGroups must stream the sorted group,
