@@ -58,6 +58,12 @@ object Iterations {
 
   private[graft] def withIterationConf[A](spark: SparkSession,
       shufflePartitions: Int = -1)(f: => A): A = {
+    // NOTE (r5 measurement): disabling AQE here looks like an obvious
+    // latency win (skip per-exchange replanning) but measures ~1.6x
+    // WORSE on q_connected_components (8.3-9.6s vs 5.2s warm): AQE's
+    // runtime partition coalescing cuts tasks-per-stage far below the
+    // static statePartitions floor, and at loop state sizes the task
+    // count dominates. Keep AQE on inside iterations.
     val keys = Seq("spark.sql.constraintPropagation.enabled" -> "false") ++
       (if (shufflePartitions > 0)
         Seq("spark.sql.shuffle.partitions" -> shufflePartitions.toString)
