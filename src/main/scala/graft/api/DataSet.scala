@@ -297,11 +297,35 @@ abstract class RichFilterFunction[T] extends RichFunction {
 }
 
 object RichMapFunction {
+  /** Hard cap on rows a broadcast set may materialize on the driver
+    * (override with `spark.graft.broadcastSet.maxRows`). Broadcast
+    * sets are the reference's SMALL-side channel; an unbounded
+    * `collect()` of a big frame would OOM the driver silently at
+    * cluster scale, so oversize sets fail fast with an actionable
+    * error instead. */
+  val DefaultBroadcastSetMaxRows: Long = 10000000L
+
   /** Reference `withBroadcastSet(set, name)`: materialize a (small)
     * dataset and attach it to a rich function as a named broadcast.
-    * Works for every [[RichFunction]] kind. */
+    * Works for every [[RichFunction]] kind.
+    *
+    * The set must stay under `spark.graft.broadcastSet.maxRows`
+    * (default [[DefaultBroadcastSetMaxRows]]): the guard counts
+    * `limit(max+1)` — one cheap early-stopping job, never a full
+    * materialization — and throws before collecting anything when the
+    * set is over budget. */
   def withBroadcastSet[R <: RichFunction, B](rich: R,
       set: GDataSet[B], name: String): R = {
+    val maxRows = set.spark.conf
+      .getOption("spark.graft.broadcastSet.maxRows")
+      .map(_.toLong).getOrElse(DefaultBroadcastSetMaxRows)
+    val probeLimit =
+      if (maxRows >= Int.MaxValue - 1) Int.MaxValue else maxRows.toInt + 1
+    val probe = set.ds.limit(probeLimit).count()
+    require(probe <= maxRows,
+      s"broadcast set '$name' exceeds spark.graft.broadcastSet.maxRows=" +
+        s"$maxRows rows; broadcast sets are driver-materialized and must " +
+        "stay small — join against the big frame instead, or raise the cap")
     val b = set.spark.sparkContext
       .broadcast(set.ds.collect().toSeq.asInstanceOf[Seq[Any]])
     rich.withBroadcastSets(Map(name -> b))

@@ -1,0 +1,165 @@
+package graft.multimodal
+
+/** Tiny pure-JVM image codec: PNM (binary `P6` RGB / `P5` gray) and
+  * 24-bit uncompressed `BI_RGB` BMP. Real containers, real header
+  * parsing, real pixel layout (bottom-up padded rows for BMP) — no
+  * external image library, so the batched-decode operator in
+  * [[Multimodal]] exercises genuine bytes end-to-end in this
+  * container. The fixture *content* is synthetic (pixels are cycled
+  * document bytes, dims derive from text length so the SQL oracle can
+  * replicate them arithmetically), but nothing about the decode path
+  * knows that: it parses whatever conformant PNM/BMP it is handed.
+  */
+object MediaCodec {
+
+  /** Fixture dims from payload text length (oracle-replicable):
+    * w in [8,64], h in [8,50] — small enough that the full fixture
+    * stays a few MB, non-square so row-order bugs can't cancel out. */
+  def dims(textLen: Int): (Int, Int) =
+    (8 + textLen % 57, 8 + (textLen * 31) % 43)
+
+  private def cycle(src: Array[Byte], n: Int): Array[Byte] =
+    Array.tabulate(n)(i => if (src.isEmpty) 0.toByte else src(i % src.length))
+
+  // ---- encoders ------------------------------------------------------
+
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"ppm pixel buffer ${rgb.length} != ${w}x${h}x3")
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+  }
+
+  def encodePgm(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, s"pgm pixel buffer ${gray.length} != ${w}x${h}")
+    s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ gray
+  }
+
+  /** 24-bit BI_RGB BMP: 14-byte file header + 40-byte info header,
+    * bottom-up rows padded to 4 bytes, BGR byte order. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"bmp pixel buffer ${rgb.length} != ${w}x${h}x3")
+    val rowSize = (w * 3 + 3) & ~3
+    val out = new Array[Byte](54 + rowSize * h)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, out.length); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h) // positive height = bottom-up
+    le16(26, 1); le16(28, 24)              // 1 plane, 24 bpp, BI_RGB(0)
+    le32(34, rowSize * h)
+    var y = 0
+    while (y < h) {
+      val row = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        out(row + x * 3) = rgb(s + 2)
+        out(row + x * 3 + 1) = rgb(s + 1)
+        out(row + x * 3 + 2) = rgb(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode a document as a deterministic real image; format cycles
+    * ppm/bmp/pgm by doc id so every container sees traffic. */
+  def encodeDoc(docId: Long, text: Array[Byte]): (String, Array[Byte]) = {
+    val (w, h) = dims(text.length)
+    (docId % 3).toInt match {
+      case 0 => ("ppm", encodePpm(w, h, cycle(text, w * h * 3)))
+      case 1 => ("bmp", encodeBmp(w, h, cycle(text, w * h * 3)))
+      case _ => ("pgm", encodePgm(w, h, cycle(text, w * h)))
+    }
+  }
+
+  // ---- decoder -------------------------------------------------------
+
+  /** Decoded image: dims + top-down row-major RGB (gray replicated). */
+  final case class Image(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Sniffs the container by magic bytes; throws on anything that is
+    * not binary PNM or 24-bit BI_RGB BMP. */
+  def decode(payload: Array[Byte]): Image = {
+    require(payload.length >= 2, "truncated payload: no magic")
+    val m0 = payload(0).toChar; val m1 = payload(1).toChar
+    if (m0 == 'P' && m1 == '6') decodePnm(payload, channels = 3)
+    else if (m0 == 'P' && m1 == '5') decodePnm(payload, channels = 1)
+    else if (m0 == 'B' && m1 == 'M') decodeBmp(payload)
+    else throw new IllegalArgumentException(s"unknown image magic '$m0$m1'")
+  }
+
+  private def decodePnm(p: Array[Byte], channels: Int): Image = {
+    // header tokens after the magic: width, height, maxval — separated
+    // by whitespace, with '#'-to-EOL comments allowed (PNM spec); a
+    // single whitespace byte then separates maxval from pixel data
+    var i = 2
+    def nextInt(): Int = {
+      var inComment = false
+      while (i < p.length && (inComment || p(i).toChar.isWhitespace || p(i) == '#')) {
+        if (p(i) == '#') inComment = true
+        else if (p(i) == '\n') inComment = false
+        i += 1
+      }
+      var v = 0
+      require(i < p.length && p(i) >= '0' && p(i) <= '9', "bad PNM header")
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(maxval == 255, s"unsupported PNM maxval $maxval")
+    i += 1 // the single whitespace after maxval
+    require(p.length - i >= w * h * channels, "truncated PNM pixel data")
+    if (channels == 3) Image(w, h, java.util.Arrays.copyOfRange(p, i, i + w * h * 3))
+    else {
+      val rgb = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < w * h) {
+        val g = p(i + j)
+        rgb(j * 3) = g; rgb(j * 3 + 1) = g; rgb(j * 3 + 2) = g
+        j += 1
+      }
+      Image(w, h, rgb)
+    }
+  }
+
+  private def decodeBmp(p: Array[Byte]): Image = {
+    def le32(off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    require(p.length >= 54, "truncated BMP header")
+    val pixOff = le32(10)
+    val w = le32(18); val h = le32(22)
+    require(h > 0, "top-down BMP not supported")
+    require(le16(28) == 24 && le32(30) == 0, "only 24-bit BI_RGB supported")
+    val rowSize = (w * 3 + 3) & ~3
+    require(p.length >= pixOff + rowSize * h, "truncated BMP pixel data")
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val row = pixOff + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        rgb(d) = p(row + x * 3 + 2)
+        rgb(d + 1) = p(row + x * 3 + 1)
+        rgb(d + 2) = p(row + x * 3)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, rgb)
+  }
+
+  // batched-UDF lifecycle hooks: this codec is pure-JVM and stateless,
+  // but the operator calls these once per partition so a native-ctx
+  // implementation (libjpeg etc.) slots in without touching the plan
+  def open(): MediaCodec.type = this
+  def close(): Unit = ()
+}

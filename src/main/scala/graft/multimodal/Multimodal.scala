@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * video payloads are opaque `binary` columns plus typed metadata;
   * decode / feature-extraction runs batched per partition.
   *
-  * The actual codec step is STUBBED (this container has no image/
-  * audio libraries): [[FakeCodec]] is a deterministic stand-in with
-  * the same shape a real decoder would have — bytes in, fixed-width
-  * feature vector + dimensions out. Everything around it (schema,
-  * batch iteration, partition parallelism, downstream aggregation) is
-  * real and tested; swapping in a real codec is a 1-function change.
+  * The codec is [[MediaCodec]] — a real pure-JVM PNM/BMP
+  * encoder+decoder (binary headers, bottom-up padded BMP rows), so
+  * genuine image bytes flow through the batched-decode operator. The
+  * fixture is synthesized from documents.text (this container ships
+  * no media corpus): dims derive from text length so the SQL oracle
+  * replicates the decoded metadata arithmetically, which makes the
+  * header parse itself oracle-checked — a mis-parsed width would
+  * hash-mismatch q_multimodal.
   */
 object Multimodal {
 
@@ -23,28 +25,20 @@ object Multimodal {
     StructField("format", StringType),
     StructField("n_bytes", LongType)))
 
-  /** Wrap any string column as a binary payload table (the test
-    * corpus has no real media; documents.text stands in). */
-  def asMediaTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      concat(lit("fmt"), pmod(col("doc_id"), lit(3))).as("format"),
-      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
-
-  /** STUB codec: deterministic pseudo-decode. A real implementation
-    * would call the image/audio library here — per *batch* of rows,
-    * matching the batched-UDF shape (open codec once per partition). */
-  object FakeCodec {
-    def open(): FakeCodec.type = this // real codec: allocate native ctx
-    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-      val w = 64 + (payload.length % 577)
-      val h = 64 + ((payload.length * 31) % 433)
-      val feat = Array.tabulate(8)(i =>
-        (if (payload.isEmpty) 0f
-         else payload(i % payload.length).toFloat / 127f))
-      (w, h, feat)
-    }
-    def close(): Unit = () // real codec: free native ctx
+  /** Build a real media table from a document table: each doc is
+    * encoded as an actual PPM/BMP/PGM image (format cycles by id,
+    * pixels are the doc's bytes cycled to fill the raster). Encoding
+    * runs batched per partition like the decode path. */
+  def asMediaTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val (fmt, payload) = MediaCodec.encodeDoc(id, text.getBytes("UTF-8"))
+          (id, payload, fmt, payload.length.toLong)
+        }
+      }
+      .toDF("media_id", "payload", "format", "n_bytes")
   }
 
   case class DecodedMedia(media_id: Long, format: String, width: Int,
@@ -52,15 +46,19 @@ object Multimodal {
 
   /** Batched decode over partitions: codec opened once per partition,
     * rows streamed through it — the Scala analogue of a batched
-    * (mapInPandas-style) UDF, and where a real decoder would plug in. */
+    * (mapInPandas-style) UDF. Features are the first 8 decoded RGB
+    * samples normalized to [0,1] (a stand-in for a real embedding
+    * head; the dims are what the oracles check). */
   def decodeFeatures(media: DataFrame): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.select("media_id", "format", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        val codec = FakeCodec.open()
+        val codec = MediaCodec.open()
         val out = it.map { case (id, fmt, payload) =>
-          val (w, h, feat) = codec.decode(payload)
-          DecodedMedia(id, fmt, w, h, feat)
+          val img = codec.decode(payload)
+          val feat = Array.tabulate(8)(i =>
+            if (img.rgb.isEmpty) 0f else (img.rgb(i % img.rgb.length) & 0xff) / 255f)
+          DecodedMedia(id, fmt, img.width, img.height, feat)
         }
         new Iterator[DecodedMedia] {
           def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
@@ -90,13 +88,15 @@ object Multimodal {
       .withColumn("rh",
         expr(s"(height * $box) div greatest(width, height)").cast("long"))
 
-  /** Frame sampling for video-like payloads: a deterministic pseudo
-    * frame count per payload, every `stride`-th index sampled — the
+  /** Frame sampling for video-like payloads: frame count derived from
+    * the DECODED raster size (the analogue of reading a container's
+    * stream metadata), every `stride`-th index sampled — the
     * one-row-to-many-frames decode shape (explode keeps it narrow;
-    * per-frame decode would batch per partition like [[FakeCodec]]). */
+    * per-frame decode would batch per partition like the still-image
+    * path in [[decodeFeatures]]). */
   def sampleFrames(media: DataFrame, stride: Int = 10): DataFrame =
-    media
-      .withColumn("n_frames", (col("n_bytes") % 241 + 8).cast("int"))
+    decodeFeatures(media).toDF()
+      .withColumn("n_frames", (col("width") * col("height")) % 241 + 8)
       .select(col("media_id"), col("format"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))

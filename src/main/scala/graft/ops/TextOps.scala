@@ -344,20 +344,30 @@ object TextOps {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
            FROM cand)
          SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
-    // strlen = UTF-8 BYTE length in DuckDB, mirroring the byte-based
-    // FakeCodec arithmetic (payload.length on the encoded text); the
-    // character-count length() would diverge on any non-ASCII doc.
+    // strlen = UTF-8 BYTE length in DuckDB, mirroring MediaCodec.dims
+    // (computed on text.getBytes at encode time); the character-count
+    // length() would diverge on any non-ASCII doc. These oracles
+    // replicate the ENCODER's dimension arithmetic — Spark's side
+    // parses the dims back out of real PPM/BMP/PGM headers, so a
+    // mis-parsed header hash-mismatches here.
     "q_multimodal" ->
-      """SELECT 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format, COUNT(1) AS n,
-           CAST(SUM(64 + strlen(text) % 577) AS BIGINT) AS sum_width,
-           CAST(SUM(64 + (strlen(text) * 31) % 433) AS BIGINT) AS sum_height,
-           CAST(MAX(64 + strlen(text) % 577) AS INT) AS max_width
-         FROM documents GROUP BY 1""",
+      """WITH m AS (
+           SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ppm'
+                  WHEN 1 THEN 'bmp' ELSE 'pgm' END AS format,
+             8 + strlen(text) % 57 AS w,
+             8 + (strlen(text) * 31) % 43 AS h
+           FROM documents)
+         SELECT format, COUNT(1) AS n,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(MAX(w) AS INT) AS max_width
+         FROM m GROUP BY 1""",
     "q_multimodal_resize" ->
       """WITH dims AS (
-           SELECT 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format,
-             64 + strlen(text) % 577 AS w,
-             64 + (strlen(text) * 31) % 433 AS h
+           SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ppm'
+                  WHEN 1 THEN 'bmp' ELSE 'pgm' END AS format,
+             8 + strlen(text) % 57 AS w,
+             8 + (strlen(text) * 31) % 43 AS h
            FROM documents)
          SELECT format, COUNT(1) AS n,
            CAST(SUM((w * 224) // greatest(w, h)) AS BIGINT) AS sum_rw,
@@ -365,8 +375,10 @@ object TextOps {
          FROM dims GROUP BY format""",
     "q_multimodal_frames" ->
       """WITH m AS (
-           SELECT doc_id, 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format,
-             strlen(text) % 241 + 8 AS n_frames
+           SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ppm'
+                  WHEN 1 THEN 'bmp' ELSE 'pgm' END AS format,
+             ((8 + strlen(text) % 57) * (8 + (strlen(text) * 31) % 43)) % 241 + 8 AS n_frames
            FROM documents),
          fr AS (SELECT format, unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx FROM m)
          SELECT format, COUNT(1) AS n_frames_sampled,

@@ -154,6 +154,22 @@ class DataSetSpec extends SparkSpec {
     assert(got == Seq("?", "one", "three"))
   }
 
+  test("withBroadcastSet: oversized set fails fast at the configured cap") {
+    spark.conf.set("spark.graft.broadcastSet.maxRows", "10")
+    try {
+      val big = env.fromCollection((1 to 100).map(i => (i, s"v$i")))
+      val ex = intercept[IllegalArgumentException] {
+        RichMapFunction.withBroadcastSet(new LookupRich, big, "lookup")
+      }
+      assert(ex.getMessage.contains("spark.graft.broadcastSet.maxRows"))
+      // exactly at the cap still works
+      val atCap = env.fromCollection((1 to 10).map(i => (i, s"v$i")))
+      val fn = RichMapFunction.withBroadcastSet(new LookupRich, atCap, "lookup")
+      assert(env.fromElements(3, 42).mapRich(fn).collectSeq().sorted
+        == Seq("?", "v3"))
+    } finally spark.conf.unset("spark.graft.broadcastSet.maxRows")
+  }
+
   test("flatMapRich and filterRich: open/close + broadcast-set access") {
     val lookup = env.fromCollection(Seq(2, 4))
     class EvenExpander extends RichFlatMapFunction[Int, String] {

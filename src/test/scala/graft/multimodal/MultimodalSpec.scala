@@ -9,14 +9,43 @@ class MultimodalSpec extends SparkSpec {
 
   lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
-  test("media table: binary payload round-trips byte-exactly") {
-    val media = Multimodal.asMediaTable(docs)
+  test("codec golden pixels: 2x2 PPM/BMP/PGM decode to known RGB") {
+    val rgb = Array[Byte](
+      10, 20, 30,   40, 50, 60,
+      70, 80, 90,  100, 110, 120)
+    val gray = Array[Byte](1, 2, 3, 4)
+    val ppm = MediaCodec.decode(MediaCodec.encodePpm(2, 2, rgb))
+    assert(ppm.width == 2 && ppm.height == 2 && ppm.rgb.sameElements(rgb))
+    val bmp = MediaCodec.decode(MediaCodec.encodeBmp(2, 2, rgb))
+    assert(bmp.width == 2 && bmp.height == 2 && bmp.rgb.sameElements(rgb))
+    val pgm = MediaCodec.decode(MediaCodec.encodePgm(2, 2, gray))
+    assert(pgm.width == 2 && pgm.height == 2 &&
+      pgm.rgb.sameElements(gray.flatMap(g => Seq(g, g, g))))
+    // BMP bytes really are the container format: magic + LE dims + pad
+    val raw = MediaCodec.encodeBmp(2, 2, rgb)
+    assert(raw(0) == 'B'.toByte && raw(1) == 'M'.toByte)
+    assert(raw.length == 54 + 8 * 2) // rows of 2*3=6 bytes pad to 8
+    // PNM comments are parsed per spec
+    val commented = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(MediaCodec.decode(commented).rgb.sameElements(rgb))
+  }
+
+  test("media table: payloads are real images that decode + re-encode byte-exactly") {
+    val media = Multimodal.asMediaTable(docs.limit(60))
     assert(media.schema("payload").dataType.typeName == "binary")
-    val back = media.select(col("media_id"),
-        decode(col("payload"), "UTF-8").as("text2"))
-      .join(docs, col("media_id") === col("doc_id"))
-      .filter(col("text2") =!= col("text"))
-    assert(back.count() == 0)
+    val rows = media.select("media_id", "format", "payload")
+      .as[(Long, String, Array[Byte])].collect()
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq("bmp", "pgm", "ppm"))
+    rows.foreach { case (_, fmt, payload) =>
+      val img = MediaCodec.decode(payload)
+      val back = fmt match {
+        case "ppm" => MediaCodec.encodePpm(img.width, img.height, img.rgb)
+        case "bmp" => MediaCodec.encodeBmp(img.width, img.height, img.rgb)
+        case "pgm" => MediaCodec.encodePgm(img.width, img.height,
+          Array.tabulate(img.width * img.height)(i => img.rgb(i * 3)))
+      }
+      assert(back.sameElements(payload), s"$fmt round-trip diverged")
+    }
   }
 
   test("batched decode produces fixed-width features with stable dims") {
@@ -24,7 +53,9 @@ class MultimodalSpec extends SparkSpec {
     val decoded = Multimodal.decodeFeatures(media).collect()
     assert(decoded.length == 50)
     assert(decoded.forall(_.features.length == 8))
-    assert(decoded.forall(d => d.width >= 64 && d.height >= 64))
+    assert(decoded.forall(d => d.width >= 8 && d.width <= 64 &&
+      d.height >= 8 && d.height <= 50))
+    assert(decoded.forall(d => d.features.forall(f => f >= 0f && f <= 1f)))
     // deterministic across runs
     val again = Multimodal.decodeFeatures(media).collect()
     assert(decoded.map(_.media_id).sorted.sameElements(again.map(_.media_id).sorted))
@@ -33,7 +64,7 @@ class MultimodalSpec extends SparkSpec {
   test("format stats aggregate over decoded metadata") {
     val stats = Multimodal.formatStats(Multimodal.asMediaTable(docs))
       .as[(String, Long, Long, Long, Int)].collect()
-    assert(stats.map(_._1).sorted.toSeq == Seq("fmt0", "fmt1", "fmt2"))
+    assert(stats.map(_._1).sorted.toSeq == Seq("bmp", "pgm", "ppm"))
     assert(stats.map(_._2).sum == docs.count())
   }
 }
