@@ -436,13 +436,36 @@ final class CoGroupWhere[T, U, K: Encoder](left: GDataSet[T], right: GDataSet[U]
 }
 
 final class CoGroupPredicate[T, U, K: Encoder](left: GDataSet[T], right: GDataSet[U],
-    lk: T => K, rk: U => K) {
+    lk: T => K, rk: U => K, lSort: Seq[Column] = Nil, rSort: Seq[Column] = Nil) {
+
+  /** [U] CoGroupOperator.sortFirstGroup: the LEFT group iterator
+    * arrives ordered by these value columns, named as in the
+    * UNDERLYING dataset's schema (`col("_2")` on a fromCollection
+    * tuple dataset, `col("l_quantity")` after a select from a table —
+    * Spark resolves cogroup sort exprs against the input's data
+    * attributes, not the encoder's flattened names). Sort columns
+    * accumulate across calls like the reference's repeated
+    * sortFirstGroup(field, Order) chain. */
+  def sortFirstGroup(cols: Column*): CoGroupPredicate[T, U, K] =
+    new CoGroupPredicate(left, right, lk, rk, lSort ++ cols, rSort)
+
+  /** [U] CoGroupOperator.sortSecondGroup: same for the RIGHT side. */
+  def sortSecondGroup(cols: Column*): CoGroupPredicate[T, U, K] =
+    new CoGroupPredicate(left, right, lk, rk, lSort, rSort ++ cols)
+
   def apply[O: Encoder](f: (K, Iterator[T], Iterator[U]) => IterableOnce[O]): GDataSet[O] = {
     implicit val lenc: Encoder[T] = left.ds.encoder
     implicit val renc: Encoder[U] = right.ds.encoder
     val l = left.ds.groupByKey(lk)
     val r = right.ds.groupByKey(rk)
-    new GDataSet(l.cogroup(r)((k, li, ri) => f(k, li, ri).iterator))
+    // sorted variant rides Spark's sort-merge cogroup (the secondary
+    // sort folds into the existing per-partition sort, no extra
+    // shuffle — same machinery as flatMapSortedGroups)
+    if (lSort.isEmpty && rSort.isEmpty)
+      new GDataSet(l.cogroup(r)((k, li, ri) => f(k, li, ri).iterator))
+    else
+      new GDataSet(l.cogroupSorted(r)(lSort: _*)(rSort: _*)(
+        (k, li, ri) => f(k, li, ri).iterator))
   }
 }
 

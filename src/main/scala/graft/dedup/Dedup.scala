@@ -181,8 +181,17 @@ object Dedup {
   val SimHashBits = 16
 
   /** 16-bit SimHash over token wordVals: bit b is set iff the sum of
-    * (+1 / -1) votes from each token's hash bit b is positive. */
-  def simhash(text: Column): Column = {
+    * (+1 / -1) votes from each token's hash bit b is positive.
+    * Runs as the one-pass codegen'd SimHashExpr; the HOF reference
+    * formulation below re-walks the token-hash array once per bit
+    * (16 interpreted passes/row) and exists for the bit-for-bit
+    * parity test (VERDICT r4 item 6). */
+  def simhash(text: Column): Column =
+    graft.functions.TextExprs.simhashFast(text, SimHashBits)
+
+  /** HOF reference form of [[simhash]] — parity-tested, not the
+    * production path. */
+  def simhashRef(text: Column): Column = {
     val hv = transform(tokens(text), w => (wordVal(w) * 2654435761L) % HashMod)
     (0 until SimHashBits).map { b =>
       when(aggregate(hv, lit(0L),

@@ -29,6 +29,7 @@ object GraftFunctions {
     "minhash_sig" -> (es => MinHashSigExpr(es.head,
       graft.dedup.Dedup.hashCoeffs.flatMap(c => Seq(c._1, c._2)).toArray,
       graft.text.TextFunctions.HashMod)),
+    "doc_simhash16" -> (es => SimHashExpr(es.head, 16)),
   )
 
   /** Register into a live session's function registry. Idempotent. */

@@ -69,6 +69,29 @@ object TextHash {
     }
     seen.toArray
   }
+
+  /** `bits`-bit SimHash over token hashes: bit b is set iff the sum of
+    * (+1/-1) votes from each token hash's bit b is positive. One pass
+    * over the tokens; the HOF formulation (Dedup.simhashRef) re-walks
+    * the token-hash array once per bit. */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    val ws = tokens(text)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < ws.length) {
+      val v = (wordVal(ws(i)) * 2654435761L) % Mod
+      var b = 0
+      while (b < bits) {
+        votes(b) += ((v >> b) & 1L).toInt * 2 - 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
 }
 
 case class FingerprintExpr(child: Expression) extends UnaryExpression
@@ -105,6 +128,26 @@ case class ShingleVals3Expr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** One-pass SimHash straight off the text column; stays inside
+  * whole-stage codegen via the static-method doGenCode pattern
+  * (same as MinHashSigExpr — no per-bit interpreted HOF passes). */
+case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireString("doc_simhash", child.dataType)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextHash.simhash($v, $bits);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextExprs {
   def fingerprintFast(text: Column): Column =
     Bridge.column(FingerprintExpr(Bridge.expression(text)))
@@ -112,4 +155,6 @@ object TextExprs {
     Bridge.column(Shingles3Expr(Bridge.expression(text)))
   def shingleVals3Fast(text: Column): Column =
     Bridge.column(ShingleVals3Expr(Bridge.expression(text)))
+  def simhashFast(text: Column, bits: Int): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(text), bits))
 }

@@ -336,6 +336,28 @@ object Relational {
     }.toDF("orderkey", "n_orders", "n_items")
   }
 
+  /** Sorted coGroup ([U] CoGroupOperator.sortSecondGroup): each order
+    * paired with its lineitems, the item iterator arriving in
+    * quantity-DESC order via the engine's sorted coGroup (secondary
+    * sort folded into the cogroup's partition sort — no extra
+    * shuffle). Output concatenates the SORT KEY itself, so equal
+    * quantities yield identical text regardless of tie order and the
+    * result is engine-independent. */
+  def qCoGroupSorted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = new graft.api.GDataSet(t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority")).as[(Long, String)])
+    val l = new graft.api.GDataSet(t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long")).as[(Long, Long)])
+    o.coGroup(l).where(_._1).equalTo(_._1)
+      .sortSecondGroup(col("l_quantity").desc)
+      .apply { (k, oi, li) =>
+        val qtys = li.map(_._2).mkString(",")
+        oi.map(ord => (k, ord._2, qtys)).filter(_ => qtys.nonEmpty)
+      }
+      .ds.toDF("orderkey", "priority", "qtys_desc")
+  }
+
   // ---- SQL entry: one ANSI string runs verbatim on BOTH engines ------
   /** TPCH Q10-ish (returned-item customer ranking) written once in
     * dialect-neutral SQL: Spark executes it via GraftSession (temp
@@ -400,6 +422,7 @@ object Relational {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_outer_join" -> (qOuterJoin _),
     "q_cogroup" -> (qCoGroup _),
+    "q_cogroup_sorted" -> (qCoGroupSorted _),
     "q9_product_profit" -> (q9ProductTypeProfit _),
     "q_weblog" -> (qWebLog _),
     "q_intersect" -> (qIntersect _),
@@ -522,6 +545,15 @@ object Relational {
          FROM (SELECT o_orderkey AS k, COUNT(1) AS n FROM orders GROUP BY 1) o
          FULL OUTER JOIN (SELECT l_orderkey AS k, COUNT(1) AS n FROM lineitem GROUP BY 1) l
          ON o.k = l.k""",
+    // quantity values are integral in the corpus, so BIGINT cast
+    // (Spark truncates, DuckDB rounds) cannot diverge; concatenating
+    // the sort key itself makes tie order invisible in the output
+    "q_cogroup_sorted" ->
+      """SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+           string_agg(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), ','
+             ORDER BY CAST(l_quantity AS BIGINT) DESC) AS qtys_desc
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1, 2""",
     "q9_product_profit" ->
       s"""SELECT n_name, year(o_orderdate) AS o_year,
            ${sqlExactSum(

@@ -154,6 +154,24 @@ class DataSetSpec extends SparkSpec {
     assert(got == Seq("?", "one", "three"))
   }
 
+  test("coGroup with sortFirstGroup/sortSecondGroup: both iterators arrive ordered") {
+    val left = env.fromCollection(Seq(
+      (1, 30, "a"), (1, 10, "b"), (1, 20, "c"), (2, 5, "d")))
+    val right = env.fromCollection(Seq(
+      (1, "z"), (1, "x"), (1, "y"), (3, "w")))
+    val got = left.coGroup(right).where(_._1).equalTo(_._1)
+      .sortFirstGroup(col("_2"))        // left by the int field asc
+      .sortSecondGroup(col("_2").desc)  // right by the string field desc
+      .apply { (k, li, ri) =>
+        Iterator((k, li.map(_._2).mkString(","), ri.map(_._2).mkString(",")))
+      }
+      .collectSeq().sortBy(_._1)
+    assert(got == Seq(
+      (1, "10,20,30", "z,y,x"),
+      (2, "5", ""),
+      (3, "", "w")))
+  }
+
   test("withBroadcastSet: oversized set fails fast at the configured cap") {
     spark.conf.set("spark.graft.broadcastSet.maxRows", "10")
     try {

@@ -35,6 +35,21 @@ class TextExprsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("SimHashExpr == HOF simhash on the whole corpus + edges") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val diff = docs.select(
+        Dedup.simhash(col("text")).as("fast"),
+        Dedup.simhashRef(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+    val edge = Seq("", "a", "a b", "a a a a", "x y z x y z").toDF("text")
+    val ediff = edge.select(Dedup.simhash(col("text")).as("fast"),
+        Dedup.simhashRef(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(ediff.count() == 0)
+  }
+
   test("edge cases: short docs, repeated words, single word") {
     import spark.implicits._
     val edge = Seq("a b", "a", "a a a a", "x y z", "x y z x y z").toDF("text")
