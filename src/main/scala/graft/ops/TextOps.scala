@@ -129,6 +129,38 @@ object TextOps {
         t(spark, dir, "documents"), "doc_id", 100)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Per-lang target keep-rates (mills) for the weighted domain
+    * mixture query: downsample over-represented English, keep German
+    * whole, drop Spanish hard; French is deliberately absent so the
+    * default-rate path is exercised. */
+  val MixRatesMills: Map[String, Int] =
+    Map("en" -> 400, "zh" -> 800, "de" -> 1000, "es" -> 250)
+  val MixDefaultMills = 150
+
+  /** Weighted domain mixture: per-lang deterministic downsampling —
+    * how a training mix rebalances sources. Pure per-row hash-bucket
+    * predicate (no RNG, no shuffle), so the mix is reproducible at
+    * any scale and the filter pushes into the scan. */
+  def qMixture(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(graft.pipeline.Sampling.mixtureFilter(
+        col("doc_id"), col("lang"), MixRatesMills, MixDefaultMills))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+
+  /** Within-doc repetition histogram (Gopher/C4-style quality
+    * signal): percent buckets of the duplicate-3-gram fraction per
+    * (lang, bucket) — integer mills arithmetic, engine-exact. The
+    * corpus tops out around 7% duplicate trigrams, so percent (not
+    * decile) buckets keep the histogram discriminative. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        floor(TextFunctions.repetitionMills(col("text")).cast("double") / 10)
+          .cast("long").as("rep_pct"))
+      .groupBy(col("lang"), col("rep_pct"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Sequence packing: per-(shard, pack) fill stats using the
     * est-token proxy (n_chars+3)/4 and a 2048-token budget. */
   def qPack(spark: SparkSession, dir: String): DataFrame =
@@ -188,6 +220,8 @@ object TextOps {
     "q_split" -> (qSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_fixed" -> (qSampleFixed _),
+    "q_mixture" -> (qMixture _),
+    "q_repetition" -> (qRepetition _),
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
   )
@@ -397,6 +431,20 @@ object TextOps {
          FROM documents WHERE ${sqlIdBucket("doc_id", 1000)} < 100
          GROUP BY lang"""
     },
+    "q_mixture" -> {
+      import graft.pipeline.Sampling.sqlMixtureFilter
+      s"""SELECT lang, COUNT(1) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         FROM documents
+         WHERE ${sqlMixtureFilter("doc_id", "lang", MixRatesMills, MixDefaultMills)}
+         GROUP BY lang"""
+    },
+    "q_repetition" ->
+      s"""SELECT lang,
+           CAST((${TextFunctions.sqlRepetitionMills("text")}) // 10 AS BIGINT)
+             AS rep_pct,
+           COUNT(1) AS n_docs
+         FROM documents GROUP BY 1, 2""",
     "q_sample_fixed" -> {
       import graft.pipeline.Sampling.sqlIdBucket
       s"""SELECT doc_id, lang, n_chars FROM documents

@@ -67,4 +67,27 @@ object Sampling {
     * never a global sort — so it scales to any corpus size. */
   def fixedSample(df: DataFrame, idCol: String, k: Int): DataFrame =
     df.orderBy(idBucket(col(idCol), 1000000), col(idCol)).limit(k)
+
+  /** Weighted domain mixture: per-domain keep rates (in mills) applied
+    * through the same deterministic id bucket — the way a training mix
+    * downsamples over-represented sources (e.g. web 20%, code 100%).
+    * Unknown domains fall back to `defaultMills`. Pure per-row
+    * predicate: no shuffle, no RNG, stable under re-runs and
+    * re-partitioning; rates ride a literal CASE chain so the filter
+    * stays codegen'd and pushes down to the scan. */
+  def mixtureFilter(id: Column, domain: Column, ratesMills: Map[String, Int],
+      defaultMills: Int = 0): Column = {
+    val rate = ratesMills.foldLeft(lit(defaultMills)) { case (acc, (d, m)) =>
+      when(domain === lit(d), lit(m)).otherwise(acc)
+    }
+    idBucket(id, 1000) < rate
+  }
+
+  def sqlMixtureFilter(idExpr: String, domainExpr: String,
+      ratesMills: Map[String, Int], defaultMills: Int = 0): String = {
+    val cases = ratesMills.toSeq.sortBy(_._1)
+      .map { case (d, m) => s"WHEN $domainExpr = '$d' THEN $m" }
+      .mkString(" ")
+    s"${sqlIdBucket(idExpr, 1000)} < (CASE $cases ELSE $defaultMills END)"
+  }
 }

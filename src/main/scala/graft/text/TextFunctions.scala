@@ -110,6 +110,28 @@ object TextFunctions {
     size(filter(tokens(text), w => w.isin(Stopwords: _*)))
       .cast("double") / nTokens(text)
 
+  /** Within-doc repetition (a Gopher/C4-style quality signal): the
+    * fraction of word 3-grams that repeat an earlier 3-gram of the
+    * same doc, in exact integer mills — 1000 - distinct*1000 div
+    * total. Docs with < 3 tokens have no 3-grams and score 0. All
+    * integer arithmetic (floor division), so the DuckDB twin is
+    * bit-exact; floor on the double quotient is safe because
+    * distinct*1000 < 2^53 for any real document. */
+  def repetitionMills(text: Column): Column = {
+    val total = nTokens(text) - 2
+    val num = size(shingles(text)).cast("long") * lit(1000L)
+    when(total > 0,
+      lit(1000L) - floor(num.cast("double") / total).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** SQL twin of [[repetitionMills]]. */
+  def sqlRepetitionMills(textExpr: String): String =
+    s"""CASE WHEN len(string_split($textExpr,' ')) >= 3
+        THEN 1000 - (len(${sqlShingles3(textExpr)}) * 1000)
+               // (len(string_split($textExpr,' ')) - 2)
+        ELSE 0 END"""
+
   /** Punctuation ratio: non-alphanumeric-non-space chars / chars. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))

@@ -32,6 +32,28 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept / total - 0.1) < 0.04, s"kept $kept of $total")
   }
 
+  test("mixtureFilter applies per-domain rates with default fallback") {
+    val rates = Map("en" -> 1000, "de" -> 0, "zh" -> 500)
+    val kept = docs
+      .filter(Sampling.mixtureFilter(col("doc_id"), col("lang"), rates,
+        defaultMills = 200))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val all = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en") == all("en"))          // rate 1000 keeps everything
+    assert(!kept.contains("de"))             // rate 0 drops the domain
+    val zh = kept("zh").toDouble / all("zh") // ~50%
+    assert(math.abs(zh - 0.5) < 0.15, s"zh kept $zh")
+    // absent domains get the default rate (~20%)
+    val fr = kept.getOrElse("fr", 0L).toDouble / all("fr")
+    val es = kept.getOrElse("es", 0L).toDouble / all("es")
+    assert(fr > 0 && fr < 0.5 && es > 0 && es < 0.5, s"fr=$fr es=$es")
+    // deterministic under repartition
+    val again = docs.repartition(9)
+      .filter(Sampling.mixtureFilter(col("doc_id"), col("lang"), rates, 200))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
   test("fixedSample returns exactly k rows, stable across partitionings") {
     val a = Sampling.fixedSample(docs, "doc_id", 50)
       .select("doc_id").as[Long].collect().toSeq

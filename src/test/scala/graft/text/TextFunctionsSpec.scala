@@ -28,6 +28,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(3L)._3 == 1.0)
   }
 
+  test("repetitionMills: known repetition fractions, short-doc zero") {
+    val df = Seq(
+      ("x y z x y z", 1L),     // 4 trigrams, 3 distinct -> 250
+      ("a b c d e", 2L),       // all distinct -> 0
+      ("w w w w w", 3L),       // 3 trigrams, 1 distinct -> 667
+      ("one two", 4L),         // < 3 tokens -> 0
+      ("", 5L)).toDF("text", "id")
+    val got = df.select(col("id"),
+        TextFunctions.repetitionMills(col("text")).as("rep"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 250L, 2L -> 0L, 3L -> 667L, 4L -> 0L, 5L -> 0L))
+  }
+
   test("language ID is deterministic and mechanically sound") {
     // Accuracy is NOT asserted: the synthetic corpus has no learnable
     // per-language signal — naive-Bayes log-lift weights fit on
