@@ -63,6 +63,23 @@ object Events {
       .agg(count(lit(1)).as("n_prior_clicks"))
   }
 
+  /** As-of join: per purchase, the same user's latest click at or
+    * before the purchase (point-in-time lookup) via the union+window
+    * AsOf operator — one shuffle, no range probe. Comparisons and
+    * output are WHOLE-SECOND epochs (ns/µs-safe, header note); the
+    * payload is the as-of timestamp itself, so equal-second click
+    * ties yield identical output in both engines. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").cast("long").as("pts_s"))
+    val c = t(spark, dir, "events").filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").cast("long").as("cts_s"))
+    graft.api.AsOf.join(p, c, Seq("user_id"),
+        leftTs = "pts_s", rightTs = "cts_s", payload = Seq("cts_s"))
+      .select(col("pid"), col("asof_cts_s").as("last_click_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sliding_daily" -> (qSlidingDaily _),
@@ -70,6 +87,7 @@ object Events {
     "q_dedup_keys" -> (qDedupKeys _),
     "q_json_props" -> (qJsonProps _),
     "q_interval_join" -> (qIntervalJoin _),
+    "q_asof_join" -> (qAsofJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -123,5 +141,17 @@ object Events {
          FROM p JOIN c ON p.user_id = c.user_id
            AND cts >= pts - 3600 AND cts < pts
          GROUP BY pid""",
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the engine's
+    // union+window AsOf operator; ties on (user, second) are invisible
+    // because the payload IS the as-of key
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS pts_s
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS cts_s
+           FROM events WHERE event_type = 'click')
+         SELECT pid, c.cts_s AS last_click_s
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.pts_s >= c.cts_s""",
   )
 }
