@@ -161,6 +161,14 @@ object TextOps {
       .groupBy(col("lang"), col("rep_pct"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Corpus-frequency (unigram) doc scoring: per-lang score sums —
+    * the two-pass LM-quality-filter shape (corpus stats, then score
+    * docs against them). Integer ppm arithmetic, engine-exact. */
+  def qUnigramScore(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusScoring.unigramScores(t(spark, dir, "documents"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+
   /** Sequence packing: per-(shard, pack) fill stats using the
     * est-token proxy (n_chars+3)/4 and a 2048-token budget. */
   def qPack(spark: SparkSession, dir: String): DataFrame =
@@ -222,6 +230,7 @@ object TextOps {
     "q_sample_fixed" -> (qSampleFixed _),
     "q_mixture" -> (qMixture _),
     "q_repetition" -> (qRepetition _),
+    "q_unigram_score" -> (qUnigramScore _),
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
   )
@@ -445,6 +454,10 @@ object TextOps {
              AS rep_pct,
            COUNT(1) AS n_docs
          FROM documents GROUP BY 1, 2""",
+    "q_unigram_score" ->
+      s"""WITH ${graft.text.CorpusScoring.sqlUnigramScoresCtes("documents")}
+         SELECT lang, COUNT(1) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score
+         FROM ds GROUP BY lang""",
     "q_sample_fixed" -> {
       import graft.pipeline.Sampling.sqlIdBucket
       s"""SELECT doc_id, lang, n_chars FROM documents
