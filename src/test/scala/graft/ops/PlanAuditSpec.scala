@@ -139,4 +139,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "outdeg must not need a join:\n" + p)
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
+
+  test("mixture filter pushes into the documents scan (no post-scan text read)") {
+    // the per-row hash-bucket predicate must reach the data source
+    // filter stage, and a count-shaped mix query must never read text
+    val p = executedPlan("q_mixture")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id)") ||
+      p.contains("Filter"), p)
+    assert(!p.contains("text#"), "mix summary must not read text:\n" + p)
+  }
+
+  test("asof join: no join operator, one window over one key exchange") {
+    val p = executedPlan("q_asof_join")
+    assert(!p.contains("Join"), "asof must plan join-free:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("unigram scoring: token-count aggregation combines map-side") {
+    // both groupBys (token counts, per-doc scores) must be
+    // partial-then-final; the weight join must not broadcast the
+    // corpus-sized count table's build side onto the driver... AQE may
+    // legitimately broadcast at sf0.001, so only the combine is pinned
+    val p = executedPlan("q_unigram_score")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
 }

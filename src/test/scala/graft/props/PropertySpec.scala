@@ -196,4 +196,28 @@ class PropertySpec extends SparkSpec {
       assert(got == reach, s"round $round: $edges")
     }
   }
+
+  test("property: asof join equals the local latest-at-or-before model") {
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 4L)
+      ts <- Gen.chooseNum(0L, 30L)
+    } yield (k, ts)
+    for (round <- 1 to 5) {
+      val lRows = sample(Gen.listOfN(25, rowGen), 7L + round)
+        .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      // distinct right (key, ts): ties are a documented tieBreak
+      // concern, not as-of semantics — tested separately in AsOfSpec
+      val rRows = sample(Gen.listOfN(25, rowGen), 77L + round)
+        .distinct.map { case (k, ts) => (k, ts, k * 1000 + ts) }
+      val got = graft.api.AsOf.join(
+          lRows.toDF("k", "ts", "lid"), rRows.toDF("k", "rts", "v"),
+          Seq("k"), "ts", "rts", payload = Seq("v"))
+        .select("lid", "asof_v").as[(Long, Option[Long])].collect().toMap
+      val expected = lRows.map { case (k, ts, lid) =>
+        val cands = rRows.filter(r => r._1 == k && r._2 <= ts)
+        lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      assert(got == expected, s"round $round")
+    }
+  }
 }
