@@ -27,6 +27,15 @@ class GraftFunctionsSpec extends SparkSpec {
       """SELECT doc_id, minhash_sig(doc_shingle_vals(text)) AS sig
          FROM documents LIMIT 5""").collect()
     assert(mh.length == 5 && mh.forall(_.getSeq[Any](1).size == 32))
+    // doc_simhash16 from SQL == the Column API (one-pass SimHashExpr)
+    import org.apache.spark.sql.functions.col
+    val sqlSh = spark.sql(
+      "SELECT doc_id, doc_simhash16(text) AS h FROM documents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apiSh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), graft.dedup.Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlSh == apiSh && sqlSh.values.forall(h => h >= 0 && h < (1L << 16)))
   }
 
   test("extensions class registers the same functions on a fresh session") {
