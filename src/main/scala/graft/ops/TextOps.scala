@@ -161,6 +161,21 @@ object TextOps {
       .groupBy(col("lang"), col("rep_pct"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Per-lang top-10 tokens (vocabulary / heavy-hitters extraction):
+    * one combiner-friendly groupBy over the exploded corpus, then a
+    * per-group rank window (WindowGroupLimit — never a global sort).
+    * Fully deterministic tie-break (count DESC, token ASC). */
+  def qTopTokens(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    t(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("tok"), col("n"))
+  }
+
   /** Corpus-frequency (unigram) doc scoring: per-lang score sums —
     * the two-pass LM-quality-filter shape (corpus stats, then score
     * docs against them). Integer ppm arithmetic, engine-exact. */
@@ -231,6 +246,7 @@ object TextOps {
     "q_mixture" -> (qMixture _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_score" -> (qUnigramScore _),
+    "q_top_tokens" -> (qTopTokens _),
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
   )
@@ -458,6 +474,14 @@ object TextOps {
       s"""WITH ${graft.text.CorpusScoring.sqlUnigramScoresCtes("documents")}
          SELECT lang, COUNT(1) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score
          FROM ds GROUP BY lang""",
+    "q_top_tokens" ->
+      """WITH c AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         n AS (SELECT lang, tok, COUNT(1) AS n FROM c GROUP BY 1, 2)
+         SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rk,
+           tok, n
+         FROM n QUALIFY rk <= 10""",
     "q_sample_fixed" -> {
       import graft.pipeline.Sampling.sqlIdBucket
       s"""SELECT doc_id, lang, n_chars FROM documents

@@ -155,6 +155,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("top tokens: per-lang heavy hitters get WindowGroupLimit, combine map-side") {
+    val p = executedPlan("q_top_tokens")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("unigram scoring: token-count aggregation combines map-side") {
     // both groupBys (token counts, per-doc scores) must be
     // partial-then-final; the weight join must not broadcast the
