@@ -55,10 +55,14 @@ object Dedup {
     val tq = math.round(threshold * 1000) // e.g. 0.8 -> 800
     val ceilTn = floor((lit(tq) * col("n") + lit(999)) / lit(1000.0)) // = ceil(t*n)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // persisted: the candidate self-join reads prefix on BOTH sides,
+    // and without the barrier the docFreq join + rank window execute
+    // twice (r5: ~1.4s -> ~1.0s warm at sf0.1)
     val prefix = ex.join(docFreq, "s")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceilTn + 1) // prefix len = n - ceil(t*n) + 1
       .select(col("doc_id"), col("n"), col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // length filter inside the candidate join (exact: J >= t requires
     // t*na <= nb and t*nb <= na) prunes dissimilar-size pairs before
     // they materialize
@@ -128,11 +132,16 @@ object Dedup {
     // CollapseProject inlines the shingleVals expression into every
     // one of the 32 minhash expressions (measured 25x slowdown), and
     // the frame is reused by the bucket join + both verify joins.
-    val sv = docs.select(col("doc_id"), shingleVals(col("text")).as("sv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = sv.select(col("doc_id"), col("sv"),
+    // (r5: the cache moved from the sv projection to withSig — the
+    // bucket self-join's x/y branches and both verify joins all read
+    // it, so sig/bands compute once instead of three times; bands is
+    // 8 longs/doc, a negligible cache-size delta)
+    val withSig = docs
+      .select(col("doc_id"), shingleVals(col("text")).as("sv"))
+      .select(col("doc_id"), col("sv"),
         minhashSignature_(col("sv")).as("sig"))
       .withColumn("bands", bandKeys(col("sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = withSig.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val cand = buckets.alias("x")
