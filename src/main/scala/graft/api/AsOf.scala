@@ -40,6 +40,11 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       tieBreak: Seq[String] = Nil): DataFrame = {
+    val reserved = (left.columns ++ right.columns).filter(c =>
+      c == "__ts" || c == "__side" || c.startsWith("__p_") || c.startsWith("__o_"))
+    require(reserved.isEmpty,
+      s"asof join reserves the __ts/__side/__p_*/__o_* column names; " +
+        s"rename: ${reserved.mkString(", ")}")
     val rSchema = right.schema
     // align the two sides for the union: left keeps its columns and
     // nulls the payload slots; right contributes key+ts+payload only

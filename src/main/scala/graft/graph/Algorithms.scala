@@ -310,7 +310,11 @@ object Algorithms {
     * Two shuffle joins on vertex keys — the scalable formulation
     * (candidate volume is sum of per-vertex degree^2, not |E|^2). */
   def enumTriangles(edges: DataFrame): DataFrame = {
+    // persisted: all three join legs scan the edge set, and the
+    // caller's edge derivation (often a self-join + distinct) would
+    // otherwise execute three times (r5: q_triangles 0.74 -> ~0.5s)
     val e = edges.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.alias("e1")
       .join(e.alias("e2"), col("e1.b") === col("e2.a"))
       .join(e.alias("e3"),

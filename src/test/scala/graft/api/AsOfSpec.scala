@@ -35,6 +35,15 @@ class AsOfSpec extends SparkSpec {
     assert(got.toSeq == Seq("c")) // last in tieBreak (v asc) order
   }
 
+  test("asof join rejects inputs using its reserved column names") {
+    val l = Seq((1L, 10L, 0L)).toDF("k", "ts", "__ts")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "rts", "px")
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("k"), "ts", "rts", Seq("px"))
+    }
+    assert(ex.getMessage.contains("__ts"))
+  }
+
   test("asof join plans as one shuffle + window — no join operator") {
     val l = spark.range(100).select(col("id").as("k"),
       (col("id") * 7 % 50).as("ts"))

@@ -134,6 +134,20 @@ class AlgorithmsSpec extends SparkSpec {
     assert(VertexCentric.connectedComponentsVC(empty, 5).count() == 0)
   }
 
+  test("connectedComponents: a 33-vertex chain collapses within the jump budget") {
+    // diameter 32 needs ~4 jump-accelerated supersteps (radius ~3x per
+    // step) — well inside maxIterations=8, where plain propagation
+    // would need 32; the min label must still traverse end to end
+    val chain = (1L until 33L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Algorithms.connectedComponents(chain, maxIterations = 8)
+      .as[(Long, Long)].collect()
+    assert(got.length == 33 && got.forall(_._2 == 1L))
+    // and label direction is orientation-independent
+    val rev = (1L until 33L).map(i => (i + 1, i)).toDF("src", "dst")
+    assert(Algorithms.connectedComponents(rev, 8)
+      .as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
+
   test("pageRank: ranks sum to <= 1 and high-in-degree node wins") {
     // star: everyone points at 1
     val star = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)).toDF("src", "dst")
