@@ -169,4 +169,32 @@ class PlanAuditSpec extends SparkSpec {
     val p = executedPlan("q_unigram_score")
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
+
+  // every query where a cartesian/nested-loop join is INTENTIONAL and
+  // scale-safe, with the reason — anything else that plans one is an
+  // accident that explodes at 100 TB
+  private val nestedLoopAllowed: Map[String, String] = Map(
+    "q_cross" -> "cross operator itself (region x nation, both tiny)",
+    "q_knn_brute" -> "bounded query set broadcast against the corpus (the exactness baseline)",
+    "q_knn_lsh" -> "broadcast probe-bucket set; corpus side keeps one bucket/vector",
+    "q_knn_ivf" -> "broadcast probe-cell set against the bucketed corpus",
+    "q_unigram_score" -> "1-row corpus-total frame broadcast into the weight projection",
+    "q_dedup_embedding" -> "1-row label-count guard frame (never the corpus)",
+  )
+
+  test("suite-wide: no ACCIDENTAL cartesian or nested-loop join in any query") {
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(nestedLoopAllowed.contains)
+      .flatMap { name =>
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        df.collect() // finalize AQE
+        val p = df.queryExecution.executedPlan.toString
+        spark.catalog.clearCache() // drop per-query persists
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoop"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian joins in: ${offenders.mkString(", ")}")
+  }
 }
