@@ -88,6 +88,58 @@ object Multimodal {
       .withColumn("rh",
         expr(s"(height * $box) div greatest(width, height)").cast("long"))
 
+  /** Build a real audio table from a document table: each doc encoded
+    * as an actual 16-bit PCM mono WAV (rate cycles by id, samples are
+    * the doc's bytes recentred to PCM16). */
+  def asAudioTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val payload = AudioCodec.encodeDoc(id, text.getBytes("UTF-8"))
+          (id, payload, "wav", payload.length.toLong)
+        }
+      }
+      .toDF("media_id", "payload", "format", "n_bytes")
+  }
+
+  case class DecodedAudio(media_id: Long, sample_rate: Int,
+      n_samples: Int, duration_ms: Long, peak: Int)
+
+  /** Batched WAV decode over partitions (same shape as
+    * [[decodeFeatures]]): real RIFF chunk walk per payload; peak is
+    * max |sample| — an exact integer feature. */
+  def decodeAudio(audio: DataFrame): Dataset[DecodedAudio] = {
+    import audio.sparkSession.implicits._
+    audio.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = AudioCodec.open()
+        val out = it.map { case (id, payload) =>
+          val a = codec.decodeWav(payload)
+          var peak = 0
+          var i = 0
+          while (i < a.samples.length) {
+            val v = math.abs(a.samples(i).toInt)
+            if (v > peak) peak = v
+            i += 1
+          }
+          DecodedAudio(id, a.sampleRate, a.nSamples, a.durationMs, peak)
+        }
+        new Iterator[DecodedAudio] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
+          def next(): DecodedAudio = out.next()
+        }
+      }
+  }
+
+  /** Per-rate stream stats over decoded audio metadata. */
+  def audioStats(audio: DataFrame): DataFrame =
+    decodeAudio(audio).toDF()
+      .groupBy(col("sample_rate"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("duration_ms")).as("sum_duration_ms"),
+        max(col("n_samples")).as("max_samples"))
+
   /** Frame sampling for video-like payloads: frame count derived from
     * the DECODED raster size (the analogue of reading a container's
     * stream metadata), every `stride`-th index sampled — the

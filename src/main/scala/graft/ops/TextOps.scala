@@ -129,6 +129,12 @@ object TextOps {
         t(spark, dir, "documents"), "doc_id", 100)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Audio plumbing: per-sample-rate stream stats parsed back out of
+    * real RIFF/WAVE headers (AudioCodec). Oracle replicates the
+    * ENCODER's arithmetic — a mis-walked chunk list hash-mismatches. */
+  def qAudioStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioStats(Multimodal.asAudioTable(t(spark, dir, "documents")))
+
   /** Per-lang target keep-rates (mills) for the weighted domain
     * mixture query: downsample over-represented English, keep German
     * whole, drop Spanish hard; French is deliberately absent so the
@@ -240,6 +246,7 @@ object TextOps {
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_audio_stats" -> (qAudioStats _),
     "q_split" -> (qSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_fixed" -> (qSampleFixed _),
@@ -443,6 +450,16 @@ object TextOps {
          SELECT format, COUNT(1) AS n_frames_sampled,
            CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx
          FROM fr GROUP BY format""",
+    "q_audio_stats" ->
+      """WITH m AS (
+           SELECT CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+                  WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+             500 + (strlen(text) * 17) % 4000 AS n_samples
+           FROM documents)
+         SELECT sample_rate, COUNT(1) AS n,
+           CAST(SUM((n_samples * 1000) // sample_rate) AS BIGINT) AS sum_duration_ms,
+           CAST(MAX(n_samples) AS INT) AS max_samples
+         FROM m GROUP BY 1""",
     "q_split" -> {
       import graft.pipeline.Sampling.sqlSplitLabel
       s"""SELECT ${sqlSplitLabel("doc_id")} AS split, lang,

@@ -48,6 +48,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wav codec: golden samples, chunk walk skips unknown chunks, round-trip") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768)
+    val wav = AudioCodec.encodeWav(16000, samples)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF" && wav.length == 44 + 10)
+    val back = AudioCodec.decodeWav(wav)
+    assert(back.sampleRate == 16000 && back.samples.sameElements(samples))
+    assert(back.durationMs == 0L) // 5 samples @16kHz, floor ms
+    // decode must WALK chunks: splice a fake 6-byte 'LIST' chunk
+    // between fmt and data; a 44-byte-offset parser would misread it
+    val head = wav.take(36)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0, 1, 2, 3, 4, 5, 6)
+    val spliced = head ++ listChunk ++ wav.drop(36)
+    val walked = AudioCodec.decodeWav(spliced)
+    assert(walked.sampleRate == 16000 && walked.samples.sameElements(samples))
+    // non-PCM and truncated payloads fail loudly
+    intercept[IllegalArgumentException] {
+      AudioCodec.decodeWav("RIFFxxxxJUNK".getBytes("US-ASCII"))
+    }
+  }
+
+  test("audio table: real WAV payloads decode with oracle-matching metadata") {
+    val audio = Multimodal.asAudioTable(docs.limit(30))
+    val decoded = Multimodal.decodeAudio(audio).collect()
+    assert(decoded.length == 30)
+    assert(decoded.forall(a => Seq(8000, 16000, 44100).contains(a.sample_rate)))
+    assert(decoded.forall(a => a.n_samples >= 500 && a.n_samples < 4500))
+    assert(decoded.forall(a =>
+      a.duration_ms == a.n_samples.toLong * 1000L / a.sample_rate))
+    assert(decoded.forall(a => a.peak >= 0 && a.peak <= 32768))
+  }
+
   test("batched decode produces fixed-width features with stable dims") {
     val media = Multimodal.asMediaTable(docs.limit(50))
     val decoded = Multimodal.decodeFeatures(media).collect()
