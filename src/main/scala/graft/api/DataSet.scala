@@ -153,8 +153,13 @@ class GDataSet[T](val ds: Dataset[T]) extends Serializable {
   }
 
   /** Global group-reduce ([U] AllGroupReduceDriver): whole input as one
-    * iterator. Driver-side parallelism collapses to 1 by definition —
-    * same as the reference (parallelism-1 task). */
+    * iterator. WARNING — deliberately a SINGLE task (parallelism-1 by
+    * definition, same as the reference's AllGroupReduce): the whole
+    * dataset streams through one executor thread. It streams (proven
+    * on a 2M-row group in DataSetSpec), but on a 100 TB frame this is
+    * the wrong operator — use `groupBy(...).reduceGroup` (keyed, fully
+    * parallel) or an associative [[reduce]] (combiner-split) instead.
+    * Kept for API parity with bounded inputs. */
   def reduceGroup[U: Encoder](f: Iterator[T] => IterableOnce[U]): GDataSet[U] = {
     implicit val enc: Encoder[T] = ds.encoder
     new GDataSet(ds.repartition(1).mapPartitions(it => f(it).iterator))
