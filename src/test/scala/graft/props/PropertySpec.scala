@@ -197,6 +197,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: codecs round-trip random rasters and sample streams byte-exactly") {
+    import graft.multimodal.{AudioCodec, MediaCodec}
+    val dimGen = Gen.chooseNum(1, 40)
+    for (round <- 1 to 10) {
+      val w = sample(dimGen, 300L + round)
+      val h = sample(dimGen, 400L + round)
+      val rgb = sample(Gen.listOfN(w * h * 3,
+        Gen.chooseNum(-128, 127).map(_.toByte)), 500L + round).toArray
+      val viaPpm = MediaCodec.decode(MediaCodec.encodePpm(w, h, rgb))
+      assert(viaPpm.width == w && viaPpm.height == h && viaPpm.rgb.sameElements(rgb))
+      val viaBmp = MediaCodec.decode(MediaCodec.encodeBmp(w, h, rgb))
+      assert(viaBmp.width == w && viaBmp.height == h && viaBmp.rgb.sameElements(rgb),
+        s"round $round bmp ${w}x$h")
+      val n = sample(Gen.chooseNum(1, 500), 600L + round)
+      val rate = sample(Gen.oneOf(AudioCodec.Rates.toSeq), 650L + round)
+      val pcm = sample(Gen.listOfN(n,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort)),
+        700L + round).toArray
+      val audio = AudioCodec.decodeWav(AudioCodec.encodeWav(rate, pcm))
+      assert(audio.sampleRate == rate && audio.samples.sameElements(pcm),
+        s"round $round wav n=$n rate=$rate")
+    }
+  }
+
   test("property: asof join equals the local latest-at-or-before model") {
     val rowGen = for {
       k <- Gen.chooseNum(0L, 4L)
