@@ -37,22 +37,40 @@ object VertexCentric {
       convergence: Iterations.SuperstepStats => Boolean = null)(
       msg: Column => Column,
       combine: Column => Column,
+      update: (Column, Column) => Column): DataFrame =
+    runWeighted(vertices,
+      edges.select(col("src"), col("dst")).withColumn("weight", lit(0L)),
+      maxIterations, observer, convergence)(
+      (value, _) => msg(value), combine, update)
+
+  /** Weighted variant ([U] Spargel's SSSP example needs the edge
+    * value): `msg` sees (senderValue, edgeWeight). Vertices with a
+    * NULL value are "unreached" — they start OUTSIDE the workset and
+    * send nothing until a message first gives them a value (change
+    * detection is null-safe). */
+  def runWeighted(vertices: DataFrame, edges: DataFrame, maxIterations: Int,
+      observer: Iterations.SuperstepStats => Unit = null,
+      convergence: Iterations.SuperstepStats => Boolean = null)(
+      msg: (Column, Column) => Column,
+      combine: Column => Column,
       update: (Column, Column) => Column): DataFrame = {
     // loop-invariant: cache the edge set across supersteps
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst"), col("weight"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Iterations.delta(vertices.select(col("id"), col("value")),
-        vertices.select(col("id"), col("value")), Seq("id"), maxIterations,
+    val init = vertices.select(col("id"), col("value"))
+    Iterations.delta(init, init.filter(col("value").isNotNull),
+        Seq("id"), maxIterations,
         observer = observer, convergence = convergence) {
       (solution, workset) =>
         val msgs = workset.alias("w").join(e.alias("g"), col("w.id") === col("g.src"))
-          .select(col("g.dst").as("id"), msg(col("w.value")).as("msg"))
+          .select(col("g.dst").as("id"),
+            msg(col("w.value"), col("g.weight")).as("msg"))
           .groupBy(col("id"))
           .agg(combine(col("msg")).as("agg_msg"))
         val updated = solution.alias("s").join(msgs.alias("m"), col("s.id") === col("m.id"))
           .select(col("s.id").as("id"), col("s.value").as("value"),
             update(col("s.value"), col("m.agg_msg")).as("new_value"))
-        val delta = updated.filter(col("new_value") =!= col("value"))
+        val delta = updated.filter(!(col("new_value") <=> col("value")))
           .select(col("id"), col("new_value").as("value"))
         (delta, delta)
     }
@@ -71,6 +89,27 @@ object VertexCentric {
       combine = c => min(c),
       update = (old, m) => least(old, m))
       .withColumnRenamed("value", "component")
+      .withColumnRenamed("id", "vertex")
+  }
+
+  /** Single-source shortest paths — the reference Spargel addon's
+    * other canonical example ([U] stratosphere-addons/spargel
+    * ShortestPaths: MinDistanceMessenger + VertexDistanceUpdater).
+    * edges: (src, dst, weight >= 0), directed. Unreachable vertices
+    * keep a NULL distance (they never enter the workset, so no
+    * infinity sentinel arithmetic exists to overflow).
+    * returns: (vertex, distance). */
+  def shortestPathsVC(edges: DataFrame, source: Long,
+      maxIterations: Int = 50): DataFrame = {
+    val vertices = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .withColumn("value",
+        when(col("id") === source, lit(0L)).otherwise(lit(null).cast("long")))
+    runWeighted(vertices, edges, maxIterations)(
+      msg = (dist, w) => dist + w,
+      combine = c => min(c),
+      update = (old, m) => least(old, m)) // least ignores NULL (unreached)
+      .withColumnRenamed("value", "distance")
       .withColumnRenamed("id", "vertex")
   }
 }

@@ -134,6 +134,30 @@ class AlgorithmsSpec extends SparkSpec {
     assert(VertexCentric.connectedComponentsVC(empty, 5).count() == 0)
   }
 
+  test("vertex-centric SSSP: golden distances + unreachable stays NULL") {
+    val e = Seq((1L, 2L, 4L), (1L, 3L, 1L), (3L, 2L, 2L), (2L, 4L, 5L),
+      (3L, 4L, 8L), (5L, 1L, 3L)).toDF("src", "dst", "weight")
+    val got = VertexCentric.shortestPathsVC(e, source = 1L)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(0L), 2L -> Some(3L), 3L -> Some(1L),
+      4L -> Some(8L), 5L -> None))
+    // agreement with a local Bellman-Ford model on a denser graph
+    val edges2 = (for { a <- 0L to 7L; b <- 0L to 7L
+      if a != b && (a * 31 + b) % 3 == 0 } yield (a, b, (a * 7 + b) % 9 + 1)).toSeq
+    val got2 = VertexCentric.shortestPathsVC(
+        edges2.toDF("src", "dst", "weight"), source = 0L)
+      .as[(Long, Option[Long])].collect().toMap
+    var dist = Map(0L -> 0L)
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((a, b, w) <- edges2; da <- dist.get(a))
+        if (dist.get(b).forall(_ > da + w)) { dist += b -> (da + w); changed = true }
+    }
+    val vertices = edges2.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got2 == vertices.map(v => v -> dist.get(v)).toMap)
+  }
+
   test("connectedComponents: a 33-vertex chain collapses within the jump budget") {
     // diameter 32 needs ~4 jump-accelerated supersteps (radius ~3x per
     // step) — well inside maxIterations=8, where plain propagation
