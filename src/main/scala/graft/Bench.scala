@@ -43,30 +43,42 @@ object Bench {
     // workload. Raw per-run times are kept in "runs" so any reader can
     // audit the spread instead of trusting the summary.
     val runsPerQuery =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+        .getOrElse(3).max(1)
     // deterministic name order: each query always runs after the same
     // predecessors, so per-query numbers are comparable across rounds
     // (Map iteration order shifts whenever a query is added)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runsPerQuery).map { _ =>
+      val timed = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop caches a lazy operator persisted for its own reuse (e.g.
         // the dedup shingle frames) so one run's leftover cache can't
         // pressure the next run's memory; not part of the timed work
         spark.catalog.clearCache()
-        dt
+        (dt, ok)
       }
-      (name, times.min, times)
+      // a throwing run contributes NO time: a broken query must never
+      // lower the min or the total — it lands in "failed" instead
+      val good = timed.collect { case (dt, true) => dt }
+      (name, good.minOption, timed.map(_._1))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (k, None, _) => k }
+    val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    // full audit line first (per-query mins + raw runs), then a compact
+    // total-only line LAST: the driver keeps only the final ~2000 chars of
+    // stdout, and the full line outgrew that window in round 5 — the tail
+    // must always contain a parseable headline total
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"failed":$failedJson,"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","methodology":"warm min-of-$runsPerQuery per query; per-query detail in the total_detail line above"}""")
     spark.stop()
   }
 }

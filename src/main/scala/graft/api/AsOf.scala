@@ -41,24 +41,32 @@ object AsOf {
       leftTs: String, rightTs: String, payload: Seq[String],
       tieBreak: Seq[String] = Nil): DataFrame = {
     val reserved = (left.columns ++ right.columns).filter(c =>
-      c == "__ts" || c == "__side" || c.startsWith("__p_") || c.startsWith("__o_"))
+      c == "__ts" || c == "__side" || c == "__p" || c.startsWith("__o_"))
     require(reserved.isEmpty,
-      s"asof join reserves the __ts/__side/__p_*/__o_* column names; " +
+      s"asof join reserves the __ts/__side/__p/__o_* column names; " +
         s"rename: ${reserved.mkString(", ")}")
     val rSchema = right.schema
+    // The payload travels as ONE struct, not per-column windows: a struct
+    // built from a right row is non-null even when every field in it is
+    // NULL, so last(ignoreNulls) skips exactly the left rows' slots and
+    // picks the matched right row ATOMICALLY. Per-column carries would
+    // skip a genuinely-NULL payload value (returning a stale older value)
+    // and could mix fields from different right rows — diverging from
+    // ASOF semantics (the matched row's values, NULLs included).
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(p, rSchema(p).dataType)))
     // align the two sides for the union: left keeps its columns and
-    // nulls the payload slots; right contributes key+ts+payload only
+    // nulls the payload slot; right contributes key+ts+payload only
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumns(payload.map(p =>
-        s"__p_$p" -> lit(null).cast(rSchema(p).dataType)).toMap)
+      .withColumn("__p", lit(null).cast(pType))
       .withColumns(tieBreak.map(t =>
         s"__o_$t" -> lit(null).cast(rSchema(t).dataType)).toMap)
     val leftOnly = left.columns.filterNot(key.contains).toSeq
     val rTagged = right
-      .select((key.map(col) :+ col(rightTs).as("__ts")) ++
-        payload.map(p => col(p).as(s"__p_$p")) ++
+      .select(((key.map(col) :+ col(rightTs).as("__ts")) :+
+        struct(payload.map(p => col(p).as(p)): _*).cast(pType).as("__p")) ++
         tieBreak.map(t => col(t).as(s"__o_$t")): _*)
       .withColumn("__side", lit(0))
       .withColumns(leftOnly.map(c =>
@@ -67,10 +75,9 @@ object AsOf {
       .orderBy(col("__ts") +: col("__side") +: tieBreak.map(t => col(s"__o_$t")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
-      .withColumns(payload.map(p =>
-        s"__p_$p" -> last(col(s"__p_$p"), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(left.columns.map(col) ++
-        payload.map(p => col(s"__p_$p").as(s"asof_$p")): _*)
+        payload.map(p => col("__p").getField(p).as(s"asof_$p")): _*)
   }
 }

@@ -326,13 +326,16 @@ object RichMapFunction {
       .map(_.toLong).getOrElse(DefaultBroadcastSetMaxRows)
     val probeLimit =
       if (maxRows >= Int.MaxValue - 1) Int.MaxValue else maxRows.toInt + 1
-    val probe = set.ds.limit(probeLimit).count()
-    require(probe <= maxRows,
+    // ONE job: the limit(max+1) both enforces the cap (early-stopping —
+    // never materializes more than max+1 rows) and IS the collect, so an
+    // expensive upstream plan (join/agg-derived set) runs once, not twice
+    val rows = set.ds.limit(probeLimit).collect()
+    require(rows.length <= maxRows,
       s"broadcast set '$name' exceeds spark.graft.broadcastSet.maxRows=" +
         s"$maxRows rows; broadcast sets are driver-materialized and must " +
         "stay small — join against the big frame instead, or raise the cap")
     val b = set.spark.sparkContext
-      .broadcast(set.ds.collect().toSeq.asInstanceOf[Seq[Any]])
+      .broadcast(rows.toSeq.asInstanceOf[Seq[Any]])
     rich.withBroadcastSets(Map(name -> b))
   }
 }

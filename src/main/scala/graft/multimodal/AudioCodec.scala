@@ -69,6 +69,9 @@ object AudioCodec {
     var samples: Array[Short] = null
     while (off + 8 <= p.length && (rate < 0 || samples == null)) {
       val id = tag(off); val sz = le32(off + 4)
+      // a corrupt size with the sign bit set would SHRINK the bound
+      // check below and then blow up in Array allocation — reject it
+      require(sz >= 0, s"negative '$id' chunk size $sz")
       require(off + 8 + sz <= p.length, s"truncated '$id' chunk")
       id match {
         case "fmt " =>

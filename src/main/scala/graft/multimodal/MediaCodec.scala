@@ -114,7 +114,13 @@ object MediaCodec {
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(maxval == 255, s"unsupported PNM maxval $maxval")
     i += 1 // the single whitespace after maxval
-    require(p.length - i >= w * h * channels, "truncated PNM pixel data")
+    // long arithmetic: adversarial dims must not overflow the size checks
+    // (w*h*3 wrapping negative would pass an int-compare and then blow up
+    // — or worse, under-allocate — at Array construction)
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue / 3,
+      s"unsupported PNM dims ${w}x$h")
+    require(p.length.toLong - i >= w.toLong * h * channels,
+      "truncated PNM pixel data")
     if (channels == 3) Image(w, h, java.util.Arrays.copyOfRange(p, i, i + w * h * 3))
     else {
       val rgb = new Array[Byte](w * h * 3)
@@ -138,8 +144,15 @@ object MediaCodec {
     val w = le32(18); val h = le32(22)
     require(h > 0, "top-down BMP not supported")
     require(le16(28) == 24 && le32(30) == 0, "only 24-bit BI_RGB supported")
-    val rowSize = (w * 3 + 3) & ~3
-    require(p.length >= pixOff + rowSize * h, "truncated BMP pixel data")
+    // long arithmetic throughout: header ints are attacker-controlled, and
+    // rowSize*h / pixOff+... wrapping negative would defeat the bound check
+    require(w > 0 && w.toLong * h <= Int.MaxValue / 3,
+      s"unsupported BMP dims ${w}x$h")
+    require(pixOff >= 54 && pixOff <= p.length, s"bad BMP pixel offset $pixOff")
+    val rowSizeL = (w.toLong * 3 + 3) & ~3L
+    require(p.length.toLong >= pixOff.toLong + rowSizeL * h,
+      "truncated BMP pixel data")
+    val rowSize = rowSizeL.toInt // <= p.length after the require above
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

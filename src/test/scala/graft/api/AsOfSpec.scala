@@ -35,6 +35,21 @@ class AsOfSpec extends SparkSpec {
     assert(got.toSeq == Seq("c")) // last in tieBreak (v asc) order
   }
 
+  test("asof join: NULL payload on the matched right row surfaces as NULL") {
+    // the matched (latest at-or-before) quote has px = NULL: ASOF returns
+    // that row's NULL, not the older non-null 100.0 — and multi-column
+    // payloads must come from the SAME matched row, never mixed
+    val l = Seq((1L, 20L, "t1")).toDF("sym", "ts", "trade")
+    val r = Seq(
+      (1L, 5L, Option(100.0), Option("src_a")),
+      (1L, 10L, Option.empty[Double], Option("src_b")))
+      .toDF("sym", "qts", "px", "src")
+    val got = AsOf.join(l, r, Seq("sym"), "ts", "qts", Seq("px", "src"))
+      .select("asof_px", "asof_src")
+      .as[(Option[Double], Option[String])].collect().toSeq
+    assert(got == Seq((None, Some("src_b"))))
+  }
+
   test("asof join rejects inputs using its reserved column names") {
     val l = Seq((1L, 10L, 0L)).toDF("k", "ts", "__ts")
     val r = Seq((1L, 5L, 1.0)).toDF("k", "rts", "px")
