@@ -116,6 +116,34 @@ object Iterative {
     (seed +: iterCtes).mkString(",\n           ")
   }
 
+  /** Virtual-source vertex id for [[qShortestPaths]]: orderkeys start
+    * at 0, so the super-source sits below the id space. */
+  val SsspSource = -1L
+
+  /** Spargel single-source shortest paths ([U] stratosphere-addons/
+    * spargel ShortestPaths) over the customer-chain graph: a virtual
+    * super-source links to the head of every <= [[ChunkLen]]-vertex
+    * chain, so ALL orders are reached within ChunkLen hops and the
+    * oracle can unroll a fixed Bellman-Ford round count that provably
+    * covers convergence at any scale factor. Weights are exact integer
+    * arithmetic on the (non-negative) endpoint ids, so the converged
+    * distances are bit-identical cross-engine. */
+  def qShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val ranked = t(spark, dir, "orders")
+      .select(col("o_orderkey"), row_number().over(w).as("rn"),
+        lead(col("o_orderkey"), 1).over(w).as("nxt"))
+    val chain = ranked
+      .filter(col("nxt").isNotNull && (col("rn") % ChunkLen) =!= 0)
+      .select(col("o_orderkey").as("src"), col("nxt").as("dst"),
+        ((col("o_orderkey") + col("nxt")) % 97 + 1).as("weight"))
+    val fromSource = ranked.filter((col("rn") % ChunkLen) === 1)
+      .select(lit(SsspSource).as("src"), col("o_orderkey").as("dst"),
+        (col("o_orderkey") % 97 + 1).as("weight"))
+    graft.graph.VertexCentric.shortestPathsVC(
+      chain.union(fromSource), SsspSource, maxIterations = ChunkLen + 2)
+  }
+
   /** Triangle count over the part co-occurrence graph of high-quantity
     * lineitems ([U] EnumTrianglesBasic.java as a production query):
     * parts are linked when an order contains both with quantity >= 40;
@@ -156,6 +184,7 @@ object Iterative {
     "q_kmeans" -> (qKMeans _),
     "q_triangles" -> (qTriangles _),
     "q_closure" -> (qClosure _),
+    "q_sssp" -> (qShortestPaths _),
   )
 
   /** Unrolled fixed-superstep SQL oracles. Every step of every
@@ -199,6 +228,21 @@ object Iterative {
            GROUP BY vertex)"""
     val ccSteps = (1 to ChunkLen + 1).map(i => ccStep(s"s${i - 1}", s"s$i"))
 
+    // ---- SSSP: unrolled Bellman-Ford. The graph is a forest hung off
+    // the virtual super-source (unique path per vertex, <= ChunkLen
+    // edges: 1 source hop + ChunkLen-1 chain hops), so round ChunkLen
+    // is provably converged; one extra idempotent round for margin.
+    // Pure integer arithmetic — no float summation order to diverge.
+    def bfStep(prev: String, out: String) =
+      s"""$out AS MATERIALIZED (
+           SELECT vertex, MIN(dist) AS dist FROM (
+             SELECT vertex, dist FROM $prev
+             UNION ALL
+             SELECT e.dst AS vertex, d.dist + e.w AS dist
+             FROM $prev d JOIN e ON d.vertex = e.src)
+           GROUP BY vertex)"""
+    val bfSteps = (1 to ChunkLen + 1).map(i => bfStep(s"d${i - 1}", s"d$i"))
+
     Map(
       "q_pagerank" ->
         s"""WITH e AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
@@ -223,6 +267,25 @@ object Iterative {
            ${ccSteps.mkString(",\n           ")}
            SELECT comp AS component, COUNT(*) AS n_vertices
            FROM s${ChunkLen + 1} GROUP BY comp""",
+      "q_sssp" ->
+        s"""WITH ranked AS (
+             SELECT o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
+             FROM orders),
+           e AS MATERIALIZED (
+             SELECT o_orderkey AS src, nxt AS dst,
+               (o_orderkey + nxt) % 97 + 1 AS w
+             FROM ranked WHERE nxt IS NOT NULL AND rn % $ChunkLen <> 0
+             UNION ALL
+             SELECT CAST($SsspSource AS BIGINT) AS src, o_orderkey AS dst,
+               o_orderkey % 97 + 1 AS w
+             FROM ranked WHERE rn % $ChunkLen = 1),
+           d0 AS MATERIALIZED (
+             SELECT CAST($SsspSource AS BIGINT) AS vertex,
+               CAST(0 AS BIGINT) AS dist),
+           ${bfSteps.mkString(",\n           ")}
+           SELECT vertex, dist AS distance FROM d${ChunkLen + 1}""",
       "q_closure" -> {
         val doublings = 32 - Integer.numberOfLeadingZeros(ChunkLen - 1)
         val steps = (1 to doublings).map { i =>
