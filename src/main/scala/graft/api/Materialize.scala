@@ -1,0 +1,30 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+
+/** Bounded-lifetime execution for operators that persist internal
+  * frames (the dedup shingle projections, the triangle edge cache, the
+  * unigram weight table). Their default contract is lazy: the internal
+  * cache lives until the caller drops the returned frame or calls
+  * `spark.catalog.clearCache()` — fine for a query runner that clears
+  * between queries, but a long-lived library session would accumulate
+  * dead cached frames (ADVICE r5).
+  *
+  * `releasing` is the opt-in fix: run the pipeline ONCE now, keep only
+  * the (small) result, and synchronously release every internal cache
+  * before returning. The result is held as a local checkpoint, whose
+  * storage is freed automatically by Spark's context cleaner once the
+  * caller drops the frame — nothing is left behind that outlives the
+  * caller's own reference.
+  */
+object Materialize {
+
+  /** Materialize `result` eagerly, then release `caches`.
+    * Synchronous unpersist: by the time this returns, the internal
+    * frames are gone from the block manager (spec-assertable). */
+  def releasing(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    caches.foreach(_.unpersist(blocking = true))
+    out
+  }
+}

@@ -19,6 +19,11 @@ import graft.text.TextFunctions._
   * for reuse across the candidate and verify joins; because the
   * returned frame is lazy, that cache lives until the caller drops
   * the frame (context cleaner) or calls spark.catalog.clearCache().
+  * Library callers that keep a session alive should pass
+  * `materialize = true`: the pipeline runs once, the (small) pair
+  * result is kept as a local checkpoint, and every internal cache is
+  * released synchronously before the call returns
+  * ([[graft.api.Materialize.releasing]]).
   */
 object Dedup {
 
@@ -39,7 +44,8 @@ object Dedup {
     * Output is exact integers only (common/na/nb) — float-free for
     * the oracle comparison.
     */
-  def jaccardSimilarityJoin(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def jaccardSimilarityJoin(docs: DataFrame, threshold: Double = 0.8,
+      materialize: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // materialized once: reused by the explode and both verify joins
     val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
@@ -73,7 +79,7 @@ object Dedup {
           col("b.n") * tq <= col("a.n") * 1000)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    cand
+    val pairs = cand
       .join(sets.select(col("doc_id"), col("sh")).alias("sa"), col("da") === col("sa.doc_id"))
       .join(sets.select(col("doc_id"), col("sh")).alias("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
@@ -82,6 +88,8 @@ object Dedup {
         size(col("sb.sh")).cast("long").as("nb"))
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= threshold)
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(sets, prefix))
+    else pairs
   }
 
   // ---- MinHash + LSH --------------------------------------------------
@@ -126,7 +134,8 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs: candidates share >= 1 band;
     * candidates are then verified with exact shingle-set Jaccard
     * (array_intersect), so the output has no false positives. */
-  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
+      materialize: Boolean = false): DataFrame = {
     // materialize the distinct-shingle arrays ONCE: higher-order
     // functions run interpreted, and without this barrier Catalyst's
     // CollapseProject inlines the shingleVals expression into every
@@ -151,7 +160,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    cand
+    val pairs = cand
       .join(withSig.select(col("doc_id"), col("sv")).alias("sa"), col("da") === col("sa.doc_id"))
       .join(withSig.select(col("doc_id"), col("sv")).alias("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
@@ -160,6 +169,8 @@ object Dedup {
         size(col("sb.sv")).cast("long").as("nb"))
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= threshold)
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(withSig))
+    else pairs
   }
 
   // ---- embedding-cosine near-dup --------------------------------------

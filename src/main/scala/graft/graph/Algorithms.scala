@@ -309,16 +309,21 @@ object Algorithms {
     * yields each triangle exactly once (x<y<z) with no post-dedup.
     * Two shuffle joins on vertex keys — the scalable formulation
     * (candidate volume is sum of per-vertex degree^2, not |E|^2). */
-  def enumTriangles(edges: DataFrame): DataFrame = {
+  def enumTriangles(edges: DataFrame, materialize: Boolean = false): DataFrame = {
     // persisted: all three join legs scan the edge set, and the
     // caller's edge derivation (often a self-join + distinct) would
-    // otherwise execute three times (r5: q_triangles 0.74 -> ~0.5s)
+    // otherwise execute three times (r5: q_triangles 0.74 -> ~0.5s).
+    // Lifetime: until the caller drops the frame / clearCache(), or
+    // pass materialize=true to run now and release the cache before
+    // returning (graft.api.Materialize).
     val e = edges.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.alias("e1")
+    val tris = e.alias("e1")
       .join(e.alias("e2"), col("e1.b") === col("e2.a"))
       .join(e.alias("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    if (materialize) graft.api.Materialize.releasing(tris, Seq(e))
+    else tris
   }
 }

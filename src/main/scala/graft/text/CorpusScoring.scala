@@ -18,25 +18,59 @@ import org.apache.spark.sql.functions._
   * replays it exactly:
   *   w(tok)  = (c(tok) * 1e6) div N     (parts-per-million frequency)
   *   score(d) = sum_{tok in d} w(tok) div nTokens(d)
-  * The 1e6 multiplier keeps c * 1e6 < 2^63 up to ~9e12-token corpora;
-  * the weight join shuffles on the token key (the count table is
-  * corpus-sized — never broadcast it; AQE may still choose to when a
-  * small corpus makes it safe).
+  * The 1e6 multiplier keeps c * 1e6 < 2^63 up to ~9e12-token corpora.
+  *
+  * The weight join is HYBRID (the 100-TB skew answer): natural text is
+  * Zipf-distributed, so a plain shuffle join on the token key sends
+  * every occurrence of "the" to one partition. The top-`hotTokens`
+  * most frequent tokens' weights — bounded by construction, a few KB —
+  * are broadcast, so the hottest keys never shuffle at all; only the
+  * long tail (per-key frequency low by definition) takes the keyed
+  * shuffle join. The count table itself is corpus-sized and is still
+  * never broadcast. Which tokens land in the hot set cannot affect the
+  * result (a token's weight is identical on either path), so the SQL
+  * oracle stays the plain single-join form.
+  *
+  * Cache lifetime: the per-token weight frame is persisted (it feeds
+  * the hot set, the tail anti-join, and the tail join); it lives until
+  * the caller drops the frame or calls spark.catalog.clearCache().
   */
 object CorpusScoring {
 
-  /** Per-doc unigram frequency scores: (all doc columns minus text) +
-    * `score` in integer ppm. */
-  def unigramScores(docs: DataFrame): DataFrame = {
+  /** Hot-set size for the hybrid weight join: big enough to cover the
+    * Zipf head (the top 1k tokens are ~2/3 of all occurrences in
+    * natural text), small enough that the broadcast is trivially
+    * bounded regardless of corpus size. */
+  val DefaultHotTokens = 1024
+
+  /** Per-doc unigram frequency scores: (doc_id, lang, score) with
+    * `score` in integer ppm.
+    *
+    * `materialize = true` runs the pipeline now, keeps the per-doc
+    * result (one short row per document) as a local checkpoint and
+    * releases the weight cache before returning — for long-lived
+    * library sessions that don't clearCache() between operators. */
+  def unigramScores(docs: DataFrame,
+      hotTokens: Int = DefaultHotTokens,
+      materialize: Boolean = false): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(TextFunctions.tokens(col("text"))).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("n_total"))
     val weights = counts.crossJoin(broadcast(total))
-      .select(col("tok"), expr("(c * 1000000L) div n_total").as("w"))
-    toks.join(weights, "tok")
+      .select(col("tok"), col("c"), expr("(c * 1000000L) div n_total").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // TakeOrdered head of the frequency table — never a full sort
+    val hot = weights.orderBy(col("c").desc, col("tok")).limit(hotTokens)
+      .select(col("tok"), col("w"))
+    val tail = weights.join(broadcast(hot.select(col("tok"))), Seq("tok"), "left_anti")
+      .select(col("tok"), col("w"))
+    val scores = toks.join(broadcast(hot), Seq("tok"))
+      .unionByName(toks.join(tail, Seq("tok")))
       .groupBy(col("doc_id"), col("lang"))
       .agg(expr("sum(w) div count(1)").as("score"))
+    if (materialize) graft.api.Materialize.releasing(scores, Seq(weights))
+    else scores
   }
 
   /** SQL twin of [[unigramScores]] as a CTE chain ending in `ds`

@@ -34,6 +34,24 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("materialize=true: same pairs, no internal cache left behind") {
+    spark.catalog.clearCache()
+    val expected = Dedup.minhashLshPairs(docs, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.minhashLshPairs(docs, 0.5, materialize = true)
+    // synchronous release: only the checkpointed RESULT remains — the
+    // withSig shingle cache is gone before the call even returns
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 1,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).toSeq.toString)
+    assert(out.select("da", "db").as[(Long, Long)].collect().toSet == expected)
+    // same contract on the jaccard + triangle + unigram paths
+    val j = Dedup.jaccardSimilarityJoin(docs, 0.8, materialize = true)
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
+    assert(j.count() > 0)
+  }
+
   test("minhash LSH: verified candidates are a subset of true pairs; high-sim pairs found") {
     val lsh = Dedup.minhashLshPairs(docs, 0.5)
       .select(col("da"), col("db"),

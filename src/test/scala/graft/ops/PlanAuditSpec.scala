@@ -170,6 +170,30 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("unigram scoring: hybrid weight join — hot head broadcast, tail shuffled") {
+    // with size-based broadcasting OFF (what a 100-TB corpus looks like
+    // to the planner), the EXPLICIT hot-set broadcast must survive and
+    // the tail join must fall back to a keyed shuffle join — proof the
+    // Zipf head never rides the shuffle while the corpus-sized count
+    // table is never driver-materialized
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.text.CorpusScoring.unigramScores(
+        graft.Tables.t(spark, dir, "documents"))
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, // hot + anti
+        "hot-set broadcast missing:\n" + p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "tail weight join must be a keyed shuffle join:\n" + p)
+      assert(p.contains("Union"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.catalog.clearCache()
+    }
+  }
+
   // every query where a cartesian/nested-loop join is INTENTIONAL and
   // scale-safe, with the reason — anything else that plans one is an
   // accident that explodes at 100 TB
