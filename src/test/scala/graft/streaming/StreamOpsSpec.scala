@@ -233,6 +233,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("file source -> parquet sink recovers from an existing checkpoint") {
+    // e2e restart: batch 1 processed, query STOPPED, batch 2 lands, a
+    // NEW query starts against the SAME checkpoint — it must resume
+    // from the recorded file offset: batch 1 files are not reprocessed
+    // (no duplicate output rows) and batch 2 is picked up exactly once
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-restart")
+    val (src, sink, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    def writeBatch(ids: Seq[Long]): Unit =
+      ids.map(i => (i, i * 60000000000L, i % 7, "click", 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+
+    writeBatch(1L to 20L)
+    val events = StreamOps.readEventStream(spark, src)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val q1 = StreamOps.writeParquetStream(events, sink, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(sink).count() == 20)
+
+    writeBatch(21L to 30L)
+    val q2 = StreamOps.writeParquetStream(
+      StreamOps.readEventStream(spark, src)
+        .select(col("event_id"), col("user_id"), col("ts")), sink, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(sink).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (1L to 30L), s"restart must not duplicate or drop: $got")
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
