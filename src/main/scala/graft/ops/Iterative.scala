@@ -140,8 +140,13 @@ object Iterative {
     val fromSource = ranked.filter((col("rn") % ChunkLen) === 1)
       .select(lit(SsspSource).as("src"), col("o_orderkey").as("dst"),
         (col("o_orderkey") % 97 + 1).as("weight"))
-    graft.graph.VertexCentric.shortestPathsVC(
-      chain.union(fromSource), SsspSource, maxIterations = ChunkLen + 2)
+    // the chain construction gives every vertex exactly one parent
+    // (a rooted forest hung off the super-source), so the log-depth
+    // pointer-jumping formulation applies: 2 folded jobs instead of
+    // ~10 message-passing barriers. Parity with the general Spargel
+    // form (shortestPathsVC) is asserted in AlgorithmsSpec.
+    graft.graph.Algorithms.treeShortestPaths(
+      chain.union(fromSource), SsspSource, maxDepth = ChunkLen)
   }
 
   /** Triangle count over the part co-occurrence graph of high-quantity

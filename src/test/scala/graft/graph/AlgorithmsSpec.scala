@@ -158,6 +158,24 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got2 == vertices.map(v => v -> dist.get(v)).toMap)
   }
 
+  test("treeShortestPaths: parity with Spargel SSSP on a rooted forest") {
+    // a forest shaped like the q_sssp graph: root 0 fans out to chain
+    // heads, chains of varying depth, deterministic weights — the
+    // jumping formulation must agree with the message-passing one
+    // vertex-for-vertex (and with depth > 2^(jumps-1) corner depths)
+    val chains = Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      Seq(10L), Seq(20L, 21L), Seq(30L, 31L, 32L, 33L, 34L))
+    val e = chains.flatMap { c =>
+      (0L +: c).sliding(2).map { case Seq(a, b) => (a, b, (a + b) % 7 + 1) }
+    }.toDF("src", "dst", "weight")
+    val viaJump = Algorithms.treeShortestPaths(e, source = 0L, maxDepth = 8)
+      .as[(Long, Long)].collect().toMap
+    val viaSpargel = VertexCentric.shortestPathsVC(e, source = 0L)
+      .as[(Long, Option[Long])].collect().map { case (v, d) => (v, d.get) }.toMap
+    assert(viaJump == viaSpargel)
+    assert(viaJump(0L) == 0L && viaJump.size == chains.map(_.size).sum + 1)
+  }
+
   test("connectedComponents: a 33-vertex chain collapses within the jump budget") {
     // diameter 32 needs ~4 jump-accelerated supersteps (radius ~3x per
     // step) — well inside maxIterations=8, where plain propagation
