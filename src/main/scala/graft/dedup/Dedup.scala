@@ -173,6 +173,33 @@ object Dedup {
     else pairs
   }
 
+  /** Near-duplicate CLUSTERS: the operator a corpus dedup actually
+    * ends in. [[minhashLshPairs]] emits the verified near-dup PAIR
+    * graph; its transitive closure (connected components over the
+    * pairs, min-doc_id labels via [[graft.graph.Algorithms
+    * .connectedComponents]]' delta iteration) groups chained
+    * duplicates a~b~c into ONE cluster even when a and c themselves
+    * fall under the threshold — so "keep one doc per cluster" drops
+    * every transitive copy exactly once. Returns one row per cluster
+    * of size >= 2 (singletons never enter the pair graph):
+    * (cluster_id = min doc_id, n_docs, max_doc, sum_doc — the latter
+    * two pin full membership for the oracle hash).
+    *
+    * 100 TB posture: pairs are O(true matches) (LSH bucketing), the
+    * component iteration shuffles only the pair graph — corpus size
+    * never appears past the signature scan. The pair frame is
+    * materialized once (localCheckpoint) so the iteration's
+    * supersteps never re-run the LSH pipeline. */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold, materialize = true)
+    val comps = graft.graph.Algorithms.connectedComponents(
+      pairs.select(col("da").as("src"), col("db").as("dst")))
+    comps.groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("vertex")).as("max_doc"),
+        sum(col("vertex")).as("sum_doc"))
+  }
+
   // ---- embedding-cosine near-dup --------------------------------------
 
   /** Embedding near-duplicate pairs: same-block (label) vectors with

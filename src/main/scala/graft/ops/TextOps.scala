@@ -37,6 +37,11 @@ object TextOps {
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), 0.35)
 
+  /** Transitive near-dup clusters over the MinHash pair graph —
+    * the keep-one-per-cluster dedup terminal. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(t(spark, dir, "documents"), 0.5)
+
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -190,6 +195,55 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
 
+  /** Bigram LM scoring with stupid backoff: counts from the train
+    * id-band only, every doc scored, unseen bigrams back off to
+    * halved unigram weight — the held-out-split LM-filter shape. */
+  def qBigramScore(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusScoring.bigramScores(t(spark, dir, "documents"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+
+  /** Cross-document duplicate n-gram exposure (Gopher-style corpus
+    * contamination signal): per doc, the fraction (mills) of its
+    * DISTINCT 3-gram shingles that also occur in at least one OTHER
+    * document, bucketed into deciles per lang. The doc-frequency
+    * join rides [[graft.text.CorpusScoring.hybridWeightJoin]], so
+    * the Zipf head of hot shingles never enters the shuffle. Docs
+    * with < 3 tokens have no shingles and drop out (both engines). */
+  def qCrossdocNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .withColumn("freq", col("df"))
+    graft.text.CorpusScoring.hybridWeightJoin(
+        sh, dfreq, Seq("s"), "freq", 1024, "inner")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("(sum(case when df > 1 then 1 else 0 end) * 1000)" +
+        " div count(1)").as("m"))
+      .groupBy(col("lang"), expr("m div 100").as("dup_decile"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Exact per-lang length percentiles (p50/p90 of n_chars) by rank
+    * selection: one window pass ranks within lang, the quantile is
+    * the row at rank ceil(q*n) — integer-exact on both engines, with
+    * doc_id as the full tie-break. 100 TB: one keyed shuffle + per-
+    * partition sort per lang (same cost class as any groupBy); when
+    * exactness isn't contractual, approx_percentile does it with a
+    * sketch and no sort — this op is the exact-oracle form. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    t(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        row_number().over(w).as("rn"), count(lit(1)).over(cw).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars"))).as("p90"))
+  }
+
   /** Sequence packing: per-(shard, pack) fill stats using the
     * est-token proxy (n_chars+3)/4 and a 2048-token budget. */
   def qPack(spark: SparkSession, dir: String): DataFrame =
@@ -234,6 +288,7 @@ object TextOps {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash" -> (qSimhash _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -253,6 +308,9 @@ object TextOps {
     "q_mixture" -> (qMixture _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_score" -> (qUnigramScore _),
+    "q_bigram_score" -> (qBigramScore _),
+    "q_crossdoc_ngrams" -> (qCrossdocNgrams _),
+    "q_percentiles" -> (qPercentiles _),
     "q_top_tokens" -> (qTopTokens _),
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -282,6 +340,25 @@ object TextOps {
     (sig, bands)
   }
 
+  /** Shared CTE chain of the MinHash-LSH oracle, through the exact
+    * verification frame `ver` (da, db, common, na, nb) — consumed by
+    * the pairs oracle (q_dedup_minhash) and extended to clusters
+    * (q_dedup_clusters). */
+  private val minhashVerCtes: String =
+    s"""sv0 AS (SELECT doc_id, ${sqlShingleVals3("text")} AS sv FROM documents),
+       sig AS (SELECT doc_id, sv, ${minhashSqlParts._1} AS mh FROM sv0),
+       bnd AS (SELECT doc_id, sv, ${minhashSqlParts._2} AS bands FROM sig),
+       bk AS (SELECT doc_id, i AS band_idx, bands[i] AS band_key
+              FROM bnd, unnest(generate_series(1, ${Dedup.NumHashes / Dedup.BandSize})) AS t(i)),
+       cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                FROM bk x JOIN bk y ON x.band_idx = y.band_idx
+                  AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       ver AS (SELECT da, db,
+                 len(list_intersect(sa.sv, sb.sv)) AS common,
+                 len(sa.sv) AS na, len(sb.sv) AS nb
+               FROM cand JOIN sv0 sa ON da = sa.doc_id
+                 JOIN sv0 sb ON db = sb.doc_id)"""
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT n_copies, COUNT(1) AS n_groups FROM (
@@ -295,21 +372,28 @@ object TextOps {
            GROUP BY 1, 2)
          ${jaccardVerifySql(0.8)}""",
     "q_dedup_minhash" ->
-      s"""WITH sv0 AS (SELECT doc_id, ${sqlShingleVals3("text")} AS sv FROM documents),
-         sig AS (SELECT doc_id, sv, ${minhashSqlParts._1} AS mh FROM sv0),
-         bnd AS (SELECT doc_id, sv, ${minhashSqlParts._2} AS bands FROM sig),
-         bk AS (SELECT doc_id, i AS band_idx, bands[i] AS band_key
-                FROM bnd, unnest(generate_series(1, ${Dedup.NumHashes / Dedup.BandSize})) AS t(i)),
-         cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-                  FROM bk x JOIN bk y ON x.band_idx = y.band_idx
-                    AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         ver AS (SELECT da, db,
-                   len(list_intersect(sa.sv, sb.sv)) AS common,
-                   len(sa.sv) AS na, len(sb.sv) AS nb
-                 FROM cand JOIN sv0 sa ON da = sa.doc_id
-                   JOIN sv0 sb ON db = sb.doc_id)
+      s"""WITH $minhashVerCtes
          SELECT da, db, common, na, nb FROM ver
          WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""",
+    // transitive closure of the verified pair graph: DuckDB's
+    // recursive CTE enumerates (node, reachable-label) pairs until
+    // the dedup'd UNION fixpoints (dup clusters are small, so the
+    // enumeration is tiny at oracle scale); MIN(label) per node is
+    // exactly the Spark side's min-id component
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerCtes,
+         mhp AS (SELECT da, db FROM ver
+                 WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
+         e AS (SELECT da AS u, db AS v FROM mhp
+               UNION SELECT db, da FROM mhp),
+         reach(node, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT e2.v, r.lbl FROM reach r JOIN e e2 ON r.node = e2.u),
+         comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+         SELECT cluster_id, COUNT(1) AS n_docs,
+           MAX(node) AS max_doc, CAST(SUM(node) AS BIGINT) AS sum_doc
+         FROM comp GROUP BY cluster_id""",
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
            ${graft.sim.Similarity.sqlSimRounded("a.embedding", "b.embedding", 64)} AS sim
@@ -491,6 +575,30 @@ object TextOps {
       s"""WITH ${graft.text.CorpusScoring.sqlUnigramScoresCtes("documents")}
          SELECT lang, COUNT(1) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score
          FROM ds GROUP BY lang""",
+    "q_bigram_score" ->
+      s"""WITH ${graft.text.CorpusScoring.sqlBigramScoresCtes("documents")}
+         SELECT lang, COUNT(1) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score
+         FROM ds GROUP BY lang""",
+    "q_crossdoc_ngrams" ->
+      s"""WITH sh AS (SELECT doc_id, lang, unnest(${sqlShingles3("text")}) AS s
+             FROM documents),
+         df AS (SELECT s, COUNT(1) AS df FROM sh GROUP BY s),
+         d AS (SELECT doc_id, lang,
+                 (CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+                   // COUNT(1) AS m
+               FROM sh JOIN df USING (s) GROUP BY doc_id, lang)
+         SELECT lang, m // 100 AS dup_decile, COUNT(1) AS n_docs
+         FROM d GROUP BY 1, 2""",
+    "q_percentiles" ->
+      """WITH r AS (
+           SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(1) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT lang, COUNT(1) AS n_docs,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90
+         FROM r GROUP BY lang""",
     "q_top_tokens" ->
       """WITH c AS (
            SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -14,26 +14,34 @@ import org.apache.spark.sql.functions._
   * doc of rare/garbage tokens scores near 0 — the cheap stand-in for
   * "unigram LM log-prob" rank filters.
   *
+  * Bigram conditional score ([[bigramScores]]): same two-pass shape
+  * one order up — counts come from the TRAIN id-band only, every doc
+  * is scored against them, and bigrams unseen in train back off to a
+  * halved unigram weight (stupid backoff) — so the held-out split
+  * genuinely exercises the unseen-n-gram path.
+  *
   * Everything is integer floor arithmetic so the DuckDB oracle
   * replays it exactly:
   *   w(tok)  = (c(tok) * 1e6) div N     (parts-per-million frequency)
   *   score(d) = sum_{tok in d} w(tok) div nTokens(d)
   * The 1e6 multiplier keeps c * 1e6 < 2^63 up to ~9e12-token corpora.
   *
-  * The weight join is HYBRID (the 100-TB skew answer): natural text is
-  * Zipf-distributed, so a plain shuffle join on the token key sends
-  * every occurrence of "the" to one partition. The top-`hotTokens`
-  * most frequent tokens' weights — bounded by construction, a few KB —
-  * are broadcast, so the hottest keys never shuffle at all; only the
-  * long tail (per-key frequency low by definition) takes the keyed
-  * shuffle join. The count table itself is corpus-sized and is still
-  * never broadcast. Which tokens land in the hot set cannot affect the
-  * result (a token's weight is identical on either path), so the SQL
-  * oracle stays the plain single-join form.
+  * The weight joins are HYBRID (the 100-TB skew answer): natural text
+  * is Zipf-distributed, so a plain shuffle join on the token key sends
+  * every occurrence of "the" to one partition. [[hybridWeightJoin]]
+  * broadcasts the top-`hot` most frequent keys' weights — bounded by
+  * construction, a few KB — AND anti-filters the probe side against
+  * that same broadcast before the tail join, so the hottest keys never
+  * enter the shuffle at all (not even as no-match probe rows). The
+  * count table itself is corpus-sized and is still never broadcast.
+  * Which keys land in the hot set cannot affect the result (a key's
+  * weight is identical on either path), so the SQL oracles stay the
+  * plain single-join form.
   *
-  * Cache lifetime: the per-token weight frame is persisted (it feeds
-  * the hot set, the tail anti-join, and the tail join); it lives until
-  * the caller drops the frame or calls spark.catalog.clearCache().
+  * Cache lifetime: the per-key weight frames are persisted (each feeds
+  * the hot head, the tail anti-join, and the tail join); they live
+  * until the caller drops the frame or calls clearCache(), or pass
+  * `materialize = true` to run now and release synchronously.
   */
 object CorpusScoring {
 
@@ -42,6 +50,48 @@ object CorpusScoring {
     * natural text), small enough that the broadcast is trivially
     * bounded regardless of corpus size. */
   val DefaultHotTokens = 1024
+
+  /** Train id-band (mills of the id-hash space) used by
+    * [[bigramScores]] for its count pass — the same band
+    * [[graft.pipeline.Sampling.splitLabel]] labels 'train'. */
+  val TrainMills = 800
+
+  /** Stupid-backoff denominator: an unseen bigram scores the
+    * following token's unigram ppm weight div 2 (alpha = 0.5 kept
+    * integer-exact). */
+  val BackoffDiv = 2
+
+  /** Hybrid skew-safe weight join: `rows ⨝ weights` on `keys`, where
+    * `weights` is split into the `hotN`-row most-frequent head (by
+    * `freqCol` desc, key-tiebroken) and the long tail. The head is
+    * broadcast twice — once as the hit join's build side, once as the
+    * probe side's anti-filter — so hot-key rows take a map-side-only
+    * path and ONLY tail-key rows (per-key frequency low by
+    * definition) enter the keyed shuffle. The split cannot change the
+    * result: head ⊎ tail partition `weights`, and hit ⊎ miss
+    * partition `rows`.
+    *
+    * `joinType` "inner" or "left"; "left" keeps rows whose key has no
+    * weight at all (their weight columns come back NULL) — the
+    * backoff hook for [[bigramScores]].
+    *
+    * weights must carry `keys`, `freqCol`, and the weight payload
+    * columns; `freqCol` is dropped from the output. */
+  private[graft] def hybridWeightJoin(rows: DataFrame, weights: DataFrame,
+      keys: Seq[String], freqCol: String, hotN: Int,
+      joinType: String): DataFrame = {
+    require(joinType == "inner" || joinType == "left", joinType)
+    // TakeOrdered head of the frequency table — never a full sort
+    val hot = weights
+      .orderBy(col(freqCol).desc +: keys.map(col): _*)
+      .limit(hotN).drop(freqCol)
+    val hotKeys = hot.select(keys.map(col): _*)
+    val tail = weights.join(broadcast(hotKeys), keys, "left_anti").drop(freqCol)
+    val hit = rows.join(broadcast(hot), keys)
+    val miss = rows.join(broadcast(hotKeys), keys, "left_anti")
+      .join(tail, keys, joinType)
+    hit.unionByName(miss)
+  }
 
   /** Per-doc unigram frequency scores: (doc_id, lang, score) with
     * `score` in integer ppm.
@@ -60,13 +110,8 @@ object CorpusScoring {
     val weights = counts.crossJoin(broadcast(total))
       .select(col("tok"), col("c"), expr("(c * 1000000L) div n_total").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // TakeOrdered head of the frequency table — never a full sort
-    val hot = weights.orderBy(col("c").desc, col("tok")).limit(hotTokens)
-      .select(col("tok"), col("w"))
-    val tail = weights.join(broadcast(hot.select(col("tok"))), Seq("tok"), "left_anti")
-      .select(col("tok"), col("w"))
-    val scores = toks.join(broadcast(hot), Seq("tok"))
-      .unionByName(toks.join(tail, Seq("tok")))
+    val scores = hybridWeightJoin(toks, weights, Seq("tok"), "c",
+        hotTokens, "inner")
       .groupBy(col("doc_id"), col("lang"))
       .agg(expr("sum(w) div count(1)").as("score"))
     if (materialize) graft.api.Materialize.releasing(scores, Seq(weights))
@@ -83,4 +128,83 @@ object CorpusScoring {
        w AS (SELECT tok, (c * 1000000) // (SELECT n FROM tot) AS w FROM counts),
        ds AS (SELECT doc_id, lang, SUM(w) // COUNT(1) AS score
            FROM toks JOIN w USING (tok) GROUP BY doc_id, lang)"""
+
+  /** Per-doc bigram conditional-frequency scores with stupid backoff:
+    * (doc_id, lang, score), score in integer ppm.
+    *
+    * Counts are taken over the TRAIN id-band only ([[TrainMills]],
+    * the band Sampling.splitLabel calls 'train'); ALL docs are then
+    * scored against them — the held-out-split scoring shape, and the
+    * reason the backoff path is live (val/test docs contain bigrams
+    * train never saw).
+    *
+    *   w2(p,c) = (c2(p,c) * 1e6) div c1(p)       seen-in-train bigram
+    *   w1(c)   = ((c1(c) * 1e6) div N) div 2     backoff: halved unigram
+    *   score(d) = sum over d's bigrams of coalesce(w2, w1, 0) div nBigrams
+    *
+    * Bigram pairs are built from the token ARRAY (slice+transform —
+    * zero shuffle, no per-doc window); docs with < 2 tokens have no
+    * bigrams and drop out of the result, matching the SQL twin. Both
+    * weight joins are [[hybridWeightJoin]] — the Zipf head of
+    * bigrams ("of the") and of backoff tokens never enters a shuffle. */
+  def bigramScores(docs: DataFrame,
+      hotN: Int = DefaultHotTokens,
+      materialize: Boolean = false): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokens(col("text")).as("t"))
+    val bg = base.select(col("doc_id"), col("lang"),
+        explode(expr("transform(slice(t, 1, greatest(size(t) - 1, 0))," +
+          " (x, i) -> struct(x AS prev, t[i + 1] AS cur))")).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val inTrain = graft.pipeline.Sampling.sampleFilter(col("doc_id"), TrainMills)
+    val c2 = bg.filter(inTrain)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = base.filter(inTrain)
+      .select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum(col("c1")).as("n_total"))
+    // weight TABLES are count-table-sized (vocab / bigram-vocab), so
+    // their build join is an ordinary keyed shuffle — never broadcast
+    val w2 = c2.join(c1.withColumnRenamed("tok", "prev"), "prev")
+      .select(col("prev"), col("cur"), col("c2"),
+        expr("(c2 * 1000000L) div c1").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w1 = c1.crossJoin(broadcast(total))
+      .select(col("tok").as("cur"), col("c1"),
+        expr(s"((c1 * 1000000L) div n_total) div $BackoffDiv").as("w1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scores = hybridWeightJoin(
+        hybridWeightJoin(bg, w2, Seq("prev", "cur"), "c2", hotN, "left"),
+        w1, Seq("cur"), "c1", hotN, "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("w2"), col("w1"), lit(0L)).as("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(w) div count(1)").as("score"))
+    if (materialize) graft.api.Materialize.releasing(scores, Seq(w2, w1))
+    else scores
+  }
+
+  /** SQL twin of [[bigramScores]] as a CTE chain ending in `ds`
+    * (doc_id, lang, score). */
+  def sqlBigramScoresCtes(docsTable: String): String = {
+    val trainBand = graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)
+    s"""sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM $docsTable),
+       bg AS (SELECT doc_id, lang, t[i] AS prev, t[i + 1] AS cur
+           FROM sp, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+       c2 AS (SELECT prev, cur, COUNT(1) AS c2 FROM bg
+           WHERE $trainBand < $TrainMills GROUP BY 1, 2),
+       c1 AS (SELECT tok, COUNT(1) AS c1 FROM (
+           SELECT unnest(t) AS tok FROM sp WHERE $trainBand < $TrainMills)
+           GROUP BY tok),
+       tot AS (SELECT SUM(c1) AS n FROM c1),
+       w2 AS (SELECT prev, cur, (c2 * 1000000) // c1 AS w2
+           FROM c2 JOIN c1 ON prev = tok),
+       w1 AS (SELECT tok AS cur,
+           ((c1 * 1000000) // (SELECT n FROM tot)) // $BackoffDiv AS w1 FROM c1),
+       ds AS (SELECT doc_id, lang,
+           SUM(COALESCE(w2, w1, 0)) // COUNT(1) AS score
+           FROM bg LEFT JOIN w2 USING (prev, cur) LEFT JOIN w1 USING (cur)
+           GROUP BY doc_id, lang)"""
+  }
 }

@@ -106,6 +106,27 @@ class DedupSpec extends SparkSpec {
     assert(hamming(h(1L), h(3L)) > 4)
   }
 
+  test("nearDupClusters: transitive chain a~b~c is ONE cluster with no a~c pair") {
+    // fixture chosen (by replaying the exact minhash/band arithmetic)
+    // so the verified pair graph is exactly {(10,11),(11,12)}:
+    // J(A,B)=J(B,C)=0.6 with shared LSH bands, J(A,C)=0.333 — below
+    // threshold AND zero shared bands — and D is token-disjoint noise.
+    // Clustering must still put A,B,C together: that's the transitive
+    // closure a pairwise dedup misses.
+    val a = "zulu oscar charlie amber basil india papa whiskey victor dune bravo juliet cedar sierra"
+    val b = "zulu oscar charlie amber basil india papa whiskey victor dune bravo tango xray quebec"
+    val c = "hotel alpha lima amber basil india papa whiskey victor dune bravo tango xray quebec"
+    val d = "mike november romeo uniform yankee foxtrot golf kilo echo delta"
+    val docs = Seq((10L, "en", a), (11L, "en", b), (12L, "en", c), (13L, "en", d))
+      .toDF("doc_id", "lang", "text")
+    val pairs = Dedup.minhashLshPairs(docs, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L), (11L, 12L)))
+    val clusters = Dedup.nearDupClusters(docs, 0.5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(clusters == Seq((10L, 3L, 12L, 33L))) // (cluster_id, n, max, sum)
+  }
+
   test("fingerprint: identical token streams collide, different ones don't") {
     val d = docsDf((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"))
     val f = d.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("f"))

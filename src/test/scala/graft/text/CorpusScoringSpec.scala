@@ -23,6 +23,44 @@ class CorpusScoringSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(2L) > got(3L))
   }
 
+  test("bigram scores: train-band counts, held-out backoff, exact arithmetic") {
+    // id buckets (same hash as Sampling.splitLabel): 1,2,3 are in the
+    // train band, 4 is held out — so doc 4's unseen bigrams exercise
+    // the backoff path against counts it did not contribute to
+    val docs = Seq(
+      (1L, "en", "a b a b"),
+      (2L, "en", "a b c"),
+      (3L, "en", "solo"),
+      (4L, "en", "a b z c")).toDF("doc_id", "lang", "text")
+    val got = CorpusScoring.bigramScores(docs)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    // train: c1 = {a:3, b:3, c:1, solo:1}, N=8; c2 = {(a,b):3, (b,a):1, (b,c):1}
+    // w2(a,b) = 3e6 div 3 = 1000000; w2(b,a) = w2(b,c) = 1e6 div 3 = 333333
+    // w1(c) = ((1e6 div 8)) div 2 = 62500
+    assert(got(1L) == (1000000L + 333333L + 1000000L) / 3)
+    assert(got(2L) == (1000000L + 333333L) / 2)
+    // doc 4: (a,b) seen; (b,z) OOV -> 0; (z,c) unseen -> backoff w1(c)
+    assert(got(4L) == (1000000L + 0L + 62500L) / 3)
+    assert(!got.contains(3L)) // single-token doc has no bigrams
+  }
+
+  test("hybridWeightJoin: hot/tail split is result-invariant vs a plain join") {
+    val rows = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "w"))
+      .toDF("id", "k")
+    val weights = Seq(("x", 10L, 100L), ("y", 2L, 200L), ("z", 1L, 300L))
+      .toDF("k", "freq", "w")
+    for (hotN <- Seq(0, 1, 2, 10); jt <- Seq("inner", "left")) {
+      val hybrid = CorpusScoring
+        .hybridWeightJoin(rows, weights, Seq("k"), "freq", hotN, jt)
+        .select("id", "k", "w").as[(Long, String, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      val plain = rows.join(weights.drop("freq"), Seq("k"), jt)
+        .select("id", "k", "w").as[(Long, String, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      assert(hybrid == plain, s"hotN=$hotN joinType=$jt")
+    }
+  }
+
   test("unigram scores: deterministic under repartition") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
