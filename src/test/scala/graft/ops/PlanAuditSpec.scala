@@ -194,6 +194,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bigram scoring: both hybrid weight joins keep hot heads broadcast, tails shuffled") {
+    // same contract as the unigram case, doubled: the w2 (prev,cur)
+    // hybrid and the w1 (cur) backoff hybrid must each keep their
+    // explicit hot-head broadcast + probe-side anti-filter while the
+    // tail joins fall back to keyed shuffle joins
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.text.CorpusScoring.bigramScores(
+        graft.Tables.t(spark, dir, "documents"))
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, // 2x (hot + anti)
+        "hot-set broadcasts missing:\n" + p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "tail weight joins must be keyed shuffle joins:\n" + p)
+      assert("Union".r.findAllIn(p).size >= 2, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.catalog.clearCache()
+    }
+  }
+
   // every query where a cartesian/nested-loop join is INTENTIONAL and
   // scale-safe, with the reason — anything else that plans one is an
   // accident that explodes at 100 TB
@@ -203,6 +226,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_lsh" -> "broadcast probe-bucket set; corpus side keeps one bucket/vector",
     "q_knn_ivf" -> "broadcast probe-cell set against the bucketed corpus",
     "q_unigram_score" -> "1-row corpus-total frame broadcast into the weight projection",
+    "q_bigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",
     "q_dedup_embedding" -> "1-row label-count guard frame (never the corpus)",
   )
 

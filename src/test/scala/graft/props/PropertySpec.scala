@@ -244,4 +244,70 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"round $round")
     }
   }
+
+  test("property: nearDupClusters equals min-union-find over the LSH pair graph") {
+    // docs long enough to carry shingles, plus planted exact copies so
+    // the pair graph is non-trivial every round
+    val longDoc: Gen[String] =
+      Gen.chooseNum(6, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (round <- 1 to 3) {
+      val base = sample(Gen.listOfN(10, longDoc), 9000L + round)
+      val texts = base ++ base.take(4)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, "en", t) }.toDF("doc_id", "lang", "text")
+      val pairs = Dedup.minhashLshPairs(docs, 0.5)
+        .select("da", "db").as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb // root = component min
+      }
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = members.groupBy(find).map { case (root, ms) =>
+        (root, ms.length.toLong, ms.max, ms.sum)
+      }.toSet
+      val got = Dedup.nearDupClusters(docs, 0.5)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"round $round")
+      assert(expected.nonEmpty, s"round $round planted dups produced no pairs")
+    }
+  }
+
+  test("property: bigram backoff scores equal the local model") {
+    import graft.text.CorpusScoring
+    for (round <- 1 to 3) {
+      val texts = sample(Gen.listOfN(12, doc), 7000L + round)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, "en", t) }.toDF("doc_id", "lang", "text")
+      val got = CorpusScoring.bigramScores(docs)
+        .select("doc_id", "score").as[(Long, Long)].collect().toMap
+      def bucket(i: Long) = ((i % 1000000007L) * 2654435761L % 1000000007L) % 1000L
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.split(" ", -1).toSeq)
+      }
+      val train = toks.filter { case (i, _) => bucket(i) < CorpusScoring.TrainMills }
+      val c1 = train.flatMap(_._2).groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+      val n = c1.values.sum
+      def bgs(ts: Seq[String]) = ts.zip(ts.drop(1))
+      val c2 = train.flatMap(t => bgs(t._2)).groupBy(identity)
+        .map { case (p, l) => p -> l.size.toLong }
+      val expected = toks.flatMap { case (i, ts) =>
+        val bg = bgs(ts)
+        if (bg.isEmpty) None
+        else {
+          val ws = bg.map { case (p, c) =>
+            c2.get((p, c)).map(cc => cc * 1000000L / c1(p))
+              .orElse(c1.get(c).map(c1c => (c1c * 1000000L / n) / CorpusScoring.BackoffDiv))
+              .getOrElse(0L)
+          }
+          Some(i -> ws.sum / ws.size)
+        }
+      }.toMap
+      assert(got == expected, s"round $round: $texts")
+    }
+  }
 }
