@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Salted (replicated-build) join for hot probe keys — the manual
+    * form of AQE's skew-join split, for when the skew is known up
+    * front or AQE is unavailable (e.g. inside a cached subtree): the
+    * probe side gets a uniform row-identity salt in [0, saltBuckets),
+    * the build side is replicated once per salt value, and the join
+    * key becomes (keys, salt) — a hot key's rows now spread over
+    * `saltBuckets` reducers instead of one. Build-side cost is
+    * |build| × saltBuckets rows through the shuffle: appropriate for
+    * dimension/weight-table builds, not for fact-fact joins (use AQE
+    * there). Only "inner" and "left" are allowed — replication would
+    * duplicate unmatched build rows under right/full semantics. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, not $joinType (build rows are replicated)")
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Two-phase salted sum: partial sums per (keys, salt), then the
     * final per-key combine. The salt derives from the row identity —
     * uniform, deterministic per execution, and independent of the

@@ -80,6 +80,26 @@ object Events {
       .select(col("pid"), col("asof_cts_s").as("last_click_s"))
   }
 
+  /** First-touch / last-touch attribution per user: the arg-extremum
+    * aggregation (min_by/max_by over a struct order key) — ONE
+    * partial-then-final aggregation, no per-user sort and no window,
+    * which is the 100-TB point: attribution over a trillion events is
+    * a plain combiner groupBy. Order key = (whole-second ts, event_id)
+    * — unique, so ties can't exist and the ns-vs-µs precision split
+    * is invisible; the oracle computes the same semantics with rank
+    * windows (DuckDB's arg_min takes only scalar order keys). */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), struct(col("sec"), col("event_id"))).as("first_touch"),
+        max_by(col("event_type"), struct(col("sec"), col("event_id"))).as("last_touch"),
+        count(lit(1)).as("n_events"),
+        (sum(col("cents")) / lit(100.0)).as("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sliding_daily" -> (qSlidingDaily _),
@@ -88,6 +108,7 @@ object Events {
     "q_json_props" -> (qJsonProps _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_attribution" -> (qAttribution _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -153,5 +174,24 @@ object Events {
          SELECT pid, c.cts_s AS last_click_s
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.pts_s >= c.cts_s""",
+    // same semantics as the Spark min_by/max_by over (sec, event_id)
+    // via rank windows; the order key is unique so both agree exactly
+    "q_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         r AS (
+           SELECT user_id, event_type, cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rf,
+             row_number() OVER (PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS rl
+           FROM e)
+         SELECT user_id,
+           MAX(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
+           MAX(CASE WHEN rl = 1 THEN event_type END) AS last_touch,
+           COUNT(1) AS n_events,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS sum_value
+         FROM r GROUP BY user_id""",
   )
 }

@@ -385,6 +385,19 @@ object Relational {
     * two-phase salted sum must produce exactly the plain GROUP BY
     * result (scaled-long inner sums keep it order-independent, so the
     * oracle is the unsalted SQL aggregate). */
+  /** Salted (replicated-build) skew join: lineitem probes supplier on
+    * the salted key; per-nation rollup must equal the plain join —
+    * the salt spreads any hot suppkey over 16 reducers and is
+    * invisible in the result (oracle = the unsalted join). */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Salting.saltedJoin(
+        t(spark, dir, "lineitem").select(col("l_suppkey"), col("l_quantity")),
+        t(spark, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        keys = Seq("l_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+
   def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
     graft.api.Salting.saltedSum(
       t(spark, dir, "lineitem")
@@ -420,6 +433,7 @@ object Relational {
     "q_partition_by_hash" -> (qPartitionByHash _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_outer_join" -> (qOuterJoin _),
     "q_cogroup" -> (qCoGroup _),
     "q_cogroup_sorted" -> (qCoGroupSorted _),
@@ -533,6 +547,11 @@ object Relational {
            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
            COUNT(1) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    // oracle = the UNSALTED join: the salt must be invisible
+    "q_salted_join" ->
+      """SELECT s_nationkey, SUM(l_quantity) AS sum_qty, COUNT(1) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey""",
     "q_outer_join" ->
       """SELECT p_partkey, p_brand, qty45
          FROM part FULL OUTER JOIN (

@@ -134,6 +134,15 @@ object TextOps {
         t(spark, dir, "documents"), "doc_id", 100)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Deterministic fixed-k sample per stratum ("20 docs per lang"):
+    * the per-group twin of q_sample_fixed (WindowGroupLimit, no
+    * global sort; hash order makes the pick uniform + reproducible). */
+  def qSamplePerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.fixedSamplePerGroup(
+        t(spark, dir, "documents"), "doc_id", Seq("lang"), 20)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+
   /** Audio plumbing: per-sample-rate stream stats parsed back out of
     * real RIFF/WAVE headers (AudioCodec). Oracle replicates the
     * ENCODER's arithmetic — a mis-walked chunk list hash-mismatches. */
@@ -305,6 +314,7 @@ object TextOps {
     "q_split" -> (qSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_fixed" -> (qSampleFixed _),
+    "q_sample_per_group" -> (qSamplePerGroup _),
     "q_mixture" -> (qMixture _),
     "q_repetition" -> (qRepetition _),
     "q_unigram_score" -> (qUnigramScore _),
@@ -611,6 +621,14 @@ object TextOps {
       import graft.pipeline.Sampling.sqlIdBucket
       s"""SELECT doc_id, lang, n_chars FROM documents
          ORDER BY ${sqlIdBucket("doc_id", 1000000)}, doc_id LIMIT 100"""
+    },
+    "q_sample_per_group" -> {
+      import graft.pipeline.Sampling.sqlIdBucket
+      s"""SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY ${sqlIdBucket("doc_id", 1000000)}, doc_id) AS BIGINT) AS rk,
+           doc_id, n_chars
+         FROM documents QUALIFY rk <= 20"""
     },
     "q_pack" -> {
       val inner = graft.pipeline.Packing.sqlPackCte(

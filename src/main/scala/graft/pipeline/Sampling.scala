@@ -68,6 +68,22 @@ object Sampling {
   def fixedSample(df: DataFrame, idCol: String, k: Int): DataFrame =
     df.orderBy(idBucket(col(idCol), 1000000), col(idCol)).limit(k)
 
+  /** Deterministic fixed-k sample PER GROUP ("k examples per
+    * language/source"): rank within each group by (hash-bucket, id)
+    * and keep rank <= k. The rank predicate plans as a
+    * WindowGroupLimit — per-partition group-wise top-k before the
+    * single keyed shuffle, never a global or full per-group sort —
+    * and the hash order makes the pick uniform and stable under
+    * re-runs, re-partitioning, and corpus growth localized elsewhere.
+    * Output keeps the rank as `rk` (1-based). */
+  def fixedSamplePerGroup(df: DataFrame, idCol: String,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(idBucket(col(idCol), 1000000), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Weighted domain mixture: per-domain keep rates (in mills) applied
     * through the same deterministic id bucket — the way a training mix
     * downsamples over-represented sources (e.g. web 20%, code 100%).

@@ -310,6 +310,30 @@ class DataSetSpec extends SparkSpec {
     assert(plain.map(_.toString) == salted.map(_.toString))
   }
 
+  test("salted join equals the plain join for inner and left; rejects right/full") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_quantity"))
+    // drop a few build keys so the LEFT case has genuinely unmatched probes
+    val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .filter(col("s_suppkey") % 5 =!= 0)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    for (jt <- Seq("inner", "left")) {
+      val plain = li.join(sup, Seq("l_suppkey"), jt)
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey").asc_nulls_first).collect().toSeq
+      val salted = Salting.saltedJoin(li, sup, Seq("l_suppkey"),
+          saltBuckets = 8, joinType = jt)
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey").asc_nulls_first).collect().toSeq
+      assert(plain.map(_.toString) == salted.map(_.toString), jt)
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(li, sup, Seq("l_suppkey"), joinType = "right")
+    }
+  }
+
   test("csv/text round trip (FileOutputFormat part-file model)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
     tuples3.writeAsCsv(s"$dir/csv")

@@ -65,4 +65,23 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("fixedSamplePerGroup: exactly k per group, partition-stable, WindowGroupLimit") {
+    val a = Sampling.fixedSamplePerGroup(docs, "doc_id", Seq("lang"), 7)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq.sorted
+    val b = Sampling.fixedSamplePerGroup(docs.repartition(13), "doc_id", Seq("lang"), 7)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq.sorted
+    assert(a == b && a.nonEmpty)
+    val perGroup = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ <= 7), perGroup.toMap)
+    // groups with >= 7 docs contribute exactly 7
+    val groupSizes = docs.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    groupSizes.foreach { case (g, n) =>
+      assert(perGroup.getOrElse(g, 0) == math.min(n, 7L).toInt, g)
+    }
+    val plan = Sampling.fixedSamplePerGroup(docs, "doc_id", Seq("lang"), 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
