@@ -152,6 +152,11 @@ object CorpusScoring {
       materialize: Boolean = false): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"),
       TextFunctions.tokens(col("text")).as("t"))
+    // NOT persisted: bg is read 3x (c2 + both w2-hybrid branches) but
+    // it's a narrow codegen'd explode off the scan — caching it too
+    // measured flat (0.90 vs 0.93s warm sf0.1) for a second
+    // corpus-sized cache; the withW2 barrier below is where the
+    // recomputation actually hurt (two joins, not a projection)
     val bg = base.select(col("doc_id"), col("lang"),
         explode(expr("transform(slice(t, 1, greatest(size(t) - 1, 0))," +
           " (x, i) -> struct(x AS prev, t[i + 1] AS cur))")).as("b"))
@@ -174,14 +179,20 @@ object CorpusScoring {
       .select(col("tok").as("cur"), col("c1"),
         expr(s"((c1 * 1000000L) div n_total) div $BackoffDiv").as("w1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scores = hybridWeightJoin(
-        hybridWeightJoin(bg, w2, Seq("prev", "cur"), "c2", hotN, "left"),
-        w1, Seq("cur"), "c1", hotN, "left")
+    // persisted: the backoff hybrid references its input TWICE (hot
+    // hit + anti-filtered miss), and without the barrier the whole
+    // w2 hybrid (two joins over the exploded corpus) executes twice
+    // (measured 1.33 -> 0.93s warm at sf0.1). Bigram-rows-sized —
+    // spills to disk past memory, same lifetime contract as the
+    // dedup shingle caches (released by materialize).
+    val withW2 = hybridWeightJoin(bg, w2, Seq("prev", "cur"), "c2", hotN, "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scores = hybridWeightJoin(withW2, w1, Seq("cur"), "c1", hotN, "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("w2"), col("w1"), lit(0L)).as("w"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(expr("sum(w) div count(1)").as("score"))
-    if (materialize) graft.api.Materialize.releasing(scores, Seq(w2, w1))
+    if (materialize) graft.api.Materialize.releasing(scores, Seq(w2, w1, withW2))
     else scores
   }
 
