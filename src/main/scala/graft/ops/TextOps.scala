@@ -220,8 +220,14 @@ object TextOps {
     * the Zipf head of hot shingles never enters the shuffle. Docs
     * with < 3 tokens have no shingles and drop out (both engines). */
   def qCrossdocNgrams(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: sh is read 3x (doc-frequency groupBy + both hybrid
+    // branches) and the 3-gram string explode is the expensive part
+    // of this query (1.57 -> 1.04s warm sf0.1). Exploded-shingle-
+    // sized, spills past memory; lifetime = caller drop / clearCache
+    // (the dedup-cache contract, Dedup.scala header).
     val sh = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .withColumn("freq", col("df"))
     graft.text.CorpusScoring.hybridWeightJoin(
