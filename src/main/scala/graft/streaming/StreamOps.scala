@@ -89,6 +89,21 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-duplicate dedup: key the watermark-scoped dedup
+    * state on the document's 16-bit SimHash instead of an exact id —
+    * reworded near-copies that collide in the fingerprint are dropped
+    * while state stays one row per distinct fingerprint seen inside
+    * the watermark (the streaming face of the batch Dedup family;
+    * same codegen'd SimHashExpr, so stream and batch agree on which
+    * docs are "near"). `tsCol` is the event-time column the watermark
+    * rides; `textCol` the document text. */
+  def dedupNearStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs.withColumn("__simhash", graft.dedup.Dedup.simhash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__simhash")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   case class UserStat(user_id: Long, n_events: Long, total_value: Double)

@@ -72,6 +72,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 3)
   }
 
+  test("near-dup stream drops simhash-colliding rewordings, keeps distinct docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val near = StreamOps.dedupNearStream(
+      in.toDF().toDF("ts", "text"), "ts", "text", "1 hour")
+    val q = near.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup").start()
+    // batch-side ground truth: the stream must drop exactly the docs
+    // whose simhash was already seen (same codegen'd expression)
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and twice" // simhash-equal near-copy
+    val c = "completely different words about spark catalyst tungsten shuffles"
+    val sh = Seq(a, b, c).toDF("text")
+      .select(graft.dedup.Dedup.simhash(col("text"))).as[Long].collect()
+    assert(sh(0) == sh(1) && sh(0) != sh(2), sh.toSeq.toString) // fixture sanity
+    in.addData((ts(0), a), (ts(1), b), (ts(2), c))
+    q.processAllAvailable()
+    in.addData((ts(3), a)) // replay across batches — state remembers
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("neardup").as[(Timestamp, String)].collect()
+      .map(_._2).sorted.toSeq == Seq(a, c).sorted)
+  }
+
   test("session windows merge events within gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -44,6 +44,24 @@ class CorpusScoringSpec extends SparkSpec {
     assert(!got.contains(3L)) // single-token doc has no bigrams
   }
 
+  test("bigram materialize=true: same scores, no internal cache left behind") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    spark.catalog.clearCache()
+    val expected = CorpusScoring.bigramScores(docs)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    spark.catalog.clearCache()
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val out = CorpusScoring.bigramScores(docs, materialize = true)
+    // synchronous release: only the checkpointed per-doc RESULT remains
+    // — the w2/w1 weight caches AND the withW2 barrier are gone before
+    // the call returns
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 1,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).toSeq.toString)
+    assert(out.as[(Long, String, Long)].collect().sortBy(_._1).toSeq == expected)
+    spark.catalog.clearCache()
+  }
+
   test("hybridWeightJoin: hot/tail split is result-invariant vs a plain join") {
     val rows = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "w"))
       .toDF("id", "k")
