@@ -100,6 +100,28 @@ object Events {
         count(lit(1)).as("n_events"),
         (sum(col("cents")) / lit(100.0)).as("sum_value"))
 
+  /** Rolling + running totals per user (ROWS frames): 3-event moving
+    * sum and running sum over the (second, event_id) order, folded
+    * into per-user checksums — sum-of-prefix-sums pins every
+    * intermediate frame value, so a single mis-framed row
+    * hash-mismatches. One keyed shuffle + one partition sort serves
+    * BOTH frames (same window spec), then the combiner groupBy. */
+  def qRollingStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"),
+        sum(col("cents")).over(w.rowsBetween(-2, 0)).as("roll3"),
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("roll3")).as("sum_roll3"),
+        sum(col("run")).as("sum_running"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sliding_daily" -> (qSlidingDaily _),
@@ -109,6 +131,7 @@ object Events {
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_attribution" -> (qAttribution _),
+    "q_rolling_stats" -> (qRollingStats _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -193,5 +216,22 @@ object Events {
            COUNT(1) AS n_events,
            CAST(SUM(cents) AS BIGINT) / 100.0 AS sum_value
          FROM r GROUP BY user_id""",
+    "q_rolling_stats" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         w AS (
+           SELECT user_id,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS UNBOUNDED PRECEDING) AS run
+           FROM e)
+         SELECT user_id, COUNT(1) AS n_events,
+           CAST(SUM(roll3) AS BIGINT) AS sum_roll3,
+           CAST(SUM(run) AS BIGINT) AS sum_running
+         FROM w GROUP BY user_id""",
   )
 }
