@@ -143,6 +143,27 @@ object TextOps {
       .select(col("lang"), col("rk").cast("long").as("rk"),
         col("doc_id"), col("n_chars"))
 
+  /** Corpus snapshot diff (incremental-ingest primitive): today's
+    * "crawl" is derived deterministically from the documents table —
+    * the top id-hash decile decays away (removed), the bottom 5%
+    * change content (fingerprint bumped), buckets [50,60) reappear
+    * under fresh ids (added) — and the diff classifies every key with
+    * ONE fingerprint-only full-outer join. Status histogram output. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bucket = graft.pipeline.Sampling.idBucket(col("doc_id"), 1000)
+    val prev = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val next = docs.filter(bucket < 900)
+      .select(col("doc_id"),
+        when(bucket < 50, fingerprint(col("text")) + 1)
+          .otherwise(fingerprint(col("text"))).as("fp"))
+      .unionByName(docs.filter(bucket >= 50 && bucket < 60)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          fingerprint(col("text")).as("fp")))
+    graft.pipeline.SnapshotDiff.diff(prev, next, "doc_id", "fp")
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
   /** Audio plumbing: per-sample-rate stream stats parsed back out of
     * real RIFF/WAVE headers (AudioCodec). Oracle replicates the
     * ENCODER's arithmetic — a mis-walked chunk list hash-mismatches. */
@@ -330,6 +351,7 @@ object TextOps {
     "q_top_tokens" -> (qTopTokens _),
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -646,5 +668,23 @@ object TextOps {
     },
     "q_decontaminate" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < 20", minCommon = 3),
+    "q_snapshot_diff" -> {
+      import graft.pipeline.Sampling.sqlIdBucket
+      s"""WITH fp AS (SELECT doc_id, ${sqlFingerprint("text")} AS fp,
+             ${sqlIdBucket("doc_id", 1000)} AS b FROM documents),
+         prev AS (SELECT doc_id AS key, fp AS fp_prev FROM fp),
+         nxt AS (
+           SELECT doc_id AS key,
+             CASE WHEN b < 50 THEN fp + 1 ELSE fp END AS fp_next
+           FROM fp WHERE b < 900
+           UNION ALL
+           SELECT doc_id + 10000000, fp FROM fp WHERE b >= 50 AND b < 60),
+         d AS (SELECT CASE WHEN fp_prev IS NULL THEN 'added'
+                 WHEN fp_next IS NULL THEN 'removed'
+                 WHEN fp_prev = fp_next THEN 'same'
+                 ELSE 'changed' END AS status
+               FROM prev FULL OUTER JOIN nxt USING (key))
+         SELECT status, COUNT(1) AS n FROM d GROUP BY status"""
+    },
   )
 }
