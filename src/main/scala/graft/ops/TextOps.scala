@@ -110,6 +110,25 @@ object TextOps {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
   }
 
+  /** Per-label embedding centroids (mean-pooling / prototype
+    * vectors): one posexplode + combiner groupBy per (label, dim),
+    * each element quantized to a 1e-6-unit long BEFORE summing so the
+    * per-dim sums are order-independent and engine-exact. Output
+    * folds the 64 per-dim sums into a weighted checksum per label —
+    * a single wrong dim breaks the hash. Sums + count are returned
+    * rather than the mean: integer division of possibly-NEGATIVE
+    * sums is floor in DuckDB but truncation in Spark, so the mean is
+    * left to the (float-tolerant) consumer. */
+  def qCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        max(when(col("d") === 0, col("s"))).as("sum0_q"),
+        sum((col("d") + 1) * col("s")).as("checksum"))
+
   // ---- deterministic splits / sampling -------------------------------
 
   /** Train/val/test split summary: per (split, lang) doc + char counts
@@ -334,6 +353,7 @@ object TextOps {
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
+    "q_centroids" -> (qCentroids _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -532,6 +552,17 @@ object TextOps {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
            FROM cand)
          SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    "q_centroids" ->
+      """WITH e AS (
+           SELECT label, i - 1 AS d,
+             CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+           FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+         s AS (SELECT label, d, CAST(SUM(q) AS BIGINT) AS s, COUNT(1) AS n
+               FROM e GROUP BY 1, 2)
+         SELECT label, MAX(n) AS n_vecs,
+           MAX(CASE WHEN d = 0 THEN s END) AS sum0_q,
+           CAST(SUM((d + 1) * s) AS BIGINT) AS checksum
+         FROM s GROUP BY label""",
     // strlen = UTF-8 BYTE length in DuckDB, mirroring MediaCodec.dims
     // (computed on text.getBytes at encode time); the character-count
     // length() would diverge on any non-ASCII doc. These oracles
