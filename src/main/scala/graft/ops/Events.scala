@@ -122,6 +122,24 @@ object Events {
         sum(col("run")).as("sum_running"))
   }
 
+  /** Funnel conversion: per user, did the first click precede the
+    * first purchase? ONE combiner aggregation computes both
+    * first-touch epochs (conditional min — no join, no window, no
+    * sort), then a single-row rollup counts the funnel stages. The
+    * whole funnel is two partial-then-final aggregations at any
+    * scale. Whole-second epochs (header note); ties (same second)
+    * count as converted — both engines apply `<=` identically. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click", col("sec"))).as("c0"),
+        min(when(col("event_type") === "purchase", col("sec"))).as("p0"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("c0").isNotNull, 1L).otherwise(0L)).as("n_clickers"),
+        sum(when(col("p0").isNotNull, 1L).otherwise(0L)).as("n_buyers"),
+        sum(when(col("c0") <= col("p0"), 1L).otherwise(0L)).as("n_converted"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sliding_daily" -> (qSlidingDaily _),
@@ -132,6 +150,7 @@ object Events {
     "q_asof_join" -> (qAsofJoin _),
     "q_attribution" -> (qAttribution _),
     "q_rolling_stats" -> (qRollingStats _),
+    "q_funnel" -> (qFunnel _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -233,5 +252,18 @@ object Events {
            CAST(SUM(roll3) AS BIGINT) AS sum_roll3,
            CAST(SUM(run) AS BIGINT) AS sum_running
          FROM w GROUP BY user_id""",
+    "q_funnel" ->
+      """WITH u AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'click'
+               THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS c0,
+             MIN(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS p0
+           FROM events GROUP BY user_id)
+         SELECT COUNT(1) AS n_users,
+           CAST(SUM(CASE WHEN c0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clickers,
+           CAST(SUM(CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
+           CAST(SUM(CASE WHEN c0 <= p0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+         FROM u""",
   )
 }

@@ -299,6 +299,30 @@ object TextOps {
         max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars"))).as("p90"))
   }
 
+  /** Per-lang DISTINCTIVE vocabulary (contrastive TF-IDF shape):
+    * rank tokens by the integer-ppm ratio of in-lang count to
+    * corpus-wide count — "the" scores ~its lang share everywhere,
+    * lang-exclusive tokens score 1e6 — with a min-count floor so
+    * hapaxes don't dominate. Two combiner groupBys + one count-table
+    * join (never the corpus) + WindowGroupLimit. Complements
+    * q_top_tokens (absolute heavy hitters). */
+  def qDistinctiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = t(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+    val cg = cl.groupBy(col("tok")).agg(sum(col("n")).as("g"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ratio_ppm").desc, col("n").desc, col("tok"))
+    cl.join(cg, "tok")
+      .filter(col("n") >= 5)
+      .withColumn("ratio_ppm", expr("(n * 1000000L) div g"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("tok"), col("ratio_ppm"), col("n"))
+  }
+
   /** Sequence packing: per-(shard, pack) fill stats using the
     * est-token proxy (n_chars+3)/4 and a 2048-token budget. */
   def qPack(spark: SparkSession, dir: String): DataFrame =
@@ -369,6 +393,7 @@ object TextOps {
     "q_crossdoc_ngrams" -> (qCrossdocNgrams _),
     "q_percentiles" -> (qPercentiles _),
     "q_top_tokens" -> (qTopTokens _),
+    "q_distinctive_tokens" -> (qDistinctiveTokens _),
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -676,6 +701,19 @@ object TextOps {
            CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rk,
            tok, n
          FROM n QUALIFY rk <= 10""",
+    "q_distinctive_tokens" ->
+      """WITH c AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         cl AS (SELECT lang, tok, COUNT(1) AS n FROM c GROUP BY 1, 2),
+         cg AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS g FROM cl GROUP BY tok),
+         r AS (SELECT lang, tok, n,
+                 CAST((n * 1000000) // g AS BIGINT) AS ratio_ppm
+               FROM cl JOIN cg USING (tok) WHERE n >= 5)
+         SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY ratio_ppm DESC, n DESC, tok) AS BIGINT) AS rk,
+           tok, ratio_ppm, n
+         FROM r QUALIFY rk <= 10""",
     "q_sample_fixed" -> {
       import graft.pipeline.Sampling.sqlIdBucket
       s"""SELECT doc_id, lang, n_chars FROM documents
