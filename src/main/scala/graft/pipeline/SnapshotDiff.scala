@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
 object SnapshotDiff {
 
   /** Per-key status frame: (key, status) for every key present in
-    * either snapshot. `fp` must be a deterministic content
-    * fingerprint column expression evaluated on each side (e.g.
-    * [[graft.text.TextFunctions.fingerprint]]). */
+    * either snapshot. `fpCol` must be a deterministic content
+    * fingerprint column (e.g. built with
+    * [[graft.text.TextFunctions.fingerprint]]). CONTRACT: `keyCol`
+    * is unique within each snapshot — on duplicate keys the
+    * full-outer join would emit one row per cross-side pairing, not
+    * one per key (run exact dedup first if the source can repeat
+    * keys). */
   def diff(prev: DataFrame, next: DataFrame, keyCol: String,
       fpCol: String): DataFrame = {
     val a = prev.select(col(keyCol).as("key"), col(fpCol).as("fp_prev"))
