@@ -55,6 +55,19 @@ object Iterative {
     Algorithms.pageRank(orderPartEdges(spark, dir), iterations = 3)
       .orderBy(col("rank").desc, col("id")).limit(20)
 
+  /** Undirected degree distribution of the order–part graph (the
+    * first diagnostic anyone runs on a graph before choosing a
+    * partitioning / skew strategy): two combiner groupBys over a
+    * map-side union of both endpoint columns — no join, no sort.
+    * Multi-edges kept, consistent with the CC/PageRank edge
+    * contract. */
+  def qDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val e = orderPartEdges(spark, dir)
+    e.select(col("src").as("v")).unionByName(e.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+  }
+
   /** Bulk-iteration KMeans over the embeddings table
     * ([U] .../clustering/KMeans.java). Output: cluster sizes. */
   def qKMeans(spark: SparkSession, dir: String): DataFrame =
@@ -186,6 +199,7 @@ object Iterative {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_connected_components" -> (qConnectedComponents _),
     "q_pagerank" -> (qPageRank _),
+    "q_degree_hist" -> (qDegreeHist _),
     "q_kmeans" -> (qKMeans _),
     "q_triangles" -> (qTriangles _),
     "q_closure" -> (qClosure _),
@@ -249,6 +263,11 @@ object Iterative {
     val bfSteps = (1 to ChunkLen + 1).map(i => bfStep(s"d${i - 1}", s"d$i"))
 
     Map(
+      "q_degree_hist" ->
+        """WITH e AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
+           ve AS (SELECT src AS v FROM e UNION ALL SELECT dst FROM e),
+           d AS (SELECT v, COUNT(1) AS degree FROM ve GROUP BY v)
+           SELECT degree, COUNT(1) AS n_vertices FROM d GROUP BY degree""",
       "q_pagerank" ->
         s"""WITH e AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
            v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
