@@ -33,6 +33,14 @@ object Tables {
     * round to scaled integer per row (exact: inputs are decimal-valued),
     * sum as long (exact), divide back (deterministic). The SQL twin is
     * `SUM(CAST(round(expr * 10^scale) AS BIGINT)) / 10^scale.0`.
+    *
+    * Cross-engine INTEGER-DIVISION warning for oracle authors: Spark's
+    * `div` truncates toward zero but DuckDB's `//` FLOORS, so they
+    * diverge on negative non-exact quotients (-7 div 2 = -3 vs
+    * -7 // 2 = -4). Every oracle-checked `div` in this repo operates
+    * on provably non-negative values; if a quantity can be negative,
+    * ship the (sum, count) pair instead of the quotient (see
+    * TextOps.qCentroids).
     */
   def exactSum(e: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
