@@ -360,4 +360,44 @@ object Algorithms {
     if (materialize) graft.api.Materialize.releasing(tris, Seq(e))
     else tris
   }
+
+  /** k-core peeling trajectory: `rounds` synchronous peel steps, each
+    * keeping only edges whose BOTH endpoints currently have degree
+    * >= k (public k-core decomposition by iterated peeling; the
+    * round-synchronous form is the BSP analogue). The round count is
+    * part of the declared semantics — both this and the SQL oracle run
+    * EXACTLY `rounds` steps, so results match even before the peel
+    * fixpoints; once two consecutive rounds agree the trajectory has
+    * converged and further rounds are no-ops (the standard unrolled-
+    * oracle contract, same as connectedComponents' bounded chains).
+    *
+    * Per round: one degree aggregation + two semi joins on the
+    * previous round's localCheckpoint (lineage stays flat, barriers =
+    * rounds). Returns one row per round: (round, n_vertices,
+    * sum_vertex, n_edge_rows) — count/sum over the surviving DISTINCT
+    * vertices pins membership, edge-row count pins the peel order.
+    *
+    * edges: (src, dst) undirected, stored one direction; multi-edges
+    * count toward degree (consistent with the CC/PageRank contract). */
+  def kCoreTrajectory(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val perRound = (1 to rounds).map { r =>
+      val keep = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k).select(col("v"))
+      und = und.alias("e")
+        .join(keep.alias("ka"), col("e.src") === col("ka.v"), "left_semi")
+        .alias("e2")
+        .join(keep.alias("kb"), col("e2.dst") === col("kb.v"), "left_semi")
+        .localCheckpoint()
+      val verts = und.select(col("src")).distinct()
+      verts.agg(count(lit(1)).as("n_vertices"),
+          coalesce(sum(col("src")), lit(0L)).as("sum_vertex"))
+        .crossJoin(und.agg(count(lit(1)).as("n_edge_rows")))
+        .select(lit(r.toLong).as("round"), col("n_vertices"),
+          col("sum_vertex"), col("n_edge_rows"))
+    }
+    perRound.reduce(_ unionByName _)
+  }
 }

@@ -68,6 +68,17 @@ object Iterative {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
   }
 
+  /** Peel rounds for the k-core query: part of the declared semantics
+    * (both engines run EXACTLY this many rounds — see
+    * [[graft.graph.Algorithms.kCoreTrajectory]]). */
+  val KCoreK = 3
+  val KCoreRounds = 4
+
+  /** Round-synchronous k-core peeling over the order–part graph:
+    * per-round survivor counts/checksums. */
+  def qKCore(spark: SparkSession, dir: String): DataFrame =
+    Algorithms.kCoreTrajectory(orderPartEdges(spark, dir), KCoreK, KCoreRounds)
+
   /** Bulk-iteration KMeans over the embeddings table
     * ([U] .../clustering/KMeans.java). Output: cluster sizes. */
   def qKMeans(spark: SparkSession, dir: String): DataFrame =
@@ -200,6 +211,7 @@ object Iterative {
     "q_connected_components" -> (qConnectedComponents _),
     "q_pagerank" -> (qPageRank _),
     "q_degree_hist" -> (qDegreeHist _),
+    "q_kcore" -> (qKCore _),
     "q_kmeans" -> (qKMeans _),
     "q_triangles" -> (qTriangles _),
     "q_closure" -> (qClosure _),
@@ -262,12 +274,31 @@ object Iterative {
            GROUP BY vertex)"""
     val bfSteps = (1 to ChunkLen + 1).map(i => bfStep(s"d${i - 1}", s"d$i"))
 
+    val kcoreCtes = (1 to KCoreRounds).map { r =>
+      s"""k$r AS (SELECT src AS v FROM u${r - 1} GROUP BY src HAVING COUNT(1) >= $KCoreK),
+         u$r AS MATERIALIZED (SELECT e.src, e.dst FROM u${r - 1} e
+           WHERE e.src IN (SELECT v FROM k$r) AND e.dst IN (SELECT v FROM k$r)),
+         v$r AS (SELECT DISTINCT src AS v FROM u$r),
+         t$r AS (SELECT CAST($r AS BIGINT) AS round,
+           (SELECT COUNT(1) FROM v$r) AS n_vertices,
+           (SELECT CAST(COALESCE(SUM(v), 0) AS BIGINT) FROM v$r) AS sum_vertex,
+           (SELECT COUNT(1) FROM u$r) AS n_edge_rows)"""
+    }
+
     Map(
       "q_degree_hist" ->
         """WITH e AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
            ve AS (SELECT src AS v FROM e UNION ALL SELECT dst FROM e),
            d AS (SELECT v, COUNT(1) AS degree FROM ve GROUP BY v)
            SELECT degree, COUNT(1) AS n_vertices FROM d GROUP BY degree""",
+      "q_kcore" ->
+        s"""WITH u0 AS MATERIALIZED (
+             SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem
+             UNION ALL
+             SELECT l_partkey*2+1, l_orderkey*2 FROM lineitem),
+           ${kcoreCtes.mkString(",\n           ")}
+           ${(1 to KCoreRounds).map(r => s"SELECT * FROM t$r")
+              .mkString("\n           UNION ALL ")}""",
       "q_pagerank" ->
         s"""WITH e AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
            v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),

@@ -215,4 +215,17 @@ class AlgorithmsSpec extends SparkSpec {
     val odds = (1 until 20 by 2).map(i => got(i.toLong)).toSet
     assert(evens.size == 1 && odds.size == 1 && evens != odds)
   }
+
+  test("kCoreTrajectory: pendant chain peels round by round, 2-core triangle survives") {
+    // triangle 1-2-3 with pendant chain 3-4-5: round 1 drops 5 (deg 1),
+    // round 2 drops the now-exposed 4, round 3 is the converged no-op
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Algorithms.kCoreTrajectory(edges, k = 2, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 10L, 8L), // {1,2,3,4}, 4 undirected edges x2 rows
+      (2L, 3L, 6L, 6L),  // triangle only
+      (3L, 3L, 6L, 6L))) // fixpoint: further rounds are no-ops
+  }
 }
