@@ -140,6 +140,24 @@ object Events {
         sum(when(col("p0").isNotNull, 1L).otherwise(0L)).as("n_buyers"),
         sum(when(col("c0") <= col("p0"), 1L).otherwise(0L)).as("n_converted"))
 
+  /** Trailing-hour totals per event (RANGE frame — value-based, the
+    * complement of q_rolling_stats' ROWS frames): per user, the sum
+    * of cents in the 3600 seconds up to and including each event.
+    * RANGE includes ALL peer rows of the current second in both
+    * engines, so equal-second events can't order-diverge; per-user
+    * sum-of-window-sums folds every frame into the oracle hash. */
+  def qTrailingHour(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3600L, 0L)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), sum(col("cents")).over(w).as("hr"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("hr")).as("sum_hr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sliding_daily" -> (qSlidingDaily _),
@@ -151,6 +169,7 @@ object Events {
     "q_attribution" -> (qAttribution _),
     "q_rolling_stats" -> (qRollingStats _),
     "q_funnel" -> (qFunnel _),
+    "q_trailing_hour" -> (qTrailingHour _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -265,5 +284,18 @@ object Events {
            CAST(SUM(CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
            CAST(SUM(CASE WHEN c0 <= p0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
          FROM u""",
+    "q_trailing_hour" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         w AS (
+           SELECT user_id,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hr
+           FROM e)
+         SELECT user_id, COUNT(1) AS n_events,
+           CAST(SUM(hr) AS BIGINT) AS sum_hr
+         FROM w GROUP BY user_id""",
   )
 }
