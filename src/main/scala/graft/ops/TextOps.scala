@@ -252,6 +252,14 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
 
+  /** Trigram LM scoring with the full two-level stupid-backoff chain
+    * (trigram → halved bigram → quartered unigram) — the complete
+    * n-gram LM-filter family alongside q_unigram/q_bigram_score. */
+  def qTrigramScore(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusScoring.trigramScores(t(spark, dir, "documents"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+
   /** Cross-document duplicate n-gram exposure (Gopher-style corpus
     * contamination signal): per doc, the fraction (mills) of its
     * DISTINCT 3-gram shingles that also occur in at least one OTHER
@@ -390,6 +398,7 @@ object TextOps {
     "q_repetition" -> (qRepetition _),
     "q_unigram_score" -> (qUnigramScore _),
     "q_bigram_score" -> (qBigramScore _),
+    "q_trigram_score" -> (qTrigramScore _),
     "q_crossdoc_ngrams" -> (qCrossdocNgrams _),
     "q_percentiles" -> (qPercentiles _),
     "q_top_tokens" -> (qTopTokens _),
@@ -671,6 +680,10 @@ object TextOps {
          FROM ds GROUP BY lang""",
     "q_bigram_score" ->
       s"""WITH ${graft.text.CorpusScoring.sqlBigramScoresCtes("documents")}
+         SELECT lang, COUNT(1) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score
+         FROM ds GROUP BY lang""",
+    "q_trigram_score" ->
+      s"""WITH ${graft.text.CorpusScoring.sqlTrigramScoresCtes("documents")}
          SELECT lang, COUNT(1) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score
          FROM ds GROUP BY lang""",
     "q_crossdoc_ngrams" ->

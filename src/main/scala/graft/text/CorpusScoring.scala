@@ -196,6 +196,103 @@ object CorpusScoring {
     else scores
   }
 
+  /** Per-doc trigram conditional-frequency scores with the full
+    * two-level stupid-backoff chain: (doc_id, lang, score), integer
+    * ppm, counts from the train band only ([[TrainMills]]):
+    *
+    *   w3(p2,p1,c) = (c3 * 1e6) div c2(p2,p1)          seen trigram
+    *   w2(p1,c)    = ((c2 * 1e6) div c1(p1)) div 2     bigram backoff
+    *   w1(c)       = (((c1 * 1e6) div N) div 2) div 2  unigram backoff
+    *   score(d)    = sum coalesce(w3, w2, w1, 0) div nTrigrams(d)
+    *
+    * Each backoff level halves again (alpha = 0.5 per level, kept as
+    * chained integer div 2 so the SQL twin replays it exactly). All
+    * three weight lookups are [[hybridWeightJoin]]s; the two
+    * intermediate frames are barriered (persist) because each
+    * following hybrid reads its input twice — the same measured
+    * blowup bigramScores documents. Docs with < 3 tokens drop out. */
+  def trigramScores(docs: DataFrame,
+      hotN: Int = DefaultHotTokens,
+      materialize: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokens(col("text")).as("t"))
+    val tg = base.select(col("doc_id"), col("lang"),
+        explode(expr("transform(slice(t, 1, greatest(size(t) - 2, 0))," +
+          " (x, i) -> struct(x AS p2, t[i + 1] AS p1, t[i + 2] AS c))")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        col("g.p2").as("p2"), col("g.p1").as("p1"), col("g.c").as("c"))
+    val inTrain = graft.pipeline.Sampling.sampleFilter(col("doc_id"), TrainMills)
+    val bg = base.filter(inTrain).select(
+        explode(expr("transform(slice(t, 1, greatest(size(t) - 1, 0))," +
+          " (x, i) -> struct(x AS a, t[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val c3 = tg.filter(inTrain)
+      .groupBy(col("p2"), col("p1"), col("c")).agg(count(lit(1)).as("c3"))
+    val c2 = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = base.filter(inTrain).select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum(col("c1")).as("n_total"))
+    val w3 = c3
+      .join(c2.select(col("a").as("p2"), col("b").as("p1"), col("c2")),
+        Seq("p2", "p1"))
+      .select(col("p2"), col("p1"), col("c"), col("c3"),
+        expr("(c3 * 1000000L) div c2").as("w3"))
+      .persist(MEMORY_AND_DISK)
+    val w2 = c2.join(c1.withColumnRenamed("tok", "a"), "a")
+      .select(col("a").as("p1"), col("b").as("c"), col("c2"),
+        expr(s"((c2 * 1000000L) div c1) div $BackoffDiv").as("w2"))
+      .persist(MEMORY_AND_DISK)
+    val w1 = c1.crossJoin(broadcast(total))
+      .select(col("tok").as("c"), col("c1"),
+        expr(s"(((c1 * 1000000L) div n_total) div $BackoffDiv) div $BackoffDiv")
+          .as("w1"))
+      .persist(MEMORY_AND_DISK)
+    val withW3 = hybridWeightJoin(tg, w3, Seq("p2", "p1", "c"), "c3", hotN, "left")
+      .persist(MEMORY_AND_DISK)
+    val withW2 = hybridWeightJoin(withW3, w2, Seq("p1", "c"), "c2", hotN, "left")
+      .persist(MEMORY_AND_DISK)
+    val scores = hybridWeightJoin(withW2, w1, Seq("c"), "c1", hotN, "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("w3"), col("w2"), col("w1"), lit(0L)).as("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(w) div count(1)").as("score"))
+    if (materialize)
+      graft.api.Materialize.releasing(scores, Seq(w3, w2, w1, withW3, withW2))
+    else scores
+  }
+
+  /** SQL twin of [[trigramScores]] as a CTE chain ending in `ds`
+    * (doc_id, lang, score). */
+  def sqlTrigramScoresCtes(docsTable: String): String = {
+    val trainBand = graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)
+    s"""sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM $docsTable),
+       tg AS (SELECT doc_id, lang, t[i] AS p2, t[i + 1] AS p1, t[i + 2] AS c
+           FROM sp, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+       bgt AS (SELECT t[i] AS a, t[i + 1] AS b
+           FROM sp, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE $trainBand < $TrainMills),
+       c3 AS (SELECT p2, p1, c, COUNT(1) AS c3 FROM tg
+           WHERE $trainBand < $TrainMills GROUP BY 1, 2, 3),
+       c2 AS (SELECT a, b, COUNT(1) AS c2 FROM bgt GROUP BY 1, 2),
+       c1 AS (SELECT tok, COUNT(1) AS c1 FROM (
+           SELECT unnest(t) AS tok FROM sp WHERE $trainBand < $TrainMills)
+           GROUP BY tok),
+       tot AS (SELECT SUM(c1) AS n FROM c1),
+       w3 AS (SELECT p2, p1, c, (c3 * 1000000) // c2 AS w3
+           FROM c3 JOIN c2 ON p2 = a AND p1 = b),
+       w2 AS (SELECT a AS p1, b AS c, ((c2 * 1000000) // c1) // $BackoffDiv AS w2
+           FROM c2 JOIN c1 ON a = tok),
+       w1 AS (SELECT tok AS c,
+           (((c1 * 1000000) // (SELECT n FROM tot)) // $BackoffDiv) // $BackoffDiv AS w1
+           FROM c1),
+       ds AS (SELECT doc_id, lang,
+           SUM(COALESCE(w3, w2, w1, 0)) // COUNT(1) AS score
+           FROM tg LEFT JOIN w3 USING (p2, p1, c)
+             LEFT JOIN w2 USING (p1, c) LEFT JOIN w1 USING (c)
+           GROUP BY doc_id, lang)"""
+  }
+
   /** SQL twin of [[bigramScores]] as a CTE chain ending in `ds`
     * (doc_id, lang, score). */
   def sqlBigramScoresCtes(docsTable: String): String = {

@@ -44,6 +44,25 @@ class CorpusScoringSpec extends SparkSpec {
     assert(!got.contains(3L)) // single-token doc has no bigrams
   }
 
+  test("trigram scores: two-level backoff chain, exact arithmetic") {
+    val docs = Seq(
+      (1L, "en", "a b a b"),
+      (2L, "en", "a b c"),
+      (3L, "en", "solo"),
+      (4L, "en", "a b z c")).toDF("doc_id", "lang", "text")
+    val got = CorpusScoring.trigramScores(docs)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    // train (docs 1-3): c1 = {a:3,b:3,c:1,solo:1} N=8;
+    // c2 = {(a,b):3,(b,a):1,(b,c):1}; c3 = {(a,b,a):1,(b,a,b):1,(a,b,c):1}
+    // w3(a,b,a) = 1e6 div c2(a,b)=3 = 333333; w3(b,a,b) = 1e6 div 1
+    assert(got(1L) == (333333L + 1000000L) / 2)
+    assert(got(2L) == 333333L) // (a,b,c): 1e6 div 3
+    // doc 4: (a,b,z) unseen at every level with z OOV -> 0;
+    // (b,z,c) falls through to w1(c) = ((1e6 div 8) div 2) div 2
+    assert(got(4L) == (0L + 31250L) / 2)
+    assert(!got.contains(3L)) // < 3 tokens: no trigrams
+  }
+
   test("bigram materialize=true: same scores, no internal cache left behind") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
