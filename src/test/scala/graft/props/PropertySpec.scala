@@ -277,6 +277,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: kCoreTrajectory equals the local peel model") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L) if a != b
+    } yield (a, b)
+    for (round <- 1 to 3) {
+      val es = sample(Gen.listOfN(15, edgeGen), 4200L + round)
+      val got = graft.graph.Algorithms
+        .kCoreTrajectory(es.toDF("src", "dst"), k = 2, rounds = 3)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // local model: undirected multiset peel, exactly 3 synchronous rounds
+      var und = es ++ es.map(_.swap)
+      val expected = (1 to 3).map { r =>
+        val deg = und.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= 2).keySet
+        und = und.filter(e => keep(e._1) && keep(e._2))
+        val vs = und.map(_._1).distinct
+        (r.toLong, vs.size.toLong, vs.sum, und.size.toLong)
+      }
+      assert(got == expected, s"round $round: $es")
+    }
+  }
+
   test("property: bigram backoff scores equal the local model") {
     import graft.text.CorpusScoring
     for (round <- 1 to 3) {

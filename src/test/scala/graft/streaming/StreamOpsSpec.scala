@@ -96,6 +96,32 @@ class StreamOpsSpec extends SparkSpec {
       .map(_._2).sorted.toSeq == Seq(a, c).sorted)
   }
 
+  test("min_by/max_by attribution aggregation runs unchanged on a stream (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{min_by, max_by, struct, count, lit}
+    val in = MemoryStream[Event]
+    // the same arg-extremum aggregation q_attribution uses in batch,
+    // executed incrementally: update mode re-emits the refined row
+    val agg = in.toDF()
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_type"), struct(col("sec"), col("event_id"))).as("first_touch"),
+        max_by(col("event_type"), struct(col("sec"), col("event_id"))).as("last_touch"),
+        count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("attrib").start()
+    in.addData(ev(1, 5, typ = "click"), ev(2, 9, typ = "cart"))
+    q.processAllAvailable()
+    in.addData(ev(3, 2, typ = "view"), ev(4, 12, typ = "purchase"))
+    q.processAllAvailable(); q.stop()
+    // last update-mode emission reflects all four events
+    val last = spark.table("attrib")
+      .as[(Long, String, String, Long)].collect().toSeq.last
+    assert(last == ((1L, "view", "purchase", 4L)))
+  }
+
   test("session windows merge events within gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
