@@ -74,10 +74,10 @@ object AsOf {
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__ts") +: col("__side") +: tieBreak.map(t => col(s"__o_$t")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+    lTagged.unionByName(rTagged.select(lTagged.columns.toIndexedSeq.map(col): _*))
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payload.map(p => col("__p").getField(p).as(s"asof_$p")): _*)
   }
 }
