@@ -1,0 +1,36 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // the DedupSpec LSH fixture: a~b (J=0.6, shared bands), c disjoint
+  private val a = "zulu oscar charlie amber basil india papa whiskey victor dune bravo juliet cedar sierra"
+  private val b = "zulu oscar charlie amber basil india papa whiskey victor dune bravo tango xray quebec"
+  private val c = "mike november romeo uniform yankee foxtrot golf kilo echo delta"
+
+  test("persisted index flags delta near-dups identically to a monolithic LSH run") {
+    val corpus = Seq((10L, a), (12L, c)).toDF("doc_id", "text")
+    val delta = Seq((21L, b), (22L, "hotel alpha lima sierra tango unused words here again ok"))
+      .toDF("doc_id", "text")
+    DedupIndex.write(corpus, "dedup_idx_spec", buckets = 4)
+
+    val flagged = DedupIndex.flagAgainst(spark, "dedup_idx_spec", delta, 0.5)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+
+    // ground truth: cross-boundary pairs of the monolithic run
+    val all = corpus.unionByName(delta)
+    val pairs = Dedup.minhashLshPairs(all, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val cross = pairs.flatMap { case (x, y) =>
+      if (x >= 20 && y < 20) Some((x, y))
+      else if (y >= 20 && x < 20) Some((y, x))
+      else None
+    }
+    assert(flagged == cross && flagged == Set((21L, 10L)))
+    spark.sql("DROP TABLE IF EXISTS dedup_idx_spec")
+  }
+}
