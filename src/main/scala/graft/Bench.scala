@@ -61,14 +61,19 @@ object Bench {
         (dt, ok)
       }
       // a throwing run contributes NO time: a broken query must never
-      // lower the min or the total — it lands in "failed" instead
+      // lower the min or the total — all-runs-failed queries land in
+      // "failed", and queries that threw on SOME runs are surfaced in
+      // "flaky" (their min over the successful runs still counts)
       val good = timed.collect { case (dt, true) => dt }
-      (name, good.minOption, timed.map(_._1))
+      (name, good.minOption, timed.map(_._1), timed.count(!_._2))
     }
-    val failed = results.collect { case (k, None, _) => k }
-    val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (k, None, _, _) => k }
+    val flaky = results.collect {
+      case (k, Some(_), _, nf) if nf > 0 => s"\"" + k + "\":" + nf
+    }.mkString("{", ",", "}")
+    val qs = results.collect { case (k, Some(v), _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, ts) =>
+    val raw = results.map { case (k, _, ts, _) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -77,8 +82,8 @@ object Bench {
     // total-only line LAST: the driver keeps only the final ~2000 chars of
     // stdout, and the full line outgrew that window in round 5 — the tail
     // must always contain a parseable headline total
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"failed":$failedJson,"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","methodology":"warm min-of-$runsPerQuery per query; per-query detail in the total_detail line above"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky_run_failures":$flaky,"sf":"$sfDir","methodology":"warm min-of-$runsPerQuery per query; per-query detail in the total_detail line above"}""")
     spark.stop()
   }
 }

@@ -31,6 +31,8 @@ object Salting {
       saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, not $joinType (build rows are replicated)")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets " +
+      "(0 would null every probe salt and silently match nothing)")
     val salted = probe.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
     val replicated = build.withColumn("__salt",

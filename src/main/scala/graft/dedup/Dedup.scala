@@ -131,6 +131,16 @@ object Dedup {
         .reduceLeft((acc, m) => acc * 31 + m)
     }: _*)
 
+  /** THE signing pipeline: (doc_id, sv, sig, bands) from (doc_id,
+    * text). Single source of truth for signature + banding — shared
+    * by [[minhashLshPairs]], [[DedupIndex.write]] and
+    * [[DedupIndex.flagAgainst]], so index-vs-delta and monolithic
+    * runs can never drift apart arithmetically. */
+  private[dedup] def signedBands(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleVals(col("text")).as("sv"))
+      .select(col("doc_id"), col("sv"), minhashSignature_(col("sv")).as("sig"))
+      .withColumn("bands", bandKeys(col("sig")))
+
   /** MinHash-LSH near-duplicate pairs: candidates share >= 1 band;
     * candidates are then verified with exact shingle-set Jaccard
     * (array_intersect), so the output has no false positives. */
@@ -145,11 +155,7 @@ object Dedup {
     // bucket self-join's x/y branches and both verify joins all read
     // it, so sig/bands compute once instead of three times; bands is
     // 8 longs/doc, a negligible cache-size delta)
-    val withSig = docs
-      .select(col("doc_id"), shingleVals(col("text")).as("sv"))
-      .select(col("doc_id"), col("sv"),
-        minhashSignature_(col("sv")).as("sig"))
-      .withColumn("bands", bandKeys(col("sig")))
+    val withSig = signedBands(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = withSig.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))

@@ -22,17 +22,11 @@ object DedupIndex {
 
   /** Sign `docs` (doc_id, text) and persist the banded index under
     * `table`, bucketed by band_key: one row per (doc, band). */
-  def write(docs: DataFrame, table: String, buckets: Int = 16): Unit = {
-    val withSig = docs
-      .select(col("doc_id"), graft.text.TextFunctions.shingleVals(col("text")).as("sv"))
-      .select(col("doc_id"), col("sv"),
-        Dedup.minhashSignature_(col("sv")).as("sig"))
-      .withColumn("bands", Dedup.bandKeys(col("sig")))
+  def write(docs: DataFrame, table: String, buckets: Int = 16): Unit =
     graft.api.Bucketing.writeBucketed(
-      withSig.select(col("doc_id"), col("sv"),
+      Dedup.signedBands(docs).select(col("doc_id"), col("sv"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
       table, Seq("band_key"), buckets)
-  }
 
   /** Flag documents of `newDocs` that are near-duplicates (verified
     * shingle Jaccard >= threshold) of any INDEXED document: returns
@@ -44,11 +38,7 @@ object DedupIndex {
   def flagAgainst(spark: SparkSession, table: String, newDocs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val idx = spark.table(table)
-    val delta = newDocs
-      .select(col("doc_id"), graft.text.TextFunctions.shingleVals(col("text")).as("sv"))
-      .select(col("doc_id"), col("sv"),
-        Dedup.minhashSignature_(col("sv")).as("sig"))
-      .withColumn("bands", Dedup.bandKeys(col("sig")))
+    val delta = Dedup.signedBands(newDocs)
       .select(col("doc_id"), col("sv"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -333,7 +333,13 @@ object Algorithms {
         .select(col("a.v").as("v"), col("b.anc").as("anc"),
           (col("a.d") + col("b.d")).as("d"))
     }
-    state.select(col("v").as("vertex"), col("d").as("distance"))
+    // only CONVERGED rows (ancestor chain reached the source) are
+    // returned: vertices whose chain didn't reach it within maxDepth
+    // jumps — an underestimated maxDepth, or a tree rooted elsewhere
+    // in a forest — are ABSENT (the standard unreached-vertex SSSP
+    // contract), never present with a silently-partial distance
+    val reached = state.filter(col("anc") === source)
+    reached.select(col("v").as("vertex"), col("d").as("distance"))
   }
 
   /** Triangle enumeration over an undirected edge set normalized to
@@ -379,7 +385,9 @@ object Algorithms {
     *
     * edges: (src, dst) undirected, stored one direction; multi-edges
     * count toward degree (consistent with the CC/PageRank contract). */
-  def kCoreTrajectory(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCoreTrajectory(edges: DataFrame, k: Int, rounds: Int,
+      materialize: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // ONE degree aggregation per round serves BOTH the next peel
     // filter and the round's trajectory stats (n_vertices = degree
     // rows, n_edge_rows = sum of degrees) — the naive form's extra
@@ -398,9 +406,10 @@ object Algorithms {
           coalesce(sum(col("n")), lit(0L)).as("n_edge_rows"))
         .select(lit(r.toLong).as("round"), col("n_vertices"),
           col("sum_vertex"), col("n_edge_rows"))
-    var und = edges.select(col("src"), col("dst"))
+    val base = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var und = base
     var deg = degrees(und).localCheckpoint() // vertex-sized
     val perRound = (1 to rounds).map { r =>
       val keep = deg.filter(col("n") >= k).select(col("v"))
@@ -411,6 +420,12 @@ object Algorithms {
       deg = degrees(und).localCheckpoint() // also materializes the peel
       statsOf(deg, r)
     }
-    perRound.reduce(_ unionByName _)
+    val traj = perRound.reduce(_ unionByName _)
+    // base-union cache lifetime: caller drop / clearCache(), or
+    // materialize=true to run the (rounds-row) trajectory now and
+    // release the edge cache synchronously — the library-caller
+    // contract shared with the dedup/triangle/scoring operators
+    if (materialize) graft.api.Materialize.releasing(traj, Seq(base))
+    else traj
   }
 }

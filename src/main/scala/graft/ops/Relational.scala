@@ -381,10 +381,6 @@ object Relational {
     graft.GraftSession.sql(spark, dir, q10Sql,
       tables = Seq("customer", "orders", "lineitem"))
 
-  /** Skew-salted aggregation as a driver-checked query: the hot-key
-    * two-phase salted sum must produce exactly the plain GROUP BY
-    * result (scaled-long inner sums keep it order-independent, so the
-    * oracle is the unsalted SQL aggregate). */
   /** Salted (replicated-build) skew join: lineitem probes supplier on
     * the salted key; per-nation rollup must equal the plain join —
     * the salt spreads any hot suppkey over 16 reducers and is
@@ -398,6 +394,10 @@ object Relational {
       .groupBy(col("s_nationkey"))
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
 
+  /** Skew-salted aggregation as a driver-checked query: the hot-key
+    * two-phase salted sum must produce exactly the plain GROUP BY
+    * result (scaled-long inner sums keep it order-independent, so the
+    * oracle is the unsalted SQL aggregate). */
   def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
     graft.api.Salting.saltedSum(
       t(spark, dir, "lineitem")

@@ -276,8 +276,12 @@ object TextOps {
     val sh = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (count-table-sized): the hybrid reads it three ways
+    // (hot head TakeOrdered, hotKeys broadcast, tail anti-join) — same
+    // reasoning as the unigram weights persist
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .withColumn("freq", col("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.text.CorpusScoring.hybridWeightJoin(
         sh, dfreq, Seq("s"), "freq", 1024, "inner")
       .groupBy(col("doc_id"), col("lang"))

@@ -98,11 +98,14 @@ object StreamOps {
     * docs are "near"). `tsCol` is the event-time column the watermark
     * rides; `textCol` the document text. */
   def dedupNearStream(docs: DataFrame, tsCol: String, textCol: String,
-      watermark: String): DataFrame =
+      watermark: String): DataFrame = {
+    require(!docs.columns.contains("__simhash"),
+      "input already carries the reserved __simhash column")
     docs.withColumn("__simhash", graft.dedup.Dedup.simhash(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__simhash")
       .drop("__simhash")
+  }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
