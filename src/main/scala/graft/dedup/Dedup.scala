@@ -92,6 +92,55 @@ object Dedup {
     else pairs
   }
 
+  /** Directional CONTAINMENT pairs: (da, db) where
+    * |S(da) ∩ S(db)| / |S(da)| >= threshold — "da's shingles are
+    * mostly inside db" (quote / subset / boilerplate detection; the
+    * asymmetric complement of [[jaccardSimilarityJoin]] — a short
+    * quote scores high containment but low Jaccard). Output is
+    * DIRECTIONAL (da != db, both orders possible) with exact
+    * integers (common/na/nb) and a cross-multiplied integer
+    * threshold — float-free end to end.
+    *
+    * Scalable path: the prefix filter applies ONE-SIDED — if
+    * common >= ceil(t·na) then da shares one of its own
+    * (na - ceil(t·na) + 1) globally-rarest shingles with db (same
+    * lossless prefix theorem, contained side only), so only da's
+    * rare-shingle prefix generates candidates while the container
+    * side streams its full shingle explode; the nb*1000 >= na*tq
+    * length bound prunes impossible containers inside the join. */
+  def containmentJoin(docs: DataFrame, threshold: Double = 0.9,
+      materialize: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val docFreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val tq = math.round(threshold * 1000) // integer thousandths, no float poison
+    val ceilTn = floor((lit(tq) * col("n") + lit(999)) / lit(1000.0))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = ex.join(docFreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceilTn + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+    val cand = prefix.alias("a")
+      .join(ex.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * 1000 >= col("a.n") * tq) // container must be big enough
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val pairs = cand
+      .join(sets.select(col("doc_id"), col("sh")).alias("sa"), col("da") === col("sa.doc_id"))
+      .join(sets.select(col("doc_id"), col("sh")).alias("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("common"),
+        size(col("sa.sh")).cast("long").as("na"),
+        size(col("sb.sh")).cast("long").as("nb"))
+      .filter(col("common") * 1000 >= col("na") * tq)
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(sets))
+    else pairs
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   val NumHashes = 32

@@ -37,6 +37,11 @@ object TextOps {
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), 0.35)
 
+  /** Directional shingle containment at 0.9 — quote/subset/boilerplate
+    * detection (high containment, possibly low Jaccard). */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(t(spark, dir, "documents"), 0.9)
+
   /** Transitive near-dup clusters over the MinHash pair graph —
     * the keep-one-per-cluster dedup terminal. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
@@ -380,6 +385,7 @@ object TextOps {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_simhash" -> (qSimhash _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -471,6 +477,17 @@ object TextOps {
       s"""WITH $minhashVerCtes
          SELECT da, db, common, na, nb FROM ver
          WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""",
+    // brute-force candidate generation is fine at oracle scale; the
+    // integer cross-multiplied threshold mirrors the Spark side exactly
+    "q_dedup_containment" ->
+      s"""WITH $shinglesCte,
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT da, db, common, ca.n AS na, cb.n AS nb
+         FROM pairs JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+         WHERE common * 1000 >= ca.n * 900""",
     // transitive closure of the verified pair graph: DuckDB's
     // recursive CTE enumerates (node, reachable-label) pairs until
     // the dedup'd UNION fixpoints (dup clusters are small, so the

@@ -106,6 +106,25 @@ class DedupSpec extends SparkSpec {
     assert(hamming(h(1L), h(3L)) > 4)
   }
 
+  test("containmentJoin: a planted quote is contained in its source, not vice versa") {
+    val src = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val quote = "delta echo foxtrot golf hotel india juliet kilo lima mike" // tokens 4-13 of src
+    val other = "uniform victor whiskey xray yankee zulu amber basil cedar dune"
+    val docs = Seq((1L, "en", src), (2L, "en", quote), (3L, "en", other))
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.containmentJoin(docs, 0.9)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // all 8 of the quote's shingles appear in src (containment 1.0);
+    // src has 18 shingles so the reverse direction is 8/18 — and the
+    // symmetric Jaccard is 8/18 too, far under any dedup threshold:
+    // exactly the pair a Jaccard join cannot see
+    assert(got == Set((2L, 1L)))
+    val jac = Dedup.jaccardSimilarityJoin(docs, 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty)
+  }
+
   test("nearDupClusters: transitive chain a~b~c is ONE cluster with no a~c pair") {
     // fixture chosen (by replaying the exact minhash/band arithmetic)
     // so the verified pair graph is exactly {(10,11),(11,12)}:
