@@ -13,4 +13,11 @@ class EntrySpec extends SparkSpec {
     // and no orphan oracle entries
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+  test("docs/QUERIES.md catalog names every declared query (drift guard)") {
+    // round 6's review caught a declared query missing from the
+    // catalog; this pins the document's "every entry" contract
+    val md = scala.io.Source.fromFile("docs/QUERIES.md").mkString
+    val missing = SparkEntry.queries.keys.filterNot(md.contains)
+    assert(missing.isEmpty, s"catalog missing: ${missing.mkString(", ")}")
+  }
 }
