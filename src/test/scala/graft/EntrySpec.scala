@@ -16,7 +16,9 @@ class EntrySpec extends SparkSpec {
   test("docs/QUERIES.md catalog names every declared query (drift guard)") {
     // round 6's review caught a declared query missing from the
     // catalog; this pins the document's "every entry" contract
-    val md = scala.io.Source.fromFile("docs/QUERIES.md").mkString
+    val md = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("docs/QUERIES.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
     val missing = SparkEntry.queries.keys.filterNot(md.contains)
     assert(missing.isEmpty, s"catalog missing: ${missing.mkString(", ")}")
   }
