@@ -44,30 +44,55 @@ object Dedup {
     * Output is exact integers only (common/na/nb) — float-free for
     * the oracle comparison.
     */
-  def jaccardSimilarityJoin(docs: DataFrame, threshold: Double = 0.8,
-      materialize: Boolean = false): DataFrame = {
+  /** Shared prefix-filter scaffolding for the shingle-set joins:
+    * returns (sets, ex, prefix) where `prefix` keeps each doc's
+    * n - ceil(t·n) + 1 globally-rarest shingles. Exact integer
+    * arithmetic throughout: float forms are poison —
+    * (1.0-0.8)*130 = 25.999...96 shortens the prefix by one (missed
+    * a true pair at sf0.1) and 0.8*130 = 104.000...01 wrongly
+    * excludes nb=104 from the length filter — so the threshold is
+    * carried as tq/1000 with integer ceil-division; and `n` is cast
+    * to LONG here because size() yields Int and an Int×Int length
+    * bound wraps for >2.1M-shingle docs, silently dropping true
+    * pairs. `sets` is persisted (reused by the explode and the
+    * verify joins); persisting `prefix` is the caller's choice
+    * (jaccard reads it on both candidate sides, containment once). */
+  private def prefixFiltered(docs: DataFrame, tq: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // materialized once: reused by the explode and both verify joins
     val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
+    val ex = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
       explode(col("sh")).as("s"))
     val docFreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // Exact integer arithmetic for the filter bounds: float forms are
-    // poison — (1.0-0.8)*130 = 25.999...96 shortens the prefix by one
-    // (missed a true pair at sf0.1), and 0.8*130 = 104.000...01
-    // wrongly excludes nb=104 from the length filter. threshold is
-    // carried as tq/1000 and all bounds use integer ceil-division.
-    val tq = math.round(threshold * 1000) // e.g. 0.8 -> 800
     val ceilTn = floor((lit(tq) * col("n") + lit(999)) / lit(1000.0)) // = ceil(t*n)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    // persisted: the candidate self-join reads prefix on BOTH sides,
-    // and without the barrier the docFreq join + rank window execute
-    // twice (r5: ~1.4s -> ~1.0s warm at sf0.1)
     val prefix = ex.join(docFreq, "s")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceilTn + 1) // prefix len = n - ceil(t*n) + 1
       .select(col("doc_id"), col("n"), col("s"))
+    (sets, ex, prefix)
+  }
+
+  /** Exact verification: join candidate (da, db) pairs back to the
+    * full shingle sets → (da, db, common, na, nb) as longs. */
+  private def verifyPairs(sets: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("doc_id"), col("sh")).alias("sa"), col("da") === col("sa.doc_id"))
+      .join(sets.select(col("doc_id"), col("sh")).alias("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("common"),
+        size(col("sa.sh")).cast("long").as("na"),
+        size(col("sb.sh")).cast("long").as("nb"))
+
+  def jaccardSimilarityJoin(docs: DataFrame, threshold: Double = 0.8,
+      materialize: Boolean = false): DataFrame = {
+    val tq = math.round(threshold * 1000) // e.g. 0.8 -> 800
+    val (sets, _, prefix0) = prefixFiltered(docs, tq)
+    // persisted: the candidate self-join reads prefix on BOTH sides,
+    // and without the barrier the docFreq join + rank window execute
+    // twice (r5: ~1.4s -> ~1.0s warm at sf0.1)
+    val prefix = prefix0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // length filter inside the candidate join (exact: J >= t requires
     // t*na <= nb and t*nb <= na) prunes dissimilar-size pairs before
@@ -75,17 +100,11 @@ object Dedup {
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") * 1000 >= col("a.n") * tq &&
-          col("b.n") * tq <= col("a.n") * 1000)
+          col("b.n") * lit(1000L) >= col("a.n") * lit(tq) &&
+          col("b.n") * lit(tq) <= col("a.n") * lit(1000L))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val pairs = cand
-      .join(sets.select(col("doc_id"), col("sh")).alias("sa"), col("da") === col("sa.doc_id"))
-      .join(sets.select(col("doc_id"), col("sh")).alias("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("common"),
-        size(col("sa.sh")).cast("long").as("na"),
-        size(col("sb.sh")).cast("long").as("nb"))
+    val pairs = verifyPairs(sets, cand)
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= threshold)
     if (materialize) graft.api.Materialize.releasing(pairs, Seq(sets, prefix))
@@ -110,33 +129,16 @@ object Dedup {
     * length bound prunes impossible containers inside the join. */
   def containmentJoin(docs: DataFrame, threshold: Double = 0.9,
       materialize: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
-    val docFreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val tq = math.round(threshold * 1000) // integer thousandths, no float poison
-    val ceilTn = floor((lit(tq) * col("n") + lit(999)) / lit(1000.0))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = ex.join(docFreq, "s")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - ceilTn + 1)
-      .select(col("doc_id"), col("n"), col("s"))
+    val tq = math.round(threshold * 1000)
+    val (sets, ex, prefix) = prefixFiltered(docs, tq)
     val cand = prefix.alias("a")
       .join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
-          col("b.n") * 1000 >= col("a.n") * tq) // container must be big enough
+          col("b.n") * lit(1000L) >= col("a.n") * lit(tq)) // container big enough
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val pairs = cand
-      .join(sets.select(col("doc_id"), col("sh")).alias("sa"), col("da") === col("sa.doc_id"))
-      .join(sets.select(col("doc_id"), col("sh")).alias("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("common"),
-        size(col("sa.sh")).cast("long").as("na"),
-        size(col("sb.sh")).cast("long").as("nb"))
-      .filter(col("common") * 1000 >= col("na") * tq)
+    val pairs = verifyPairs(sets, cand)
+      .filter(col("common") * lit(1000L) >= col("na") * lit(tq))
     if (materialize) graft.api.Materialize.releasing(pairs, Seq(sets))
     else pairs
   }

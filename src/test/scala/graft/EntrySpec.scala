@@ -19,7 +19,12 @@ class EntrySpec extends SparkSpec {
     val md = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("docs/QUERIES.md")),
       java.nio.charset.StandardCharsets.UTF_8)
-    val missing = SparkEntry.queries.keys.filterNot(md.contains)
+    // word-boundary match, not substring: 4 query names are prefixes
+    // of sibling names (q_cogroup, q_cross, q_distinct, q_multimodal),
+    // so a raw contains() would be vacuously satisfied for them
+    val missing = SparkEntry.queries.keys.filterNot { q =>
+      ("\\b" + java.util.regex.Pattern.quote(q) + "\\b").r.findFirstIn(md).isDefined
+    }
     assert(missing.isEmpty, s"catalog missing: ${missing.mkString(", ")}")
   }
 }
