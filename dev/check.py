@@ -35,6 +35,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failed = []
     for name, sql in sorted(oracle.items()):
         try:

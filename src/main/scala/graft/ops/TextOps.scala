@@ -47,6 +47,22 @@ object TextOps {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(t(spark, dir, "documents"), 0.5)
 
+  /** Incremental-index dedup e2e: persist a [[graft.dedup.DedupIndex]]
+    * over a deterministic half of the corpus (even doc_ids), then flag
+    * the other half against the stored index — the "is today's crawl
+    * already in the corpus" production shape, oracle-checked across
+    * the index/delta boundary. The timed work includes the index WRITE
+    * (that IS the operator's cost model: sign+persist once, probe
+    * per delta); the oracle replays the same signature/banding SQL as
+    * q_dedup_minhash with candidates restricted to odd-vs-even. */
+  def qDedupIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_dedup_index"
+    graft.dedup.DedupIndex.write(docs.filter(col("doc_id") % 2 === 0), table, buckets = 8)
+    graft.dedup.DedupIndex.flagAgainst(spark, table,
+      docs.filter(col("doc_id") % 2 =!= 0), 0.5)
+  }
+
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -385,6 +401,7 @@ object TextOps {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_index" -> (qDedupIndex _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_simhash" -> (qSimhash _),
     "q_lang_id" -> (qLangId _),
@@ -442,16 +459,23 @@ object TextOps {
     (sig, bands)
   }
 
+  /** Signature/banding CTE prefix of the MinHash-LSH oracles, through
+    * the exploded band buckets `bk(doc_id, band_idx, band_key)` —
+    * one arithmetic source shared by the pair-, cluster- and
+    * index-form oracles so they can never drift from each other. */
+  private val minhashBkCtes: String =
+    s"""sv0 AS (SELECT doc_id, ${sqlShingleVals3("text")} AS sv FROM documents),
+       sig AS (SELECT doc_id, sv, ${minhashSqlParts._1} AS mh FROM sv0),
+       bnd AS (SELECT doc_id, sv, ${minhashSqlParts._2} AS bands FROM sig),
+       bk AS (SELECT doc_id, i AS band_idx, bands[i] AS band_key
+              FROM bnd, unnest(generate_series(1, ${Dedup.NumHashes / Dedup.BandSize})) AS t(i))"""
+
   /** Shared CTE chain of the MinHash-LSH oracle, through the exact
     * verification frame `ver` (da, db, common, na, nb) — consumed by
     * the pairs oracle (q_dedup_minhash) and extended to clusters
     * (q_dedup_clusters). */
   private val minhashVerCtes: String =
-    s"""sv0 AS (SELECT doc_id, ${sqlShingleVals3("text")} AS sv FROM documents),
-       sig AS (SELECT doc_id, sv, ${minhashSqlParts._1} AS mh FROM sv0),
-       bnd AS (SELECT doc_id, sv, ${minhashSqlParts._2} AS bands FROM sig),
-       bk AS (SELECT doc_id, i AS band_idx, bands[i] AS band_key
-              FROM bnd, unnest(generate_series(1, ${Dedup.NumHashes / Dedup.BandSize})) AS t(i)),
+    s"""$minhashBkCtes,
        cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
                 FROM bk x JOIN bk y ON x.band_idx = y.band_idx
                   AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
@@ -473,6 +497,22 @@ object TextOps {
            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          ${jaccardVerifySql(0.8)}""",
+    // index side = even doc_ids, delta side = odd; candidate pairs are
+    // strictly cross-boundary (delta doc vs indexed doc), mirroring
+    // DedupIndex.write(even) + flagAgainst(odd)
+    "q_dedup_index" ->
+      s"""WITH $minhashBkCtes,
+         cand AS (SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS dup_of
+                  FROM bk d JOIN bk i ON d.band_idx = i.band_idx
+                    AND d.band_key = i.band_key
+                    AND d.doc_id % 2 <> 0 AND i.doc_id % 2 = 0)
+         SELECT cand.doc_id AS doc_id, cand.dup_of AS dup_of,
+           len(list_intersect(sa.sv, sb.sv)) AS common,
+           len(sa.sv) AS na, len(sb.sv) AS nb
+         FROM cand JOIN sv0 sa ON cand.doc_id = sa.doc_id
+           JOIN sv0 sb ON cand.dup_of = sb.doc_id
+         WHERE CAST(len(list_intersect(sa.sv, sb.sv)) AS DOUBLE) /
+           (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5""",
     "q_dedup_minhash" ->
       s"""WITH $minhashVerCtes
          SELECT da, db, common, na, nb FROM ver

@@ -21,6 +21,16 @@ class DedupIndexSpec extends SparkSpec {
     val flagged = DedupIndex.flagAgainst(spark, "dedup_idx_spec", delta, 0.5)
       .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
 
+    // normalized layout (VERDICT r6 #2): no persisted index row carries
+    // a shingle array alongside a band key — bands is ids-only, sv is
+    // one row per doc
+    val bandCols = spark.table(DedupIndex.bandsTable("dedup_idx_spec"))
+      .columns.toSet
+    assert(bandCols == Set("doc_id", "band_idx", "band_key"))
+    val sv = spark.table(DedupIndex.svTable("dedup_idx_spec"))
+    assert(sv.columns.toSet == Set("doc_id", "sv"))
+    assert(sv.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+
     // ground truth: cross-boundary pairs of the monolithic run
     val all = corpus.unionByName(delta)
     val pairs = Dedup.minhashLshPairs(all, 0.5)
@@ -31,6 +41,6 @@ class DedupIndexSpec extends SparkSpec {
       else None
     }
     assert(flagged == cross && flagged == Set((21L, 10L)))
-    spark.sql("DROP TABLE IF EXISTS dedup_idx_spec")
+    DedupIndex.drop(spark, "dedup_idx_spec")
   }
 }
