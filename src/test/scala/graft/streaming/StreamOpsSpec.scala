@@ -313,6 +313,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == (1L to 30L), s"restart must not duplicate or drop: $got")
   }
 
+  test("incremental dedup stream flags micro-batches against a persisted index, resumes from checkpoint") {
+    // e2e of the production "is today's crawl already in the corpus"
+    // loop: index written ONCE from the corpus; delta docs arrive as
+    // parquet files; each micro-batch is flagged via foreachBatch into
+    // a batch_id-partitioned sink; a restart against the same
+    // checkpoint must not re-flag batch 1 and must pick up batch 2.
+    import spark.implicits._
+    // the DedupIndexSpec LSH fixture: a~b near-dups, c disjoint
+    val a = "zulu oscar charlie amber basil india papa whiskey victor dune bravo juliet cedar sierra"
+    val b = "zulu oscar charlie amber basil india papa whiskey victor dune bravo tango xray quebec"
+    val c = "mike november romeo uniform yankee foxtrot golf kilo echo delta"
+    graft.dedup.DedupIndex.write(
+      Seq((10L, a), (12L, c)).toDF("doc_id", "text"), "dedup_idx_stream", buckets = 4)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-idxstream")
+    val (src, sink, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    def writeDelta(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def startQuery() = StreamOps.flagAgainstIndexStream(spark, "dedup_idx_stream",
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+      sink, ckpt, 0.5)
+
+    writeDelta(Seq((21L, b), (22L, "hotel alpha lima sierra tango unused words here again ok")))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    val got1 = spark.read.parquet(sink)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got1 == Set((21L, 10L)), s"batch 1: $got1")
+
+    writeDelta(Seq((23L, b), (24L, "papa golf kilo echo unrelated filler words entirely new")))
+    val q2 = startQuery() // NEW query, SAME checkpoint: resume, don't replay
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.read.parquet(sink)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq
+    // batch 1's flag appears exactly ONCE (no reprocessing), batch 2's
+    // near-dup (23 vs indexed 10) exactly once
+    assert(got2.sorted == Seq((21L, 10L), (23L, 10L)), s"after resume: $got2")
+    graft.dedup.DedupIndex.drop(spark, "dedup_idx_stream")
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
