@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   * combinable reduceGroup contract demands
   * ([U] GroupReduceCombineDriver; SURVEY.md §2.4). Sums (and counts =
   * sums of 1) are shown; min/max salt the same way.
+  *
+  * Salt-stability contract: salts derive from
+  * `monotonically_increasing_id()`, whose value depends on task/
+  * partition layout — Spark marks the expression nondeterministic, so
+  * a retried or speculatively re-executed task recomputes the WHOLE
+  * partition (never a suffix under different salts), and two attempts
+  * of one task may assign different salts transiently. That is safe
+  * here by construction: the salt only ever routes rows across
+  * reducers and never reaches the output (both operators' results
+  * equal their unsalted forms — the property the q_salted_* oracles
+  * pin). Salt values are per-execution best-effort, not contractual;
+  * don't persist or join on them.
   */
 object Salting {
 

@@ -417,6 +417,13 @@ object Algorithms {
         .join(keep.alias("ka"), col("e.src") === col("ka.v"), "left_semi")
         .alias("e2")
         .join(keep.alias("kb"), col("e2.dst") === col("kb.v"), "left_semi")
+      // und itself is lazy lineage: without a barrier, round r's degree
+      // job re-executes all r prior semi-joins over the cached base —
+      // quadratic in rounds (ADVICE r6). Fold the lineage every 4th
+      // round (but never on the last — rounds<=4, the measured-optimal
+      // q_kcore shape, is unchanged) so deep peels stay linear while
+      // shallow ones keep the cheaper rederive-from-base plan.
+      if (r % 4 == 0 && r < rounds) und = und.localCheckpoint()
       deg = degrees(und).localCheckpoint() // also materializes the peel
       statsOf(deg, r)
     }

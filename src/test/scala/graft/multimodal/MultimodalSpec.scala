@@ -80,6 +80,30 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.forall(a => a.peak >= 0 && a.peak <= 32768))
   }
 
+  test("pixel checksums match a reference walk and are order-sensitive") {
+    // reference model: decode each payload independently and fold the
+    // raster with the same definition (plain + (i+1)-weighted sums)
+    val media = Multimodal.asMediaTable(docs.limit(30))
+    val got = Multimodal.pixelChecksums(media)
+      .collect().map(d => d.media_id -> ((d.px_sum, d.px_wsum))).toMap
+    val expect = media.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().map { case (id, payload) =>
+        val rgb = MediaCodec.decode(payload).rgb
+        val s = rgb.map(_ & 0xff).map(_.toLong).sum
+        val ws = rgb.zipWithIndex.map { case (b, i) => (i + 1L) * (b & 0xff) }.sum
+        id -> ((s, ws))
+      }.toMap
+    assert(got == expect)
+    // the weighted sum pins pixel ORDER: a row-reversed raster (the
+    // bottom-up-BMP bug shape) keeps px_sum but changes px_wsum
+    val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 7 + 1).toByte)
+    val flipped = rgb.grouped(2 * 3).toSeq.reverse.flatten.toArray
+    def wsum(a: Array[Byte]) =
+      a.zipWithIndex.map { case (b, i) => (i + 1L) * (b & 0xff) }.sum
+    assert(rgb.map(_ & 0xff).sum == flipped.map(_ & 0xff).sum)
+    assert(wsum(rgb) != wsum(flipped))
+  }
+
   test("batched decode produces fixed-width features with stable dims") {
     val media = Multimodal.asMediaTable(docs.limit(50))
     val decoded = Multimodal.decodeFeatures(media).collect()
