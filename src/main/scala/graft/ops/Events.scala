@@ -158,6 +158,28 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum(col("hr")).as("sum_hr"))
   }
 
+  /** Cohort retention: users bucketed by first-active day; for each
+    * (cohort_day, day_offset) the number of cohort users active that
+    * day — the D1/D7/D30 retention matrix. Day index = whole-second
+    * epoch div 86400 (ns-vs-µs safe; epochs are positive so
+    * truncation == floor in both engines).
+    *
+    * 100 TB posture: three keyed shuffles, all narrow rows — the
+    * (user, day) distinct, the per-user min (both partition on
+    * user_id, so the cohort join back to activity reuses the
+    * partitioning with no extra exchange), then the (cohort, offset)
+    * count. Since (user, day) is distinct, count(1) per cell IS the
+    * distinct-user count — no count_distinct state. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = t(spark, dir, "events")
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ud.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sliding_daily" -> (qSlidingDaily _),
@@ -170,6 +192,7 @@ object Events {
     "q_rolling_stats" -> (qRollingStats _),
     "q_funnel" -> (qFunnel _),
     "q_trailing_hour" -> (qTrailingHour _),
+    "q_retention" -> (qRetention _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -297,5 +320,15 @@ object Events {
          SELECT user_id, COUNT(1) AS n_events,
            CAST(SUM(hr) AS BIGINT) AS sum_hr
          FROM w GROUP BY user_id""",
+    "q_retention" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+           FROM events),
+         f AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+         SELECT f.cohort_day, ud.day - f.cohort_day AS day_offset,
+           COUNT(1) AS n_users
+         FROM ud JOIN f USING (user_id)
+         GROUP BY 1, 2""",
   )
 }

@@ -67,6 +67,12 @@ object TextOps {
     t(spark, dir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
 
+  /** Banded-fingerprint Hamming pairs (Manku-style multi-index
+    * SimHash dedup): set-exact within radius 3, so the oracle can
+    * brute-force all pairs at gate scale. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashHammingPairs(t(spark, dir, "documents"), 3)
+
   // ---- text analysis -------------------------------------------------
 
   def qLangId(spark: SparkSession, dir: String): DataFrame =
@@ -419,6 +425,7 @@ object TextOps {
     "q_dedup_index" -> (qDedupIndex _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_simhash" -> (qSimhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -572,6 +579,16 @@ object TextOps {
     "q_simhash" ->
       s"""SELECT doc_id, CAST(${Dedup.sqlSimhash("text")} AS BIGINT) AS simhash
          FROM documents""",
+    // the banded join is lossless within the radius (pigeonhole), so
+    // the oracle's brute-force all-pairs popcount is the same set
+    "q_dedup_simhash" ->
+      s"""WITH sh AS (SELECT doc_id,
+             CAST(${Dedup.sqlSimhash("text", Dedup.HammingBits)} AS BIGINT) AS sh
+           FROM documents)
+         SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
     "q_lang_id" ->
       s"""SELECT lang, ${sqlPredictedLang("text")} AS predicted, COUNT(1) AS n
          FROM documents GROUP BY lang, predicted""",

@@ -106,6 +106,30 @@ class DedupSpec extends SparkSpec {
     assert(hamming(h(1L), h(3L)) > 4)
   }
 
+  test("simhashHammingPairs equals brute-force within-radius pairs (banding is lossless)") {
+    // 40 synthetic docs: enough fingerprint spread that some pairs sit
+    // inside radius 3 and most outside — the banded join must return
+    // EXACTLY the brute-force set, both directions
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => words((i * 7 + j * 5) % 12) +
+        (if ((i + j) % 3 == 0) i % 5 else "")).mkString(" "))
+    }
+    val d = docsDf(docs: _*)
+    val got = Dedup.simhashHammingPairs(d, 3)
+      .select("da", "db", "hamming").as[(Long, Long, Long)].collect().toSet
+    val sh = d.select(col("doc_id"),
+        graft.functions.TextExprs.simhashFast(col("text"), Dedup.HammingBits))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb).toLong if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(brute.nonEmpty, "fixture must plant at least one within-radius pair")
+    assert(got == brute)
+  }
+
   test("containmentJoin: a planted quote is contained in its source, not vice versa") {
     val src = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
