@@ -180,6 +180,25 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-user inter-arrival gap stats via lag(): gap = whole seconds
+    * since the user's previous event, ordered by (sec, event_id) — a
+    * FULL deterministic tie-break, equal-second events can't
+    * order-diverge between engines (SKILL.md gotcha). The lag window
+    * partitions on user_id (no global sort); output is one short row
+    * per user. */
+  def qEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("gap")).as("max_gap"),
+        sum(col("gap")).as("sum_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sliding_daily" -> (qSlidingDaily _),
@@ -193,6 +212,7 @@ object Events {
     "q_funnel" -> (qFunnel _),
     "q_trailing_hour" -> (qTrailingHour _),
     "q_retention" -> (qRetention _),
+    "q_event_gaps" -> (qEventGaps _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -330,5 +350,18 @@ object Events {
            COUNT(1) AS n_users
          FROM ud JOIN f USING (user_id)
          GROUP BY 1, 2""",
+    "q_event_gaps" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id,
+             sec - lag(sec) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id) AS gap
+           FROM e)
+         SELECT user_id, COUNT(1) AS n_gaps,
+           MAX(gap) AS max_gap, CAST(SUM(gap) AS BIGINT) AS sum_gap
+         FROM g WHERE gap IS NOT NULL GROUP BY user_id""",
   )
 }
