@@ -409,6 +409,97 @@ object Relational {
       .select(col("l_returnflag"),
         (col("cents_sum") / lit(100.0)).as("sum_price"), col("n_rows"))
 
+  // ---- TPCH Q4 (adapted): priority count of late-shipped orders -----
+  /** TPC-H Q4 shape — one order counted per priority when at least one
+    * of its lineitems is "late". The canonical predicate
+    * (l_commitdate < l_receiptdate) uses columns the driver's reduced
+    * lineitem lacks; l_shipdate > o_orderdate keeps the identical plan
+    * shape: EXISTS → left-semi join carrying a non-equi conjunct, then
+    * a combiner-friendly count. Semi-join output is at most one row
+    * per order regardless of lineitem fan-out. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  // ---- TPCH Q14: promo revenue share per ship month ------------------
+  /** TPC-H Q14 shape — promotional revenue share by ship month, as
+    * integer ppm. Revenue quantizes to 1e-4 units (the repo's exactSum
+    * discipline); the ppm ratio multiplies through DECIMAL so the
+    * numerator can't overflow long at large SFs (monthly rev4 sums
+    * pass 2^63/1e6 around TPC-H sf1), then integral-divides — both
+    * operands non-negative, so Spark div == DuckDB floor-div. part is
+    * the broadcast dimension. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long").as("rev4"))
+    val part = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type").startsWith("PROMO").as("promo"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(sum(when(col("promo"), col("rev4")).otherwise(0L)).as("promo_rev4"),
+        sum(col("rev4")).as("total_rev4"))
+      .select(col("ship_month"),
+        expr("(CAST(promo_rev4 AS DECIMAL(28,0)) * 1000000) div total_rev4")
+          .as("promo_ppm"),
+        (col("total_rev4") / lit(10000.0)).as("total_rev"))
+  }
+
+  // ---- TPCH Q18: large-quantity orders --------------------------------
+  /** TPC-H Q18 shape — orders whose total quantity exceeds 300, with
+    * customer attribution. The per-order sum is combiner-friendly and
+    * the HAVING filter bounds everything downstream; the customer join
+    * is a keyed shuffle by design (at 100 TB customer is fact-sized,
+    * not broadcastable). l_quantity is integral in this corpus, so the
+    * quantity sum is a plain long. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_name")
+    qty.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  // ---- TPCH Q22: idle high-balance customers --------------------------
+  /** TPC-H Q22 shape — customers with above-(positive-)average balance
+    * and no RECENT orders (none since 1998-01-01; this corpus has no
+    * never-ordered customers, so the canonical no-orders-ever form is
+    * vacuous at the gate SF), per nation. The corpus-wide average
+    * arrives as a broadcast ONE-ROW aggregate (no driver action) and
+    * the threshold compares cross-multiplied exact cents — no float
+    * boundary; the no-recent-orders predicate is the anti join, with
+    * the date filter pushed below it into the orders scan. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val avgPos = cust.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("bal_cents")) / lit(100.0)).as("total_acctbal"))
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -444,6 +535,10 @@ object Relational {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_count_distinct" -> (qCountDistinct _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
   )
 
   private val rev = sqlExactSum("l_extendedprice * (1 - l_discount)", 4)
@@ -617,5 +712,54 @@ object Relational {
            COUNT(DISTINCT l_suppkey) AS n_supps,
            COUNT(1) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(1) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""",
+    "q14_promo_share" ->
+      """WITH j AS (
+           SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev4,
+             (p_type LIKE 'PROMO%') AS promo
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         a AS (
+           SELECT ship_month,
+             CAST(SUM(CASE WHEN promo THEN rev4 ELSE 0 END) AS BIGINT) AS promo_rev4,
+             CAST(SUM(rev4) AS BIGINT) AS total_rev4
+           FROM j GROUP BY 1)
+         SELECT ship_month,
+           CAST((CAST(promo_rev4 AS HUGEINT) * 1000000) // total_rev4 AS BIGINT)
+             AS promo_ppm,
+           total_rev4 / 10000.0 AS total_rev
+         FROM a""",
+    "q18_large_orders" ->
+      """WITH qty AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           total_qty
+         FROM qty JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey""",
+    "q22_idle_customers" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer),
+         a AS (
+           SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+             COUNT(1) AS n_pos
+           FROM c WHERE bal_cents > 0)
+         SELECT c_nationkey, COUNT(1) AS n_customers,
+           CAST(SUM(bal_cents) AS BIGINT) / 100.0 AS total_acctbal
+         FROM c, a
+         WHERE bal_cents * n_pos > sum_cents
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '1998-01-01')
+         GROUP BY c_nationkey""",
   )
 }

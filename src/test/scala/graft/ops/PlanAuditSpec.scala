@@ -229,6 +229,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",
     "q_trigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",
     "q_dedup_embedding" -> "1-row label-count guard frame (never the corpus)",
+    "q22_idle_customers" -> "1-row positive-balance average broadcast as the threshold scalar",
   )
 
   test("suite-wide: no ACCIDENTAL cartesian or nested-loop join in any query") {
