@@ -426,6 +426,38 @@ object TextOps {
       docs.filter(!isProbe), docs.filter(isProbe), minCommon = 3)
   }
 
+  // ---- file-format roundtrips (SURVEY §2.1 Csv/Text IO, driver-green) --
+
+  /** CSV sink → CSV source roundtrip, content-pinned: write the
+    * documents table as part-file CSV, read it back under the same
+    * schema, and aggregate per-lang counts, char sums and FINGERPRINT
+    * sums — any quoting/escaping/type corruption in either direction
+    * changes a rolling-hash fingerprint and hash-mismatches the
+    * oracle (which reads the original parquet). Part-file parallel
+    * write + read; the final agg is one combiner groupBy. */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    docs.write.mode("overwrite").csv(tmp)
+    spark.read.schema(docs.schema).csv(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(fingerprint(col("text"))).as("fp_sum"))
+  }
+
+  /** Text sink → text source roundtrip (one doc per line), pinned the
+    * same way with a global count/char/fingerprint aggregate. */
+  def qTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+    docs.select(col("text")).write.mode("overwrite").text(tmp)
+    spark.read.text(tmp)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("value"))).as("total_chars"),
+        sum(fingerprint(col("value"))).as("fp_sum"))
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
@@ -496,6 +528,8 @@ object TextOps {
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_text_roundtrip" -> (qTextRoundtrip _),
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -647,6 +681,18 @@ object TextOps {
          FROM documents GROUP BY lang, source""",
     "q_fingerprint" ->
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fingerprint FROM documents""",
+    // the oracle reads the ORIGINAL parquet — only a faithful
+    // sink→source roundtrip on the Spark side reproduces the sums
+    "q_csv_roundtrip" ->
+      s"""SELECT lang, COUNT(1) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(${sqlFingerprint("text")}) AS BIGINT) AS fp_sum
+         FROM documents GROUP BY lang""",
+    "q_text_roundtrip" ->
+      s"""SELECT COUNT(1) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(${sqlFingerprint("text")}) AS BIGINT) AS fp_sum
+         FROM documents""",
     "q_quality_filter" ->
       s"""WITH q AS (
            SELECT lang,
