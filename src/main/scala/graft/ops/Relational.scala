@@ -187,6 +187,36 @@ object Relational {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * (flag, status), (flag), (status) — but NOT the grand total, which
+    * neither rollup nor cube can express alone — plus grouping_id to
+    * disambiguate NULL-as-group-all from NULL data. One pass, expanded
+    * by Catalyst's Expand the same way as cube. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.createOrReplaceTempView("graft_gs_lineitem")
+    li.sparkSession.sql(
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           SUM(l_quantity) AS sum_qty, COUNT(1) AS n
+         FROM graft_gs_lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), (l_linestatus))""")
+  }
+
+  /** Pivot: per-priority order counts and exact total cents spread
+    * into one column pair per order status — values enumerated, so
+    * the schema is static and the oracle is plain conditional
+    * aggregation. A combiner-friendly single pass (pivot compiles to
+    * one aggregate with CASE projections, no join). */
+  def qPivotStatus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+
   // ---- map / project (element-wise) ----------------------------------
   def qProjectMap(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -536,6 +566,8 @@ object Relational {
     "q_cube" -> (qCube _),
     "q_count_distinct" -> (qCountDistinct _),
     "q4_order_priority" -> (q4OrderPriority _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot_status" -> (qPivotStatus _),
     "q14_promo_share" -> (q14PromoShare _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q22_idle_customers" -> (q22IdleCustomers _),
@@ -712,6 +744,27 @@ object Relational {
            COUNT(DISTINCT l_suppkey) AS n_supps,
            COUNT(1) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           SUM(l_quantity) AS sum_qty, COUNT(1) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), (l_linestatus))""",
+    // every (priority, status) cell is populated in this corpus, so
+    // conditional COUNT(0)-vs-pivot-NULL divergence cannot arise
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS F_cents,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+             THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS O_cents,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+             THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS P_cents
+         FROM orders GROUP BY o_orderpriority""",
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(1) AS order_count
          FROM orders
