@@ -164,18 +164,21 @@ object Events {
     * epoch div 86400 (ns-vs-µs safe; epochs are positive so
     * truncation == floor in both engines).
     *
-    * 100 TB posture: three keyed shuffles, all narrow rows — the
-    * (user, day) distinct, the per-user min (both partition on
-    * user_id, so the cohort join back to activity reuses the
-    * partitioning with no extra exchange), then the (cohort, offset)
-    * count. Since (user, day) is distinct, count(1) per cell IS the
-    * distinct-user count — no count_distinct state. */
+    * 100 TB posture: three keyed shuffles, all narrow rows, ONE scan
+    * of events — the (user, day) distinct, then the per-user first
+    * day as a WINDOW MIN over the same user_id partitioning (the
+    * agg+join-back formulation re-computed the uncached distinct for
+    * both join sides and re-shuffled the activity side: 6 exchanges,
+    * audit-measured), then the (cohort, offset) count. Since
+    * (user, day) is distinct, count(1) per cell IS the distinct-user
+    * count — no count_distinct state. */
   def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ud = t(spark, dir, "events")
       .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"))
       .distinct()
-    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    ud.join(first, "user_id")
+    ud.withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }

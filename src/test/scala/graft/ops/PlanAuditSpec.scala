@@ -75,6 +75,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q4: EXISTS plans as a semi join (one row per order, no fan-out)") {
+    val p = executedPlan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Distinct"), "semi join must not materialize a distinct:\n" + p)
+  }
+
+  test("q14: part is the broadcast side; lineitem never broadcasts") {
+    val p = executedPlan("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "ppm agg must combine map-side:\n" + p)
+  }
+
+  test("q22: threshold scalar broadcasts; no-recent-orders is an anti join with pushed date filter") {
+    val p = executedPlan("q22_idle_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "anti-join probe must scan only recent orders:\n" + p)
+  }
+
+  test("retention: the cohort-min and activity join share the user_id partitioning") {
+    // distinct (user, day) -> window-min per user -> (cohort, offset)
+    // agg: 3 shuffles total over ONE events scan, not 4+ (the AQE plan
+    // string repeats the tree under "== Initial Plan ==" — count the
+    // final plan only)
+    val p = executedPlan("q_retention").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      "cohort min should reuse the user_id partitioning:\n" + p)
+  }
+
+  test("event gaps: lag window partitions by user (no global sort)") {
+    val p = executedPlan("q_event_gaps")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "per-user lag must not globally sort:\n" + p)
+  }
+
   test("split summary never reads the text column and combines map-side") {
     val p = executedPlan("q_split")
     assert(!p.contains("text"), "split stats must not read document bodies:\n" + p)
