@@ -217,6 +217,27 @@ object Relational {
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
 
+  /** Collection-input join ([U] CollectionInputFormat, SURVEY §2.1):
+    * an in-memory priority→weight lookup built via
+    * [[graft.api.GraftEnvironment.fromCollection]] joins (broadcast)
+    * against the orders scan — the "inline dimension table" pattern;
+    * the oracle embeds the same rows as VALUES. Weighted order counts
+    * per year. */
+  def qCollectionJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val env = new graft.api.GraftEnvironment(spark)
+    val weights = env.fromCollection(Seq(
+      ("1-URGENT", 5L), ("2-HIGH", 4L), ("3-MEDIUM", 3L),
+      ("4-NOT SPECIFIED", 2L), ("5-LOW", 1L)))
+      .ds.toDF("o_orderpriority", "weight")
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(broadcast(weights), Seq("o_orderpriority"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("weight")).as("sum_weight"))
+  }
+
   // ---- map / project (element-wise) ----------------------------------
   def qProjectMap(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -567,6 +588,7 @@ object Relational {
     "q_count_distinct" -> (qCountDistinct _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_collection_join" -> (qCollectionJoin _),
     "q_pivot_status" -> (qPivotStatus _),
     "q14_promo_share" -> (q14PromoShare _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -744,6 +766,15 @@ object Relational {
            COUNT(DISTINCT l_suppkey) AS n_supps,
            COUNT(1) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "q_collection_join" ->
+      """WITH w(o_orderpriority, weight) AS (VALUES
+           ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+           ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           COUNT(1) AS n_orders,
+           CAST(SUM(weight) AS BIGINT) AS sum_weight
+         FROM orders JOIN w USING (o_orderpriority)
+         GROUP BY 1""",
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
