@@ -426,6 +426,11 @@ object TextOps {
       docs.filter(!isProbe), docs.filter(isProbe), minCommon = 3)
   }
 
+  /** Token-window chunking (64-token windows, stride 48): every chunk
+    * content- and boundary-pinned by a rolling-hash fingerprint. */
+  def qChunking(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Chunking.chunkTokens(t(spark, dir, "documents"), 64, 48)
+
   // ---- file-format roundtrips (SURVEY §2.1 Csv/Text IO, driver-green) --
 
   /** CSV sink → CSV source roundtrip, content-pinned: write the
@@ -528,6 +533,7 @@ object TextOps {
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_chunking" -> (qChunking _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_text_roundtrip" -> (qTextRoundtrip _),
   )
@@ -681,6 +687,7 @@ object TextOps {
          FROM documents GROUP BY lang, source""",
     "q_fingerprint" ->
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fingerprint FROM documents""",
+    "q_chunking" -> graft.pipeline.Chunking.sqlChunkTokens(64, 48),
     // the oracle reads the ORIGINAL parquet — only a faithful
     // sink→source roundtrip on the Spark side reproduces the sums
     "q_csv_roundtrip" ->

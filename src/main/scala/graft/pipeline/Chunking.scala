@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Document chunking — split each document into fixed-size token
+  * windows with stride (overlap = chunkSize - stride), the standard
+  * pre-tokenization pass of an LLM training pipeline (long docs
+  * become several training examples; overlap preserves cross-boundary
+  * context).
+  *
+  * Output rows: (doc_id, chunk_idx, n_tok, chunk_fp) where chunk_fp
+  * is the rolling hash of the chunk's tokens in order (same wordVal
+  * family as [[TextFunctions.fingerprint]]) — so chunk CONTENT and
+  * BOUNDARIES are pinned exactly, not just counts: an off-by-one
+  * window start changes every fingerprint.
+  *
+  * 100 TB posture: pure per-row expression work (tokenize once per
+  * doc, windows via sequence+slice, fingerprints via a fold over each
+  * slice) — zero shuffle, and the explode multiplies rows only by
+  * ~n_tokens/stride per doc. The higher-order functions run
+  * interpreted, but per-row cost is linear in text length, the same
+  * class as the scan itself.
+  */
+object Chunking {
+
+  private def wordVal(w: Column): Column = TextFunctions.wordVal(w)
+
+  /** One row per (doc, window): windows start at 0, stride, 2·stride,
+    * … while < n_tokens; each keeps up to `chunkSize` tokens (the
+    * last window may be short — standard tail handling). */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48)
+      : DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got stride=$stride size=$chunkSize")
+    docs
+      .withColumn("ws", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - 1, lit(stride)),
+          s => slice(col("ws"), s + 1, lit(chunkSize))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        aggregate(col("chunk"), lit(0L),
+          (acc, w) => (acc * 31 + wordVal(w)) % TextFunctions.HashMod)
+          .as("chunk_fp"))
+  }
+
+  /** SQL twin of [[chunkTokens]] for the DuckDB oracle. */
+  def sqlChunkTokens(chunkSize: Int, stride: Int): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       st AS (SELECT doc_id, ws, unnest(range(0, len(ws), $stride)) AS s FROM tk),
+       c AS (SELECT doc_id, CAST(s // $stride AS BIGINT) AS chunk_idx,
+               ws[CAST(s + 1 AS INT):CAST(s + $chunkSize AS INT)] AS chunk
+             FROM st)
+       SELECT doc_id, chunk_idx,
+         CAST(len(chunk) AS BIGINT) AS n_tok,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(chunk,
+           w -> CAST(ascii(w)*1024 + ascii(right(w,1))*32 + length(w) AS BIGINT))),
+           (acc, v) -> (acc*31 + v) % ${TextFunctions.HashMod}) AS chunk_fp
+       FROM c"""
+}

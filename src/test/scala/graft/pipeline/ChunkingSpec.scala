@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+
+class ChunkingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("chunk windows match a hand model: starts, sizes, overlap, tail") {
+    // 10 tokens, size 4, stride 3 -> starts 0,3,6,9; sizes 4,4,4,1
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+    val docs = Seq((7L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Chunking.chunkTokens(docs, chunkSize = 4, stride = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+
+    def wv(w: String): Long =
+      w.head.toLong * 1024 + w.last.toLong * 32 + w.length
+    def fp(ws: Seq[String]): Long =
+      ws.foldLeft(0L)((acc, w) => (acc * 31 + wv(w)) % TextFunctions.HashMod)
+    val expect = Seq(0, 3, 6, 9).zipWithIndex.map { case (s, i) =>
+      val chunk = words.slice(s, s + 4)
+      (7L, i.toLong, chunk.length.toLong, fp(chunk))
+    }
+    assert(got == expect)
+    // overlap really repeats tokens: chunk 0 ends with dd, chunk 1 starts with dd
+    assert(words.slice(0, 4).last == words.slice(3, 7).head)
+  }
+
+  test("an off-by-one window start would change the fingerprint (boundary pin)") {
+    val words = Seq("aa", "bb", "cc", "dd", "ee")
+    def wv(w: String): Long =
+      w.head.toLong * 1024 + w.last.toLong * 32 + w.length
+    def fp(ws: Seq[String]): Long =
+      ws.foldLeft(0L)((acc, w) => (acc * 31 + wv(w)) % TextFunctions.HashMod)
+    assert(fp(words.slice(0, 4)) != fp(words.slice(1, 5)))
+  }
+}
