@@ -43,4 +43,22 @@ class DedupIndexSpec extends SparkSpec {
     assert(flagged == cross && flagged == Set((21L, 10L)))
     DedupIndex.drop(spark, "dedup_idx_spec")
   }
+
+  test("rewriting an index over a stale warehouse directory succeeds (catalog reset)") {
+    // an in-memory catalog forgets managed tables between sessions but
+    // their warehouse dirs survive (DROP TABLE on a managed table
+    // removes both, so simulate the stale state by planting the
+    // directory directly): write must reset it or saveAsTable dies
+    // with LOCATION_ALREADY_EXISTS
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val stale = new org.apache.hadoop.fs.Path(wh,
+      DedupIndex.bandsTable("dedup_idx_rewrite").toLowerCase)
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stale)
+    assert(fs.exists(stale))
+    val corpus = Seq((10L, a)).toDF("doc_id", "text")
+    DedupIndex.write(corpus, "dedup_idx_rewrite", buckets = 2)
+    assert(spark.table(DedupIndex.svTable("dedup_idx_rewrite")).count() == 1)
+    DedupIndex.drop(spark, "dedup_idx_rewrite")
+  }
 }

@@ -130,6 +130,30 @@ class DedupSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("simhashHammingPairs: lossless across radii 1 and 6 on pseudo-random corpora") {
+    // the pigeonhole guarantee must hold for every (maxHamming+1)-band
+    // split that divides 28 — exercise radius 1 (2x14-bit bands) and
+    // radius 6 (7x4-bit bands) against brute force on a generated corpus
+    val words = Seq("zeta", "eta", "iota", "kappa", "mu", "nu", "xi", "pi",
+      "rho", "tau", "phi", "chi", "psi", "omega")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 10).map(j => words((i * 11 + j * 3) % 14)).mkString(" "))
+    }
+    val d = docsDf(docs: _*)
+    val sh = d.select(col("doc_id"),
+        graft.functions.TextExprs.simhashFast(col("text"), Dedup.HammingBits))
+      .as[(Long, Long)].collect()
+    for (radius <- Seq(1, 6)) {
+      val got = Dedup.simhashHammingPairs(d, radius)
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (ia, ha) <- sh; (ib, hb) <- sh
+        if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= radius
+      } yield (ia, ib)).toSet
+      assert(got == brute, s"radius=$radius")
+    }
+  }
+
   test("containmentJoin: a planted quote is contained in its source, not vice versa") {
     val src = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"

@@ -27,6 +27,29 @@ class ChunkingSpec extends SparkSpec {
     assert(words.slice(0, 4).last == words.slice(3, 7).head)
   }
 
+  test("invariants over varied doc lengths: full coverage, window count, sizes") {
+    // for every n_tokens in 1..40 (deterministic texts), size 8 / stride 5:
+    // - window count = ceil(n / stride)
+    // - all windows but possibly the last have size 8 OR end at n
+    // - every token index is covered by at least one window
+    val docs = (1 to 40).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Chunking.chunkTokens(docs, chunkSize = 8, stride = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    (1 to 40).foreach { n =>
+      val chunks = rows(n.toLong)
+      assert(chunks.length == math.ceil(n / 5.0).toInt, s"n=$n count")
+      chunks.foreach { case (_, idx, nTok, _) =>
+        val start = idx * 5
+        assert(nTok == math.min(8, n - start), s"n=$n idx=$idx size")
+      }
+      val covered = chunks.flatMap { case (_, idx, nTok, _) =>
+        (idx * 5) until (idx * 5 + nTok) }.toSet
+      assert(covered == (0L until n.toLong).toSet, s"n=$n coverage")
+    }
+  }
+
   test("an off-by-one window start would change the fingerprint (boundary pin)") {
     val words = Seq("aa", "bb", "cc", "dd", "ee")
     def wv(w: String): Long =
