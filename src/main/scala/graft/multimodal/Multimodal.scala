@@ -41,6 +41,15 @@ object Multimodal {
       .toDF("media_id", "payload", "format", "n_bytes")
   }
 
+  /** Wrap a per-partition decode stream so `close` fires when the
+    * iterator drains — the one subtle pattern (close inside hasNext)
+    * shared by every batched-codec operator here. */
+  private def closingIterator[T](close: () => Unit, out: Iterator[T])
+      : Iterator[T] = new Iterator[T] {
+    def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
+    def next(): T = out.next()
+  }
+
   case class DecodedMedia(media_id: Long, format: String, width: Int,
       height: Int, features: Array[Float])
 
@@ -60,10 +69,7 @@ object Multimodal {
             if (img.rgb.isEmpty) 0f else (img.rgb(i % img.rgb.length) & 0xff) / 255f)
           DecodedMedia(id, fmt, img.width, img.height, feat)
         }
-        new Iterator[DecodedMedia] {
-          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
-          def next(): DecodedMedia = out.next()
-        }
+        closingIterator(() => codec.close(), out)
       }
   }
 
@@ -97,10 +103,7 @@ object Multimodal {
           }
           DecodedPixels(id, fmt, s, ws)
         }
-        new Iterator[DecodedPixels] {
-          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
-          def next(): DecodedPixels = out.next()
-        }
+        closingIterator(() => codec.close(), out)
       }
   }
 
@@ -162,10 +165,7 @@ object Multimodal {
           }
           DecodedAudio(id, a.sampleRate, a.nSamples, a.durationMs, peak)
         }
-        new Iterator[DecodedAudio] {
-          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
-          def next(): DecodedAudio = out.next()
-        }
+        closingIterator(() => codec.close(), out)
       }
   }
 

@@ -216,6 +216,13 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      // an EMPTY pivot cell is NULL here but 0 via the oracle's
+      // conditional COUNT — coalesce the count columns so the query
+      // is robust to sparser fixtures, not dependent on every
+      // (priority, status) cell being populated (cents sums stay
+      // NULL-on-empty in both engines)
+      .select(col("o_orderpriority") +: Seq("F", "O", "P").flatMap(s => Seq(
+        coalesce(col(s"${s}_n"), lit(0L)).as(s"${s}_n"), col(s"${s}_cents"))): _*)
 
   /** Collection-input join ([U] CollectionInputFormat, SURVEY §2.1):
     * an in-memory priority→weight lookup built via

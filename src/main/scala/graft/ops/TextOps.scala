@@ -376,10 +376,15 @@ object TextOps {
     val probe = tf
       .withColumn("len", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .crossJoin(broadcast(nd))
+    // numerator widened through DECIMAL: tf*1e6*nd passes 2^63 once
+    // the corpus is large enough (nd ~ 1e10 at the 100 TB posture),
+    // same discipline as q14's ppm ratio; div of non-negatives stays
+    // floor==truncate on both engines
     val scored = graft.text.CorpusScoring.hybridWeightJoin(
         probe, dfreq.withColumn("freq", col("df")), Seq("tok"), "freq",
         graft.text.CorpusScoring.DefaultHotTokens, "inner")
-      .withColumn("score_ppm", expr("(tf * 1000000L * nd) div (len * df)"))
+      .withColumn("score_ppm",
+        expr("(CAST(tf AS DECIMAL(28,0)) * 1000000 * nd) div (len * df)"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_ppm").desc, col("tok"))
     graft.api.Materialize.releasing(
@@ -440,27 +445,50 @@ object TextOps {
     * changes a rolling-hash fingerprint and hash-mismatches the
     * oracle (which reads the original parquet). Part-file parallel
     * write + read; the final agg is one combiner groupBy. */
+  /** Run a roundtrip body against a fresh temp dir, materialize the
+    * (small) aggregate eagerly, then delete the corpus-sized dump —
+    * repeated bench/verify runs must not accumulate dead data in
+    * java.io.tmpdir. */
+  private def withRoundtripDir(prefix: String)(body: String => DataFrame)
+      : DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try body(tmp.toString).localCheckpoint(eager = true)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-    docs.write.mode("overwrite").csv(tmp)
-    spark.read.schema(docs.schema).csv(tmp)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("n_chars"),
-        sum(fingerprint(col("text"))).as("fp_sum"))
+    withRoundtripDir("graft_csv") { tmp =>
+      // explicit whitespace opts: the CSV writer's ignore*WhiteSpace
+      // default to TRUE and would silently trim padded texts — latent
+      // corruption this roundtrip exists to catch, not to commit
+      docs.write.mode("overwrite")
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
+        .csv(tmp)
+      spark.read.schema(docs.schema).csv(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(fingerprint(col("text"))).as("fp_sum"))
+    }
   }
 
   /** Text sink → text source roundtrip (one doc per line), pinned the
     * same way with a global count/char/fingerprint aggregate. */
   def qTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
-    docs.select(col("text")).write.mode("overwrite").text(tmp)
-    spark.read.text(tmp)
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("value"))).as("total_chars"),
-        sum(fingerprint(col("value"))).as("fp_sum"))
+    withRoundtripDir("graft_text") { tmp =>
+      docs.select(col("text")).write.mode("overwrite").text(tmp)
+      spark.read.text(tmp)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("value"))).as("total_chars"),
+          sum(fingerprint(col("value"))).as("fp_sum"))
+    }
   }
 
   // ---- multimodal ----------------------------------------------------
@@ -842,10 +870,14 @@ object TextOps {
              SUM(b * sb * cj) AS px_sum,
              SUM(b * (wa * (cj * j + len * (cj * (cj - 1) // 2)) + wb * cj)) AS px_wsum
            FROM x GROUP BY format, doc_id)
-         SELECT format, COUNT(1) AS n_media,
-           CAST(SUM(px_sum) AS BIGINT) AS sum_px,
-           CAST(SUM(px_wsum) AS BIGINT) AS wsum_px
-         FROM d GROUP BY format""",
+         -- LEFT JOIN from p: a zero-length text emits no x rows but its
+         -- all-zero raster still counts one n_media with zero sums on
+         -- the Spark side
+         SELECT p.format, COUNT(1) AS n_media,
+           CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
+           CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
+         FROM p LEFT JOIN d ON p.doc_id = d.doc_id
+         GROUP BY p.format""",
     "q_multimodal_resize" ->
       """WITH dims AS (
            SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ppm'
@@ -967,7 +999,7 @@ object TextOps {
          dfreq AS (SELECT tok, COUNT(1) AS df FROM tf GROUP BY 1),
          nd AS (SELECT COUNT(1) AS nd FROM documents),
          s AS (SELECT tf.doc_id, tf.tok,
-                 CAST((tf.tf * 1000000 * nd.nd) // (len.len * dfreq.df) AS BIGINT)
+                 CAST((CAST(tf.tf AS HUGEINT) * 1000000 * nd.nd) // (len.len * dfreq.df) AS BIGINT)
                    AS score_ppm
                FROM tf JOIN len USING (doc_id) JOIN dfreq USING (tok)
                  CROSS JOIN nd)
