@@ -257,6 +257,27 @@ object Dedup {
         sum(col("vertex")).as("sum_doc"))
   }
 
+  /** The dedup TERMINAL: `docs` with every non-representative
+    * transitive near-duplicate REMOVED — each cluster (connected
+    * component of the verified LSH pair graph) keeps exactly its
+    * min-doc_id representative; docs in no cluster pass through
+    * untouched. This is the operator a training pipeline actually
+    * ends in ([[nearDupClusters]] is the reporting view of the same
+    * clustering).
+    *
+    * 100 TB posture: the drop-set is match-sized (non-representative
+    * cluster members only), so the final filter is one anti join
+    * keyed on doc_id; corpus size appears only in the signature scan
+    * and that join. */
+  def dedupKeep(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold, materialize = true)
+    val comps = graft.graph.Algorithms.connectedComponents(
+      pairs.select(col("da").as("src"), col("db").as("dst")))
+    val drop = comps.filter(col("vertex") =!= col("component"))
+      .select(col("vertex").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   // ---- embedding-cosine near-dup --------------------------------------
 
   /** Embedding near-duplicate pairs: same-block (label) vectors with

@@ -47,6 +47,14 @@ object TextOps {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(t(spark, dir, "documents"), 0.5)
 
+  /** The dedup terminal end-to-end: per-lang size + id checksum of the
+    * corpus AFTER transitive near-dup removal (keep one representative
+    * per cluster). */
+  def qDedupKeep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupKeep(t(spark, dir, "documents"), 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+
   /** Incremental-index dedup e2e: persist a [[graft.dedup.DedupIndex]]
     * over a deterministic half of the corpus (even doc_ids), then flag
     * the other half against the stored index — the "is today's crawl
@@ -526,6 +534,7 @@ object TextOps {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_keep" -> (qDedupKeep _),
     "q_dedup_index" -> (qDedupIndex _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_simhash" -> (qSimhash _),
@@ -601,6 +610,22 @@ object TextOps {
        bk AS (SELECT doc_id, i AS band_idx, bands[i] AS band_key
               FROM bnd, unnest(generate_series(1, ${Dedup.NumHashes / Dedup.BandSize})) AS t(i))"""
 
+  /** [[minhashVerCtes]] extended through the recursive-closure
+    * component labeling `comp(node, cluster_id)` — shared by the
+    * clusters oracle and the keep-set (dedup terminal) oracle. Must
+    * follow a `WITH RECURSIVE`. */
+  private lazy val minhashCompCtes: String =
+    s"""$minhashVerCtes,
+       mhp AS (SELECT da, db FROM ver
+               WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
+       e AS (SELECT da AS u, db AS v FROM mhp
+             UNION SELECT db, da FROM mhp),
+       reach(node, lbl) AS (
+         SELECT u, u FROM e
+         UNION
+         SELECT e2.v, r.lbl FROM reach r JOIN e e2 ON r.node = e2.u),
+       comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
   /** Shared CTE chain of the MinHash-LSH oracle, through the exact
     * verification frame `ver` (da, db, common, na, nb) — consumed by
     * the pairs oracle (q_dedup_minhash) and extended to clusters
@@ -665,19 +690,20 @@ object TextOps {
     // enumeration is tiny at oracle scale); MIN(label) per node is
     // exactly the Spark side's min-id component
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashVerCtes,
-         mhp AS (SELECT da, db FROM ver
-                 WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
-         e AS (SELECT da AS u, db AS v FROM mhp
-               UNION SELECT db, da FROM mhp),
-         reach(node, lbl) AS (
-           SELECT u, u FROM e
-           UNION
-           SELECT e2.v, r.lbl FROM reach r JOIN e e2 ON r.node = e2.u),
-         comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $minhashCompCtes
          SELECT cluster_id, COUNT(1) AS n_docs,
            MAX(node) AS max_doc, CAST(SUM(node) AS BIGINT) AS sum_doc
          FROM comp GROUP BY cluster_id""",
+    // the dedup TERMINAL: drop every non-representative cluster member
+    // (node <> its min-id label), keep representatives + singletons
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $minhashCompCtes
+         SELECT lang, COUNT(1) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE NOT EXISTS (SELECT 1 FROM comp
+           WHERE node = doc_id AND node <> cluster_id)
+         GROUP BY lang""",
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
            ${graft.sim.Similarity.sqlSimRounded("a.embedding", "b.embedding", 64)} AS sim

@@ -194,6 +194,21 @@ class DedupSpec extends SparkSpec {
     assert(clusters == Seq((10L, 3L, 12L, 33L))) // (cluster_id, n, max, sum)
   }
 
+  test("dedupKeep drops exactly the non-representative cluster members") {
+    // chain fixture from the clusters test: a~b~c one cluster -> keep
+    // min id only; the unrelated doc passes through
+    val a = "zulu oscar charlie amber basil india papa whiskey victor dune bravo juliet cedar sierra"
+    val b = "zulu oscar charlie amber basil india papa whiskey victor dune bravo tango xray quebec"
+    val other = "mike november romeo uniform yankee foxtrot golf kilo echo delta"
+    val docs = docsDf((10L, a), (11L, b), (20L, other))
+    val kept = Dedup.dedupKeep(docs, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val pairs = Dedup.minhashLshPairs(docs, 0.5)
+      .select("da", "db").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must plant a near-dup pair")
+    assert(kept == Set(10L, 20L))
+  }
+
   test("fingerprint: identical token streams collide, different ones don't") {
     val d = docsDf((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"))
     val f = d.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("f"))
