@@ -244,6 +244,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("token-window chunking runs unchanged on a stream (per-row, stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val chunked = graft.pipeline.Chunking.chunkTokens(
+      in.toDF().toDF("doc_id", "text"), chunkSize = 4, stride = 3)
+    val q = chunked.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_chunks").start()
+    val text = (1 to 10).map(i => s"tok$i").mkString(" ")
+    in.addData((1L, text), (2L, text))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_chunks")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = graft.pipeline.Chunking.chunkTokens(
+      Seq((1L, text), (2L, text)).toDF("doc_id", "text"), 4, 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == batch && got.size == 8) // ceil(10/3)=4 windows per doc
+  }
+
   test("stream-stream interval join matches purchases to preceding clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
