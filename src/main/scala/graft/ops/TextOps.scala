@@ -223,6 +223,24 @@ object TextOps {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
   }
 
+  /** SCD-style upsert e2e: apply a synthetic delta (modified texts for
+    * one id band, brand-new high-bit ids for another) to the corpus
+    * and checksum the MERGED corpus per lang — delta rows must
+    * replace, inserts must land, untouched rows must survive exactly
+    * once. */
+  def qUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val bucket = graft.pipeline.Sampling.idBucket(col("doc_id"), 1000)
+    val delta = docs.filter(bucket < 50)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"), col("lang"))
+      .unionByName(docs.filter(bucket >= 50 && bucket < 60)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text"), col("lang")))
+    graft.pipeline.SnapshotDiff.upsert(docs, delta, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(fingerprint(col("text"))).as("fp_sum"))
+  }
+
   /** Audio plumbing: per-sample-rate stream stats parsed back out of
     * real RIFF/WAVE headers (AudioCodec). Oracle replicates the
     * ENCODER's arithmetic — a mis-walked chunk list hash-mismatches. */
@@ -570,6 +588,7 @@ object TextOps {
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_upsert" -> (qUpsert _),
     "q_chunking" -> (qChunking _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_text_roundtrip" -> (qTextRoundtrip _),
@@ -1072,6 +1091,24 @@ object TextOps {
                  ELSE 'changed' END AS status
                FROM prev FULL OUTER JOIN nxt USING (key))
          SELECT status, COUNT(1) AS n FROM d GROUP BY status"""
+    },
+    "q_upsert" -> {
+      import graft.pipeline.Sampling.sqlIdBucket
+      s"""WITH src AS (SELECT doc_id, text, lang,
+             ${sqlIdBucket("doc_id", 1000)} AS b FROM documents),
+         delta AS (
+           SELECT doc_id, text || ' v2' AS text, lang FROM src WHERE b < 50
+           UNION ALL
+           SELECT doc_id + (1::BIGINT << 40), text, lang
+           FROM src WHERE b >= 50 AND b < 60),
+         merged AS (
+           SELECT doc_id, text, lang FROM delta
+           UNION ALL
+           SELECT doc_id, text, lang FROM src
+           WHERE doc_id NOT IN (SELECT doc_id FROM delta))
+         SELECT lang, COUNT(1) AS n_docs,
+           CAST(SUM(${sqlFingerprint("text")}) AS BIGINT) AS fp_sum
+         FROM merged GROUP BY lang"""
     },
   )
 }

@@ -38,4 +38,17 @@ object SnapshotDiff {
           .when(col("fp_prev") === col("fp_next"), lit("same"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** SCD-style UPSERT — apply a delta to a corpus: delta rows replace
+    * same-key corpus rows, new-key delta rows insert, untouched
+    * corpus rows pass through (the companion WRITE primitive to
+    * [[diff]]'s classify). Same unique-key contract as diff.
+    *
+    * 100 TB posture: one anti join of the corpus against the DELTA'S
+    * KEYS (a one-column frame — broadcastable whenever the delta is a
+    * day's crawl) plus a union — the corpus payload never shuffles
+    * when the key frame broadcasts, and never travels twice. */
+  def upsert(prev: DataFrame, next: DataFrame, keyCol: String): DataFrame =
+    next.unionByName(
+      prev.join(next.select(col(keyCol)), Seq(keyCol), "left_anti"))
 }
