@@ -247,15 +247,22 @@ object Dedup {
     * never appears past the signature scan. The pair frame is
     * materialized once (localCheckpoint) so the iteration's
     * supersteps never re-run the LSH pipeline. */
-  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** Shared clustering core: min-id component labels (vertex,
+    * component) over the verified LSH pair graph — ONE definition so
+    * the reporting view ([[nearDupClusters]]) and the terminal
+    * ([[dedupKeep]]) can never drift apart. */
+  private def nearDupComponents(docs: DataFrame, threshold: Double): DataFrame = {
     val pairs = minhashLshPairs(docs, threshold, materialize = true)
-    val comps = graft.graph.Algorithms.connectedComponents(
+    graft.graph.Algorithms.connectedComponents(
       pairs.select(col("da").as("src"), col("db").as("dst")))
-    comps.groupBy(col("component").as("cluster_id"))
+  }
+
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupComponents(docs, threshold)
+      .groupBy(col("component").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         max(col("vertex")).as("max_doc"),
         sum(col("vertex")).as("sum_doc"))
-  }
 
   /** The dedup TERMINAL: `docs` with every non-representative
     * transitive near-duplicate REMOVED — each cluster (connected
@@ -270,10 +277,8 @@ object Dedup {
     * keyed on doc_id; corpus size appears only in the signature scan
     * and that join. */
   def dedupKeep(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLshPairs(docs, threshold, materialize = true)
-    val comps = graft.graph.Algorithms.connectedComponents(
-      pairs.select(col("da").as("src"), col("db").as("dst")))
-    val drop = comps.filter(col("vertex") =!= col("component"))
+    val drop = nearDupComponents(docs, threshold)
+      .filter(col("vertex") =!= col("component"))
       .select(col("vertex").as("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
   }

@@ -464,13 +464,6 @@ object TextOps {
 
   // ---- file-format roundtrips (SURVEY §2.1 Csv/Text IO, driver-green) --
 
-  /** CSV sink → CSV source roundtrip, content-pinned: write the
-    * documents table as part-file CSV, read it back under the same
-    * schema, and aggregate per-lang counts, char sums and FINGERPRINT
-    * sums — any quoting/escaping/type corruption in either direction
-    * changes a rolling-hash fingerprint and hash-mismatches the
-    * oracle (which reads the original parquet). Part-file parallel
-    * write + read; the final agg is one combiner groupBy. */
   /** Run a roundtrip body against a fresh temp dir, materialize the
     * (small) aggregate eagerly, then delete the corpus-sized dump —
     * repeated bench/verify runs must not accumulate dead data in
@@ -481,11 +474,19 @@ object TextOps {
     try body(tmp.toString).localCheckpoint(eager = true)
     finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(tmp) // must be closed (open dir handles)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
+  /** CSV sink → CSV source roundtrip, content-pinned: write the
+    * documents table as part-file CSV, read it back under the same
+    * schema, and aggregate per-lang counts, char sums and FINGERPRINT
+    * sums — any quoting/escaping/type corruption in either direction
+    * changes a rolling-hash fingerprint and hash-mismatches the
+    * oracle (which reads the original parquet). Part-file parallel
+    * write + read; the final agg is one combiner groupBy. */
   def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     withRoundtripDir("graft_csv") { tmp =>

@@ -27,4 +27,15 @@ class EntrySpec extends SparkSpec {
     }
     assert(missing.isEmpty, s"catalog missing: ${missing.mkString(", ")}")
   }
+  test("README's driver-contract query count matches the registry (drift guard)") {
+    // the count rotted twice in round 7 (101 vs 103 vs 105) before
+    // this pin existed
+    val md = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val claimed = "driver contract: (\\d+) queries".r
+      .findFirstMatchIn(md).map(_.group(1).toInt)
+    assert(claimed.contains(SparkEntry.queries.size),
+      s"README claims $claimed, registry has ${SparkEntry.queries.size}")
+  }
 }
