@@ -208,6 +208,35 @@ object Dedup {
     // 8 longs/doc, a negligible cache-size delta)
     val withSig = signedBands(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashLshPairsFrom(withSig, threshold)
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(withSig))
+    else pairs
+  }
+
+  /** MinHash ESTIMATE audit: for every LSH-verified near-dup pair,
+    * the signature-slot agreement count (matching minhash slots of
+    * [[NumHashes]]) alongside the exact shingle overlap — the
+    * estimator-vs-truth view that pins the SIGNATURE arithmetic
+    * itself, not just the band keys it feeds (slots/NumHashes is the
+    * unbiased Jaccard estimate; common/(na+nb-common) the truth).
+    * Integer-only output. One extra pass over the cached signed frame
+    * — pair volume is O(true matches). */
+  def minhashEstimatePairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val withSig = signedBands(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashLshPairsFrom(withSig, threshold)
+    val est = pairs
+      .join(withSig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
+      .join(withSig.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))
+      .select(col("da"), col("db"), col("common"), col("na"), col("nb"),
+        size(filter(zip_with(col("siga"), col("sigb"), (a, b) => a === b),
+          x => x)).cast("long").as("slots_match"))
+    graft.api.Materialize.releasing(est, Seq(withSig))
+  }
+
+  /** [[minhashLshPairs]] body over an already-signed (cached) frame —
+    * shared so the estimate audit can't drift from the pairs path. */
+  private def minhashLshPairsFrom(withSig: DataFrame, threshold: Double): DataFrame = {
     val buckets = withSig.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val cand = buckets.alias("x")
@@ -217,7 +246,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val pairs = cand
+    cand
       .join(withSig.select(col("doc_id"), col("sv")).alias("sa"), col("da") === col("sa.doc_id"))
       .join(withSig.select(col("doc_id"), col("sv")).alias("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
@@ -226,8 +255,6 @@ object Dedup {
         size(col("sb.sv")).cast("long").as("nb"))
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= threshold)
-    if (materialize) graft.api.Materialize.releasing(pairs, Seq(withSig))
-    else pairs
   }
 
   /** Near-duplicate CLUSTERS: the operator a corpus dedup actually

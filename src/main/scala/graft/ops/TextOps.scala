@@ -37,6 +37,12 @@ object TextOps {
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), 0.35)
 
+  /** Signature-slot audit: estimated (matching minhash slots) vs true
+    * (exact shingle) similarity per verified pair — pins the
+    * signature arithmetic itself, not just the band keys. */
+  def qMinhashEstimate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstimatePairs(t(spark, dir, "documents"), 0.5)
+
   /** Directional shingle containment at 0.9 — quote/subset/boilerplate
     * detection (high containment, possibly low Jaccard). */
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
@@ -551,6 +557,7 @@ object TextOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
@@ -689,6 +696,14 @@ object TextOps {
            JOIN sv0 sb ON cand.dup_of = sb.doc_id
          WHERE CAST(len(list_intersect(sa.sv, sb.sv)) AS DOUBLE) /
            (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5""",
+    "q_minhash_estimate" ->
+      s"""WITH $minhashVerCtes
+         SELECT ver.da AS da, ver.db AS db, common, na, nb,
+           CAST(len(list_filter(range(1, ${Dedup.NumHashes + 1}),
+             i -> sa.mh[i] = sb.mh[i])) AS BIGINT) AS slots_match
+         FROM ver JOIN sig sa ON ver.da = sa.doc_id
+           JOIN sig sb ON ver.db = sb.doc_id
+         WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""",
     "q_dedup_minhash" ->
       s"""WITH $minhashVerCtes
          SELECT da, db, common, na, nb FROM ver
