@@ -187,6 +187,57 @@ object Relational {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
+  // ---- TPCH Q7: nation-pair trade volume ------------------------------
+  /** TPC-H Q7 shape — revenue shipped between two nations per year,
+    * both directions. The supplier side joins through l_suppkey and
+    * the customer side through orders — two broadcast dim chains onto
+    * one lineitem scan; the nation-pair filter prunes before the
+    * aggregate. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = "NATION_1"; val n2 = "NATION_4"
+    val nat = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supp = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(exactSum(col("vol"), 4).as("revenue"))
+  }
+
+  // ---- TPCH Q15: top supplier by period revenue ------------------------
+  /** TPC-H Q15 shape — the supplier(s) whose revenue over one quarter
+    * equals the maximum (ALL ties kept, per the canonical query). The
+    * max arrives as a broadcast one-row aggregate over the (small)
+    * per-supplier revenue frame; revenue is exact scaled cents so the
+    * equality join cannot float-miss. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")).as("rev4"))
+    val top = rev.agg(max(col("rev4")).as("max_rev4"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev4") === col("max_rev4"))
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev4") / lit(10000.0)).as("total_revenue"))
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * (flag, status), (flag), (status) — but NOT the grand total, which
     * neither rollup nor cube can express alone — plus grouping_id to
@@ -596,6 +647,8 @@ object Relational {
     "q4_order_priority" -> (q4OrderPriority _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_collection_join" -> (qCollectionJoin _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q15_top_supplier" -> (q15TopSupplier _),
     "q_pivot_status" -> (qPivotStatus _),
     "q14_promo_share" -> (q14PromoShare _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -773,6 +826,31 @@ object Relational {
            COUNT(DISTINCT l_suppkey) AS n_supps,
            COUNT(1) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "q7_nation_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           ${sqlExactSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_4')
+            OR (sn.n_name = 'NATION_4' AND cn.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+               AS BIGINT)) AS BIGINT) AS rev4
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, rev4 / 10000.0 AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev4 = (SELECT MAX(rev4) FROM rev)""",
     "q_collection_join" ->
       """WITH w(o_orderpriority, weight) AS (VALUES
            ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),

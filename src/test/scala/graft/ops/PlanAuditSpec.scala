@@ -265,6 +265,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_trigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",
     "q_dedup_embedding" -> "1-row label-count guard frame (never the corpus)",
     "q22_idle_customers" -> "1-row positive-balance average broadcast as the threshold scalar",
+    "q15_top_supplier" -> "1-row max-revenue frame broadcast as the selection scalar",
   )
 
   test("suite-wide: no ACCIDENTAL cartesian or nested-loop join in any query") {
