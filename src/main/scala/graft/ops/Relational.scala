@@ -238,6 +238,31 @@ object Relational {
         (col("rev4") / lit(10000.0)).as("total_revenue"))
   }
 
+  // ---- TPCH Q19: disjunctive predicate revenue -------------------------
+  /** TPC-H Q19 shape — revenue from lineitems matching ANY of three
+    * (brand, size-range, quantity-range) conjunct groups; the
+    * canonical container/shipmode columns are absent from the reduced
+    * schema, so brand+size+quantity carry the disjunction. What this
+    * pins at scale: an OR-of-ANDs across a broadcast dim join still
+    * prunes — the part-side conjuncts push into the part scan and the
+    * lineitem quantity bounds into the lineitem scan (the min/max
+    * envelope of the disjuncts), instead of evaluating post-join. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+    val part = t(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(exactSum(col("vol"), 4).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * (flag, status), (flag), (status) — but NOT the grand total, which
     * neither rollup nor cube can express alone — plus grouping_id to
@@ -649,6 +674,7 @@ object Relational {
     "q_collection_join" -> (qCollectionJoin _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q15_top_supplier" -> (q15TopSupplier _),
+    "q19_disjunctive" -> (q19DisjunctiveRevenue _),
     "q_pivot_status" -> (qPivotStatus _),
     "q14_promo_share" -> (q14PromoShare _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -851,6 +877,16 @@ object Relational {
          SELECT s_suppkey, s_name, rev4 / 10000.0 AS total_revenue
          FROM rev JOIN supplier ON l_suppkey = s_suppkey
          WHERE rev4 = (SELECT MAX(rev4) FROM rev)""",
+    "q19_disjunctive" ->
+      s"""SELECT ${sqlExactSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+           COUNT(1) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30)""",
     "q_collection_join" ->
       """WITH w(o_orderpriority, weight) AS (VALUES
            ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),

@@ -151,6 +151,12 @@ object TextOps {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
   }
 
+  /** Int8 vector-quantization audit: per-label scale/code/residual
+    * checksums of the symmetric-127 quantizer — the ANN compression
+    * arithmetic itself is oracle-checked. */
+  def qQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.Quantize.int8Stats(t(spark, dir, "embeddings"))
+
   /** Per-label embedding centroids (mean-pooling / prototype
     * vectors): one posexplode + combiner groupBy per (label, dim),
     * each element quantized to a 1e-6-unit long BEFORE summing so the
@@ -573,6 +579,7 @@ object TextOps {
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
+    "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_centroids" -> (qCentroids _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_pixels" -> (qMultimodalPixels _),
@@ -862,6 +869,7 @@ object TextOps {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
            FROM cand)
          SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    "q_quantize_int8" -> graft.sim.Quantize.sqlInt8Stats,
     "q_centroids" ->
       """WITH e AS (
            SELECT label, i - 1 AS d,
