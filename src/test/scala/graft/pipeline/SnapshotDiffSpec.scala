@@ -22,4 +22,20 @@ class SnapshotDiffSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("text"), plan) // column pruned before the join
   }
+
+  test("upsert: delta replaces same-key rows, inserts new keys, keeps the rest") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val delta = Seq((2L, "B2"), (9L, "new")).toDF("k", "v")
+    val got = SnapshotDiff.upsert(prev, delta, "k")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+  }
+
+  test("upsert with an empty delta is the identity") {
+    val prev = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val delta = Seq.empty[(Long, String)].toDF("k", "v")
+    val got = SnapshotDiff.upsert(prev, delta, "k")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
 }
