@@ -110,6 +110,20 @@ class PlanAuditSpec extends SparkSpec {
       "per-user lag must not globally sort:\n" + p)
   }
 
+  test("q19: each side's projection of the OR-of-ANDs pushes into its scan") {
+    val p = executedPlan("q19_disjunctive")
+    // quantity envelope reaches the lineitem parquet scan...
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity"), p)
+    // ...and the brand/size disjunction the part scan, pre-join
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(p_brand".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q7: both nation dimension chains broadcast onto the lineitem scan") {
+    val p = executedPlan("q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
   test("split summary never reads the text column and combines map-side") {
     val p = executedPlan("q_split")
     assert(!p.contains("text"), "split stats must not read document bodies:\n" + p)
