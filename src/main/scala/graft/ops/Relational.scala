@@ -238,6 +238,57 @@ object Relational {
         (col("rev4") / lit(10000.0)).as("total_revenue"))
   }
 
+  // ---- TPCH Q13: customer order-count distribution ---------------------
+  /** TPC-H Q13 shape — the distribution of customers by order count,
+    * including zero-order customers via the LEFT OUTER join (count of
+    * a nullable column skips nulls, so an unmatched customer lands in
+    * the 0 bucket). Two combiner-friendly aggregations over one keyed
+    * join; output is histogram-sized. */
+  def q13CustomerOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey")
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  // ---- TPCH Q8: national market share ----------------------------------
+  /** TPC-H Q8 shape — NATION_2 suppliers' share (integer ppm) of all
+    * revenue flowing to AFRICA-region customers, per order year. Both
+    * dimension chains broadcast; the ppm ratio multiplies through
+    * DECIMAL (the Q14 overflow discipline). */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = t(spark, dir, "nation")
+    val custReg = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(nat.filter(col("n_regionkey") === 0)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long").as("rev4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custReg), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_2", col("rev4")).otherwise(0L))
+          .as("nation_rev4"),
+        sum(col("rev4")).as("total_rev4"))
+      .select(col("o_year"),
+        expr("(CAST(nation_rev4 AS DECIMAL(28,0)) * 1000000) div total_rev4")
+          .as("share_ppm"),
+        (col("total_rev4") / lit(10000.0)).as("total_rev"))
+  }
+
   // ---- TPCH Q19: disjunctive predicate revenue -------------------------
   /** TPC-H Q19 shape — revenue from lineitems matching ANY of three
     * (brand, size-range, quantity-range) conjunct groups; the
@@ -675,6 +726,8 @@ object Relational {
     "q7_nation_volume" -> (q7NationVolume _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q19_disjunctive" -> (q19DisjunctiveRevenue _),
+    "q13_customer_orders" -> (q13CustomerOrders _),
+    "q8_market_share" -> (q8MarketShare _),
     "q_pivot_status" -> (qPivotStatus _),
     "q14_promo_share" -> (q14PromoShare _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -877,6 +930,35 @@ object Relational {
          SELECT s_suppkey, s_name, rev4 / 10000.0 AS total_revenue
          FROM rev JOIN supplier ON l_suppkey = s_suppkey
          WHERE rev4 = (SELECT MAX(rev4) FROM rev)""",
+    "q13_customer_orders" ->
+      """SELECT n_orders, COUNT(1) AS n_customers FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY n_orders""",
+    "q8_market_share" ->
+      """WITH rows_ AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             sn.n_name AS supp_nation,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev4
+           FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation cn ON c_nationkey = cn.n_nationkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE cn.n_regionkey = 0),
+         a AS (
+           SELECT o_year,
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev4 ELSE 0 END)
+               AS BIGINT) AS nation_rev4,
+             CAST(SUM(rev4) AS BIGINT) AS total_rev4
+           FROM rows_ GROUP BY 1)
+         SELECT o_year,
+           CAST((CAST(nation_rev4 AS HUGEINT) * 1000000) // total_rev4 AS BIGINT)
+             AS share_ppm,
+           total_rev4 / 10000.0 AS total_rev
+         FROM a""",
     "q19_disjunctive" ->
       s"""SELECT ${sqlExactSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
            COUNT(1) AS n_items
