@@ -289,6 +289,30 @@ object Relational {
         (col("total_rev4") / lit(10000.0)).as("total_rev"))
   }
 
+  // ---- TPCH Q17: small-quantity-order revenue --------------------------
+  /** TPC-H Q17 shape — revenue from lineitems whose quantity is below
+    * 20% of their part's average quantity (for one brand's parts).
+    * The correlated per-part average becomes a per-part aggregate
+    * joined back; the threshold compares CROSS-MULTIPLIED integers
+    * (q·5·cnt < sum_qty ⟺ q < 0.2·avg, quantities are integral) so
+    * no float boundary exists. avg_yearly divides the exact cents sum
+    * by the same constants in both engines. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#3").select("p_partkey")
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val avgq = li.groupBy(col("l_partkey").as("ap"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(avgq, col("l_partkey") === col("ap"))
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .agg(sum(col("cents")).as("cents_sum"), count(lit(1)).as("n_items"))
+      .select(col("n_items"), col("cents_sum"),
+        (col("cents_sum") / lit(700.0)).as("avg_yearly"))
+  }
+
   // ---- TPCH Q19: disjunctive predicate revenue -------------------------
   /** TPC-H Q19 shape — revenue from lineitems matching ANY of three
     * (brand, size-range, quantity-range) conjunct groups; the
@@ -728,6 +752,7 @@ object Relational {
     "q19_disjunctive" -> (q19DisjunctiveRevenue _),
     "q13_customer_orders" -> (q13CustomerOrders _),
     "q8_market_share" -> (q8MarketShare _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
     "q_pivot_status" -> (qPivotStatus _),
     "q14_promo_share" -> (q14PromoShare _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -959,6 +984,20 @@ object Relational {
              AS share_ppm,
            total_rev4 / 10000.0 AS total_rev
          FROM a""",
+    "q17_small_quantity" ->
+      """WITH li AS (
+           SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#3'),
+         a AS (SELECT l_partkey AS ap, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                 COUNT(1) AS cnt
+               FROM li GROUP BY 1)
+         SELECT COUNT(1) AS n_items,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(SUM(cents) AS BIGINT) / 700.0 AS avg_yearly
+         FROM li JOIN a ON l_partkey = ap
+         WHERE qty * 5 * cnt < sum_qty""",
     "q19_disjunctive" ->
       s"""SELECT ${sqlExactSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
            COUNT(1) AS n_items
