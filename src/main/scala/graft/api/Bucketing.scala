@@ -27,4 +27,25 @@ object Bucketing {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** DROP TABLE IF EXISTS plus stale-directory cleanup: an in-memory
+    * catalog forgets managed tables across sessions but their
+    * warehouse directories survive, and a fresh session's saveAsTable
+    * then dies with LOCATION_ALREADY_EXISTS. The manual path delete
+    * runs ONLY when the catalog had no table of that name (the stale
+    * case) — if the catalog knew the table, DROP TABLE already
+    * handled its storage, and for an external table deliberately left
+    * the data alone; deleting the warehouse path then could destroy
+    * an external table's location or unrelated data that merely
+    * shares the name (ADVICE r7 #1). */
+  def resetManaged(spark: SparkSession, name: String): Unit = {
+    val existed = spark.catalog.tableExists(name)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    if (!existed) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+  }
 }

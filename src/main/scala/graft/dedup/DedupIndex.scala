@@ -67,13 +67,10 @@ object DedupIndex {
     Seq(bandsTable(table), svTable(table)).foreach(n =>
       resetManaged(spark, n))
 
-  private def resetManaged(spark: SparkSession, name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-  }
+  /** Shared stale-directory-safe reset (see
+    * [[graft.api.Bucketing.resetManaged]] — ADVICE r7 #1). */
+  private def resetManaged(spark: SparkSession, name: String): Unit =
+    graft.api.Bucketing.resetManaged(spark, name)
 
   /** Flag documents of `newDocs` that are near-duplicates (verified
     * shingle Jaccard >= threshold) of any INDEXED document: returns

@@ -190,12 +190,23 @@ object Relational {
   // ---- TPCH Q7: nation-pair trade volume ------------------------------
   /** TPC-H Q7 shape — revenue shipped between two nations per year,
     * both directions. The supplier side joins through l_suppkey and
-    * the customer side through orders — two broadcast dim chains onto
-    * one lineitem scan; the nation-pair filter prunes before the
-    * aggregate. */
+    * the customer side through orders onto one lineitem scan.
+    *
+    * Nation pruning is EXPLICIT (ADVICE r7 #4): both supp and cust are
+    * inner-joined against the two-nation slice of `nation` BEFORE any
+    * broadcast decision, so the build sides shrink to 2/25 of their
+    * tables by construction rather than by relying on Catalyst pushing
+    * the pair disjunction below the join. Supplier (the small dim
+    * chain) keeps its broadcast hint; the customer chain carries no
+    * hint — at the 100 TB posture even two nations of customers are
+    * fact-sized (consistent with the q18 note), so AQE picks the
+    * strategy from runtime stats (broadcast at gate SF, shuffle at
+    * scale). The residual pair filter keeps only the two directed
+    * combinations. */
   def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
     val n1 = "NATION_1"; val n2 = "NATION_4"
     val nat = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      .filter(col("n_name").isin(n1, n2))
     val supp = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
@@ -209,7 +220,7 @@ object Relational {
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
         (col("supp_nation") === n2 && col("cust_nation") === n1))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))

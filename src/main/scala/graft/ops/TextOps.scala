@@ -83,9 +83,12 @@ object TextOps {
 
   /** Banded-fingerprint Hamming pairs (Manku-style multi-index
     * SimHash dedup): set-exact within radius 3, so the oracle can
-    * brute-force all pairs at gate scale. */
+    * brute-force all pairs at gate scale. materialize=true so the
+    * persisted fingerprint frame is released once the result is
+    * collected — cached frames must not accumulate across the
+    * 113-query verify/bench run (ADVICE r7 #2). */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashHammingPairs(t(spark, dir, "documents"), 3)
+    Dedup.simhashHammingPairs(t(spark, dir, "documents"), 3, materialize = true)
 
   // ---- text analysis -------------------------------------------------
 
@@ -149,6 +152,20 @@ object TextOps {
   def qKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+  }
+
+  /** Int8-quantized IVF serving e2e (VERDICT r7 #3): persist the
+    * quantized index (codes+scale+normq bucketed by cell, floats by
+    * id), then answer top-k with the int8 candidate scan + exact
+    * float re-rank. The timed work includes the index WRITE, same
+    * cost model as q_dedup_index (train+quantize+persist once, probe
+    * per query batch). Oracle replays KMeans trajectory, quantization,
+    * integer-dot candidate ranking and float re-rank in SQL. */
+  def qKnnIvfInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    graft.sim.IvfIndex.writeInt8(emb, "graft_q_knn_ivf_int8", buckets = 8)
+    graft.sim.IvfIndex.searchInt8(spark, "graft_q_knn_ivf_int8",
+      emb.filter(col("vec_id") < 10), k = 5)
   }
 
   /** Int8 vector-quantization audit: per-label scale/code/residual
@@ -509,7 +526,11 @@ object TextOps {
         .option("ignoreLeadingWhiteSpace", false)
         .option("ignoreTrailingWhiteSpace", false)
         .csv(tmp)
-      spark.read.schema(docs.schema).csv(tmp)
+      // multiLine: a text fixture containing a newline/bare CR must
+      // read back as ONE record, not split mid-row — without it the
+      // roundtrip would pin line-splitting behavior instead of
+      // quoting/escaping (ADVICE r7 #3)
+      spark.read.schema(docs.schema).option("multiLine", true).csv(tmp)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("n_chars"),
@@ -579,6 +600,7 @@ object TextOps {
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
+    "q_knn_ivf_int8" -> (qKnnIvfInt8 _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_centroids" -> (qCentroids _),
     "q_multimodal" -> (qMultimodal _),
@@ -868,6 +890,58 @@ object TextOps {
            SELECT qid, cid, sim,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
            FROM cand)
+         SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    // int8 IVF: the same KMeans trajectory + cell assignment, then the
+    // quantizer of q_quantize_int8 (exact integer codes), the integer
+    // dot candidate ranking (dotq / sqrt(normq) — scales cancel out of
+    // cosine; dotq/normq exact longs, one fixed IEEE divide+sqrt) cut
+    // to top-25, and the exact float re-rank — every stage replayed.
+    "q_knn_ivf_int8" ->
+      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
+         xqv AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+           FROM embeddings),
+         scq AS (SELECT vec_id, xq,
+             list_max(list_transform(xq, v -> abs(v))) AS scale_q
+           FROM xqv),
+         cdz AS (SELECT vec_id,
+             list_transform(xq, v -> CASE WHEN scale_q = 0 THEN 0
+               ELSE (CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END)
+                    * ((abs(v) * 254 + scale_q) // (scale_q * 2)) END) AS q
+           FROM scq),
+         nz AS (SELECT vec_id, q,
+             CAST(COALESCE(list_sum(list_transform(q, v -> v * v)), 0) AS BIGINT) AS normq
+           FROM cdz),
+         cb AS MATERIALIZED (
+           SELECT p.vec_id AS cid, p.embedding AS cv, n.q AS cq, n.normq, c.cid AS cell
+           FROM pts p JOIN nz n ON p.vec_id = n.vec_id CROSS JOIN c3 c
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
+         qp AS (
+           SELECT p.vec_id AS qid, p.embedding AS qv, n.q AS qq, c.cid AS cell
+           FROM pts p JOIN nz n ON p.vec_id = n.vec_id CROSS JOIN c3 c
+           WHERE p.vec_id < 10
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
+         cand AS (
+           SELECT qid, qv, cid, cv, normq,
+             CAST(list_sum(list_transform(generate_series(1, 64), i -> qq[i] * cq[i])) AS BIGINT) AS dotq
+           FROM qp JOIN cb USING (cell) WHERE qid <> cid),
+         topc AS (
+           SELECT qid, qv, cid, cv FROM (
+             SELECT qid, qv, cid, cv,
+               CASE WHEN normq = 0 THEN -1e9
+                    ELSE CAST(dotq AS DOUBLE) / sqrt(CAST(normq AS DOUBLE)) END AS scoreq
+             FROM cand)
+           QUALIFY row_number() OVER (PARTITION BY qid
+             ORDER BY scoreq DESC, cid) <= 25),
+         rer AS (
+           SELECT qid, cid, ${Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
+           FROM topc),
+         ranked AS (
+           SELECT qid, cid, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
+           FROM rer)
          SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
     "q_quantize_int8" -> graft.sim.Quantize.sqlInt8Stats,
     "q_centroids" ->

@@ -27,6 +27,8 @@ object IvfIndex {
   def write(corpus: DataFrame, table: String, nlist: Int = 16,
       iterations: Int = 3, buckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
+    Seq(table, s"${table}_centroids")
+      .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
     val pts = corpus.select(col("vec_id").as("id"), col("embedding").as("features"))
     val cells = Algorithms.kMeansCentroids(pts, nlist, iterations)
     import spark.implicits._
@@ -68,4 +70,98 @@ object IvfIndex {
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
+
+  // ---- int8-quantized variant (VERDICT r7 #3) -------------------------
+
+  /** Float-vector side table of the int8 index: (vec_id, embedding)
+    * bucketed on vec_id — floats stored ONCE, fetched by id only for
+    * re-rank survivors (the [[graft.dedup.DedupIndex]] `_sv`
+    * normalization applied to ANN). */
+  def vecsTable(table: String): String = table + "_vecs"
+
+  /** Train + persist the int8-quantized IVF index: the scan table
+    * `<table>` carries (vec_id, cell, codes array<tinyint>, scale_q,
+    * normq) bucketed on cell — 1 byte/element through the candidate
+    * scan instead of 4 (the memory-bandwidth win the quantizer exists
+    * for) — plus `<table>_vecs` (floats by id, re-rank side) and
+    * `<table>_centroids`. `normq` = Σ codes² is precomputed once at
+    * write time so the scan's approximate-cosine needs only the
+    * int8 dot against the query codes. */
+  def writeInt8(corpus: DataFrame, table: String, nlist: Int = 16,
+      iterations: Int = 3, buckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    Seq(table, vecsTable(table), s"${table}_centroids")
+      .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
+    val pts = corpus.select(col("vec_id").as("id"), col("embedding").as("features"))
+    val cells = Algorithms.kMeansCentroids(pts, nlist, iterations)
+    import spark.implicits._
+    cells.zipWithIndex
+      .map { case (cent, cid) => (cid, cent.toSeq) }.toSeq
+      .toDF("cid", "cent")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    val coded = graft.sim.Quantize.withInt8Codes(corpus)
+      .withColumn("normq",
+        graft.functions.Int8Dot.int8Dot(col("codes"), col("codes")))
+    graft.api.Bucketing.writeBucketed(
+      coded.select(col("vec_id"),
+        NearestCell.nearestCell(col("embedding"), cells).as("cell"),
+        col("codes"), col("scale_q"), col("normq")),
+      table, Seq("cell"), buckets)
+    graft.api.Bucketing.writeBucketed(
+      corpus.select(col("vec_id"), col("embedding")),
+      vecsTable(table), Seq("vec_id"), buckets)
+  }
+
+  /** Top-k cosine search against a persisted int8 index, two-stage:
+    *
+    * 1. int8 scan — candidates from the `nprobe` probed cells are
+    *    ranked by the EXACT-integer approximate cosine
+    *    `dotq / sqrt(normq)` (query/corpus scales cancel out of
+    *    cosine, so neither is needed for ranking; dotq and normq are
+    *    exact longs, the divide+sqrt is one fixed IEEE expression —
+    *    deterministic and SQL-replayable) and cut to the top
+    *    `rerankC` per query. The scan reads codes+normq only — the
+    *    float column never rides the candidate join.
+    * 2. float re-rank — the surviving (qid, cid) pairs fetch exact
+    *    floats BY ID from the vec_id-bucketed side table and are
+    *    re-ranked by the exact [[Similarity.simRounded]] cosine.
+    *
+    * Zero-vector guard: all-zero codes give normq = 0 and sort last
+    * (score -1e9, below any cosine). Same ranking contract as
+    * [[search]] (sim desc, cid tiebreak). */
+  def searchInt8(spark: SparkSession, table: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, rerankC: Int = 25): DataFrame = {
+    import graft.sim.Similarity.simRounded
+    import graft.functions.Int8Dot.int8Dot
+    val cells = loadCentroids(spark, table)
+    val cb = spark.table(table)
+      .select(col("vec_id").as("cid"), col("codes").as("ccodes"),
+        col("normq"), col("cell"))
+    val qb = broadcast(
+      graft.sim.Quantize.withInt8Codes(
+          queries.select(col("vec_id").as("qid"), col("embedding")))
+        .select(col("qid"), col("embedding").as("qv"), col("codes").as("qcodes"))
+        .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
+    val scoreq = when(col("normq") === 0, lit(-1e9)).otherwise(
+      int8Dot(col("qcodes"), col("ccodes")).cast("double") /
+        sqrt(col("normq").cast("double")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("scoreq").desc, col("cid"))
+    val topC = qb.join(cb, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qv"), col("cid"), scoreq.as("scoreq"))
+      .withColumn("rkq", row_number().over(wq)).filter(col("rkq") <= rerankC)
+    val vecs = spark.table(vecsTable(table))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    topC.join(vecs, Seq("cid"))
+      .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+
+  /** Drop all tables of an int8 index. */
+  def dropInt8(spark: SparkSession, table: String): Unit =
+    Seq(table, vecsTable(table), s"${table}_centroids")
+      .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
 }

@@ -31,6 +31,32 @@ object Quantize {
   private def lsign(v: Column): Column =
     when(v > 0, lit(1L)).when(v < 0, lit(-1L)).otherwise(lit(0L))
 
+  /** 1e-6-unit long quantization of a float-array column (the `xq`
+    * stage of the scheme above). */
+  def xqCol(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * lit(1000000L)).cast("long"))
+
+  /** Per-vector scale: max |xq_i|. */
+  def scaleCol(xq: Column): Column = array_max(transform(xq, v => abs(v)))
+
+  /** One element's int8 code (exact round(127·xq/scale); zero vector
+    * → 0). Identical arithmetic to [[int8Stats]]'s inline `q`. */
+  def codeCol(v: Column, scale: Column): Column =
+    when(scale === 0, lit(0L)).otherwise(
+      lsign(v) * intDiv(abs(v) * 254 + scale, scale * 2))
+
+  /** Attach `codes array<tinyint>` + `scale_q long` columns derived
+    * from `embedding` — the storage form of the quantizer (codes are
+    * 1 byte/element on disk and through the scan, an 8x cut over the
+    * 1e-6-unit longs and 4x over the floats; that memory-bandwidth
+    * cut is the point of an int8 ANN index). */
+  def withInt8Codes(df: DataFrame): DataFrame =
+    df.withColumn("_xq", xqCol(col("embedding")))
+      .withColumn("scale_q", scaleCol(col("_xq")))
+      .withColumn("codes",
+        transform(col("_xq"), v => codeCol(v, col("scale_q"))).cast("array<tinyint>"))
+      .drop("_xq")
+
   /** Per-label quantization audit: vector count, summed scales,
     * summed codes, summed absolute reconstruction residual. */
   def int8Stats(emb: DataFrame): DataFrame = {
