@@ -70,6 +70,44 @@ object TextHash {
     seen.toArray
   }
 
+  /** Per-window (n_tok, chunk_fp) pairs for [[graft.pipeline.Chunking]]
+    * via PREFIX hashes (VERDICT r7 #5): P_0 = 0, P_{j+1} = (P_j·31 +
+    * v_j) mod p, window [s, e) fp = (P_e − P_s·31^(e−s)) mod p — each
+    * token is hashed ONCE regardless of window overlap, eliminating
+    * the chunkSize/stride recompute factor of the slice-and-fold
+    * formulation (1.33x at 64/48, unbounded as stride shrinks). The
+    * residue is identical to the per-window fold: both equal
+    * Σ v_i·31^(e−1−i) mod p, and the fold keeps values in [0, p), as
+    * does the adjusted difference. No overflow: p < 2^30, so
+    * P_s·pow < 2^60. Windows start at 0, stride, 2·stride, … while
+    * < n_tokens (split("", -1) yields one empty token, so every doc
+    * has ≥ 1 window — same as the sequence() formulation). */
+  def chunkFps(text: UTF8String, chunkSize: Int, stride: Int): Array[Long] = {
+    val ws = tokens(text)
+    val n = ws.length
+    val pref = new Array[Long](n + 1)
+    var i = 0
+    while (i < n) { pref(i + 1) = (pref(i) * 31 + wordVal(ws(i))) % Mod; i += 1 }
+    val maxLen = math.min(chunkSize, n)
+    val pow = new Array[Long](maxLen + 1)
+    pow(0) = 1L
+    i = 1
+    while (i <= maxLen) { pow(i) = pow(i - 1) * 31 % Mod; i += 1 }
+    val nWin = (n - 1) / stride + 1
+    // flattened (n_tok, fp) pairs; the expression wraps them as structs
+    val out = new Array[Long](nWin * 2)
+    var w = 0
+    while (w < nWin) {
+      val s = w * stride
+      val e = math.min(s + chunkSize, n)
+      val fp = ((pref(e) - pref(s) * pow(e - s) % Mod) % Mod + Mod) % Mod
+      out(w * 2) = e - s
+      out(w * 2 + 1) = fp
+      w += 1
+    }
+    out
+  }
+
   /** `bits`-bit SimHash over token hashes: bit b is set iff the sum of
     * (+1/-1) votes from each token hash's bit b is positive. One pass
     * over the tokens; the HOF formulation (Dedup.simhashRef) re-walks
@@ -148,6 +186,35 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Rolling-prefix-hash chunk fingerprints (see [[TextHash.chunkFps]]):
+  * array<struct<n_tok, chunk_fp>>, one element per stride window.
+  * CodegenFallback like FingerprintExpr — the per-row loop dominates. */
+case class ChunkFpsExpr(child: Expression, chunkSize: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+    s"need 1 <= stride <= chunkSize, got stride=$stride size=$chunkSize")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("n_tok", LongType, nullable = false),
+      StructField("chunk_fp", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireString("chunk_fps", child.dataType)
+  override protected def nullSafeEval(input: Any): Any = {
+    val flat = TextHash.chunkFps(input.asInstanceOf[UTF8String], chunkSize, stride)
+    val rows = new Array[Any](flat.length / 2)
+    var i = 0
+    while (i < rows.length) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(flat(2 * i), flat(2 * i + 1))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextExprs {
   def fingerprintFast(text: Column): Column =
     Bridge.column(FingerprintExpr(Bridge.expression(text)))
@@ -157,4 +224,6 @@ object TextExprs {
     Bridge.column(ShingleVals3Expr(Bridge.expression(text)))
   def simhashFast(text: Column, bits: Int): Column =
     Bridge.column(SimHashExpr(Bridge.expression(text), bits))
+  def chunkFpsFast(text: Column, chunkSize: Int, stride: Int): Column =
+    Bridge.column(ChunkFpsExpr(Bridge.expression(text), chunkSize, stride))
 }

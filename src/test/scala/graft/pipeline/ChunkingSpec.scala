@@ -50,6 +50,22 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("rolling prefix-hash fps match the slice-and-fold HOF reference bit-for-bit") {
+    // varied lengths (1..40 tokens), empty-ish and multi-space-free
+    // texts, two window geometries incl. stride == chunkSize (disjoint)
+    val docs = ((1 to 40).map(n =>
+        (n.toLong, (1 to n).map(i => s"w$i").mkString(" "))) :+
+        (99L, "") :+ (100L, "single"))
+      .toDF("doc_id", "text")
+    for ((size, stride) <- Seq((8, 5), (4, 4), (64, 48))) {
+      val fast = Chunking.chunkTokens(docs, size, stride)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val ref = Chunking.chunkTokensHof(docs, size, stride)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(fast == ref, s"size=$size stride=$stride")
+    }
+  }
+
   test("an off-by-one window start would change the fingerprint (boundary pin)") {
     val words = Seq("aa", "bb", "cc", "dd", "ee")
     def wv(w: String): Long =
