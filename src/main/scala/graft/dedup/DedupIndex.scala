@@ -90,16 +90,30 @@ object DedupIndex {
     // arrays the verify join — one signing pass, two readers
     val delta = Dedup.signedBands(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = delta
+    val pairs = flagSigned(delta, idxBands, idxSv, threshold)
+    graft.api.Materialize.releasing(pairs, Seq(delta))
+  }
+
+  /** Flag core against explicit index frames: candidates from the
+    * band-bucket join, `pairFilter` applied on the bare (doc_id,
+    * dup_of) projection BEFORE the distinct (so a directional filter
+    * also shrinks the distinct's shuffle), exact-Jaccard verify by
+    * id-fetched shingle arrays. `signed` must be a
+    * [[Dedup.signedBands]] frame (caller owns its caching). */
+  private[graft] def flagSigned(signed: DataFrame, idxBands: DataFrame,
+      idxSv: DataFrame, threshold: Double,
+      pairFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val cand = signed
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .alias("d")
       .join(idxBands.alias("i"),
         col("d.band_idx") === col("i.band_idx") &&
           col("d.band_key") === col("i.band_key"))
       .select(col("d.doc_id").as("doc_id"), col("i.doc_id").as("dup_of"))
+      .filter(pairFilter)
       .distinct()
-    val pairs = cand
-      .join(delta.select(col("doc_id"), col("sv").as("dsv")), Seq("doc_id"))
+    cand
+      .join(signed.select(col("doc_id"), col("sv").as("dsv")), Seq("doc_id"))
       .join(idxSv.select(col("doc_id").as("dup_of"), col("sv").as("isv")),
         Seq("dup_of"))
       .select(col("doc_id"), col("dup_of"),
@@ -108,6 +122,134 @@ object DedupIndex {
         size(col("isv")).cast("long").as("nb"))
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= threshold)
-    graft.api.Materialize.releasing(pairs, Seq(delta))
+  }
+
+  // ---------------------------------------------------------------
+  // Growing index: LSM-style extents (VERDICT r7 #4)
+  //
+  // A stream that admits survivors must APPEND to the index, but a
+  // per-batch append into the bucketed base tables writes `buckets`
+  // new files every micro-batch — O(batches x buckets) small files,
+  // the classic 100-TB file-count death. Instead admitted docs land
+  // in batch_id-partitioned plain-parquet EXTENTS beside the base
+  // (`<growPath>/bands/batch_id=N`, `<growPath>/sv/batch_id=N`),
+  // each batch overwriting its OWN partition (idempotent on replay,
+  // same discipline as the flag sink), and [[compact]] periodically
+  // folds extents into the bucketed base — the LSM shape. A day's
+  // crawl is ~0.1% of a 100-TB corpus, so the unbucketed union side
+  // of the candidate join stays negligible between compactions.
+  // ---------------------------------------------------------------
+
+  /** Extent directories for a growing index. */
+  def extentBandsPath(growPath: String): String = growPath + "/bands"
+  def extentSvPath(growPath: String): String = growPath + "/sv"
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // explicit schemas for extent reads: a batch whose docs are ALL
+  // duplicates admits nothing, leaving a data-file-less partition
+  // that would break schema inference on the parent directory
+  private val extBandsSchema = "doc_id LONG, band_idx INT, band_key LONG, batch_id LONG"
+  private val extSvSchema = "doc_id LONG, sv ARRAY<LONG>, batch_id LONG"
+
+  /** The index frames a batch must flag against: bucketed base
+    * unioned with every extent admitted by a PRIOR batch. The
+    * `batch_id < beforeBatch` partition-pruned filter is the replay
+    * guard — a batch re-run after a mid-write crash must not see its
+    * own partial extent (its docs would flag as duplicates of
+    * themselves). */
+  private[graft] def indexFramesFor(spark: SparkSession, table: String,
+      growPath: String, beforeBatch: Long): (DataFrame, DataFrame) = {
+    val base = (spark.table(bandsTable(table)), spark.table(svTable(table)))
+    if (!dirExists(spark, extentBandsPath(growPath))) base
+    else {
+      val guard = col("batch_id") < lit(beforeBatch)
+      (base._1.unionByName(
+          spark.read.schema(extBandsSchema).parquet(extentBandsPath(growPath))
+            .filter(guard).drop("batch_id")),
+        base._2.unionByName(
+          spark.read.schema(extSvSchema).parquet(extentSvPath(growPath))
+            .filter(guard).drop("batch_id")))
+    }
+  }
+
+  /** One micro-batch of the GROWING incremental dedup: flag `batch`
+    * against base index + prior extents, write verified dup rows
+    * (doc_id, dup_of, common, na, nb) to the batch's own sink
+    * partition, and ADMIT the survivors' bands/sv into the batch's
+    * own extent partitions. Within-batch near-dups are dropped
+    * greedily (a doc with a verified smaller-id near-dup in the same
+    * batch is flagged with that witness as dup_of), so two copies
+    * arriving in one crawl batch admit only one — consistent with
+    * [[Dedup]] keep-one-per-cluster direction. All three writes
+    * overwrite their own batch_id partition: replay-idempotent.
+    *
+    * 100 TB posture: ONE signing pass feeds the index flag, the
+    * within-batch flag and the admission writes; candidate joins
+    * carry id pairs only; the batch is the only thing signed. */
+  def flagAndAdmit(spark: SparkSession, table: String, growPath: String,
+      batch: DataFrame, batchId: Long, sinkPath: String,
+      threshold: Double = 0.5): Unit = {
+    // normalize the id type so extents always union cleanly with the
+    // base tables (and the explicit extent read schemas)
+    val signed = Dedup.signedBands(
+        batch.withColumn("doc_id", col("doc_id").cast("long")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (idxBands, idxSv) = indexFramesFor(spark, table, growPath, batchId)
+      val deltaBands = signed
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      val deltaSv = signed.select(col("doc_id"), col("sv"))
+      val dropped = flagSigned(signed, idxBands, idxSv, threshold)
+        .unionByName(flagSigned(signed, deltaBands, deltaSv, threshold,
+          pairFilter = col("dup_of") < col("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        dropped.write.mode("overwrite")
+          .parquet(s"$sinkPath/batch_id=$batchId")
+        val survivors = signed.join(
+          dropped.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        survivors
+          .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+          .write.mode("overwrite")
+          .parquet(s"${extentBandsPath(growPath)}/batch_id=$batchId")
+        survivors.select(col("doc_id"), col("sv"))
+          .write.mode("overwrite")
+          .parquet(s"${extentSvPath(growPath)}/batch_id=$batchId")
+      } finally dropped.unpersist(blocking = true)
+    } finally signed.unpersist(blocking = true)
+  }
+
+  /** Fold every extent into the bucketed base tables and delete the
+    * extent directories — the LSM compaction. Union is staged to
+    * plain parquet first (the base tables cannot be overwritten while
+    * being read), then rewritten through the bucketed writer so the
+    * compacted index is again one zero-exchange join side. Callers
+    * must run this while no growing stream is active on `growPath`. */
+  def compact(spark: SparkSession, table: String, growPath: String,
+      buckets: Int = 16): Unit = {
+    if (!dirExists(spark, extentBandsPath(growPath))) return
+    val staging = growPath + "/_compact_staging"
+    spark.table(bandsTable(table))
+      .unionByName(spark.read.schema(extBandsSchema)
+        .parquet(extentBandsPath(growPath)).drop("batch_id"))
+      .write.mode("overwrite").parquet(staging + "/bands")
+    spark.table(svTable(table))
+      .unionByName(spark.read.schema(extSvSchema)
+        .parquet(extentSvPath(growPath)).drop("batch_id"))
+      .write.mode("overwrite").parquet(staging + "/sv")
+    resetManaged(spark, bandsTable(table))
+    resetManaged(spark, svTable(table))
+    graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/bands"),
+      bandsTable(table), Seq("band_key"), buckets)
+    graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/sv"),
+      svTable(table), Seq("doc_id"), buckets)
+    val root = new org.apache.hadoop.fs.Path(growPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(extentBandsPath(growPath), extentSvPath(growPath), staging)
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 }

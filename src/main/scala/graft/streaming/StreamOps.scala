@@ -158,6 +158,36 @@ object StreamOps {
       .start()
   }
 
+  /** GROWING incremental dedup: like [[flagAgainstIndexStream]], but
+    * each micro-batch's non-duplicate survivors are ADMITTED to the
+    * index inside the same foreachBatch, so batch N+1 is flagged
+    * against documents that first appeared in batch N — the true
+    * "corpus grows with the crawl" production shape (VERDICT r7 #4).
+    *
+    * Admissions land in batch_id-partitioned parquet EXTENTS under
+    * `growPath` rather than appended to the bucketed base tables
+    * (which would write O(batches x buckets) small files — see
+    * [[graft.dedup.DedupIndex]] LSM notes); run
+    * [[graft.dedup.DedupIndex.compact]] periodically (e.g. nightly,
+    * with the stream paused) to fold extents into the base. All
+    * writes — flag sink, bands extent, sv extent — overwrite their
+    * own batch_id partition, so a replayed batch is idempotent; the
+    * flag-side read excludes extents with batch_id >= the current
+    * batch for the same reason. `growPath`'s lifecycle is tied to
+    * `checkpoint`: reset both together or batch ids alias. */
+  def growIndexStream(spark: SparkSession, table: String, growPath: String,
+      newDocs: DataFrame, sinkPath: String, checkpoint: String,
+      threshold: Double = 0.5): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.dedup.DedupIndex.flagAndAdmit(spark, table, growPath,
+          batch.toDF(), batchId, sinkPath, threshold)
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   case class UserStat(user_id: Long, n_events: Long, total_value: Double)

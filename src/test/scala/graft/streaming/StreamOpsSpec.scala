@@ -372,6 +372,73 @@ class StreamOpsSpec extends SparkSpec {
     graft.dedup.DedupIndex.drop(spark, "dedup_idx_stream")
   }
 
+  test("growing dedup stream admits survivors and flags later batches against them") {
+    // e2e of the GROWING "corpus grows with the crawl" loop (VERDICT
+    // r7 #4): batch 1 admits a new doc (and greedily drops its
+    // within-batch near-copy); after a checkpoint restart, batch 2's
+    // near-copy of the ADMITTED doc is flagged against it; compaction
+    // folds the extents into the bucketed base and the flag still
+    // resolves from the base alone.
+    import spark.implicits._
+    val a = "zulu oscar charlie amber basil india papa whiskey victor dune bravo juliet cedar sierra"
+    val b = "zulu oscar charlie amber basil india papa whiskey victor dune bravo tango xray quebec"
+    val c = "mike november romeo uniform yankee foxtrot golf kilo echo delta"
+    // d-family: fresh vocabulary, same 11-of-14-words overlap shape as
+    // a/b (9 of 15 distinct 3-shingles shared = Jaccard 0.6 >= 0.5)
+    val d = "argon bismuth cobalt dysprosium erbium fermium gallium hafnium iridium krypton lithium mercury neon osmium"
+    val d2 = "argon bismuth cobalt dysprosium erbium fermium gallium hafnium iridium krypton lithium radon sulfur tantalum"
+    val d3 = "argon bismuth cobalt dysprosium erbium fermium gallium hafnium iridium krypton lithium uranium vanadium wolfram"
+    val d4 = "argon bismuth cobalt dysprosium erbium fermium gallium hafnium iridium krypton lithium xenon ytterbium zirconium"
+    graft.dedup.DedupIndex.write(
+      Seq((10L, a), (12L, c)).toDF("doc_id", "text"), "dedup_idx_grow", buckets = 4)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-growstream")
+    val (src, sink, ckpt, grow) = (s"$root/src", s"$root/out", s"$root/ckpt", s"$root/grow")
+    def writeDelta(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def startQuery() = StreamOps.growIndexStream(spark, "dedup_idx_grow", grow,
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+      sink, ckpt, 0.5)
+
+    // batch 1: d is new (admitted); d2 is its within-batch near-copy
+    // (dropped with the smaller id as witness)
+    writeDelta(Seq((21L, d), (22L, d2)))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    val got1 = spark.read.parquet(sink)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got1 == Set((22L, 21L)), s"batch 1: $got1")
+
+    // batch 2 after a restart from the same checkpoint: d3 must flag
+    // against doc 21 ADMITTED IN BATCH 1 (not in the base index), b
+    // against the base corpus, and the unrelated doc is admitted
+    writeDelta(Seq((23L, d3), (24L, b),
+      (25L, "quinoa basmati farro millet barley sorghum teff amaranth buckwheat spelt")))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.read.parquet(sink)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq.sorted
+    assert(got2 == Seq((22L, 21L), (23L, 21L), (24L, 10L)), s"after resume: $got2")
+
+    // compact: extents fold into the bucketed base and are deleted;
+    // a plain flagAgainst (base tables only) now sees doc 21
+    graft.dedup.DedupIndex.compact(spark, "dedup_idx_grow", grow, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      graft.dedup.DedupIndex.extentBandsPath(grow))), "bands extents not deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      graft.dedup.DedupIndex.extentSvPath(grow))), "sv extents not deleted")
+    val compacted = spark.table(graft.dedup.DedupIndex.svTable("dedup_idx_grow"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(compacted == Set(10L, 12L, 21L, 25L), s"compacted corpus: $compacted")
+    val flagged = graft.dedup.DedupIndex.flagAgainst(spark, "dedup_idx_grow",
+      Seq((31L, d4)).toDF("doc_id", "text"), 0.5)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(flagged == Set((31L, 21L)), s"post-compact flag: $flagged")
+    graft.dedup.DedupIndex.drop(spark, "dedup_idx_grow")
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
