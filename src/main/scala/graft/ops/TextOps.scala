@@ -77,6 +77,33 @@ object TextOps {
       docs.filter(col("doc_id") % 2 =!= 0), 0.5)
   }
 
+  /** GROWING-index dedup e2e (VERDICT r7 #4, batch loop of the
+    * streaming shape): base index over doc_id%4==0, then three
+    * "crawl batches" (doc_id%4==1,2,3) each flagged against base +
+    * previously ADMITTED survivors and admitted in turn via
+    * [[graft.dedup.DedupIndex.flagAndAdmit]]. Output = every flag
+    * decision with its batch: a batch-k doc can be a dup of a batch-j
+    * admitted doc (j<k) or of a smaller-id doc in its own batch —
+    * both paths oracle-replayed by unrolling the 3-batch admission
+    * recursion in SQL (the unrolled-oracle contract, as CC/KMeans). */
+  def qDedupGrow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_dedup_grow"
+    graft.dedup.DedupIndex.write(
+      docs.filter(col("doc_id") % 4 === 0), table, buckets = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_dedup_grow")
+    val (grow, sink) = (s"$root/ext", s"$root/sink")
+    (1 to 3).foreach { k =>
+      graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
+        docs.filter(col("doc_id") % 4 === k), k - 1L, sink, 0.5)
+    }
+    spark.read
+      .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+      .parquet(sink)
+      .select(col("doc_id"), col("dup_of"), col("common"), col("na"),
+        col("nb"), col("batch_id"))
+  }
+
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -589,6 +616,7 @@ object TextOps {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_dedup_index" -> (qDedupIndex _),
+    "q_dedup_grow" -> (qDedupGrow _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_simhash" -> (qSimhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -725,6 +753,40 @@ object TextOps {
            JOIN sv0 sb ON cand.dup_of = sb.doc_id
          WHERE CAST(len(list_intersect(sa.sv, sb.sv)) AS DOUBLE) /
            (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5""",
+    // growing index, 3-batch admission recursion UNROLLED: idx(k+1) =
+    // idx(k) + batch-k docs with no verified near-dup in idx(k) or
+    // among smaller ids of their own batch — exactly flagAndAdmit's
+    // decision sequence (unrolled-oracle contract, as CC/KMeans)
+    "q_dedup_grow" -> {
+      val per = (1 to 3).map { k =>
+        s"""cand$k AS (
+             SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS dup_of
+             FROM bk d JOIN bk i ON d.band_idx = i.band_idx
+               AND d.band_key = i.band_key
+             WHERE d.doc_id % 4 = $k
+               AND (i.doc_id IN (SELECT doc_id FROM idx$k)
+                    OR (i.doc_id % 4 = $k AND i.doc_id < d.doc_id))),
+           ver$k AS (
+             SELECT c.doc_id AS doc_id, c.dup_of AS dup_of,
+               len(list_intersect(sa.sv, sb.sv)) AS common,
+               len(sa.sv) AS na, len(sb.sv) AS nb,
+               CAST(${k - 1} AS BIGINT) AS batch_id
+             FROM cand$k c JOIN sv0 sa ON c.doc_id = sa.doc_id
+               JOIN sv0 sb ON c.dup_of = sb.doc_id
+             WHERE CAST(len(list_intersect(sa.sv, sb.sv)) AS DOUBLE) /
+               (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5),
+           adm$k AS (SELECT doc_id FROM sv0 WHERE doc_id % 4 = $k
+                     AND doc_id NOT IN (SELECT doc_id FROM ver$k)),
+           idx${k + 1} AS (SELECT doc_id FROM idx$k
+                           UNION ALL SELECT doc_id FROM adm$k)"""
+      }.mkString(",\n")
+      s"""WITH $minhashBkCtes,
+         idx1 AS (SELECT doc_id FROM sv0 WHERE doc_id % 4 = 0),
+         $per
+         SELECT doc_id, dup_of, common, na, nb, batch_id FROM (
+           SELECT * FROM ver1 UNION ALL SELECT * FROM ver2
+           UNION ALL SELECT * FROM ver3)"""
+    },
     "q_minhash_estimate" ->
       s"""WITH $minhashVerCtes
          SELECT ver.da AS da, ver.db AS db, common, na, nb,
