@@ -105,6 +105,7 @@ object Algorithms {
       // (6 supersteps/5.9s vs 4/3.3s) — stale-label jumps matter.
       val batchLen = 1
       while (i < maxIterations && !done) {
+        val tStep = System.nanoTime()
         var merged: DataFrame = null
         var b = 0
         while (b < batchLen && i + b < maxIterations) {
@@ -162,7 +163,8 @@ object Algorithms {
         solution = m.select(col("vertex"), col("new_comp").as("component"))
         done = obs.get("changed").asInstanceOf[Long] == 0L
         if (sys.env.contains("GRAFT_ITER_TRACE"))
-          println(s"cc superstep $i changed=${obs.get("changed")}")
+          println(f"cc superstep $i changed=${obs.get("changed")} " +
+            f"t=${(System.nanoTime() - tStep) / 1e9}%.2fs")
         workset = m.filter(col("new_comp") < col("old_comp"))
           .select(col("vertex"), col("new_comp").as("component"))
         i += b
@@ -327,8 +329,17 @@ object Algorithms {
       .select(col("dst").as("v"), col("src").as("anc"), col("weight").as("d"))
       .unionByName(edges.sparkSession.range(1).select(
         lit(source).as("v"), lit(source).as("anc"), lit(0L).as("d")))
+    // fold cap (r8 headroom run): the jump body references `st` TWICE
+    // (self-join), so k lazily-folded jumps recompute each branch
+    // ~2^k times within the barrier job (within-job subtrees are not
+    // deduped — the r6 wave-folding dead end, measured again here: the
+    // earlier jumps/2 cadence meant 2^12 at depth 1e7 and effectively
+    // hung; fold=2 completes the same 10M-vertex chain in ~2 min).
+    // fold=2 is 3 joins per 2 supersteps (1.5x compute, half the
+    // barriers) — the measured optimum at gate SF, and bounded at any
+    // depth since the cap is constant.
     val state = Iterations.bulk(init, jumps,
-        checkpointEvery = math.max(1, jumps / 2)) { st =>
+        checkpointEvery = math.min(2, math.max(1, jumps / 2))) { st =>
       st.alias("a").join(st.alias("b"), col("a.anc") === col("b.v"))
         .select(col("a.v").as("v"), col("b.anc").as("anc"),
           (col("a.d") + col("b.d")).as("d"))

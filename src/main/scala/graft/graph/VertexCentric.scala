@@ -111,12 +111,13 @@ object VertexCentric {
     * infinity sentinel arithmetic exists to overflow).
     * returns: (vertex, distance). */
   def shortestPathsVC(edges: DataFrame, source: Long,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      observer: Iterations.SuperstepStats => Unit = null): DataFrame = {
     val vertices = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .withColumn("value",
         when(col("id") === source, lit(0L)).otherwise(lit(null).cast("long")))
-    runWeighted(vertices, edges, maxIterations)(
+    runWeighted(vertices, edges, maxIterations, observer = observer)(
       msg = (dist, w) => dist + w,
       combine = c => min(c),
       update = (old, m) => least(old, m)) // least ignores NULL (unreached)
