@@ -129,9 +129,23 @@ object Algorithms {
           // exhausted). All join sides scan the checkpointed solution
           // (vertex-sized, no recompute); the a-side filter prunes
           // already-rooted vertices where the jump is a no-op.
+          // b-side filtered to NON-ROOTED label targets (r8 headroom
+          // run): if my label b is its own root, the one-hop jump
+          // value b.component == b.vertex == my current component — an
+          // exact no-op message. Dropping rooted b rows removes only
+          // those no-ops (labels are monotone, so "rooted now" can
+          // only later improve to a value the direct-message path
+          // carries anyway)... and at convergence, when ~|V| rows
+          // probe onto the few component roots (the measured 36s/80s
+          // tail at 10M vertices, SCALE.md "iteration headroom"), the
+          // jump join's build side shrinks toward empty instead of
+          // concentrating. The SECOND hop must NOT filter: a rooted c
+          // there still carries j1's one-hop improvement.
           val j1 = solution.alias("a")
             .filter(col("a.component") =!= col("a.vertex"))
-            .join(solution.alias("b"), col("a.component") === col("b.vertex"))
+            .join(solution.alias("b")
+                .filter(col("b.component") =!= col("b.vertex")),
+              col("a.component") === col("b.vertex"))
             .select(col("a.vertex").as("vertex"),
               col("b.component").as("component"))
           // labels are monotone (comp[x] <= x), so comp^3 <= comp^2:
