@@ -220,6 +220,36 @@ object TextOps {
         max(when(col("d") === 0, col("s"))).as("sum0_q"),
         sum((col("d") + 1) * col("s")).as("checksum"))
 
+  /** Embedding Gram matrix: G[i][j] = Σ_docs xq_i·xq_j over 1e-6-unit
+    * quantized elements — the distributed second-moment statistic
+    * behind PCA / whitening / covariance of an embedding column
+    * (covariance = (G − n·μμᵀ)/n is driver-side arithmetic on the
+    * dim² result; μ comes from q_centroids' sums).
+    *
+    * 100 TB posture: the per-row dim² product expansion is ONE
+    * codegen'd primitive loop ([[graft.functions.GramFlat]] — the
+    * nested-transform HOF formulation measured 1.9s warm at sf0.1 vs
+    * 0.6s for this shape) inside the same whole-stage pipeline as the
+    * hash aggregate, so partial aggregation collapses it map-side:
+    * the exchange carries only partitions × dim² rows (4096 at
+    * dim 64) and the final agg is dim²-bounded. Zero joins, one
+    * shuffle. Products are exact 1e-12-unit longs (|xq| ≤ 1e6 for
+    * unit-norm embeddings → |p| ≤ 1e12); the BIGINT sum crosses 2^63
+    * at ~9.2M docs — at production scale widen the agg to
+    * DECIMAL(38,0) (good past 1e25 docs; the oracle's pandas bridge
+    * degrades DECIMAL to float64, so the declared gate query stays
+    * BIGINT-exact). */
+  def qEmbedGram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xq"))
+      .select(size(col("xq")).as("n"),
+        posexplode(graft.functions.GramFlat.gramFlat(col("xq")))
+          .as(Seq("t", "p")))
+      .groupBy(expr("CAST(t div n AS BIGINT)").as("i"),
+        expr("CAST(t % n AS BIGINT)").as("j"))
+      .agg(sum(col("p")).as("gram"))
+
   // ---- deterministic splits / sampling -------------------------------
 
   /** Train/val/test split summary: per (split, lang) doc + char counts
@@ -631,6 +661,7 @@ object TextOps {
     "q_knn_ivf_int8" -> (qKnnIvfInt8 _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_centroids" -> (qCentroids _),
+    "q_embed_gram" -> (qEmbedGram _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_pixels" -> (qMultimodalPixels _),
     "q_multimodal_resize" -> (qMultimodalResize _),
@@ -1017,6 +1048,20 @@ object TextOps {
            MAX(CASE WHEN d = 0 THEN s END) AS sum0_q,
            CAST(SUM((d + 1) * s) AS BIGINT) AS checksum
          FROM s GROUP BY label""",
+    // full-square Gram over the same 1e-6-unit quantization; two
+    // lateral unnests enumerate (i, j), 0-based to match the flat
+    // div/mod key recovery on the Spark side
+    "q_embed_gram" ->
+      """WITH xq AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+           FROM embeddings),
+         pairs AS (
+           SELECT a.i - 1 AS i, b.j - 1 AS j, xq.v[a.i] * xq.v[b.j] AS p
+           FROM xq, unnest(generate_series(1, len(xq.v))) AS a(i),
+                unnest(generate_series(1, len(xq.v))) AS b(j))
+         SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram
+         FROM pairs GROUP BY i, j""",
     // strlen = UTF-8 BYTE length in DuckDB, mirroring MediaCodec.dims
     // (computed on text.getBytes at encode time); the character-count
     // length() would diverge on any non-ASCII doc. These oracles
