@@ -17,16 +17,28 @@ object Tables {
 
   /** Load a driver testdata table: `$dir/$name.parquet`.
     *
-    * events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
-    * convert with integer division — `ts div 1000` stays exact where a
-    * double division would lose precision at 1e18 magnitudes.
+    * events.ts has shipped as two physical types across driver testdata
+    * generations, so the loader adapts to what is actually on disk and
+    * always yields session-tz TIMESTAMP (all entry points pin UTC):
+    *  - TIMESTAMP(NANOS), which Spark 4 refuses ([PARQUET_TYPE_ILLEGAL]):
+    *    read as raw nanos (legacy conf) and convert with integer
+    *    division — `ts div 1000` stays exact where a double division
+    *    would lose precision at 1e18 magnitudes;
+    *  - timestamp[us] without tz (current generation): Spark infers
+    *    TIMESTAMP_NTZ; cast to TIMESTAMP, which under the UTC session tz
+    *    matches DuckDB's epoch() of the same naive value exactly.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Exact sum of a fixed-point value with `scale` decimal digits:

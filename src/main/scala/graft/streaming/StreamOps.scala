@@ -29,8 +29,8 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Raw schema of the driver's events parquet: ts is TIMESTAMP(NANOS),
-    * which Spark 4 only reads as a long (legacy nanosAsLong conf). */
+  /** events schema with ts as raw TIMESTAMP(NANOS) longs (legacy
+    * nanosAsLong conf) — older driver testdata generations. */
   private val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -39,14 +39,34 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** events schema with ts as TIMESTAMP_NTZ (timestamp[us] without tz,
+    * the current driver testdata generation). */
+  private val eventsNtzSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-based unbounded source over an events-shaped parquet
-    * directory. Reads nanosecond timestamps as raw longs and converts
-    * with exact integer division (same discipline as graft.Tables.t —
-    * a TimestampType schema would abort with PARQUET_TYPE_ILLEGAL). */
+    * directory. Streaming reads need an explicit schema, so probe the
+    * on-disk ts type with a one-file batch read, then normalize to
+    * session-tz TIMESTAMP exactly as graft.Tables.t does: raw nanos →
+    * exact `div 1000`; TIMESTAMP_NTZ → cast (identity under the UTC
+    * session tz every entry point pins). */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.read.parquet(path).schema("ts").dataType match {
+      case LongType =>
+        spark.readStream.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        spark.readStream.schema(eventsNtzSchema).parquet(path)
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        spark.readStream.schema(eventsSchema).parquet(path)
+    }
   }
 
   /** Tumbling event-time windows: (window_start_epoch_s, event_type) →
