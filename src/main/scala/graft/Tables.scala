@@ -47,12 +47,15 @@ object Tables {
     * `SUM(CAST(round(expr * 10^scale) AS BIGINT)) / 10^scale.0`.
     *
     * Cross-engine INTEGER-DIVISION warning for oracle authors: Spark's
-    * `div` truncates toward zero but DuckDB's `//` FLOORS, so they
-    * diverge on negative non-exact quotients (-7 div 2 = -3 vs
-    * -7 // 2 = -4). Every oracle-checked `div` in this repo operates
-    * on provably non-negative values; if a quantity can be negative,
-    * ship the (sum, count) pair instead of the quotient (see
-    * TextOps.qCentroids).
+    * `div` truncates toward zero, and DuckDB 1.0's `//` was MEASURED
+    * to also truncate ((-7) // 2 = -3; PcaSpec pins the Spark side) —
+    * but floor-vs-truncate semantics for `//` differ across DuckDB
+    * versions/docs, so negative divisions remain a portability hazard.
+    * Prefer provably non-negative operands (every relational query
+    * here does); where a signed quotient is intrinsic (Pca's fixed-
+    * point renormalization), both engines' truncation must be pinned
+    * by a green oracle query, or ship the (sum, count) pair instead
+    * of the quotient (see TextOps.qCentroids).
     */
   def exactSum(e: Column, scale: Int): Column = {
     val f = math.pow(10, scale)

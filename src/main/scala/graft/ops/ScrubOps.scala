@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.pipeline.{Sampling, Scrub}
+import graft.sim.Pca
+import graft.text.TextFunctions.{fingerprint, sqlFingerprint}
+
+/** Declared queries for the corpus-scrubbing + spectral operators
+  * (graft.pipeline.Scrub, graft.sim.Pca), oracle-checked per the
+  * driver contract. Kept out of TextOps only for file size — same
+  * conventions throughout (scaled-integer exactness, aliased columns
+  * matching the oracle, bounded outputs).
+  */
+object ScrubOps {
+
+  /** Span-level duplicate scrubbing, per document: which token
+    * positions sit inside a 3-token span shared with another doc, and
+    * the fingerprint of the text that remains after removing them. */
+  def qSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    Scrub.spanScrub(t(spark, dir, "documents"), k = 3, minDocs = 2,
+      materialize = true)
+
+  /** PII redaction over deterministically planted addresses/numbers:
+    * the corpus text itself is PII-free word salad, so the query
+    * derives a pii-bearing column IN BOTH ENGINES (append a doc_id-
+    * keyed email + 7-digit number) and then redacts it — the operator
+    * under test is redactPii/piiCounts, which take any text column;
+    * the plant is just the shared test surface that makes the oracle
+    * exercise real matches. fp_sum pins replacement placement, not
+    * just match counts. */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example or "),
+      (col("doc_id") + lit(1000000L)).cast("string"))
+    val (emails, nums) = Scrub.piiCounts(planted)
+    t(spark, dir, "documents")
+      .select(col("lang"), emails.cast("long").as("e"), nums.cast("long").as("m"),
+        fingerprint(Scrub.redactPii(planted)).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("e")).as("n_emails"),
+        sum(col("m")).as("n_nums"), sum(col("fp")).as("fp_sum"))
+  }
+
+  /** Token-budget subsetting: cap every source at 1000 tokens,
+    * admitting docs in deterministic hash order. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Scrub.tokenBudget(t(spark, dir, "documents"), budgetTokens = 1000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("admitted").cast("long")).as("n_kept"),
+        sum(when(col("admitted"), col("nt")).otherwise(lit(0L))).as("tokens_kept"),
+        sum(col("nt")).as("tokens_total"))
+
+  /** Top principal direction of the embedding second moment by
+    * fixed-point power iteration; per-label projection statistics. */
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame =
+    Pca.projectTopComponent(spark, t(spark, dir, "embeddings"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_scrub" -> (qSpanScrub _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_pca_power" -> (qPcaPower _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_span_scrub" -> Scrub.sqlSpanScrub(k = 3, minDocs = 2),
+    "q_pii_redact" -> {
+      val pt = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example or ' || CAST(doc_id + 1000000 AS VARCHAR)"
+      s"""WITH p AS (SELECT lang, $pt AS pt FROM documents)
+         SELECT lang, COUNT(1) AS n_docs,
+           CAST(SUM(${Scrub.sqlEmailCount("pt")}) AS BIGINT) AS n_emails,
+           CAST(SUM(${Scrub.sqlNumberCount("pt")}) AS BIGINT) AS n_nums,
+           CAST(SUM(${sqlFingerprint(Scrub.sqlRedactPii("pt"))}) AS BIGINT) AS fp_sum
+         FROM p GROUP BY lang"""
+    },
+    "q_token_budget" ->
+      s"""WITH d AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             ${Sampling.sqlIdBucket("doc_id", 1000000)} AS b
+           FROM documents),
+         c AS (SELECT *, coalesce(SUM(nt) OVER (PARTITION BY source
+             ORDER BY b, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM d)
+         SELECT source, COUNT(1) AS n_docs,
+           CAST(SUM(CASE WHEN cum < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN cum < 1000 THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(SUM(nt) AS BIGINT) AS tokens_total
+         FROM c GROUP BY source""",
+    "q_pca_power" -> Pca.sqlProjectTopComponent())
+}

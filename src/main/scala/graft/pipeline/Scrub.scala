@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.text.TextFunctions.{tokens, nTokens, fingerprint, HashMod}
+
+/** Corpus-scrubbing operators for training-data pipelines
+  * (driver-mandated scope extension, same family as graft.dedup):
+  * span-level duplicate removal, PII redaction, and token-budget
+  * subsetting. Everything is Column-expressed (codegen'd, no UDFs)
+  * with arithmetic DuckDB replays exactly, so each operator is
+  * oracle-checkable end to end — including the scrubbed TEXT itself
+  * via fingerprints, not just row counts.
+  */
+object Scrub {
+
+  /** All K-token spans of `text` in order (NOT distinct — position
+    * matters here, unlike TextFunctions.shingles): posexplode yields
+    * (start, span) with 0-based starts. Short docs yield no spans. */
+  def positionalSpans(text: Column, k: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => array_join(slice(ws, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Span-level exact duplicate scrubbing (the operator behind
+    * "dedup the corpus at substring granularity, not document
+    * granularity"): any K-token span appearing in >= minDocs DISTINCT
+    * documents is a duplicated span, and every token position it
+    * covers is removed from every document containing it. Document-
+    * level near-dup (graft.dedup) misses boilerplate shared across
+    * otherwise-distinct pages; this catches it.
+    *
+    * Returns one row per document: doc_id, lang, n_tokens, n_covered
+    * (tokens removed), scrubbed_fp (fingerprint of the remaining
+    * token sequence; 0 when nothing remains).
+    *
+    * 100 TB shape: one span explode (cost class of the shingle
+    * pipelines in graft.dedup), one span-keyed min/max aggregate for
+    * the duplicate set, one span-keyed join back (duplicate set is
+    * corpus-sized — no broadcast hint; AQE may still broadcast it at
+    * small scale, which is the right adaptive call), one doc-keyed
+    * fold of start positions (per-doc array, bounded by doc length),
+    * one doc-keyed join to the corpus. The per-token coverage test
+    * then runs as a codegen'd HOF over (tokens x starts) with no
+    * further shuffle. The exploded span frame is persisted — it feeds
+    * both the duplicate-set aggregate and the join back. Span keys
+    * stay STRINGS: the hashed-span variant (rolling hash mod 1e15)
+    * measured SLOWER (2.8s vs 2.3s warm at sf0.1, DevSpanProfile) —
+    * the per-span HOF fold costs more than shuffling the short
+    * strings — and strings make false-positive scrubs impossible.
+    * Warm cost at sf0.1 is ~3.4s, second only to q_trigram_score:
+    * intrinsic to this corpus, whose 40-word vocabulary makes nearly
+    * EVERY 3-token span cross-document-duplicated (real web corpora
+    * sit far below that), so the join back carries almost the whole
+    * exploded frame.
+    */
+  def spanScrub(docs: DataFrame, k: Int = 3, minDocs: Int = 2,
+      materialize: Boolean = false): DataFrame = {
+    // persisted: sh feeds both the duplicate-set aggregate and the
+    // join back (cache-lifetime contract of the dedup pipelines —
+    // Dedup.scala header; registry queries pass materialize = true)
+    val sh = docs
+      .select(col("doc_id"), posexplode(positionalSpans(col("text"), k)).as(Seq("pos", "s")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // minDocs == 2 (the production setting) needs no distinct
+    // aggregate: a span sits in >= 2 documents iff min(doc_id) !=
+    // max(doc_id) — plain min/max partials, no Expand, measured
+    // 2.3 -> 2.0s warm at sf0.1 for the dup-set half of the query
+    val dup = (if (minDocs == 2)
+      sh.groupBy(col("s"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+    else
+      sh.groupBy(col("s"))
+        .agg(count_distinct(col("doc_id")).as("ddf"))
+        .filter(col("ddf") >= minDocs))
+      .select(col("s"))
+    val starts = sh.join(dup, "s")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    val kept = filter(tokens(col("text")),
+      (w, i) => !exists(col("starts"), d => d <= i && i < d + k))
+    val out = docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .select(col("doc_id"), col("lang"),
+        nTokens(col("text")).cast("long").as("n_tokens"),
+        (nTokens(col("text")) - size(kept)).cast("long").as("n_covered"),
+        when(size(kept) > 0, fingerprint(concat_ws(" ", kept)))
+          .otherwise(lit(0L)).as("scrubbed_fp"))
+    if (materialize) graft.api.Materialize.releasing(out, Seq(sh))
+    else out
+  }
+
+  /** DuckDB twin of [[spanScrub]] (per-document form). 1-based list
+    * indices mirror the 0-based Spark positions one-for-one. */
+  def sqlSpanScrub(k: Int = 3, minDocs: Int = 2): String = {
+    val fpKept = graft.text.TextFunctions.sqlFingerprint("array_to_string(kept, ' ')")
+    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id, g.i AS pos, array_to_string(w[g.i:g.i+${k - 1}], ' ') AS s
+              FROM tk, unnest(generate_series(1, len(w) - ${k - 1})) AS g(i)),
+       dup AS (SELECT s FROM sh GROUP BY s
+               HAVING ${if (minDocs == 2) "MIN(doc_id) <> MAX(doc_id)"
+                 else s"COUNT(DISTINCT doc_id) >= $minDocs"}),
+       st AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+              FROM sh JOIN dup USING (s) GROUP BY doc_id),
+       sc AS (SELECT tk.doc_id, lang, len(w) AS n_tokens,
+                list_filter(w, (x, i) -> len(list_filter(coalesce(starts, []),
+                  d -> d <= i AND i < d + $k)) = 0) AS kept
+              FROM tk LEFT JOIN st ON tk.doc_id = st.doc_id)
+       SELECT doc_id, lang, n_tokens,
+         CAST(n_tokens - len(kept) AS BIGINT) AS n_covered,
+         CASE WHEN len(kept) > 0 THEN $fpKept ELSE 0 END AS scrubbed_fp
+       FROM sc"""
+  }
+
+  /** PII redaction: mask email-shaped spans then standalone long
+    * digit runs (phone/account-number-shaped), in that order — the
+    * email pass must run first or its digits are shredded by the
+    * number pass. Patterns stay in the regex subset Java and RE2
+    * interpret identically (char classes + bounded repetition; no
+    * backrefs, no lookaround). Pure per-row work: no shuffle, scales
+    * embarrassingly; the redacted text is oracle-pinned by
+    * fingerprint, so replacement placement (not just match counts)
+    * is verified.
+    */
+  val EmailPattern = "[a-z0-9._]+@[a-z0-9.]+"
+  val NumberPattern = "[0-9]{6,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<email>"),
+      NumberPattern, "<num>")
+
+  /** (emails, numbers) matched, counting numbers AFTER email
+    * redaction so digits inside an address are not double-counted. */
+  def piiCounts(text: Column): (Column, Column) = (
+    regexp_count(text, lit(EmailPattern)),
+    regexp_count(regexp_replace(text, EmailPattern, "<email>"), lit(NumberPattern)))
+
+  def sqlRedactPii(textExpr: String): String =
+    s"""regexp_replace(regexp_replace($textExpr, '$EmailPattern', '<email>', 'g'),
+        '$NumberPattern', '<num>', 'g')"""
+
+  def sqlEmailCount(textExpr: String): String =
+    s"len(regexp_extract_all($textExpr, '$EmailPattern'))"
+
+  def sqlNumberCount(textExpr: String): String =
+    s"""len(regexp_extract_all(
+        regexp_replace($textExpr, '$EmailPattern', '<email>', 'g'), '$NumberPattern'))"""
+
+  /** Token-budget subsetting: admit documents per group (source) in
+    * deterministic hash order until the group's token budget is
+    * reached — how a training mix caps an over-represented domain at
+    * N tokens rather than N documents (contrast Sampling.mixtureFilter,
+    * which is rate-based). A document is admitted iff the tokens
+    * admitted BEFORE it are under budget (exclusive prefix sum), so
+    * the subset always crosses the budget by at most one document and
+    * is stable under corpus growth elsewhere in the hash order.
+    *
+    * Returns docs + (nt, admitted). 100 TB shape: one keyed shuffle +
+    * per-group sort for the window prefix sum — the same cost class
+    * as Packing.packGreedy's sharded cumsum; for a single pathological
+    * group holding most of the corpus, shard the window like Packing
+    * does and fold shard subtotals.
+    */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Sampling.idBucket(col(idCol), 1000000), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("nt", nTokens(col("text")).cast("long"))
+      .withColumn("admitted",
+        coalesce(sum(col("nt")).over(w), lit(0L)) < budgetTokens)
+  }
+}

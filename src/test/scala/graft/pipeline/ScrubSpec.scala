@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions.fingerprint
+
+class ScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.toDF("doc_id", "lang", "source", "text")
+
+  test("spanScrub removes exactly the cross-doc duplicated span positions") {
+    val d = docs(
+      (1L, "en", "s1", "alpha beta gamma delta epsilon"),
+      (2L, "en", "s1", "zeta alpha beta gamma eta theta"),
+      (3L, "en", "s1", "iota kappa lambda mu"))
+    val out = Scrub.spanScrub(d, k = 3, minDocs = 2)
+      .orderBy("doc_id").collect()
+    // "alpha beta gamma" appears in docs 1 (pos 0) and 2 (pos 1):
+    // doc 1 loses tokens 0-2, doc 2 loses tokens 1-3, doc 3 untouched
+    assert(out(0).getAs[Long]("n_covered") == 3)
+    assert(out(1).getAs[Long]("n_covered") == 3)
+    assert(out(2).getAs[Long]("n_covered") == 0)
+    val fpOf = (s: String) => Seq(s).toDF("t")
+      .select(fingerprint(col("t"))).head.getLong(0)
+    assert(out(0).getAs[Long]("scrubbed_fp") == fpOf("delta epsilon"))
+    assert(out(1).getAs[Long]("scrubbed_fp") == fpOf("zeta eta theta"))
+    assert(out(2).getAs[Long]("scrubbed_fp") == fpOf("iota kappa lambda mu"))
+  }
+
+  test("spanScrub: overlapping duplicated spans merge their coverage") {
+    // "a b c d" shared between two docs => spans "a b c" and "b c d"
+    // both duplicated; coverage is the union (4 tokens), not 6
+    val d = docs(
+      (1L, "en", "s1", "a b c d x"),
+      (2L, "en", "s1", "y a b c d"))
+    val out = Scrub.spanScrub(d, k = 3, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_covered") == 4)
+    assert(out(1).getAs[Long]("n_covered") == 4)
+  }
+
+  test("spanScrub: fully-covered doc yields fp 0, short docs pass through") {
+    val d = docs(
+      (1L, "en", "s1", "a b c"),
+      (2L, "en", "s1", "a b c"),
+      (3L, "en", "s1", "xy zz")) // < k tokens: no spans at all
+    val out = Scrub.spanScrub(d, k = 3, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_covered") == 3 &&
+      out(0).getAs[Long]("scrubbed_fp") == 0L)
+    assert(out(2).getAs[Long]("n_covered") == 0)
+  }
+
+  test("redactPii masks emails before digit runs and counts don't overlap") {
+    val d = Seq("reach user42@host.example or 12345678 ok 123 x@y.z")
+      .toDF("text")
+      .select(Scrub.redactPii(col("text")).as("r"),
+        Scrub.piiCounts(col("text"))._1.as("e"),
+        Scrub.piiCounts(col("text"))._2.as("m"))
+    val row = d.head
+    // the email's own digits (42) must not surface as a number match;
+    // "123" is under the 6-digit floor; "x@y.z" is a second email
+    assert(row.getAs[String]("r") == "reach <email> or <num> ok 123 <email>")
+    assert(row.getAs[Int]("e") == 2)
+    assert(row.getAs[Int]("m") == 1)
+  }
+
+  test("tokenBudget admits a greedy hash-ordered prefix per group") {
+    val d = docs(
+      (1L, "en", "s1", "a b c d"), // 4 tokens each
+      (2L, "en", "s1", "e f g h"),
+      (3L, "en", "s1", "i j k l"),
+      (4L, "en", "s2", "m n o p"))
+    val out = Scrub.tokenBudget(d, budgetTokens = 8L).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")).toMap
+    // s2's only doc starts under budget
+    assert(byId(4L))
+    // s1: exactly the first two docs in hash order are admitted (the
+    // third starts at cum=8 which is not < 8)
+    assert(out.count(r => r.getAs[String]("source") == "s1" && r.getAs[Boolean]("admitted")) == 2)
+    // admission order follows the deterministic hash bucket, so the
+    // admitted set is stable across runs
+    val again = Scrub.tokenBudget(d, budgetTokens = 8L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")).toMap
+    assert(again == byId)
+  }
+
+  test("tokenBudget crosses the budget by at most one document per group") {
+    val d = docs((1 to 20).map(i =>
+      (i.toLong, "en", "s1", Seq.fill(7)("w").mkString(" "))): _*)
+    val out = Scrub.tokenBudget(d, budgetTokens = 50L)
+      .filter(col("admitted")).agg(sum(col("nt"))).head.getLong(0)
+    // 7 tokens/doc: admitted while cum < 50 => 8 docs, 56 tokens —
+    // over budget by strictly less than one extra doc's tokens
+    assert(out == 56L)
+  }
+}
