@@ -420,4 +420,47 @@ object Dedup {
     if (materialize) graft.api.Materialize.releasing(pairs, Seq(sh))
     else pairs
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernandez/Stolfo SNM): sort
+    * each block (lang) by a content key — here the token-SORTED text,
+    * so word-order-perturbed near-dups land adjacent — and emit each
+    * doc paired with its next `window - 1` neighbors in that order,
+    * then verify candidates with the exact 3-gram Jaccard. A third
+    * candidate-generation family alongside the prefix-filtered
+    * similarity join (exact, heavier) and MinHash/SimHash banding
+    * (probabilistic): SNM is cheapest — ONE keyed window pass, zero
+    * candidate joins — but only finds pairs the sort key puts within
+    * the window; its recall is a function of key quality, which is
+    * why production runs multi-pass with different keys.
+    *
+    * Neighbors come from `window - 1` lead() calls inside the same
+    * window pass (NOT a rank-range self-join, which would shuffle the
+    * corpus twice and risk a per-block product). 100 TB: one
+    * (block)-keyed shuffle + per-block sort, same cost class as
+    * sessionization; block key choice bounds skew (lang alone is too
+    * coarse at production scale — compose with a key prefix, same as
+    * any SNM deployment).
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
+      threshold: Double = 0.8, materialize: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("k"), col("doc_id"))
+    val nbrs = array((1 until window).map(d => lead(col("doc_id"), d).over(w)): _*)
+    val cand = docs
+      .select(col("doc_id"), col("lang"),
+        array_join(array_sort(tokens(col("text"))), " ").as("k"))
+      .withColumn("nbrs", nbrs) // window exprs resolve before the generator
+      .select(col("doc_id"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(least(col("doc_id"), col("nb")).as("da"),
+        greatest(col("doc_id"), col("nb")).as("db"))
+    val pairs = verifyPairs(sets, cand)
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= threshold)
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(sets))
+    else pairs
+  }
 }

@@ -117,6 +117,12 @@ object TextOps {
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashHammingPairs(t(spark, dir, "documents"), 3, materialize = true)
 
+  /** Sorted-neighborhood (SNM) near-dup pairs: lang-blocked sort by
+    * token-sorted text, window 4, exact-Jaccard-verified at 0.8. */
+  def qDedupSnm(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(t(spark, dir, "documents"),
+      window = 4, threshold = 0.8, materialize = true)
+
   // ---- text analysis -------------------------------------------------
 
   def qLangId(spark: SparkSession, dir: String): DataFrame =
@@ -650,6 +656,7 @@ object TextOps {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_simhash" -> (qSimhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_snm" -> (qDedupSnm _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -880,6 +887,24 @@ object TextOps {
            CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+    // window-4 lead() neighbors in (lang, token-sorted-text) order,
+    // then the shared exact-Jaccard verify
+    "q_dedup_snm" ->
+      s"""WITH $shinglesCte,
+         rk AS (SELECT doc_id, lang,
+             array_to_string(list_sort(string_split(text, ' ')), ' ') AS k
+           FROM documents),
+         nbl AS (SELECT doc_id,
+             [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
+              lead(doc_id, 3) OVER w] AS ns
+           FROM rk WINDOW w AS (PARTITION BY lang ORDER BY k, doc_id)),
+         cand AS (SELECT DISTINCT LEAST(doc_id, y) AS da, GREATEST(doc_id, y) AS db
+           FROM (SELECT doc_id, unnest(ns) AS y FROM nbl) WHERE y IS NOT NULL),
+         pairs AS (SELECT c.da, c.db, count(*) AS common
+           FROM cand c JOIN sh a ON a.doc_id = c.da
+             JOIN sh b ON b.doc_id = c.db AND a.s = b.s
+           GROUP BY 1, 2)
+         ${jaccardVerifySql(0.8)}""",
     "q_lang_id" ->
       s"""SELECT lang, ${sqlPredictedLang("text")} AS predicted, COUNT(1) AS n
          FROM documents GROUP BY lang, predicted""",

