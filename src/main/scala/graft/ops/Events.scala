@@ -202,6 +202,29 @@ object Events {
         sum(col("gap")).as("sum_gap"))
   }
 
+  /** Directly-follows transition matrix (the Markov/process-mining
+    * view of the event stream, and the degenerate one-step CEP
+    * pattern): per (prev_type, event_type) pair, how many adjacent
+    * per-user transitions exist and how many happen within an hour —
+    * the "A directly followed by B within T" pattern count. One lag()
+    * window over (sec, event_id) — the same full-tie-break discipline
+    * as q_event_gaps — then a tiny (types x types) aggregate; ONE
+    * keyed shuffle + per-user sort at any scale, output bounded by
+    * |event_type|². */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("gap") <= 3600L, 1L).otherwise(0L)).as("n_within_hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sliding_daily" -> (qSlidingDaily _),
@@ -216,6 +239,7 @@ object Events {
     "q_trailing_hour" -> (qTrailingHour _),
     "q_retention" -> (qRetention _),
     "q_event_gaps" -> (qEventGaps _),
+    "q_transitions" -> (qTransitions _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -366,5 +390,19 @@ object Events {
          SELECT user_id, COUNT(1) AS n_gaps,
            MAX(gap) AS max_gap, CAST(SUM(gap) AS BIGINT) AS sum_gap
          FROM g WHERE gap IS NOT NULL GROUP BY user_id""",
+    "q_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT event_type,
+             lag(event_type) OVER w AS prev_type,
+             sec - lag(sec) OVER w AS gap
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+         SELECT prev_type, event_type, COUNT(1) AS n,
+           CAST(SUM(CASE WHEN gap <= 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_hour
+         FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
   )
 }

@@ -276,6 +276,38 @@ object StreamOps {
       }
   }
 
+  case class PatternMatch(user_id: Long, n_matches: Long)
+
+  /** One-step CEP pattern counter ("`first` directly followed by
+    * `second` within maxGapSec") via mapGroupsWithState: state carries
+    * the user's last (event_type, second) across batches, so a pattern
+    * straddling a microbatch boundary still matches — the unbounded
+    * form of the q_transitions directly-follows cell. Events are
+    * processed in (event-time, event_id) order WITHIN each batch; an
+    * event arriving in a later batch than a newer one was processed in
+    * (cross-batch disorder) would need watermark-bounded buffering as
+    * in [[sessionizeWithState]] — kept out of this operator to keep
+    * the state one tuple per user. Emits the running match count. */
+  def patternMatchStream(events: Dataset[Event], first: String,
+      second: String, maxGapSec: Long): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(String, Long, Long), PatternMatch](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[(String, Long, Long)]) =>
+          val (t0, s0, m0) = state.getOption.getOrElse(("", Long.MinValue, 0L))
+          var lastType = t0; var lastSec = s0; var m = m0
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (lastType == first && e.event_type == second &&
+              sec - lastSec <= maxGapSec) m += 1
+            lastType = e.event_type; lastSec = sec
+          }
+          state.update((lastType, lastSec, m))
+          PatternMatch(uid, m)
+      }
+  }
+
   /** Arbitrary stateful processing v2 (`transformWithState`): per-key
     * running count + exact cents total, emitted once per key per
     * micro-batch. The modern replacement for the reference's
