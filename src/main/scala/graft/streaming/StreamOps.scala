@@ -208,6 +208,37 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming Gram accumulation (spectral drift monitoring): each
+    * micro-batch of embedding rows folds into its OWN dim² Gram
+    * increment, written as a batch_id-partitioned parquet extent —
+    * the [[growIndexStream]] sink discipline, so a replayed batch
+    * overwrites itself and the accumulated matrix never double-
+    * counts. Integer Gram increments SUM exactly across extents
+    * (scaled-long products, order-independent), so at any moment
+    * `readGram(gramPath)` equals the batch Gram of every admitted
+    * row, bit-for-bit, and [[graft.sim.Pca.topEigenFixedPoint]] on it
+    * yields the same component a batch run would — the streaming
+    * form of q_pca_power's pass 1 (GramStreamSpec pins both). State
+    * is dim² longs per batch extent; nothing grows with row count. */
+  def gramStream(emb: DataFrame, gramPath: String,
+      checkpoint: String): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.sim.Pca.gram(batch.toDF())
+          .write.mode("overwrite").parquet(s"$gramPath/batch_id=$batchId")
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
+  /** Sum the accumulated per-batch Gram extents into the current
+    * corpus Gram matrix (exact: integer entries). */
+  def readGram(spark: SparkSession, gramPath: String): DataFrame =
+    spark.read.parquet(gramPath)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("gram")).as("gram"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   case class UserStat(user_id: Long, n_events: Long, total_value: Double)

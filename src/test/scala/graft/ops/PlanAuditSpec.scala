@@ -267,6 +267,33 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   // every query where a cartesian/nested-loop join is INTENTIONAL and
+  test("token budget: window and final agg share the source partitioning") {
+    // window partitionBy(source) then groupBy(source): ONE
+    // hashpartitioning exchange total — the agg must reuse the
+    // window's partitioning, and no rangepartitioning (no global sort)
+    val p = executedPlan("q_token_budget").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "agg should reuse the window's source partitioning:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "per-source window must not globally sort:\n" + p)
+  }
+
+  test("transitions: one user-keyed exchange feeds the lag window") {
+    val p = executedPlan("q_transitions").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      "lag window should shuffle events once on user_id:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "per-user lag must not globally sort:\n" + p)
+  }
+
+  test("span scrub: equi-joins only, dup set never forced broadcast") {
+    // the dup-set join must stay an equi-join Catalyst/AQE may freely
+    // pick a strategy for; at corpus scale the dup set is corpus-sized
+    val p = executedPlan("q_span_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "span scrub must keep equi-joins:\n" + p)
+  }
+
   // scale-safe, with the reason — anything else that plans one is an
   // accident that explodes at 100 TB
   private val nestedLoopAllowed: Map[String, String] = Map(
