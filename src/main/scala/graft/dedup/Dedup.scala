@@ -441,26 +441,62 @@ object Dedup {
     * coarse at production scale — compose with a key prefix, same as
     * any SNM deployment).
     */
+  /** Default SNM sort key: the token-SORTED text, so word-order-
+    * perturbed near-dups land adjacent. */
+  def snmKeyTokenSorted: Column =
+    array_join(array_sort(tokens(col("text"))), " ")
+
+  /** Alternate pass key: the REVERSED token-sorted text — adjacency by
+    * the rare-suffix end of the vocabulary, a different neighborhood
+    * than [[snmKeyTokenSorted]]'s common-prefix end. */
+  def snmKeyTokenReversed: Column =
+    array_join(reverse(array_sort(tokens(col("text")))), " ")
+
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
-      threshold: Double = 0.8, materialize: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      threshold: Double = 0.8, materialize: Boolean = false,
+      key: Column = snmKeyTokenSorted): DataFrame = {
     val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("k"), col("doc_id"))
-    val nbrs = array((1 until window).map(d => lead(col("doc_id"), d).over(w)): _*)
-    val cand = docs
-      .select(col("doc_id"), col("lang"),
-        array_join(array_sort(tokens(col("text"))), " ").as("k"))
-      .withColumn("nbrs", nbrs) // window exprs resolve before the generator
-      .select(col("doc_id"), explode(col("nbrs")).as("nb"))
-      .filter(col("nb").isNotNull)
-      .select(least(col("doc_id"), col("nb")).as("da"),
-        greatest(col("doc_id"), col("nb")).as("db"))
+    val pairs = verifyPairs(sets, snmCandidates(docs, window, key))
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= threshold)
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(sets))
+    else pairs
+  }
+
+  /** Multi-pass SNM: one window pass per key, candidates unioned
+    * before the single shared verify — the standard recall remedy for
+    * single-key SNM (each pass is the same one-shuffle shape; recall
+    * grows with passes, cost is additive, the verify join runs once
+    * over the distinct union). */
+  def sortedNeighborhoodMultiPass(docs: DataFrame, keys: Seq[Column],
+      window: Int = 4, threshold: Double = 0.8,
+      materialize: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "at least one sort key")
+    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = keys.map(k => snmCandidates(docs, window, k))
+      .reduce(_ union _).distinct()
     val pairs = verifyPairs(sets, cand)
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= threshold)
     if (materialize) graft.api.Materialize.releasing(pairs, Seq(sets))
     else pairs
+  }
+
+  /** One SNM candidate pass: (lang, key)-sorted window, lead()
+    * neighbors, normalized (da < db) pairs. */
+  private def snmCandidates(docs: DataFrame, window: Int,
+      key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))
+    val nbrs = array((1 until window).map(d => lead(col("doc_id"), d).over(w)): _*)
+    docs
+      .select(col("doc_id"), col("lang"), key.as("k"))
+      .withColumn("nbrs", nbrs) // window exprs resolve before the generator
+      .select(col("doc_id"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(least(col("doc_id"), col("nb")).as("da"),
+        greatest(col("doc_id"), col("nb")).as("db"))
   }
 }

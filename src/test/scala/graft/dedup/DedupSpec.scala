@@ -241,4 +241,17 @@ class DedupSpec extends SparkSpec {
     // the sf0.001 corpus if any true pairs exist there
     if (full.nonEmpty) assert(snm.nonEmpty)
   }
+
+  test("multi-pass SNM: recall never drops vs single-pass, stays a subset of exact") {
+    val single = Dedup.sortedNeighborhoodPairs(docs, window = 4, threshold = 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val multi = Dedup.sortedNeighborhoodMultiPass(docs,
+      Seq(Dedup.snmKeyTokenSorted, Dedup.snmKeyTokenReversed),
+      window = 4, threshold = 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val full = Dedup.jaccardSimilarityJoin(docs, 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi), "a pass can only ADD candidates")
+    assert(multi.subsetOf(full))
+  }
 }

@@ -332,4 +332,50 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"round $round: $texts")
     }
   }
+
+  test("property: spanScrub output is invariant under repartitioning") {
+    import graft.pipeline.Scrub
+    for (round <- 1 to 3) {
+      val texts = sample(Gen.listOfN(14, doc), 93L + round)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, "en", t) }
+        .toDF("doc_id", "lang", "text")
+      val a = Scrub.spanScrub(docs)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val b = Scrub.spanScrub(docs.repartition(7))
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(a == b, s"round $round")
+      // scrub never grows a doc and never covers more than it has
+      assert(a.forall { case (_, _, nt, cov, _) => cov >= 0 && cov <= nt })
+    }
+  }
+
+  test("property: tokenBudget admissions are invariant under repartitioning") {
+    import graft.pipeline.Scrub
+    for (round <- 1 to 3) {
+      val texts = sample(Gen.listOfN(30, doc), 55L + round)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, s"src${i % 3}", t) }
+        .toDF("doc_id", "source", "text")
+      def admitted(df: org.apache.spark.sql.DataFrame) =
+        Scrub.tokenBudget(df, 40L).filter(col("admitted"))
+          .select("doc_id").as[Long].collect().toSet
+      assert(admitted(docs) == admitted(docs.repartition(5)), s"round $round")
+    }
+  }
+
+  test("property: pii redaction round-trip — redacted text never matches either pattern") {
+    import graft.pipeline.Scrub
+    for (round <- 1 to 3) {
+      val texts = sample(Gen.listOfN(20, doc), 77L + round)
+      val planted = texts.zipWithIndex.map { case (t, i) =>
+        s"$t user$i@host.example x ${1000000 + i * 7919}"
+      }
+      val out = planted.toDF("text")
+        .select(Scrub.redactPii(col("text")).as("r")).as[String].collect()
+      assert(out.forall(r =>
+        !r.matches(s".*${Scrub.EmailPattern}.*") &&
+          !r.matches(s".*${Scrub.NumberPattern}.*")))
+    }
+  }
 }
