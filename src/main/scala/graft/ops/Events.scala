@@ -202,6 +202,62 @@ object Events {
         sum(col("gap")).as("sum_gap"))
   }
 
+  /** ORDERED, TIME-WINDOWED 3-stage funnel (signup -> click ->
+    * purchase, each advance within 1800s of the previous stage's
+    * entry, and a fresh signup RESTARTS the window at any incomplete
+    * stage): the sequenced, windowed form q_funnel's conditional-min
+    * pair cannot express — a click before the signup, or an hour
+    * after it, must not count. Per user, events fold through a stage
+    * machine in (sec, event_id) order.
+    *
+    * Engine-portable fold: DuckDB's 2-arg list_reduce folds only
+    * homogeneous BIGINT lists, so each event encodes to
+    * `sec<<24 | (rn % 2^21)<<3 | typecode` (rn = per-user rank, so
+    * integer sort order == event order; the 2^21 wrap is safe unless
+    * one user logs 2M+ events in ONE second) and the machine state to
+    * `stage<<44 | entry_sec`. All operands provably non-negative
+    * (Tables.scala division discipline). ONE keyed shuffle: the
+    * window rank and the history aggregation share the user_id
+    * partitioning; per-user arrays are the standard funnel-analysis
+    * memory shape (sessionize first if single users can exceed
+    * executor memory); the fold is a codegen'd HOF and the stage
+    * histogram a 4-row rollup. */
+  /** Per-user funnel stage over a (user_id, event_id, event_type,
+    * sec) frame — the testable core of [[qFunnelOrdered]]. */
+  def funnelStages(events: DataFrame, bound: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = 1L << 44
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val code = when(col("event_type") === "signup", 1L)
+      .when(col("event_type") === "click", 2L)
+      .when(col("event_type") === "purchase", 3L).otherwise(0L)
+    val fold = aggregate(
+      sort_array(collect_list(col("enc"))), lit(0L),
+      (acc, x) => {
+        val stage = shiftright(acc, 44)
+        val entry = pmod(acc, lit(D))
+        val sec = shiftright(x, 24)
+        val c = pmod(x, lit(8))
+        when(stage < 3 && c === 1, lit(D) + sec)
+          .when(stage === 1 && c === 2 && sec - entry <= bound, lit(2L * D) + sec)
+          .when(stage === 2 && c === 3 && sec - entry <= bound, lit(3L * D) + sec)
+          .otherwise(acc)
+      })
+    events
+      .withColumn("enc", shiftleft(col("sec"), 24) +
+        pmod(row_number().over(w).cast("long"), lit(1L << 21)) * lit(8L) + code)
+      .groupBy(col("user_id"))
+      .agg(shiftright(fold, 44).as("stage"))
+  }
+
+  def qFunnelOrdered(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(
+      t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("sec")))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Directly-follows transition matrix (the Markov/process-mining
     * view of the event stream, and the degenerate one-step CEP
     * pattern): per (prev_type, event_type) pair, how many adjacent
@@ -240,6 +296,7 @@ object Events {
     "q_retention" -> (qRetention _),
     "q_event_gaps" -> (qEventGaps _),
     "q_transitions" -> (qTransitions _),
+    "q_funnel_ordered" -> (qFunnelOrdered _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -404,5 +461,42 @@ object Events {
            CAST(SUM(CASE WHEN gap <= 3600 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_within_hour
          FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
+    // the oracle replays the SAME stage machine one event per
+    // recursion step (depth = max events/user). It deliberately does
+    // NOT use list_reduce over a grouped list(): DuckDB 1.0's
+    // list_reduce returns WRONG results when the lambda runs over
+    // grouped-aggregate lists (verified r8: identical fold over the
+    // same list as a literal gives the correct answer, and its result
+    // even varies across query shapes) — a portability trap for any
+    // future fold-shaped oracle; per-ROW list_reduce (sqlFingerprint)
+    // is unaffected and stays green across the suite
+    "q_funnel_ordered" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+               WHEN 'purchase' THEN 3 ELSE 0 END AS c
+           FROM events),
+         n AS (SELECT user_id, MAX(rn) AS mx FROM e GROUP BY user_id),
+         m AS (
+           SELECT user_id, 0 AS rn, CAST(0 AS BIGINT) AS stage,
+             CAST(0 AS BIGINT) AS entry
+           FROM n
+           UNION ALL
+           SELECT m.user_id, e.rn,
+             CASE WHEN m.stage < 3 AND e.c = 1 THEN 1
+                  WHEN m.stage = 1 AND e.c = 2 AND e.sec - m.entry <= 1800 THEN 2
+                  WHEN m.stage = 2 AND e.c = 3 AND e.sec - m.entry <= 1800 THEN 3
+                  ELSE m.stage END,
+             CASE WHEN (m.stage < 3 AND e.c = 1)
+                    OR (m.stage = 1 AND e.c = 2 AND e.sec - m.entry <= 1800)
+                    OR (m.stage = 2 AND e.c = 3 AND e.sec - m.entry <= 1800)
+               THEN e.sec ELSE m.entry END
+           FROM m JOIN e ON e.user_id = m.user_id AND e.rn = m.rn + 1)
+         SELECT stage, COUNT(1) AS n_users
+         FROM m JOIN n ON m.user_id = n.user_id AND m.rn = n.mx
+         GROUP BY stage""",
   )
 }
