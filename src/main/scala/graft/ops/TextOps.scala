@@ -123,6 +123,20 @@ object TextOps {
     Dedup.sortedNeighborhoodPairs(t(spark, dir, "documents"),
       window = 4, threshold = 0.8, materialize = true)
 
+  /** Multi-pass SNM: token-sorted + reversed keys, candidates
+    * unioned, one shared verify — the recall remedy for single-key
+    * SNM, declared so the gate pins the union machinery. Honest
+    * empirical note: on THIS corpus the second key finds the same 6
+    * pairs (measured r8, as did a drop-first-token key and a length
+    * key — the other 19 true pairs are not sort-adjacent under any
+    * tried key), so the value demonstrated here is the semantics,
+    * not added recall; on real corpora key diversity is the recall
+    * lever. */
+  def qDedupSnmMulti(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodMultiPass(t(spark, dir, "documents"),
+      Seq(Dedup.snmKeyTokenSorted, Dedup.snmKeyTokenReversed),
+      window = 4, threshold = 0.8, materialize = true)
+
   // ---- text analysis -------------------------------------------------
 
   def qLangId(spark: SparkSession, dir: String): DataFrame =
@@ -657,6 +671,7 @@ object TextOps {
     "q_simhash" -> (qSimhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_snm" -> (qDedupSnm _),
+    "q_dedup_snm_multi" -> (qDedupSnmMulti _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -900,6 +915,31 @@ object TextOps {
            FROM rk WINDOW w AS (PARTITION BY lang ORDER BY k, doc_id)),
          cand AS (SELECT DISTINCT LEAST(doc_id, y) AS da, GREATEST(doc_id, y) AS db
            FROM (SELECT doc_id, unnest(ns) AS y FROM nbl) WHERE y IS NOT NULL),
+         pairs AS (SELECT c.da, c.db, count(*) AS common
+           FROM cand c JOIN sh a ON a.doc_id = c.da
+             JOIN sh b ON b.doc_id = c.db AND a.s = b.s
+           GROUP BY 1, 2)
+         ${jaccardVerifySql(0.8)}""",
+    // two candidate passes (token-sorted key ascending and reversed),
+    // unioned DISTINCT, then the shared exact-Jaccard verify
+    "q_dedup_snm_multi" ->
+      s"""WITH $shinglesCte,
+         rk AS (SELECT doc_id, lang,
+             array_to_string(list_sort(string_split(text, ' ')), ' ') AS k1,
+             array_to_string(list_reverse(list_sort(string_split(text, ' '))), ' ') AS k2
+           FROM documents),
+         nbl1 AS (SELECT doc_id,
+             [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
+              lead(doc_id, 3) OVER w] AS ns
+           FROM rk WINDOW w AS (PARTITION BY lang ORDER BY k1, doc_id)),
+         nbl2 AS (SELECT doc_id,
+             [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
+              lead(doc_id, 3) OVER w] AS ns
+           FROM rk WINDOW w AS (PARTITION BY lang ORDER BY k2, doc_id)),
+         cand AS (SELECT DISTINCT LEAST(doc_id, y) AS da, GREATEST(doc_id, y) AS db
+           FROM (SELECT doc_id, unnest(ns) AS y FROM nbl1
+                 UNION ALL SELECT doc_id, unnest(ns) AS y FROM nbl2)
+           WHERE y IS NOT NULL),
          pairs AS (SELECT c.da, c.db, count(*) AS common
            FROM cand c JOIN sh a ON a.doc_id = c.da
              JOIN sh b ON b.doc_id = c.db AND a.s = b.s
