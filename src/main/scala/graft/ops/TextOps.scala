@@ -297,6 +297,15 @@ object TextOps {
   /** Deterministic fixed-k sample per stratum ("20 docs per lang"):
     * the per-group twin of q_sample_fixed (WindowGroupLimit, no
     * global sort; hash order makes the pick uniform + reproducible). */
+  /** Deterministic weighted sample: 5 docs per lang, selection
+    * probability proportional to n_chars (the "sample long documents
+    * preferentially" training-mix shape), no RNG. */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.weightedSamplePerGroup(
+        t(spark, dir, "documents"), "doc_id", "n_chars", Seq("lang"), 5)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+
   def qSamplePerGroup(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.Sampling.fixedSamplePerGroup(
         t(spark, dir, "documents"), "doc_id", Seq("lang"), 20)
@@ -672,6 +681,7 @@ object TextOps {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_snm" -> (qDedupSnm _),
     "q_dedup_snm_multi" -> (qDedupSnmMulti _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -1333,6 +1343,15 @@ object TextOps {
              ORDER BY ${sqlIdBucket("doc_id", 1000000)}, doc_id) AS BIGINT) AS rk,
            doc_id, n_chars
          FROM documents QUALIFY rk <= 20"""
+    },
+    "q_sample_weighted" -> {
+      import graft.pipeline.Sampling.sqlWeightedPriority
+      s"""SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY ${sqlWeightedPriority("doc_id", "n_chars")}, doc_id)
+             AS BIGINT) AS rk,
+           doc_id, n_chars
+         FROM documents QUALIFY rk <= 5"""
     },
     "q_pack" -> {
       val inner = graft.pipeline.Packing.sqlPackCte(

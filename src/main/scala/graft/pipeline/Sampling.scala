@@ -106,4 +106,38 @@ object Sampling {
       .mkString(" ")
     s"${sqlIdBucket(idExpr, 1000)} < (CASE $cases ELSE $defaultMills END)"
   }
+
+  /** Deterministic WEIGHTED sampling priority (integer Efraimidis-
+    * Spirakis analogue): rows ranked by `uniformHash / weight`
+    * ascending are a weighted sample without replacement — a row with
+    * k times the weight is k times as likely to rank in any top-k
+    * prefix. The float formulation (u^(1/w), -ln(u)/w keys) is not
+    * engine-exact; this integer quotient is: the raw id hash in
+    * [0, ~1e9), times 10^6, divided (exact integer division via the
+    * pmod identity — Column `/` is double division) by the positive
+    * integer weight — all < 2^63 AND < 2^53, so every step replays in
+    * DuckDB bit-for-bit. Heavier rows get SMALLER priorities; take
+    * rank <= k ascending (WindowGroupLimit per group, never a global
+    * sort). Ties are broken by id. */
+  def weightedPriority(id: Column, weight: Column): Column = {
+    val h = ((id.cast("long") % lit(HashMod)) * lit(2654435761L)) % lit(HashMod)
+    val a = h * lit(1000000L)
+    val b = greatest(weight.cast("long"), lit(1L))
+    ((a - pmod(a, b)) / b).cast("long")
+  }
+
+  def sqlWeightedPriority(idExpr: String, weightExpr: String): String =
+    s"(((CAST($idExpr AS BIGINT) % $HashMod) * 2654435761) % $HashMod) " +
+      s"* 1000000 // greatest(CAST($weightExpr AS BIGINT), 1)"
+
+  /** Deterministic fixed-k WEIGHTED sample per group: smallest k
+    * [[weightedPriority]] rows per group. Same plan shape as
+    * [[fixedSamplePerGroup]] (rank predicate -> WindowGroupLimit). */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, weightCol: String,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(weightedPriority(col(idCol), col(weightCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

@@ -84,4 +84,36 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("weightedSamplePerGroup: priorities match a BigInt model; weight monotonicity; WindowGroupLimit") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, "g", (i % 7 + 1).toInt))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "id", "w", Seq("grp"), 10)
+      .select("id").as[Long].collect().toSet
+    // local model: identical integer arithmetic with BigInt safety
+    def pri(id: Long, w: Int): BigInt =
+      (BigInt(id % 1000000007L) * 2654435761L % 1000000007L) * 1000000L / w
+    val expected = rows.sortBy { case (id, _, w) => (pri(id, w), id) }
+      .take(10).map(_._1).toSet
+    assert(got == expected)
+    // monotonicity: doubling every weight halves every priority -> the
+    // ORDER (and hence the sample) is NOT invariant in general, but
+    // raising one row's weight can only improve its rank
+    val bumped = rows.map { case (id, g, w) => (id, g, if (id == 42L) 1000000 else w) }
+    val withBump = Sampling.weightedSamplePerGroup(
+      bumped.toDF("id", "grp", "w"), "id", "w", Seq("grp"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(withBump.contains(42L), "a near-infinite weight must force selection")
+    // heavier rows win more slots: weight-7 rows should out-represent
+    // weight-1 rows in a larger sample
+    val k50 = Sampling.weightedSamplePerGroup(df, "id", "w", Seq("grp"), 50)
+      .select("id").as[Long].collect()
+    val heavy = k50.count(id => id % 7 + 1 >= 6)
+    val light = k50.count(id => id % 7 + 1 <= 2)
+    assert(heavy > light, s"heavy=$heavy light=$light")
+    val plan = Sampling.weightedSamplePerGroup(df, "id", "w", Seq("grp"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
