@@ -62,4 +62,20 @@ class OracleAssumptionsSpec extends SparkSpec {
       assert(bad == 0, s"$d has empty/irregularly-spaced docs")
     }
   }
+
+  test("event epochs fit the funnel's bit-packed encoding") {
+    // q_funnel_ordered packs sec<<24 into a BIGINT and divides
+    // non-negative states: sec must be positive and < 2^39 (year
+    // ~19k) so sec<<24 < 2^63 with headroom, and per-user event
+    // counts must stay far from the 2^21 rank wrap
+    for (d <- dirs) {
+      val e = graft.Tables.t(spark, d, "events")
+        .select(col("ts").cast("long").as("sec"), col("user_id"))
+      val badSec = e.filter(col("sec") <= 0 || col("sec") >= (1L << 39)).count()
+      assert(badSec == 0, s"$d has epochs outside the packable range")
+      val maxPerUser = e.groupBy(col("user_id")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      assert(maxPerUser < (1L << 20), s"$d per-user events near the rank wrap")
+    }
+  }
 }
