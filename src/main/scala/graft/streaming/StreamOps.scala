@@ -208,6 +208,37 @@ object StreamOps {
       .start()
   }
 
+  case class FunnelStage(user_id: Long, stage: Long)
+
+  /** Unbounded form of ops.Events.funnelStages: the same ordered,
+    * time-windowed, restart-on-signup stage machine, with the (stage,
+    * entry_sec) state carried per user across micro-batches — a
+    * funnel straddling any number of batches still advances. Same
+    * in-batch ordering discipline as [[patternMatchStream]] (sort by
+    * event time then id; cross-batch event-time disorder needs the
+    * sessionizer's watermark buffering). Emits the running stage per
+    * user; the batch twin is oracle-checked, and StreamOpsSpec pins
+    * final-state parity between the two. */
+  def funnelStream(events: Dataset[Event], boundSec: Long = 1800L)
+      : Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), FunnelStage](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          var (stage, entry) = state.getOption.getOrElse((0L, 0L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (stage < 3 && e.event_type == "signup") { stage = 1; entry = sec }
+            else if (stage == 1 && e.event_type == "click" &&
+              sec - entry <= boundSec) { stage = 2; entry = sec }
+            else if (stage == 2 && e.event_type == "purchase" &&
+              sec - entry <= boundSec) { stage = 3; entry = sec }
+          }
+          state.update((stage, entry))
+          FunnelStage(uid, stage)
+      }
+  }
+
   /** Streaming Gram accumulation (spectral drift monitoring): each
     * micro-batch of embedding rows folds into its OWN dim² Gram
     * increment, written as a batch_id-partitioned parquet extent —

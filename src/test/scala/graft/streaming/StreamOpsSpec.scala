@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import graft.SparkSpec
+import graft.ops.Events
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
@@ -511,6 +512,35 @@ class StreamOpsSpec extends SparkSpec {
     val last = spark.table("patterns").as[StreamOps.PatternMatch]
       .collect().filter(_.user_id == 1L)
     assert(last.map(_.n_matches).max == 2L, last.toSeq.toString)
+  }
+
+  test("funnel stream matches the batch stage machine, patterns straddling batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      // user 1 completes the funnel across THREE batches
+      ev(1, 0, user = 1, typ = "signup"), ev(2, 5, user = 1),
+      ev(3, 10, user = 1, typ = "purchase"),
+      // user 2: signup then click outside the 600s window
+      ev(4, 0, user = 2, typ = "signup"), ev(5, 20, user = 2),
+      // user 3: reset by signup between click and purchase
+      ev(6, 0, user = 3, typ = "signup"), ev(7, 1, user = 3),
+      ev(8, 2, user = 3, typ = "signup"), ev(9, 3, user = 3, typ = "purchase"))
+    val in = MemoryStream[Event]
+    val q = StreamOps.funnelStream(in.toDS(), boundSec = 600L)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnelstream").start()
+    events.grouped(3).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("funnelstream")
+      .as[StreamOps.FunnelStage].collect()
+      .groupBy(_.user_id).map { case (u, ss) => u -> ss.map(_.stage).max }
+    val batch = Events.funnelStages(
+      events.map(e => (e.user_id, e.event_id, e.event_type, e.ts.getTime / 1000))
+        .toDF("user_id", "event_id", "event_type", "sec"), bound = 600L)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
   test("pattern stream final counts equal the batch directly-follows cell") {
