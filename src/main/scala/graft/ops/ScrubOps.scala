@@ -58,11 +58,16 @@ object ScrubOps {
   def qPcaPower(spark: SparkSession, dir: String): DataFrame =
     Pca.projectTopComponent(spark, t(spark, dir, "embeddings"))
 
+  /** Second principal direction via exact fixed-point deflation. */
+  def qPcaSecond(spark: SparkSession, dir: String): DataFrame =
+    Pca.projectSecondComponent(spark, t(spark, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_scrub" -> (qSpanScrub _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_token_budget" -> (qTokenBudget _),
-    "q_pca_power" -> (qPcaPower _))
+    "q_pca_power" -> (qPcaPower _),
+    "q_pca_second" -> (qPcaSecond _))
 
   val oracleSql: Map[String, String] = Map(
     "q_span_scrub" -> Scrub.sqlSpanScrub(k = 3, minDocs = 2),
@@ -90,5 +95,6 @@ object ScrubOps {
            CAST(SUM(CASE WHEN cum < 1000 THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
            CAST(SUM(nt) AS BIGINT) AS tokens_total
          FROM c GROUP BY source""",
-    "q_pca_power" -> Pca.sqlProjectTopComponent())
+    "q_pca_power" -> Pca.sqlProjectTopComponent(),
+    "q_pca_second" -> Pca.sqlProjectSecondComponent())
 }

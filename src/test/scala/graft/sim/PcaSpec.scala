@@ -39,6 +39,21 @@ class PcaSpec extends SparkSpec {
     assert(v(0).sign != v(1).sign)
   }
 
+  test("deflation yields the second eigenvector of a diagonal matrix") {
+    // diag(9, 4, 1): v1 -> e0; after deflation the dominant direction
+    // of the residual is e1
+    val gram = Array((0, 0, 9000000L), (1, 1, 4000000L), (2, 2, 1000000L))
+    val gn = Pca.rescale(gram)
+    val v1 = Pca.iterateRescaled(gn, 3, 20)
+    assert(v1(0) == Pca.VScale && math.abs(v1(1)) <= 2 && math.abs(v1(2)) <= 2)
+    val v2 = Pca.iterateRescaled(Pca.deflate(gn, 3, v1), 3, 20)
+    assert(math.abs(v2(1)) == Pca.VScale, v2.toSeq.toString)
+    // residual first-component leakage after fixed-point deflation is
+    // bounded by the truncation error, far below the true component
+    assert(math.abs(v2(0)) < Pca.VScale / 100, v2.toSeq.toString)
+    assert(math.abs(v2(2)) < Pca.VScale / 2, v2.toSeq.toString)
+  }
+
   test("projectTopComponent recovers a planted dominant direction") {
     // vectors concentrated along e0 with small e1 noise: the top
     // component must align with e0, so per-label projections separate
