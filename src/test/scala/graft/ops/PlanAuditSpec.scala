@@ -286,6 +286,25 @@ class PlanAuditSpec extends SparkSpec {
       "per-user lag must not globally sort:\n" + p)
   }
 
+  test("funnel: rank window and history aggregation share one user exchange") {
+    // row_number partitionBy(user_id) then groupBy(user_id): the agg
+    // must reuse the window's hash partitioning — one user_id
+    // exchange; the 4-row stage rollup adds at most one more tiny one
+    val p = executedPlan("q_funnel_ordered").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      "history agg should reuse the rank window's partitioning:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "per-user funnel must not globally sort:\n" + p)
+  }
+
+  test("pca: projection pass is scan -> partial agg, no pre-agg shuffle") {
+    // the eigenvector rides as a literal array: the only exchange is
+    // the dim-bounded label aggregate's
+    val p = executedPlan("q_pca_power").split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "projection must not shuffle the corpus before the label agg:\n" + p)
+  }
+
   test("span scrub: equi-joins only, dup set never forced broadcast") {
     // the dup-set join must stay an equi-join Catalyst/AQE may freely
     // pick a strategy for; at corpus scale the dup set is corpus-sized
