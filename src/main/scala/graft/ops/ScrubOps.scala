@@ -22,6 +22,10 @@ object ScrubOps {
     Scrub.spanScrub(t(spark, dir, "documents"), k = 3, minDocs = 2,
       materialize = true)
 
+  /** Intra-document repeated-span removal (first occurrence kept). */
+  def qSelfScrub(spark: SparkSession, dir: String): DataFrame =
+    Scrub.selfScrub(t(spark, dir, "documents"), k = 3)
+
   /** PII redaction over deterministically planted addresses/numbers:
     * the corpus text itself is PII-free word salad, so the query
     * derives a pii-bearing column IN BOTH ENGINES (append a doc_id-
@@ -64,6 +68,7 @@ object ScrubOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_scrub" -> (qSpanScrub _),
+    "q_self_scrub" -> (qSelfScrub _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_token_budget" -> (qTokenBudget _),
     "q_pca_power" -> (qPcaPower _),
@@ -71,6 +76,7 @@ object ScrubOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_span_scrub" -> Scrub.sqlSpanScrub(k = 3, minDocs = 2),
+    "q_self_scrub" -> Scrub.sqlSelfScrub(k = 3),
     "q_pii_redact" -> {
       val pt = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
         "'@mail.example or ' || CAST(doc_id + 1000000 AS VARCHAR)"

@@ -117,6 +117,67 @@ object Scrub {
        FROM sc"""
   }
 
+  /** INTRA-document repeated-span removal (the self-repetition
+    * cleanup of C4/Gopher-style pipelines, complementing the
+    * cross-document [[spanScrub]]): every K-token span occurrence
+    * whose exact span text already appeared EARLIER in the same
+    * document marks its positions for removal — the first occurrence
+    * survives, repeats are scrubbed. Pure per-row HOF work over
+    * (spans x earlier-spans): O(len²/K) comparisons per doc, ZERO
+    * shuffle, streams unchanged — the cheapest possible 100 TB shape.
+    * Returns doc_id, lang, n_tokens, n_covered, scrubbed_fp (same
+    * contract as spanScrub). */
+  def selfScrub(docs: DataFrame, k: Int = 3): DataFrame = {
+    // spans materialize as a column FIRST: the dup-start lambda reads
+    // the array per element, and an inline expression would re-derive
+    // the whole span array per lambda invocation (O(len^3))
+    val dupStarts = filter(
+      transform(col("spans"), (s, i) =>
+        when(exists(slice(col("spans"), lit(1), i), p => p === s), i)
+          .otherwise(lit(-1))),
+      d => d >= 0)
+    val kept = filter(tokens(col("text")),
+      (w, i) => !exists(col("dup_starts"), d => d <= i && i < d + k))
+    docs
+      .withColumn("spans", positionalSpans(col("text"), k))
+      .withColumn("dup_starts", dupStarts)
+      .select(col("doc_id"), col("lang"),
+        nTokens(col("text")).cast("long").as("n_tokens"),
+        (nTokens(col("text")) - size(kept)).cast("long").as("n_covered"),
+        when(size(kept) > 0, fingerprint(concat_ws(" ", kept)))
+          .otherwise(lit(0L)).as("scrubbed_fp"))
+  }
+
+  /** DuckDB twin of [[selfScrub]] — per-ROW list lambdas only (safe;
+    * the grouped-list_reduce hazard documented at q_funnel_ordered
+    * does not apply). 1-based indices mirror the 0-based Spark ones:
+    * span i's earlier spans are sp[1:i-1], and token j is covered by
+    * dup start d iff d <= j < d + K in BOTH indexings. */
+  def sqlSelfScrub(k: Int = 3): String = {
+    val fpKept = graft.text.TextFunctions.sqlFingerprint("array_to_string(kept, ' ')")
+    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       sp AS (SELECT doc_id, lang, w,
+                CASE WHEN len(w) >= $k THEN
+                  list_transform(generate_series(1, len(w) - ${k - 1}),
+                    i -> array_to_string(w[i:i+${k - 1}], ' '))
+                ELSE [] END AS spans
+              FROM tk),
+       ds AS (SELECT doc_id, lang, w,
+                list_filter(list_transform(spans,
+                    (s, i) -> CASE WHEN len(list_filter(spans[1:i-1],
+                      p -> p = s)) > 0 THEN i ELSE -1 END),
+                  d -> d >= 0) AS dup_starts
+              FROM sp),
+       sc AS (SELECT doc_id, lang, len(w) AS n_tokens,
+                list_filter(w, (x, j) -> len(list_filter(dup_starts,
+                  d -> d <= j AND j < d + $k)) = 0) AS kept
+              FROM ds)
+       SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(n_tokens - len(kept) AS BIGINT) AS n_covered,
+         CASE WHEN len(kept) > 0 THEN $fpKept ELSE 0 END AS scrubbed_fp
+       FROM sc"""
+  }
+
   /** PII redaction: mask email-shaped spans then standalone long
     * digit runs (phone/account-number-shaped), in that order — the
     * email pass must run first or its digits are shredded by the

@@ -53,6 +53,31 @@ class ScrubSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_covered") == 0)
   }
 
+  test("selfScrub removes repeated spans within a doc, keeps the first occurrence") {
+    val d = docs(
+      // "a b c" repeats at positions 0 and 5: tokens 5-7 are scrubbed
+      (1L, "en", "s1", "a b c x y a b c z"),
+      // no intra-doc repeats: untouched (cross-doc repeats are
+      // spanScrub's job, NOT selfScrub's)
+      (2L, "en", "s1", "a b c x y"),
+      (3L, "en", "s1", "a b c x y"))
+    val out = Scrub.selfScrub(d, k = 3).orderBy("doc_id").collect()
+    val fpOf = (s: String) => Seq(s).toDF("t")
+      .select(fingerprint(col("t"))).head.getLong(0)
+    assert(out(0).getAs[Long]("n_covered") == 3)
+    assert(out(0).getAs[Long]("scrubbed_fp") == fpOf("a b c x y z"))
+    assert(out(1).getAs[Long]("n_covered") == 0)
+    assert(out(2).getAs[Long]("n_covered") == 0)
+  }
+
+  test("selfScrub: an entirely-repetitive doc collapses to its first span") {
+    val d = docs((1L, "en", "s1", "a b c a b c a b c"))
+    val out = Scrub.selfScrub(d, k = 3).head
+    // spans at 3 and 6 repeat span 0; spans 1,2,4,5 ("b c a" etc.)
+    // also repeat their own earlier occurrences -> tokens 3..8 covered
+    assert(out.getAs[Long]("n_covered") == 6)
+  }
+
   test("redactPii masks emails before digit runs and counts don't overlap") {
     val d = Seq("reach user42@host.example or 12345678 ok 123 x@y.z")
       .toDF("text")
