@@ -66,13 +66,37 @@ object ScrubOps {
   def qPcaSecond(spark: SparkSession, dir: String): DataFrame =
     Pca.projectSecondComponent(spark, t(spark, dir, "embeddings"))
 
+  /** Data selection by composite quality score (the simplified
+    * rank-and-take form of classifier-based selection): an INTEGER
+    * mills score — capped length boost, within-doc repetition
+    * penalty, low-stopword penalty, every term engine-exact — ranks
+    * docs per lang; keep the top 10. Plans as WindowGroupLimit (the
+    * per-group top-k shape); score terms are per-row expressions over
+    * one scan. */
+  def qQualityRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextFunctions.{nTokens, repetitionMills, tokens, Stopwords}
+    val nt = nTokens(col("text"))
+    val ns = size(filter(tokens(col("text")), w => w.isin(Stopwords: _*)))
+    val score = least(nt, lit(200)).cast("long") * lit(2L) -
+      repetitionMills(col("text")) -
+      when(ns * lit(20) < nt, lit(300L)).otherwise(lit(0L))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), score.as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_scrub" -> (qSpanScrub _),
     "q_self_scrub" -> (qSelfScrub _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_token_budget" -> (qTokenBudget _),
     "q_pca_power" -> (qPcaPower _),
-    "q_pca_second" -> (qPcaSecond _))
+    "q_pca_second" -> (qPcaSecond _),
+    "q_quality_rank" -> (qQualityRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q_span_scrub" -> Scrub.sqlSpanScrub(k = 3, minDocs = 2),
@@ -102,5 +126,19 @@ object ScrubOps {
            CAST(SUM(nt) AS BIGINT) AS tokens_total
          FROM c GROUP BY source""",
     "q_pca_power" -> Pca.sqlProjectTopComponent(),
-    "q_pca_second" -> Pca.sqlProjectSecondComponent())
+    "q_pca_second" -> Pca.sqlProjectSecondComponent(),
+    "q_quality_rank" -> {
+      import graft.text.TextFunctions.{sqlLangScore, sqlRepetitionMills, Stopwords}
+      s"""WITH q AS (SELECT lang, doc_id,
+             CAST(least(len(string_split(text, ' ')), 200) * 2
+               - (${sqlRepetitionMills("text")})
+               - (CASE WHEN ${sqlLangScore("text", Stopwords)} * 20
+                       < len(string_split(text, ' ')) THEN 300 ELSE 0 END)
+               AS BIGINT) AS score
+           FROM documents)
+         SELECT lang, doc_id, score,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         FROM q QUALIFY rk <= 10"""
+    })
 }
