@@ -92,6 +92,30 @@ class ScrubSpec extends SparkSpec {
     assert(row.getAs[Int]("m") == 1)
   }
 
+  test("selfScrub and redactPii run unchanged on an unbounded frame") {
+    // both are pure per-row expressions; the scaladoc claims they
+    // stream — prove it end-to-end on a MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDS().toDF("doc_id", "lang", "text")
+    assert(stream.isStreaming)
+    val scrubbed = Scrub.selfScrub(stream, k = 3)
+      .withColumn("redacted_probe",
+        Scrub.redactPii(concat_ws(" ", col("doc_id").cast("string"),
+          lit("user@host.example"))))
+    val q = scrubbed.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scrubstream").start()
+    in.addData((1L, "en", "a b c x y a b c z"), (2L, "en", "p q r s"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("scrubstream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_covered"), r.getAs[String]("redacted_probe"))).toMap
+    assert(rows(1L)._1 == 3 && rows(2L)._1 == 0)
+    assert(rows(1L)._2 == "1 <email>")
+  }
+
   test("tokenBudget admits a greedy hash-ordered prefix per group") {
     val d = docs(
       (1L, "en", "s1", "a b c d"), // 4 tokens each
