@@ -328,6 +328,64 @@ class PlanAuditSpec extends SparkSpec {
     "q15_top_supplier" -> "1-row max-revenue frame broadcast as the selection scalar",
   )
 
+  test("q5 at gate SF: AQE broadcasts the de-hinted dims without any hard hint") {
+    // VERDICT r8 #1: customer/supplier/part are xSF-scaled, so their
+    // hard broadcast() hints were removed — at 100 TB a hard hint
+    // overrides AQE and OOMs the executors. This pins the flip side:
+    // at gate SF (0.1) AQE still picks BroadcastHashJoin for every dim
+    // from runtime stats, so dropping the hints costs nothing locally.
+    val df = graft.SparkEntry.queries("q5_local_volume")(spark, "/root/testdata/sf0.1")
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "AQE should still broadcast all four dims at sf0.1:\n" + p)
+    // and the analyzed plan carries hints ONLY on nation/region frames
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hinted = df.queryExecution.analyzed.collect { case h: ResolvedHint => h.child }
+    assert(hinted.forall(_.output.forall(a =>
+      a.name.startsWith("n_") || a.name.startsWith("r_"))),
+      "only nation/region may carry hard broadcast hints in q5")
+  }
+
+  test("suite-wide: no hard broadcast hint survives on an SF-scaled build side") {
+    // VERDICT r8 #1 regression pin. A hard broadcast() is legal only
+    // when the hinted frame is bounded BY CONSTRUCTION: a global
+    // (ungrouped, <=1-row) aggregate, an explicit limit (Zipf heads,
+    // query/probe sets), a literal LocalRelation, or a frame whose
+    // every leaf is the constant-sized nation/region table. Anything
+    // else grows with SF and would OOM a 100 TB executor.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // joinWithTiny parity: the hint IS the operator under test there
+    // (caller asserts tiny — see qJoinBroadcast's scaladoc)
+    val allowed = Set("q_join_broadcast")
+    def boundedByConstruction(p: LogicalPlan): Boolean = {
+      val marker = p.collectFirst {
+        case a: Aggregate if a.groupingExpressions.isEmpty => ()
+        case _: GlobalLimit => ()
+        case _: LocalLimit => ()
+        case _: LocalRelation => ()
+        case _: OneRowRelation => ()
+      }
+      marker.isDefined || {
+        val leaves = p.collectLeaves()
+        leaves.nonEmpty && leaves.forall(l => l.output.nonEmpty &&
+          l.output.forall(a => a.name.startsWith("n_") || a.name.startsWith("r_")))
+      }
+    }
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed.contains)
+      .flatMap { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
+        spark.catalog.clearCache() // drop per-query persists
+        val bad = plan.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h.child
+        }.filterNot(boundedByConstruction)
+        if (bad.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"SF-scaled frames carry hard broadcast hints in: ${offenders.mkString(", ")}")
+  }
+
   test("suite-wide: no ACCIDENTAL cartesian or nested-loop join in any query") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(nestedLoopAllowed.contains)
