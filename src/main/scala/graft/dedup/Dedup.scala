@@ -148,6 +148,22 @@ object Dedup {
   val NumHashes = 32
   val BandSize = 4 // -> 8 bands
 
+  /** Hot-bucket guard cap (VERDICT r8 #2). A band bucket holding B
+    * docs emits B*(B-1)/2 candidate pairs before verification, so ONE
+    * degenerate bucket — viral boilerplate, a template shared by
+    * millions of pages — turns LSH's O(true matches) candidate bound
+    * quadratic. Buckets larger than this cap are excluded from
+    * candidate generation: a group of >cap docs agreeing on a whole
+    * band is exact/near-exact-duplicate territory, which exact dedup
+    * ([[exactDupGroups]], run FIRST in a production pipeline) already
+    * handles, and docs in a dropped bucket still pair through their
+    * other 7 bands when those stay under the cap. [[bandBucketStats]]
+    * is the monitoring view of what the guard would drop. The cap is
+    * far above the gate fixtures' max bucket (4 at sf0.01, 12 at
+    * sf0.1 — measured r9), so gate results are unchanged; the SQL
+    * oracle mirrors the same cap so both engines stay exact twins. */
+  val DefaultBandBucketCap = 64
+
   /** Deterministic LCG-style hash coefficients (driver-side constants,
     * embedded identically into the SQL oracle). */
   val hashCoeffs: Seq[(Long, Long)] = (0 until NumHashes).map { i =>
@@ -192,11 +208,14 @@ object Dedup {
       .select(col("doc_id"), col("sv"), minhashSignature_(col("sv")).as("sig"))
       .withColumn("bands", bandKeys(col("sig")))
 
-  /** MinHash-LSH near-duplicate pairs: candidates share >= 1 band;
-    * candidates are then verified with exact shingle-set Jaccard
-    * (array_intersect), so the output has no false positives. */
+  /** MinHash-LSH near-duplicate pairs: candidates share >= 1 band
+    * bucket of at most `bucketCap` docs (the hot-bucket guard — see
+    * [[DefaultBandBucketCap]]); candidates are then verified with
+    * exact shingle-set Jaccard (array_intersect), so the output has
+    * no false positives. */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
-      materialize: Boolean = false): DataFrame = {
+      materialize: Boolean = false,
+      bucketCap: Int = DefaultBandBucketCap): DataFrame = {
     // materialize the distinct-shingle arrays ONCE: higher-order
     // functions run interpreted, and without this barrier Catalyst's
     // CollapseProject inlines the shingleVals expression into every
@@ -208,7 +227,7 @@ object Dedup {
     // 8 longs/doc, a negligible cache-size delta)
     val withSig = signedBands(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = minhashLshPairsFrom(withSig, threshold)
+    val pairs = minhashLshPairsFrom(withSig, threshold, bucketCap)
     if (materialize) graft.api.Materialize.releasing(pairs, Seq(withSig))
     else pairs
   }
@@ -221,10 +240,11 @@ object Dedup {
     * unbiased Jaccard estimate; common/(na+nb-common) the truth).
     * Integer-only output. One extra pass over the cached signed frame
     * — pair volume is O(true matches). */
-  def minhashEstimatePairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def minhashEstimatePairs(docs: DataFrame, threshold: Double = 0.5,
+      bucketCap: Int = DefaultBandBucketCap): DataFrame = {
     val withSig = signedBands(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = minhashLshPairsFrom(withSig, threshold)
+    val pairs = minhashLshPairsFrom(withSig, threshold, bucketCap)
     val est = pairs
       .join(withSig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
       .join(withSig.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))
@@ -234,11 +254,32 @@ object Dedup {
     graft.api.Materialize.releasing(est, Seq(withSig))
   }
 
+  /** Hot-bucket monitor: the (band_idx, band_key) buckets the guard
+    * excludes at `cap`, with their doc counts — the "logged count" a
+    * production dedup run watches to see how much boilerplate the cap
+    * diverted to the exact-dedup path. Empty on a healthy corpus. */
+  def bandBucketStats(docs: DataFrame,
+      cap: Int = DefaultBandBucketCap): DataFrame =
+    signedBands(docs)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > cap)
+
   /** [[minhashLshPairs]] body over an already-signed (cached) frame —
-    * shared so the estimate audit can't drift from the pairs path. */
-  private def minhashLshPairsFrom(withSig: DataFrame, threshold: Double): DataFrame = {
+    * shared so the estimate audit can't drift from the pairs path.
+    * The bucket-size window shares the (band_idx, band_key) exchange
+    * the self-join needs anyway, so the guard costs a per-partition
+    * count, not an extra shuffle. */
+  private def minhashLshPairsFrom(withSig: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val buckets = withSig.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
     val cand = buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -791,11 +791,18 @@ object TextOps {
   /** Shared CTE chain of the MinHash-LSH oracle, through the exact
     * verification frame `ver` (da, db, common, na, nb) — consumed by
     * the pairs oracle (q_dedup_minhash) and extended to clusters
-    * (q_dedup_clusters). */
+    * (q_dedup_clusters). `bkg` mirrors the Spark side's hot-bucket
+    * guard ([[graft.dedup.Dedup.DefaultBandBucketCap]]): buckets
+    * above the cap are excluded from candidate generation in BOTH
+    * engines, so the twins stay exact. */
   private val minhashVerCtes: String =
     s"""$minhashBkCtes,
+       bkg AS (SELECT doc_id, band_idx, band_key FROM (
+                 SELECT bk.*, COUNT(1) OVER (
+                   PARTITION BY band_idx, band_key) AS bsz FROM bk)
+               WHERE bsz <= ${Dedup.DefaultBandBucketCap}),
        cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-                FROM bk x JOIN bk y ON x.band_idx = y.band_idx
+                FROM bkg x JOIN bkg y ON x.band_idx = y.band_idx
                   AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
        ver AS (SELECT da, db,
                  len(list_intersect(sa.sv, sb.sv)) AS common,

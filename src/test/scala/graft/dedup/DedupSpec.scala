@@ -254,4 +254,41 @@ class DedupSpec extends SparkSpec {
     assert(single.subsetOf(multi), "a pass can only ADD candidates")
     assert(multi.subsetOf(full))
   }
+
+  test("hot-bucket guard: a degenerate boilerplate bucket cannot go quadratic") {
+    // VERDICT r8 #2 adversarial case: 300 identical boilerplate docs
+    // (viral template) collide in ALL their band buckets — unguarded,
+    // that is 300*299/2 = 44850 candidate pairs from one template.
+    val boiler = (1000L until 1300L).map(i =>
+      (i, "breaking news local weather sponsored content click here to subscribe now"))
+    val planted = Seq( // identical pair -> collides in every band, buckets of size 2
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val d = docsDf((boiler ++ planted): _*)
+    // default cap (64): the 300-doc buckets are excluded, candidate
+    // volume stays bounded, and the planted under-cap pair still found
+    val guarded = Dedup.minhashLshPairs(d, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(guarded == Set((1L, 2L)),
+      s"guard must drop boilerplate pairs, keep the planted pair: $guarded")
+    // cap lifted above the bucket: the same input really is quadratic,
+    // proving the cap (not luck) is what bounds the candidate count
+    val unguarded = Dedup.minhashLshPairs(d, 0.5, bucketCap = 1000000)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(unguarded.size == 300 * 299 / 2 + 1, unguarded.size.toString)
+    // the monitor reports exactly the 8 hot buckets (one per band) at 300 docs
+    val stats = Dedup.bandBucketStats(d).as[(Int, Long, Long)].collect()
+    assert(stats.length == 8 && stats.forall(_._3 == 300L), stats.mkString(","))
+  }
+
+  test("hot-bucket guard: no-op on the gate fixture (cap far above max bucket)") {
+    // measured max bucket: 4 at sf0.01, 12 at sf0.1 — the default cap
+    // must not change gate results (q_dedup_minhash stays hash-green)
+    val capped = Dedup.minhashLshPairs(docs, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashLshPairs(docs, 0.5, bucketCap = Int.MaxValue)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+    assert(Dedup.bandBucketStats(docs).isEmpty)
+  }
 }
