@@ -212,9 +212,13 @@ object Events {
     *
     * Engine-portable fold: DuckDB's 2-arg list_reduce folds only
     * homogeneous BIGINT lists, so each event encodes to
-    * `sec<<24 | (rn % 2^21)<<3 | typecode` (rn = per-user rank, so
-    * integer sort order == event order; the 2^21 wrap is safe unless
-    * one user logs 2M+ events in ONE second) and the machine state to
+    * `sec<<24 | (rn % 2^21)<<3 | typecode` (rn = per-user GLOBAL
+    * rank, so integer sort order == event order; the 2^21 wrap is
+    * safe only while a user's TOTAL event count stays under 2^21 — a
+    * wrap boundary falling inside a same-second group would invert
+    * that group's fold order. OracleAssumptionsSpec enforces the
+    * fixture bound; relaxing it needs a wider rank field) and the
+    * machine state to
     * `stage<<44 | entry_sec`. All operands provably non-negative
     * (Tables.scala division discipline). ONE keyed shuffle: the
     * window rank and the history aggregation share the user_id

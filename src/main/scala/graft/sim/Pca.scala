@@ -104,7 +104,13 @@ object Pca {
 
   /** Power-iterate an ALREADY-RESCALED matrix (no second rescale —
     * deflated entries are already in range, and the oracle must
-    * replay the exact same steps). */
+    * replay the exact same steps). Degenerate matvec (w == 0, e.g.
+    * the second component of an exactly rank-1 Gram where deflation
+    * annihilates w): the renormalizer divides by max(|w|, 1), so v
+    * collapses to all-zero and stays there — the SAME step the SQL
+    * twin's GREATEST(MAX(ABS(w)), 1) guard replays (ADVICE r8; an
+    * early-return here would keep the previous vector while the
+    * oracle divides by zero — engines diverged). */
   def iterateRescaled(gn: Array[(Int, Int, Long)], dim: Int,
       iters: Int): Array[Long] = {
     val g = Array.ofDim[Long](dim, dim)
@@ -117,8 +123,7 @@ object Pca {
         while (j < dim) { s += g(i)(j) * v(j); j += 1 }
         s
       }
-      val m = w.map(math.abs).max
-      if (m == 0) return v
+      val m = math.max(w.map(math.abs).max, 1L)
       v = w.map(x => x * VScale / m)
       it += 1
     }
@@ -180,7 +185,7 @@ object Pca {
       val pv = s"$p${k - 1}"
       s"""${p}w$k AS MATERIALIZED (SELECT $mat.i AS i, SUM($mat.g * $pv.v) AS w
             FROM $mat JOIN $pv ON $mat.j = $pv.i GROUP BY $mat.i),
-         $p$k AS MATERIALIZED (SELECT i, (w * $VScale) // (SELECT MAX(ABS(w)) FROM ${p}w$k) AS v
+         $p$k AS MATERIALIZED (SELECT i, (w * $VScale) // (SELECT GREATEST(MAX(ABS(w)), 1) FROM ${p}w$k) AS v
             FROM ${p}w$k)"""
     }.mkString(",\n")
 

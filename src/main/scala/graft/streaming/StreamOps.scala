@@ -214,9 +214,13 @@ object StreamOps {
     * time-windowed, restart-on-signup stage machine, with the (stage,
     * entry_sec) state carried per user across micro-batches — a
     * funnel straddling any number of batches still advances. Same
-    * in-batch ordering discipline as [[patternMatchStream]] (sort by
-    * event time then id; cross-batch event-time disorder needs the
-    * sessionizer's watermark buffering). Emits the running stage per
+    * in-batch ordering discipline as [[patternMatchStream]]: sort by
+    * (TRUNCATED second, event_id), the batch twin's exact (sec,
+    * event_id) fold order — a millisecond-granular sort would fold
+    * same-second events whose id order differs from their sub-second
+    * order in a different order than the batch side (ADVICE r8).
+    * Cross-batch event-time disorder needs the sessionizer's
+    * watermark buffering. Emits the running stage per
     * user; the batch twin is oracle-checked, and StreamOpsSpec pins
     * final-state parity between the two. */
   def funnelStream(events: Dataset[Event], boundSec: Long = 1800L)
@@ -226,7 +230,11 @@ object StreamOps {
       .mapGroupsWithState[(Long, Long), FunnelStage](GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[(Long, Long)]) =>
           var (stage, entry) = state.getOption.getOrElse((0L, 0L))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // (truncated-second, event_id) — the EXACT batch-twin order:
+          // funnelStages folds by (sec, event_id), so two same-second
+          // events must tie-break on event_id here too, not on their
+          // sub-second arrival order (ADVICE r8)
+          it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
             val sec = e.ts.getTime / 1000
             if (stage < 3 && e.event_type == "signup") { stage = 1; entry = sec }
             else if (stage == 1 && e.event_type == "click" &&
@@ -359,7 +367,10 @@ object StreamOps {
         (uid: Long, it: Iterator[Event], state: GroupState[(String, Long, Long)]) =>
           val (t0, s0, m0) = state.getOption.getOrElse(("", Long.MinValue, 0L))
           var lastType = t0; var lastSec = s0; var m = m0
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // (truncated-second, event_id): q_transitions' lag window
+          // orders by (sec, event_id), so the stream must tie-break
+          // same-second events identically (ADVICE r8)
+          it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
             val sec = e.ts.getTime / 1000
             if (lastType == first && e.event_type == second &&
               sec - lastSec <= maxGapSec) m += 1

@@ -54,6 +54,28 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(v2(2)) < Pca.VScale / 2, v2.toSeq.toString)
   }
 
+  test("degenerate matvec collapses to the zero vector, same as the SQL guard") {
+    // ADVICE r8: an exactly rank-1 Gram annihilates w under deflation.
+    // Both engines must replay the SAME step — divide by
+    // max(|w|max, 1), collapsing v to all-zero — not early-return the
+    // previous vector (Scala) while the oracle divides by zero (SQL).
+    val zero = Array.empty[(Int, Int, Long)] // the all-zero 2x2 matrix
+    val v = Pca.iterateRescaled(zero, dim = 2, iters = 3)
+    assert(v.toSeq == Seq(0L, 0L), v.toSeq.toString)
+    // rank-1 outer-product Gram (of [1, 1]*GramScale): deflation
+    // removes the only component exactly; the "second eigenvector"
+    // is the zero vector on both engines, not a division error
+    val rank1 = Array((0, 0, 1000000L), (0, 1, 1000000L),
+      (1, 0, 1000000L), (1, 1, 1000000L))
+    val gn = Pca.rescale(rank1)
+    val v1 = Pca.iterateRescaled(gn, 2, 20)
+    val v2 = Pca.iterateRescaled(Pca.deflate(gn, 2, v1), 2, 20)
+    // truncation residue may leave tiny entries in the first step but
+    // repeated division by the max collapses them; the invariant that
+    // matters is NO exception and a bounded, near-zero result
+    assert(v2.forall(x => math.abs(x) < Pca.VScale / 100), v2.toSeq.toString)
+  }
+
   test("projectTopComponent recovers a planted dominant direction") {
     // vectors concentrated along e0 with small e1 noise: the top
     // component must align with e0, so per-label projections separate

@@ -543,6 +543,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("sub-second events fold in batch order: (truncated second, event_id), not arrival millis") {
+    // ADVICE r8: the driver's timestamps are microsecond-precision,
+    // but both batch twins order by (TRUNCATED second, event_id) — so
+    // two same-second events whose event_id order OPPOSES their
+    // sub-second order must fold by event_id in the stream too.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts(30).getTime
+    def evMs(id: Long, offMs: Long, typ: String, user: Long = 1L): Event =
+      Event(id, new Timestamp(base + offMs), user, typ, 1.0, "{}")
+    // user 1 funnel: click (id 1) at +900ms, signup (id 2) at +500ms —
+    // same second. Batch folds click first (no-op at stage 0) then
+    // signup -> final stage 1. A millis-ordered fold would see signup
+    // first, then the click in the same second -> stage 2 (wrong).
+    val funnelEvents = Seq(
+      evMs(1, 900, "click"), evMs(2, 500, "signup"))
+    val fin = MemoryStream[Event]
+    val fq = StreamOps.funnelStream(fin.toDS(), boundSec = 600L)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_subsec").start()
+    fin.addData(funnelEvents: _*); fq.processAllAvailable(); fq.stop()
+    val fStream = spark.table("funnel_subsec").as[StreamOps.FunnelStage]
+      .collect().map(_.stage).max
+    val fBatch = Events.funnelStages(
+      funnelEvents.map(e => (e.user_id, e.event_id, e.event_type, e.ts.getTime / 1000))
+        .toDF("user_id", "event_id", "event_type", "sec"), bound = 600L)
+      .as[(Long, Long)].collect().head._2
+    assert(fBatch == 1L, s"batch twin should end at stage 1, got $fBatch")
+    assert(fStream == fBatch, s"stream=$fStream batch=$fBatch")
+    // pattern counter: purchase (id 1) at +900ms, click (id 2) at
+    // +100ms — batch order (purchase, click) has NO click->purchase
+    // adjacency; millis order would count one match.
+    val patEvents = Seq(
+      evMs(1, 900, "purchase", user = 2L), evMs(2, 100, "click", user = 2L))
+    val pin = MemoryStream[Event]
+    val pq = StreamOps.patternMatchStream(pin.toDS(), "click", "purchase", 3600L)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("patterns_subsec").start()
+    pin.addData(patEvents: _*); pq.processAllAvailable(); pq.stop()
+    val matches = spark.table("patterns_subsec").as[StreamOps.PatternMatch]
+      .collect().map(_.n_matches).max
+    assert(matches == 0L, s"same-second id-order adjacency must match batch: $matches")
+  }
+
   test("pattern stream final counts equal the batch directly-follows cell") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
