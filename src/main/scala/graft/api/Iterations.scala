@@ -56,6 +56,32 @@ object Iterations {
       math.max(spark.sparkContext.defaultParallelism,
         (stateRows / 1000000L).toInt))
 
+  /** Eagerly drop the storage blocks of a SUPERSEDED superstep
+    * checkpoint. `localCheckpoint` blocks are only reclaimed by the
+    * ContextCleaner after a driver GC notices the dead RDD — on a big
+    * iteration the dead checkpoints pile up on-heap for many
+    * supersteps and then all clean at once, measured as 50-90 s
+    * driver stalls in the final supersteps of a 10M-vertex CC run
+    * (docs/SCALE.md "iteration headroom", r9 — the real cause of the
+    * convergence-"tail" skew). Caller contract: the frame must be
+    * provably dead — its successor checkpoint is already materialized
+    * and no lazy frame still references it (a truncated-lineage
+    * checkpoint cannot recompute freed blocks). */
+  private[graft] def freeCheckpoint(df: Dataset[_]): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false))
+
+  /** Superstep barrier: eager localCheckpoint whose statistics are the
+    * MEASURED materialized size. Always use this (not bare
+    * `localCheckpoint()`) inside iteration loops — the stock
+    * checkpoint keeps the origin plan's size ESTIMATE, which the
+    * size-only stats visitor multiplies through each superstep's
+    * joins until the BigInt itself becomes the driver bottleneck
+    * (Bridge.measuredLocalCheckpoint scaladoc; measured 60-110 s/
+    * superstep at 10M vertices, r9). */
+  private[graft] def checkpoint[T](ds: Dataset[T]): Dataset[T] =
+    org.apache.spark.sql.graftbridge.Bridge.measuredLocalCheckpoint(ds)
+
   private[graft] def withIterationConf[A](spark: SparkSession,
       shufflePartitions: Int = -1)(f: => A): A = {
     // NOTE (r5 measurement): disabling AQE here looks like an obvious
@@ -121,7 +147,12 @@ object Iterations {
     val aggNames = aggs.keys.toSeq
     val pending = scala.collection.mutable.ArrayBuffer
       .empty[(Int, org.apache.spark.sql.Observation)]
-    var cur = init.localCheckpoint() // eager: materialize + truncate lineage
+    var cur = checkpoint(init) // eager: materialize + truncate lineage
+    // the previous BARRIER's checkpoint: freed as soon as its
+    // successor barrier is materialized (see freeCheckpoint) — between
+    // barriers, lazy supersteps still read it, so only barrier-to-
+    // barrier frees are safe
+    var lastCkpt: Dataset[T] = cur
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
@@ -133,7 +164,7 @@ object Iterations {
           aggNames.tail.map(n => aggs(n).as(n)): _*)
       } else raw0
       val atBarrier = (i + 1) % checkpointEvery == 0 || i + 1 == maxIterations
-      val next = if (atBarrier) raw.localCheckpoint() else raw
+      val next = if (atBarrier) checkpoint(raw) else raw
       if (atBarrier && instrumented) {
         // the barrier job just executed every pending superstep's
         // metric node; drain in superstep order
@@ -145,6 +176,7 @@ object Iterations {
         pending.clear()
       }
       done = terminate(cur, next)
+      if (atBarrier) { freeCheckpoint(lastCkpt); lastCkpt = next }
       cur = next
       i += 1
     }
@@ -153,7 +185,9 @@ object Iterations {
       // trailing supersteps' metric nodes never ran. Checkpoint once
       // more (also hands the caller materialized state) and drain, so
       // the observer sees EVERY superstep (ADVICE r3 #2).
-      cur = cur.localCheckpoint()
+      val trailing = checkpoint(cur)
+      freeCheckpoint(lastCkpt)
+      cur = trailing
       pending.foreach { case (step, obs) =>
         val vals = obs.get
         observer(SuperstepStats(step, -1L,
@@ -202,8 +236,8 @@ object Iterations {
         "delta(): aggregators require an observer or convergence criterion to consume them")
       val keyCols = keys.map(col)
       val instrumented = observer != null || convergence != null
-      var solution = initSolution.localCheckpoint()
-      var workset = initWorkset.localCheckpoint()
+      var solution = checkpoint(initSolution)
+      var workset = checkpoint(initWorkset)
       var i = 0
       var done = workset.isEmpty
       while (i < maxIterations && !done) {
@@ -214,17 +248,15 @@ object Iterations {
         val sameFrame = nextWorkset0 eq delta0
         val obsW = org.apache.spark.sql.Observation()
         val wsCount = count(lit(1)).as("n")
-        val delta =
-          (if (sameFrame) delta0.observe(obsW, wsCount) else delta0)
-            .localCheckpoint()
+        val delta = checkpoint(
+          if (sameFrame) delta0.observe(obsW, wsCount) else delta0)
         // keep rows whose key is NOT in delta, then add the delta rows
-        val nextSolution = solution
+        val nextSolution = checkpoint(solution
           .join(delta.select(keyCols: _*), keys, "left_anti")
-          .unionByName(delta)
-          .localCheckpoint()
+          .unionByName(delta))
         val nextWorkset =
           if (sameFrame) delta
-          else nextWorkset0.observe(obsW, wsCount).localCheckpoint()
+          else checkpoint(nextWorkset0.observe(obsW, wsCount))
         val changed = obsW.get("n").asInstanceOf[Long]
         if (instrumented) {
           val aggVals =
@@ -244,6 +276,13 @@ object Iterations {
         } else {
           done = changed == 0
         }
+        // every successor checkpoint is materialized above — eagerly
+        // free the superseded ones instead of leaving them for the
+        // GC-triggered ContextCleaner (freeCheckpoint scaladoc). The
+        // sameFrame delta IS the next workset, so it stays live.
+        freeCheckpoint(solution)
+        freeCheckpoint(workset)
+        if (!sameFrame && !(delta eq nextWorkset)) freeCheckpoint(delta)
         solution = nextSolution
         workset = nextWorkset
         i += 1

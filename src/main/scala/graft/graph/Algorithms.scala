@@ -78,11 +78,27 @@ object Algorithms {
       // zero-exchange aggregation straight off the edge cache. This
       // replaces the init frame (identity labels), its distinct-vertex
       // shuffle, AND the first join superstep with one cheap job.
+      val obs0 = org.apache.spark.sql.Observation("cc_rooted_0")
       var solution = und
         .groupBy(col("src").as("vertex"))
         .agg(min(least(col("src"), col("dst"))).as("component"))
-        .localCheckpoint()
+        // root count rides the checkpoint job (see rootCount below)
+        .observe(obs0, count(when(col("component") === col("vertex"), true))
+          .as("rooted"))
+        .transform(Iterations.checkpoint)
       var workset = solution.filter(col("component") < col("vertex"))
+      // Driver-measured root count (rows with component == vertex) from
+      // the LAST barrier. Labels only decrease, so the root set shrinks
+      // monotonically and the previous barrier's count upper-bounds the
+      // current one — gating on it is conservative. Used to decide when
+      // the root set is provably small enough to broadcast (below).
+      var rootCount: Long = obs0.get("rooted").asInstanceOf[Long]
+      // the checkpoint backing the CURRENT solution/workset frames;
+      // freed as soon as the next superstep's checkpoint materializes
+      // (Iterations.freeCheckpoint: dead checkpoint blocks otherwise
+      // wait for a GC-triggered ContextCleaner pass — measured as the
+      // 50-200 s "convergence tail" at 10M vertices, r9)
+      var liveCkpt: DataFrame = solution
       var i = 1 // superstep 0 is the fused aggregation above
       var done = false
       // Supersteps per materialization barrier. The min-merge is
@@ -141,8 +157,31 @@ object Algorithms {
           // jump join's build side shrinks toward empty instead of
           // concentrating. The SECOND hop must NOT filter: a rooted c
           // there still carries j1's one-hop improvement.
-          val j1 = solution.alias("a")
+          // Convergence-tail skew fix (r9, SCALE.md "iteration
+          // headroom"): as labels converge, a-side probe keys
+          // (a.component) collapse onto the few component roots — at
+          // the last supersteps ~|V| rows exchange onto #components
+          // keys (measured 36s/80s final barriers at 10M vertices)
+          // even though every one of those rows joins nothing (their
+          // rooted target is filtered off the b side). Anti-join the
+          // ROOT SET off the probe side BEFORE the exchange: removes
+          // exactly those no-op rows, so j1's output is unchanged.
+          // The anti join is broadcast ONLY under a driver-measured
+          // bound: rootCount (observed on the previous barrier's job,
+          // monotonically shrinking) must fit comfortably in an
+          // executor (4M single-long rows ≈ 32 MB). Above the bound —
+          // possible on a many-component graph, where the probe keys
+          // are spread and there is no skew to fix — the filter is
+          // skipped and the plan is the round-8 one.
+          val aBase = solution.alias("a")
             .filter(col("a.component") =!= col("a.vertex"))
+          val aSide = if (rootCount >= 0 && rootCount <= 4194304L) {
+            val roots = solution.filter(col("component") === col("vertex"))
+              .select(col("vertex").as("rooted_v"))
+            aBase.join(broadcast(roots),
+              col("a.component") === col("rooted_v"), "left_anti")
+          } else aBase
+          val j1 = aSide
             .join(solution.alias("b")
                 .filter(col("b.component") =!= col("b.vertex")),
               col("a.component") === col("b.vertex"))
@@ -171,14 +210,18 @@ object Algorithms {
         // job (Observation), so convergence costs no extra action
         val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
         val m = merged
-          .observe(obs, count(when(col("new_comp") < col("old_comp"), true))
-            .as("changed"))
-          .localCheckpoint()
+          .observe(obs,
+            count(when(col("new_comp") < col("old_comp"), true)).as("changed"),
+            count(when(col("new_comp") === col("vertex"), true)).as("rooted"))
+          .transform(Iterations.checkpoint)
         solution = m.select(col("vertex"), col("new_comp").as("component"))
+        Iterations.freeCheckpoint(liveCkpt)
+        liveCkpt = m
         done = obs.get("changed").asInstanceOf[Long] == 0L
+        rootCount = obs.get("rooted").asInstanceOf[Long]
         if (sys.env.contains("GRAFT_ITER_TRACE"))
           println(f"cc superstep $i changed=${obs.get("changed")} " +
-            f"t=${(System.nanoTime() - tStep) / 1e9}%.2fs")
+            f"rooted=$rootCount t=${(System.nanoTime() - tStep) / 1e9}%.2fs")
         workset = m.filter(col("new_comp") < col("old_comp"))
           .select(col("vertex"), col("new_comp").as("component"))
         i += b
@@ -343,21 +386,52 @@ object Algorithms {
       .select(col("dst").as("v"), col("src").as("anc"), col("weight").as("d"))
       .unionByName(edges.sparkSession.range(1).select(
         lit(source).as("v"), lit(source).as("anc"), lit(0L).as("d")))
-    // fold cap (r8 headroom run): the jump body references `st` TWICE
-    // (self-join), so k lazily-folded jumps recompute each branch
-    // ~2^k times within the barrier job (within-job subtrees are not
-    // deduped — the r6 wave-folding dead end, measured again here: the
-    // earlier jumps/2 cadence meant 2^12 at depth 1e7 and effectively
-    // hung; fold=2 completes the same 10M-vertex chain in ~2 min).
-    // fold=2 is 3 joins per 2 supersteps (1.5x compute, half the
-    // barriers) — the measured optimum at gate SF, and bounded at any
-    // depth since the cap is constant.
-    val state = Iterations.bulk(init, jumps,
-        checkpointEvery = math.min(2, math.max(1, jumps / 2))) { st =>
-      st.alias("a").join(st.alias("b"), col("a.anc") === col("b.v"))
+    // fold cap (r8 headroom run): the jump body references `st` more
+    // than once (self-join + converged pass-through), so k
+    // lazily-folded jumps recompute each branch multiplicatively
+    // within the barrier job (within-job subtrees are not deduped —
+    // the r6 wave-folding dead end, measured again in r8: the earlier
+    // jumps/2 cadence meant 2^12 at depth 1e7 and effectively hung).
+    // fold=2 (3 joins per 2 supersteps, half the barriers) is the
+    // measured optimum at gate SF; DEEP runs (jumps > 6, i.e. depth >
+    // 32) switch to fold=1 — at large state the join dominates barrier
+    // latency, so fewer total joins (jumps x 1 vs 1.5x) wins (r8
+    // projected ~1.5x from the 58 s/triple-join barriers at 10M;
+    // r9 measured, SCALE.md).
+    val foldCadence =
+      if (jumps <= 6) math.min(2, math.max(1, jumps / 2)) else 1
+    // Converged-row split (r9): a row whose ancestor chain reached the
+    // source is a fixpoint (the source self-loops at d=0), so jumping
+    // it is a no-op — worse, at the convergence tail those rows all
+    // carry anc == source, and shuffling them exchanges ~|V| rows onto
+    // ONE hot key (the SSSP analogue of CC's root-skew tail). Split
+    // them out BEFORE the join: only still-walking rows probe (their
+    // anc keys are spread mid-walk), converged rows pass through
+    // narrow. The b side stays the full state — active rows finish
+    // precisely by jumping onto a converged ancestor. As the active
+    // set shrinks, AQE turns the probe join broadcast-sized on its
+    // own; no hard hint needed.
+    var lastActive = -1L
+    var lastT = System.nanoTime()
+    val state = Iterations.bulk(init, jumps, checkpointEvery = foldCadence,
+        aggregators = Map("active" ->
+          count(when(col("anc") =!= lit(source), true))),
+        observer = stats => {
+          lastActive = stats.aggregates("active").asInstanceOf[Long]
+          if (sys.env.contains("GRAFT_ITER_TRACE")) {
+            val now = System.nanoTime()
+            println(f"sssp-tree jump ${stats.superstep} active=$lastActive " +
+              f"t=${(now - lastT) / 1e9}%.2fs")
+            lastT = now
+          }
+        }) ({ st =>
+      val done = st.filter(col("anc") === lit(source))
+      st.alias("a").filter(col("a.anc") =!= lit(source))
+        .join(st.alias("b"), col("a.anc") === col("b.v"))
         .select(col("a.v").as("v"), col("b.anc").as("anc"),
           (col("a.d") + col("b.d")).as("d"))
-    }
+        .unionByName(done)
+    }, terminate = (_, _) => lastActive == 0L)
     // only CONVERGED rows (ancestor chain reached the source) are
     // returned: vertices whose chain didn't reach it within maxDepth
     // jumps — an underestimated maxDepth, or a tree rooted elsewhere

@@ -23,11 +23,17 @@ import org.apache.spark.sql.functions._
 object DevScaleIter {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_EVENT_LOG=/dir: write the Spark event log for stage-level
+    // forensics of the per-superstep trace (dev-only)
+    sys.env.get("GRAFT_EVENT_LOG").foreach { d =>
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id * 2)").collect() // JIT warm
 
