@@ -203,7 +203,7 @@ object Dedup {
     * by [[minhashLshPairs]], [[DedupIndex.write]] and
     * [[DedupIndex.flagAgainst]], so index-vs-delta and monolithic
     * runs can never drift apart arithmetically. */
-  private[dedup] def signedBands(docs: DataFrame): DataFrame =
+  private[graft] def signedBands(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingleVals(col("text")).as("sv"))
       .select(col("doc_id"), col("sv"), minhashSignature_(col("sv")).as("sig"))
       .withColumn("bands", bandKeys(col("sig")))

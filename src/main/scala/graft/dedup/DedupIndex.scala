@@ -39,6 +39,24 @@ object DedupIndex {
     * per doc, arrays never duplicated per band. */
   def svTable(table: String): String = table + "_sv"
 
+  /** Hot-bucket sidecar: (band_idx, band_key, n_docs) for every index
+    * band bucket holding more than [[Dedup.DefaultBandBucketCap]]
+    * docs — the index-side twin of the batch LSH family's hot-bucket
+    * guard (Dedup.minhashLshPairsFrom). A band bucket that large is a
+    * boilerplate signature: probing it yields O(bucket) candidates
+    * per delta doc (measured: a degenerate-vocabulary corpus produced
+    * ~750 candidates/doc and a 9 GB/batch verify exchange,
+    * docs/SCALE.md), and docs agreeing on a whole band at that
+    * multiplicity are near-exact-dup territory that exact dedup
+    * already owns. Computed ONCE at [[write]]/[[compact]] time from
+    * the bands being written (rides the same cached signing pass),
+    * then anti-joined off each delta's bands before the candidate
+    * join — tiny (empty on a healthy corpus), so the per-batch guard
+    * costs a small-side join, not an index pass. Extents stay
+    * unguarded between compactions: they are admission-rate-bounded
+    * by construction. */
+  def hotTable(table: String): String = table + "_hot"
+
   /** Sign `docs` (doc_id, text) and persist the banded index under
     * `<table>_bands` / `<table>_sv`. One signing pass feeds both
     * tables (the signed frame is cached for the two writes, then
@@ -47,7 +65,7 @@ object DedupIndex {
     // an in-memory catalog forgets managed tables across sessions but
     // their warehouse directories survive — clear both, or a fresh
     // session's saveAsTable dies with LOCATION_ALREADY_EXISTS
-    Seq(bandsTable(table), svTable(table))
+    Seq(bandsTable(table), svTable(table), hotTable(table))
       .foreach(n => resetManaged(docs.sparkSession, n))
     val signed = Dedup.signedBands(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -59,12 +77,23 @@ object DedupIndex {
       graft.api.Bucketing.writeBucketed(
         signed.select(col("doc_id"), col("sv")),
         svTable(table), Seq("doc_id"), buckets)
+      writeHot(signed.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key"))), table)
     } finally signed.unpersist(blocking = true)
   }
 
-  /** Drop both halves of a persisted index. */
+  /** (Re)build the hot-bucket sidecar from an index bands frame (see
+    * [[hotTable]]). */
+  private def writeHot(bands: DataFrame, table: String): Unit =
+    bands
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > Dedup.DefaultBandBucketCap)
+      .write.mode("overwrite").saveAsTable(hotTable(table))
+
+  /** Drop all parts of a persisted index. */
   def drop(spark: SparkSession, table: String): Unit =
-    Seq(bandsTable(table), svTable(table)).foreach(n =>
+    Seq(bandsTable(table), svTable(table), hotTable(table)).foreach(n =>
       resetManaged(spark, n))
 
   /** Shared stale-directory-safe reset (see
@@ -90,9 +119,17 @@ object DedupIndex {
     // arrays the verify join — one signing pass, two readers
     val delta = Dedup.signedBands(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = flagSigned(delta, idxBands, idxSv, threshold)
+    val pairs = flagSigned(delta, idxBands, idxSv, threshold,
+      hot = hotFor(spark, table))
     graft.api.Materialize.releasing(pairs, Seq(delta))
   }
+
+  /** The index's hot-bucket sidecar, if it exists (indices written
+    * before the sidecar existed keep working unguarded). */
+  private def hotFor(spark: SparkSession, table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(hotTable(table)))
+      Some(spark.table(hotTable(table)))
+    else None
 
   /** Flag core against explicit index frames: candidates from the
     * band-bucket join, `pairFilter` applied on the bare (doc_id,
@@ -102,9 +139,18 @@ object DedupIndex {
     * [[Dedup.signedBands]] frame (caller owns its caching). */
   private[graft] def flagSigned(signed: DataFrame, idxBands: DataFrame,
       idxSv: DataFrame, threshold: Double,
-      pairFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
-    val cand = signed
+      pairFilter: org.apache.spark.sql.Column = lit(true),
+      hot: Option[DataFrame] = None): DataFrame = {
+    val deltaBands0 = signed
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    // hot-bucket guard (see hotTable): delta band rows pointing into
+    // an over-cap index bucket are dropped BEFORE the candidate join.
+    // No hard broadcast hint: the hot sidecar is tiny (empty on a
+    // healthy corpus) and AQE broadcasts it from runtime stats.
+    val deltaBands = hot.fold(deltaBands0)(h =>
+      deltaBands0.join(h.select(col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"), "left_anti"))
+    val cand = deltaBands
       .alias("d")
       .join(idxBands.alias("i"),
         col("d.band_idx") === col("i.band_idx") &&
@@ -155,22 +201,29 @@ object DedupIndex {
   private val extBandsSchema = "doc_id LONG, band_idx INT, band_key LONG, batch_id LONG"
   private val extSvSchema = "doc_id LONG, sv ARRAY<LONG>, batch_id LONG"
 
-  /** The index frames a batch must flag against: bucketed base
-    * unioned with every extent admitted by a PRIOR batch. The
-    * `batch_id < beforeBatch` partition-pruned filter is the replay
-    * guard — a batch re-run after a mid-write crash must not see its
-    * own partial extent (its docs would flag as duplicates of
+  /** The index frames a batch must flag against, as SEPARATE parts:
+    * the bucketed base, plus (if any) the extents admitted by a PRIOR
+    * batch. Parts stay separate so each candidate join keeps its own
+    * best physical shape — unioning base and extents into one frame
+    * (the pre-r9 form) erased the base tables' bucketing and made
+    * every batch re-shuffle the WHOLE index: measured per-batch
+    * admission cost was O(base) (12-20 s at a 200k-doc base vs
+    * 83-145 s at 2M, same 20k delta — docs/SCALE.md "growing
+    * index"). Flagging per part and unioning the verified PAIRS is
+    * pair-set-identical (base and extent doc ids are disjoint).
+    * The `batch_id < beforeBatch` partition-pruned filter is the
+    * replay guard — a batch re-run after a mid-write crash must not
+    * see its own partial extent (its docs would flag as duplicates of
     * themselves). */
-  private[graft] def indexFramesFor(spark: SparkSession, table: String,
-      growPath: String, beforeBatch: Long): (DataFrame, DataFrame) = {
+  private[graft] def indexPartsFor(spark: SparkSession, table: String,
+      growPath: String, beforeBatch: Long): Seq[(DataFrame, DataFrame)] = {
     val base = (spark.table(bandsTable(table)), spark.table(svTable(table)))
-    if (!dirExists(spark, extentBandsPath(growPath))) base
+    if (!dirExists(spark, extentBandsPath(growPath))) Seq(base)
     else {
       val guard = col("batch_id") < lit(beforeBatch)
-      (base._1.unionByName(
-          spark.read.schema(extBandsSchema).parquet(extentBandsPath(growPath))
-            .filter(guard).drop("batch_id")),
-        base._2.unionByName(
+      Seq(base,
+        (spark.read.schema(extBandsSchema).parquet(extentBandsPath(growPath))
+            .filter(guard).drop("batch_id"),
           spark.read.schema(extSvSchema).parquet(extentSvPath(growPath))
             .filter(guard).drop("batch_id")))
     }
@@ -199,11 +252,18 @@ object DedupIndex {
         batch.withColumn("doc_id", col("doc_id").cast("long")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (idxBands, idxSv) = indexFramesFor(spark, table, growPath, batchId)
+      val parts = indexPartsFor(spark, table, growPath, batchId)
       val deltaBands = signed
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       val deltaSv = signed.select(col("doc_id"), col("sv"))
-      val dropped = flagSigned(signed, idxBands, idxSv, threshold)
+      // the hot guard applies to the BASE part only (parts.head):
+      // extents are admission-rate-bounded between compactions
+      val hot = hotFor(spark, table)
+      val dropped = parts.zipWithIndex
+        .map { case ((idxBands, idxSv), i) =>
+          flagSigned(signed, idxBands, idxSv, threshold,
+            hot = if (i == 0) hot else None) }
+        .reduce(_ unionByName _)
         .unionByName(flagSigned(signed, deltaBands, deltaSv, threshold,
           pairFilter = col("dup_of") < col("doc_id")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -243,10 +303,14 @@ object DedupIndex {
       .write.mode("overwrite").parquet(staging + "/sv")
     resetManaged(spark, bandsTable(table))
     resetManaged(spark, svTable(table))
+    resetManaged(spark, hotTable(table))
     graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/bands"),
       bandsTable(table), Seq("band_key"), buckets)
     graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/sv"),
       svTable(table), Seq("doc_id"), buckets)
+    // the hot sidecar covers the whole compacted index again — the
+    // admitted extents' buckets re-enter the guard here
+    writeHot(spark.table(bandsTable(table)), table)
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(extentBandsPath(growPath), extentSvPath(growPath), staging)

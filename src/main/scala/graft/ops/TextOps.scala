@@ -827,10 +827,16 @@ object TextOps {
     // DedupIndex.write(even) + flagAgainst(odd)
     "q_dedup_index" ->
       s"""WITH $minhashBkCtes,
+         hot AS (SELECT band_idx, band_key FROM bk WHERE doc_id % 2 = 0
+                 GROUP BY 1, 2
+                 HAVING count(*) > ${Dedup.DefaultBandBucketCap}),
          cand AS (SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS dup_of
                   FROM bk d JOIN bk i ON d.band_idx = i.band_idx
                     AND d.band_key = i.band_key
-                    AND d.doc_id % 2 <> 0 AND i.doc_id % 2 = 0)
+                    AND d.doc_id % 2 <> 0 AND i.doc_id % 2 = 0
+                    AND NOT EXISTS (SELECT 1 FROM hot h
+                      WHERE h.band_idx = d.band_idx
+                        AND h.band_key = d.band_key))
          SELECT cand.doc_id AS doc_id, cand.dup_of AS dup_of,
            len(list_intersect(sa.sv, sb.sv)) AS common,
            len(sa.sv) AS na, len(sb.sv) AS nb
@@ -850,7 +856,13 @@ object TextOps {
                AND d.band_key = i.band_key
              WHERE d.doc_id % 4 = $k
                AND (i.doc_id IN (SELECT doc_id FROM idx$k)
-                    OR (i.doc_id % 4 = $k AND i.doc_id < d.doc_id))),
+                    OR (i.doc_id % 4 = $k AND i.doc_id < d.doc_id))
+               -- hot-bucket guard mirrors flagAndAdmit: a delta band
+               -- row probing an over-cap BASE bucket is dropped for
+               -- the base part only (extents/self stay unguarded)
+               AND NOT (i.doc_id % 4 = 0 AND EXISTS (SELECT 1 FROM hot h
+                 WHERE h.band_idx = d.band_idx
+                   AND h.band_key = d.band_key))),
            ver$k AS (
              SELECT c.doc_id AS doc_id, c.dup_of AS dup_of,
                len(list_intersect(sa.sv, sb.sv)) AS common,
@@ -866,6 +878,9 @@ object TextOps {
                            UNION ALL SELECT doc_id FROM adm$k)"""
       }.mkString(",\n")
       s"""WITH $minhashBkCtes,
+         hot AS (SELECT band_idx, band_key FROM bk WHERE doc_id % 4 = 0
+                 GROUP BY 1, 2
+                 HAVING count(*) > ${Dedup.DefaultBandBucketCap}),
          idx1 AS (SELECT doc_id FROM sv0 WHERE doc_id % 4 = 0),
          $per
          SELECT doc_id, dup_of, common, na, nb, batch_id FROM (

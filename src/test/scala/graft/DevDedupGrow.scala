@@ -31,32 +31,67 @@ object DevDedupGrow {
         when(col("id") % 12 === 0 && col("id") - nearDupLag >= 0,
           col("id") - nearDupLag).otherwise(col("id")).as("seed"),
         (col("id") % 12 === 0).as("mutated"))
+    // word shape matters: graft's wordVal signature is (first char,
+    // last char, length), so tokens must vary their FIRST letter too —
+    // a fixed "tok" prefix collapses the whole vocabulary onto ~50
+    // word values, makes every doc's coarse shingle set overlap every
+    // other's, and floods LSH with O(base) spurious candidates (the
+    // run that exposed the missing index-side hot-bucket guard)
+    def tok(k: Int) = {
+      val h = pmod(hash(col("seed"), lit(k)).cast("long"), lit(26L * 26 * 26))
+      concat(
+        chr(lit(97) + pmod(h, lit(26L))),
+        chr(lit(97) + pmod(h / 26, lit(26L))),
+        chr(lit(97) + pmod(h / (26 * 26), lit(26L))),
+        pmod(hash(col("seed"), lit(k + 1000)).cast("long"), lit(997L)))
+    }
     base.select(col("doc_id"),
       concat_ws(" ",
-        (0 until 60).map(k =>
-          concat(lit("tok"), pmod(hash(col("seed"), lit(k)).cast("long"),
-            lit(50000L)))) :+
-          when(col("mutated"), concat(lit("alt"), col("doc_id")))
+        (0 until 60).map(tok) :+
+          when(col("mutated"), concat(lit("zq"), col("doc_id")))
             .otherwise(lit("end")): _*).as("text"))
   }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_EVENT_LOG=/dir: stage-level forensics via dev/stageprof.py
+    sys.env.get("GRAFT_EVENT_LOG").foreach { d =>
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id * 2)").collect() // JIT warm
 
     val batchRows = 20000L
-    val batches = 12
+    val batches = args.lift(1).map(_.toInt).getOrElse(12)
     val work = java.nio.file.Files.createTempDirectory("dedup_grow_dev")
       .toString
 
-    Seq(("base200k", 200000L), ("base2m", 2000000L)).foreach {
+    if (args.headOption.contains("explain")) {
+      // plan forensics: what does the candidate+verify join actually
+      // plan against the bucketed base tables?
+      val table = "grow_dev_explain"
+      graft.dedup.DedupIndex.write(docs(spark, 0L, 200000L, 1L), table)
+      val delta = graft.dedup.Dedup.signedBands(
+        docs(spark, 200000L, 20000L, 40000L)).cache()
+      val flagged = graft.dedup.DedupIndex.flagSigned(delta,
+        spark.table(graft.dedup.DedupIndex.bandsTable(table)),
+        spark.table(graft.dedup.DedupIndex.svTable(table)), 0.5)
+      flagged.collect()
+      println(flagged.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0))
+      graft.dedup.DedupIndex.drop(spark, table)
+      spark.stop(); return
+    }
+
+    Seq(("base200k", 200000L), ("base2m", 2000000L))
+      .filter(c => args.headOption.forall(_ == c._1)).foreach {
       case (tag, baseRows) =>
         val table = s"grow_dev_$tag"
         val growPath = s"$work/$tag/extents"

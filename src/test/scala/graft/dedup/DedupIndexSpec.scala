@@ -61,4 +61,31 @@ class DedupIndexSpec extends SparkSpec {
     assert(spark.table(DedupIndex.svTable("dedup_idx_rewrite")).count() == 1)
     DedupIndex.drop(spark, "dedup_idx_rewrite")
   }
+
+  test("hot-bucket guard: boilerplate-flooded index buckets stop generating candidates") {
+    // 300 near-identical boilerplate docs (one shared text) flood
+    // every one of their band buckets far past the cap; one normal
+    // doc sits in healthy buckets. A delta with one boilerplate copy
+    // and one near-dup of the normal doc must flag ONLY the normal
+    // pair: the boilerplate's buckets are diverted to the exact-dedup
+    // path by the guard (hot sidecar populated at write time), so the
+    // candidate join never sees the 300-doc bucket.
+    val boiler = (1L to 300L).map(i => (i, a)) // identical text => same bands
+    val corpus = (boiler :+ (400L, c)).toDF("doc_id", "text")
+    DedupIndex.write(corpus, "dedup_idx_hot", buckets = 4)
+
+    val hot = spark.table(DedupIndex.hotTable("dedup_idx_hot"))
+    assert(hot.count() > 0, "boilerplate buckets must be recorded as hot")
+    assert(hot.agg(max(col("n_docs"))).head.getLong(0) == 300L)
+
+    val delta = Seq((501L, a), // boilerplate copy -> guarded, no pairs
+      (502L, c + " plus small tail change")) // true near-dup of 400
+      .toDF("doc_id", "text")
+    val flagged = DedupIndex.flagAgainst(spark, "dedup_idx_hot", delta, 0.5)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(flagged.forall(_._1 == 502L),
+      s"boilerplate doc must generate no candidates, got $flagged")
+    assert(flagged.contains((502L, 400L)), s"planted pair missed: $flagged")
+    DedupIndex.drop(spark, "dedup_idx_hot")
+  }
 }
