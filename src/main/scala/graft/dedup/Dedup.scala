@@ -266,6 +266,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > cap)
 
+  /** Per-band occupancy summary: bucket count, hottest bucket, and
+    * doc-row volume for each of the LSH bands — the health view a
+    * production dedup watches to size [[DefaultBandBucketCap]] and
+    * spot a banding scheme collapsing onto few keys (the degenerate-
+    * vocabulary failure mode, docs/SCALE.md). Two keyed aggregations
+    * over one signing pass; integer-only output. */
+  def bandOccupancy(docs: DataFrame): DataFrame =
+    signedBands(docs)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+        sum(col("n")).as("n_rows"))
+
   /** [[minhashLshPairs]] body over an already-signed (cached) frame —
     * shared so the estimate audit can't drift from the pairs path.
     * The bucket-size window shares the (band_idx, band_key) exchange

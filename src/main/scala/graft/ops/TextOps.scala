@@ -43,6 +43,11 @@ object TextOps {
   def qMinhashEstimate(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashEstimatePairs(t(spark, dir, "documents"), 0.5)
 
+  /** LSH band-occupancy monitor ([[Dedup.bandOccupancy]]): the bucket
+    * health view behind the hot-bucket guards. */
+  def qBandStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandOccupancy(t(spark, dir, "documents"))
+
   /** Directional shingle containment at 0.9 — quote/subset/boilerplate
     * detection (high containment, possibly low Jaccard). */
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
@@ -686,6 +691,7 @@ object TextOps {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
+    "q_band_stats" -> (qBandStats _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
@@ -887,6 +893,17 @@ object TextOps {
            SELECT * FROM ver1 UNION ALL SELECT * FROM ver2
            UNION ALL SELECT * FROM ver3)"""
     },
+    // bk's band_idx is 1-based (generate_series) vs Spark posexplode's
+    // 0-based — shift on output so the engines agree on the column
+    "q_band_stats" ->
+      s"""WITH $minhashBkCtes,
+         b AS (SELECT band_idx, band_key, count(*) AS n
+               FROM bk GROUP BY 1, 2)
+         SELECT CAST(band_idx - 1 AS INTEGER) AS band_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(n) AS BIGINT) AS n_rows
+         FROM b GROUP BY 1""",
     "q_minhash_estimate" ->
       s"""WITH $minhashVerCtes
          SELECT ver.da AS da, ver.db AS db, common, na, nb,

@@ -62,6 +62,47 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.drop(spark, "dedup_idx_rewrite")
   }
 
+  test("flag path never exchanges the stored index (bucketed layout is load-bearing)") {
+    // r9 regression pin: unioning base + extents before the candidate
+    // join erased the base tables' bucketing and re-shuffled the WHOLE
+    // index every batch — measured O(index) per-batch admission
+    // (83-159 s at a 2M base, docs/SCALE.md "growth slope"). The
+    // candidate and verify joins must consume the bucketed base scans
+    // directly: no ShuffleExchange may sit ANYWHERE above either base
+    // table's scan.
+    val corpus = (1L to 200L)
+      .map(i => (i, s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i"))
+      .toDF("doc_id", "text")
+    DedupIndex.write(corpus, "dedup_idx_plan", buckets = 4)
+    val delta = Seq((900L, a)).toDF("doc_id", "text")
+    val signed = Dedup.signedBands(delta).cache()
+    val flagged = DedupIndex.flagSigned(signed,
+      spark.table(DedupIndex.bandsTable("dedup_idx_plan")),
+      spark.table(DedupIndex.svTable("dedup_idx_plan")), 0.5)
+    flagged.collect() // finalize AQE
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(collectAll)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case _ => Nil
+      })
+    val nodes = collectAll(flagged.queryExecution.executedPlan)
+    val indexScansUnderShuffle = nodes.collect {
+      case sh: ShuffleExchangeExec => collectAll(sh).collect {
+        case fs: FileSourceScanExec
+            if fs.toString.contains("dedup_idx_plan") => fs
+      }
+    }.flatten
+    assert(indexScansUnderShuffle.isEmpty,
+      "stored index tables must never sit under a shuffle exchange:\n" +
+        flagged.queryExecution.executedPlan)
+    signed.unpersist()
+    DedupIndex.drop(spark, "dedup_idx_plan")
+  }
+
   test("hot-bucket guard: boilerplate-flooded index buckets stop generating candidates") {
     // 300 near-identical boilerplate docs (one shared text) flood
     // every one of their band buckets far past the cap; one normal
