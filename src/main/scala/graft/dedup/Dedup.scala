@@ -288,13 +288,22 @@ object Dedup {
     * count, not an extra shuffle. */
   private def minhashLshPairsFrom(withSig: DataFrame, threshold: Double,
       bucketCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val buckets = withSig.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band_idx"), col("band_key"))))
-      .filter(col("bsz") <= bucketCap)
-      .drop("bsz")
+    val exploded = withSig.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    // hot-bucket guard as a tiny over-cap set + anti-join (r9 rework:
+    // the first formulation was a count window over the band buckets,
+    // but WindowExec sorts every partition and the un-cached windowed
+    // subtree ran once per self-join branch — measured ~2x on
+    // q_dedup_minhash at gate SF. The over-cap set is empty on a
+    // healthy corpus, AQE broadcasts it, and the explode stays a
+    // narrow pass off the caller's cached signed frame.)
+    val hot = exploded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap)
+      .select(col("band_idx"), col("band_key"))
+    val buckets = exploded
+      .join(hot, Seq("band_idx", "band_key"), "left_anti")
     val cand = buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&

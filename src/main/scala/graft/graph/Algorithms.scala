@@ -93,6 +93,16 @@ object Algorithms {
       // current one — gating on it is conservative. Used to decide when
       // the root set is provably small enough to broadcast (below).
       var rootCount: Long = obs0.get("rooted").asInstanceOf[Long]
+      // The root anti-join below trades ONE extra job per superstep
+      // (the broadcast build scans the solution) for pruning the jump
+      // probe's exchange. At gate-scale graphs the superstep cost is
+      // barrier latency, not exchange volume (r4 verdict), so the
+      // extra job is pure overhead (~+0.1 s x supersteps, measured
+      // +1 s on q_connected_components at sf0.1); at the 10M-vertex
+      // headroom scale the pruned exchange is ~|V| rows per late
+      // superstep. Enable it only when the per-superstep exchange is
+      // big enough to matter (>= 4M edge rows).
+      val rootFilterEligible = 2 * eCount >= 4000000L
       // the checkpoint backing the CURRENT solution/workset frames;
       // freed as soon as the next superstep's checkpoint materializes
       // (Iterations.freeCheckpoint: dead checkpoint blocks otherwise
@@ -175,7 +185,8 @@ object Algorithms {
           // skipped and the plan is the round-8 one.
           val aBase = solution.alias("a")
             .filter(col("a.component") =!= col("a.vertex"))
-          val aSide = if (rootCount >= 0 && rootCount <= 4194304L) {
+          val aSide = if (rootFilterEligible &&
+              rootCount >= 0 && rootCount <= 4194304L) {
             val roots = solution.filter(col("component") === col("vertex"))
               .select(col("vertex").as("rooted_v"))
             aBase.join(broadcast(roots),
