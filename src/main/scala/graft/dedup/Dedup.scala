@@ -398,6 +398,26 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding-space near-dup CLUSTERS: connected components over the
+    * verified same-block cosine pair graph ([[embeddingCosinePairs]]),
+    * reported per cluster — the semantic-dedup terminal view (text
+    * LSH catches near-verbatim copies; embedding clusters catch
+    * paraphrases that share a representation). Same shape and scale
+    * posture as [[nearDupClusters]]: the iteration runs over the
+    * match-sized pair graph, never the corpus, and blocking keeps the
+    * pairing subquadratic. Vectors with no qualifying pair are absent
+    * (singleton = not a cluster), matching the LSH clusters
+    * contract. */
+  def embeddingClusters(emb: DataFrame, threshold: Double,
+      blockCol: String = "label"): DataFrame =
+    graft.graph.Algorithms.connectedComponents(
+      embeddingCosinePairs(emb, threshold, blockCol)
+        .select(col("va").as("src"), col("vb").as("dst")))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(col("vertex")).as("max_vec"),
+        sum(col("vertex")).as("sum_vec"))
+
   // ---- SimHash --------------------------------------------------------
 
   val SimHashBits = 16

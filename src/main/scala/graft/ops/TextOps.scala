@@ -37,6 +37,11 @@ object TextOps {
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), 0.35)
 
+  /** Semantic (embedding-space) near-dup clusters
+    * ([[Dedup.embeddingClusters]]): the paraphrase-dedup terminal. */
+  def qEmbedClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingClusters(t(spark, dir, "embeddings"), 0.35)
+
   /** Signature-slot audit: estimated (matching minhash slots) vs true
     * (exact shingle) similarity per verified pair — pins the
     * signature arithmetic itself, not just the band keys. */
@@ -693,6 +698,7 @@ object TextOps {
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_band_stats" -> (qBandStats _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_embed_clusters" -> (qEmbedClusters _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_dedup_index" -> (qDedupIndex _),
@@ -953,6 +959,24 @@ object TextOps {
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE ${graft.sim.Similarity.sqlSimRounded("a.embedding", "b.embedding", 64)} >= 0.35""",
+    // embedding clusters: recursive closure over the SAME pair graph
+    // as q_dedup_embedding, reported per min-id cluster label
+    "q_embed_clusters" ->
+      s"""WITH RECURSIVE ep AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE ${graft.sim.Similarity.sqlSimRounded("a.embedding", "b.embedding", 64)} >= 0.35),
+         e AS (SELECT va AS u, vb AS v FROM ep
+               UNION SELECT vb, va FROM ep),
+         reach(node, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT e2.v, r.lbl FROM reach r JOIN e e2 ON r.node = e2.u),
+         comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+         SELECT cluster_id, COUNT(1) AS n_vecs, MAX(node) AS max_vec,
+           CAST(SUM(node) AS BIGINT) AS sum_vec
+         FROM comp GROUP BY cluster_id""",
     "q_simhash" ->
       s"""SELECT doc_id, CAST(${Dedup.sqlSimhash("text")} AS BIGINT) AS simhash
          FROM documents""",
