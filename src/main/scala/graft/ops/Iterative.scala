@@ -127,13 +127,15 @@ object Iterative {
   /** The full `WITH`-body prefix for a k-cluster trajectory: `pts`,
     * seed `c0`, and iteration CTEs up to `c$iters` (expects the
     * embeddings table; prefix is caller-composable with more CTEs). */
-  private[ops] def kmTrajectoryCtes(k: Int, iters: Int): String = {
+  private[ops] def kmTrajectoryCtes(k: Int, iters: Int,
+      ptsWhere: String = ""): String = {
     val seed =
-      s"""pts AS (SELECT vec_id, embedding FROM embeddings),
+      s"""pts AS (SELECT vec_id, embedding FROM embeddings $ptsWhere),
          c0 AS (
            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))"""
+           FROM (SELECT vec_id, embedding FROM embeddings $ptsWhere
+                 ORDER BY vec_id LIMIT $k))"""
     val iterCtes = (1 to iters).flatMap { it =>
       Seq(kmAssign(s"c${it - 1}", s"a$it"), kmRecompute(s"a$it", s"c${it - 1}", s"c$it"))
     }

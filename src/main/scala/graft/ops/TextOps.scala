@@ -219,6 +219,26 @@ object TextOps {
     Similarity.ivfTopK(emb, knnQueries(emb), 5)
   }
 
+  /** GROWING IVF index e2e (the ANN twin of q_dedup_grow): train +
+    * persist the quantizer and base corpus (even vec_ids), admit two
+    * "crawl batches" of new vectors (vec_id%4==1, then %4==3) against
+    * the FROZEN quantizer as extent partitions, then serve top-k over
+    * base + extents. The oracle trains KMeans on the even half only,
+    * assigns ALL vectors with those centroids, and ranks — admission
+    * must be invisible to results, which is the growth contract. */
+  def qKnnGrow(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val table = "graft_q_knn_grow"
+    graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_grow")
+    val grow = s"$root/ext"
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+    graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5)
+  }
+
   /** Int8-quantized IVF serving e2e (VERDICT r7 #3): persist the
     * quantized index (codes+scale+normq bucketed by cell, floats by
     * id), then answer top-k with the int8 candidate scan + exact
@@ -717,6 +737,7 @@ object TextOps {
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
+    "q_knn_grow" -> (qKnnGrow _),
     "q_knn_ivf_int8" -> (qKnnIvfInt8 _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_centroids" -> (qCentroids _),
@@ -1126,6 +1147,32 @@ object TextOps {
          qp AS (
            SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
            FROM pts p CROSS JOIN c3 c
+           WHERE p.vec_id < 10
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
+         cand AS (
+           SELECT qid, cid, ${Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
+           FROM qp JOIN cb USING (cell) WHERE qid <> cid),
+         ranked AS (
+           SELECT qid, cid, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
+           FROM cand)
+         SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    // growing IVF: quantizer trained on the EVEN half only (the base
+    // write), assignment over ALL vectors (frozen-quantizer admission),
+    // identical probe/rank contract - extents must be invisible
+    "q_knn_grow" ->
+      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3,
+            ptsWhere = "WHERE vec_id % 2 = 0")},
+         allp AS (SELECT vec_id, embedding FROM embeddings),
+         cb AS MATERIALIZED (
+           SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
+           FROM allp p CROSS JOIN c3 c
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
+         qp AS (
+           SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
+           FROM allp p CROSS JOIN c3 c
            WHERE p.vec_id < 10
            QUALIFY row_number() OVER (PARTITION BY p.vec_id
              ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),

@@ -67,4 +67,56 @@ class IvfIndexSpec extends SparkSpec {
 
     IvfIndex.dropInt8(spark, "ivf8_test_idx")
   }
+
+  test("growing IVF: frozen-quantizer admission, replay idempotence, compact parity") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val queries = emb.filter(col("vec_id") < 10)
+    val grow = java.nio.file.Files.createTempDirectory("ivf_grow_spec").toString
+
+    IvfIndex.write(base, "ivf_grow_idx", nlist = 16, iterations = 3)
+    // with no extents, searchGrown must equal plain search
+    val baseOnly = IvfIndex.search(spark, "ivf_grow_idx", queries, k = 5)
+      .orderBy("qid", "rk").collect().toSeq
+    val grownEmpty = IvfIndex.searchGrown(spark, "ivf_grow_idx", grow,
+      queries, k = 5).orderBy("qid", "rk").collect().toSeq
+    assert(grownEmpty == baseOnly)
+
+    // admit the odd half in two batches; plant an EXACT COPY of query
+    // vector 0 under a fresh id — it must surface as its top hit
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(lit(999001L).as("vec_id"), col("embedding"))
+    IvfIndex.admit(spark, "ivf_grow_idx", grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"), col("embedding")).unionByName(q0), 1L)
+    IvfIndex.admit(spark, "ivf_grow_idx", grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+    val grown = IvfIndex.searchGrown(spark, "ivf_grow_idx", grow, queries, 5)
+    val top0 = grown.filter(col("qid") === 0 && col("rk") === 1)
+      .select("cid", "sim").as[(Long, Double)].collect().head
+    assert(top0._1 == 999001L && top0._2 == 1.0,
+      s"planted duplicate must be qid 0's top hit, got $top0")
+    val before = grown.orderBy("qid", "rk").collect().toSeq
+
+    // replay a batch (crash-recovery path): results must not change
+    IvfIndex.admit(spark, "ivf_grow_idx", grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+    val replay = IvfIndex.searchGrown(spark, "ivf_grow_idx", grow,
+      queries, 5).orderBy("qid", "rk").collect().toSeq
+    assert(replay == before)
+
+    // compaction folds extents into the bucketed base: same answers,
+    // extents gone
+    IvfIndex.compact(spark, "ivf_grow_idx", grow)
+    val compacted = IvfIndex.searchGrown(spark, "ivf_grow_idx", grow,
+      queries, 5).orderBy("qid", "rk").collect().toSeq
+    assert(compacted == before)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IvfIndex.extentPath(grow))))
+
+    spark.sql("DROP TABLE IF EXISTS ivf_grow_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_grow_idx_centroids")
+  }
 }
