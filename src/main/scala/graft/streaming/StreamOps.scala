@@ -208,6 +208,30 @@ object StreamOps {
       .start()
   }
 
+  /** GROWING ANN serving index: each micro-batch of new vectors is
+    * admitted to a persisted [[graft.sim.IvfIndex]] against the
+    * FROZEN coarse quantizer — the vector-side twin of
+    * [[growIndexStream]] (embeddings arrive with the crawl; the index
+    * serving tomorrow's queries must include them without
+    * re-clustering the corpus). Admission lands in the batch's own
+    * extent partition (replay-idempotent), `searchGrown` reads base +
+    * extents, and [[graft.sim.IvfIndex.compact]] folds extents into
+    * the bucketed base periodically with the stream paused. State is
+    * source offsets only — the index IS the state. `growPath`'s
+    * lifecycle is tied to `checkpoint`: reset both together or batch
+    * ids alias. */
+  def admitVectorsStream(spark: SparkSession, table: String,
+      growPath: String, newVectors: DataFrame,
+      checkpoint: String): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.sim.IvfIndex.admit(spark, table, growPath, batch.toDF(), batchId)
+    newVectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
   case class FunnelStage(user_id: Long, stage: Long)
 
   /** Unbounded form of ops.Events.funnelStages: the same ordered,

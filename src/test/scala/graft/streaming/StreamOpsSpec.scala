@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import graft.ops.Events
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Unbounded-execution tests: the batch corpus pins windowed semantics
@@ -671,5 +671,53 @@ class StreamOpsSpec extends SparkSpec {
     // the stream also emits zero-count users (state exists, no match);
     // the batch filter drops them — compare the matched set
     assert(streamed.filter(_._2 > 0) == batch, s"streamed=$streamed batch=$batch")
+  }
+
+  test("vector admission stream grows the served IVF index across restarts") {
+    // the ANN twin of the growing dedup stream: vectors admitted by a
+    // streaming crawl are served by searchGrown, a restart resumes
+    // from the checkpoint without re-admitting, and compaction folds
+    // extents into the base so plain search() sees them
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0),
+      "ivf_grow_stream", nlist = 8, iterations = 2)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfstream")
+    val (src, ckpt, grow) = (s"$root/src", s"$root/ckpt", s"$root/grow")
+    def startQuery() = StreamOps.admitVectorsStream(spark, "ivf_grow_stream",
+      grow, spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .parquet(src), ckpt)
+    val queries = emb.filter(col("vec_id") < 4)
+
+    // batch 1: odd vectors vec_id%4==1 plus an exact copy of query 0
+    emb.filter(pmod(col("vec_id"), lit(4)) === 1)
+      .unionByName(emb.filter(col("vec_id") === 0)
+        .select(lit(999001L).as("vec_id"), col("embedding")))
+      .write.mode("append").parquet(src)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val top1 = graft.sim.IvfIndex.searchGrown(spark, "ivf_grow_stream", grow,
+      queries, 3).filter(col("qid") === 0 && col("rk") === 1)
+      .select("cid", "sim").as[(Long, Double)].collect().head
+    assert(top1 == ((999001L, 1.0)), s"planted dup must be top-1: $top1")
+
+    // batch 2 after restart: the remaining odds; prior admissions survive
+    emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      .write.mode("append").parquet(src)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val grown = graft.sim.IvfIndex.searchGrown(spark, "ivf_grow_stream", grow,
+      queries, 3).orderBy("qid", "rk").collect().toSeq
+    assert(grown.exists(_.getLong(1) == 999001L), "batch-1 admission lost")
+
+    // compact with the stream stopped: extents fold into the base and
+    // plain search answers identically
+    graft.sim.IvfIndex.compact(spark, "ivf_grow_stream", grow)
+    val served = graft.sim.IvfIndex.search(spark, "ivf_grow_stream",
+      queries, 3).orderBy("qid", "rk").collect().toSeq
+    assert(served == grown, s"post-compact drift: $served vs $grown")
+
+    spark.sql("DROP TABLE IF EXISTS ivf_grow_stream")
+    spark.sql("DROP TABLE IF EXISTS ivf_grow_stream_centroids")
   }
 }
