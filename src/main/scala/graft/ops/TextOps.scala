@@ -209,6 +209,13 @@ object TextOps {
     Similarity.bruteForceTopK(emb, knnQueries(emb), 5)
   }
 
+  /** Contrastive hard negatives ([[Similarity.hardNegatives]]): per
+    * query, the top-k most-similar vectors with a DIFFERENT label. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(emb, knnQueries(emb), 5)
+  }
+
   def qKnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.lshTopK(emb, knnQueries(emb), 5)
@@ -735,6 +742,7 @@ object TextOps {
     "q_fingerprint" -> (qFingerprint _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_knn_brute" -> (qKnnBrute _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_grow" -> (qKnnGrow _),
@@ -1099,6 +1107,19 @@ object TextOps {
                 ELSE 'ok' END AS verdict,
            COUNT(1) AS n_docs
          FROM q GROUP BY 1, 2""",
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+                     FROM embeddings WHERE vec_id < 10),
+         sims AS (
+           SELECT qid, c.vec_id AS cid, c.label AS neg_label,
+             ${Similarity.sqlSimRounded("qv", "c.embedding", 64)} AS sim
+           FROM q JOIN embeddings c
+             ON qid <> c.vec_id AND qlabel <> c.label),
+         ranked AS (
+           SELECT qid, cid, neg_label, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
+           FROM sims)
+         SELECT qid, cid, neg_label, sim, rk FROM ranked WHERE rk <= 5""",
     "q_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
          sims AS (

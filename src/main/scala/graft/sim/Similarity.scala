@@ -65,6 +65,28 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k most-similar corpus vectors with a DIFFERENT label —
+    * the "looks like a positive, isn't one" examples an embedding
+    * model trains against. Same bounded-query broadcast shape as
+    * [[bruteForceTopK]] with the label inequality riding the join
+    * condition (a residual on the broadcast probe, not a post-rank
+    * filter — rank positions must be computed over negatives only).
+    * At corpus scale, swap the streamed side for the IVF-probed
+    * candidate set exactly as [[ivfTopK]] does for positives. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qc = broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("label").as("qlabel")))
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          col("label").as("clabel")),
+        col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("cid"), col("clabel").as("neg_label"),
+        simRounded(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    qc.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("neg_label"), col("sim"), col("rk"))
+  }
+
   // ---- LSH-bucketed approximate variant -------------------------------
 
   /** Deterministic pseudo-random hyperplanes: component h[p][d] =
