@@ -46,10 +46,41 @@ object Bench {
     val runsPerQuery =
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
         .getOrElse(3).max(1)
+    // ---- canary (VERDICT r9 #2): a FIXED workload timed at suite
+    // start/middle/end whose cost is independent of the benched SF and of
+    // the query set. Round 9's postmortem: a ~33% box-wide slowdown made
+    // a flat suite read as a 46% regression and the 1.5x pin fired on an
+    // innocent query. The canary measures the box, so the pin can compare
+    // box-normalized times and raw totals can be read alongside a
+    // normalized twin. Three legs on purpose, matching the suite's
+    // own cost mix (leg ratios measured via DevCanaryProfile): a
+    // codegen'd CPU leg (range sum), a shuffle+join leg, and a
+    // scheduler-latency leg (10 tiny single-stage jobs) — most suite
+    // queries are many small stages, so driver/scheduler latency is a
+    // large share of their time and a CPU-only canary under-reads
+    // contention that steals wakeups rather than cycles.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L).selectExpr("sum(id * 2)").collect()
+      val a = spark.range(200000L).selectExpr("id % 1000 as k", "id as v")
+      val b = spark.range(1000L).selectExpr("id as k", "id * 3 as w")
+      a.groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+        .join(b, "k").selectExpr("sum(sv + w)").collect()
+      (1 to 10).foreach { _ =>
+        spark.range(0, 3200, 1, 32).selectExpr("sum(id)").collect()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // one untimed pass so the canary itself is warm-methodology
+    val canaryStart = canary()
     // deterministic name order: each query always runs after the same
     // predecessors, so per-query numbers are comparable across rounds
     // (Map iteration order shifts whenever a query is added)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val midIdx = sortedQueries.size / 2
+    var canaryMid = 0.0
+    val results = sortedQueries.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == midIdx) canaryMid = canary()
       val timed = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -68,6 +99,11 @@ object Bench {
       val good = timed.collect { case (dt, true) => dt }
       (name, good.minOption, timed.map(_._1), timed.count(!_._2))
     }
+    val canaryEnd = canary()
+    // median of the three probes: robust to one probe landing inside a
+    // transient contention spike (the exact failure mode being measured)
+    val canaryNow =
+      Seq(canaryStart, canaryMid, canaryEnd).sorted.apply(1)
     val failed = results.collect { case (k, None, _, _) => k }
     val flaky = results.collect {
       case (k, Some(_), _, nf) if nf > 0 => s"\"" + k + "\":" + nf
@@ -93,20 +129,44 @@ object Bench {
     // the launcher's working directory
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench/detail_latest.json")
+    val priorTxt = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outPath)), "UTF-8")).getOrElse("")
     val priorQueries: Map[String, Double] =
       scala.util.Try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(outPath)), "UTF-8")
-        val qsect = txt.substring(txt.indexOf("\"queries\":"))
-        "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r.findAllMatchIn(
+        val qsect = priorTxt.substring(priorTxt.indexOf("\"queries\""))
+        // whitespace-tolerant: hand-edited or python-rewritten priors
+        // come with ": " separators, the Scala writer without
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.Ee+-]*)".r.findAllMatchIn(
           qsect.substring(0, qsect.indexOf("}") + 1))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
+    // prior round's canary median, parsed from the committed detail file.
+    // Absent in the first round after this lands -> scale 1.0 (raw pin).
+    val priorCanary: Option[Double] =
+      "\"canary_median\"\\s*:\\s*([0-9][0-9.Ee+-]*)".r.findFirstMatchIn(priorTxt)
+        .map(_.group(1).toDouble)
+    // scale = how much slower THIS box is than the prior round's box on
+    // identical fixed work. Clamped to [0.5, 4]: outside that the canary
+    // itself is suspect (e.g. a canary run landed inside an extreme
+    // spike) and a wrong aggressive normalization would hide a real
+    // regression — better to pin near-raw and let the committed canary
+    // numbers tell the adjudication story.
+    val canaryScale = priorCanary match {
+      case Some(p) if p > 0 => math.min(4.0, math.max(0.5, canaryNow / p))
+      case _ => 1.0
+    }
+    // the pin compares NORMALIZED values (VERDICT r9 #2): a query is a
+    // regression only if it is slow relative to how slow the BOX is.
+    // v/canaryScale > 1.5*prior  <=>  v > 1.5*prior*canaryScale.
     val regressions = results.collect {
-      case (k, Some(v), _, _) if priorQueries.get(k).exists(p => v > 1.5 * p) =>
-        s"\"" + k + "\":{\"prior\":" + priorQueries(k) + ",\"now\":" + v + "}"
+      case (k, Some(v), _, _)
+        if priorQueries.get(k).exists(p => v > 1.5 * p * canaryScale) =>
+        s"\"" + k + "\":{\"prior\":" + priorQueries(k) + ",\"now\":" + v +
+          ",\"now_normalized\":" + (v / canaryScale) + "}"
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query; contiguous alphabetical elevated blocks = contention, isolated = regression"}"""
+    val canaryJson =
+      s""""canary":{"start":$canaryStart,"mid":$canaryMid,"end":$canaryEnd},"canary_median":$canaryNow,"canary_prior":${priorCanary.getOrElse(-1.0)},"canary_scale":$canaryScale,"value_normalized":${total / canaryScale}"""
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query; regression pin is canary-normalized (fixed probe at suite start/mid/end, median vs prior round's committed median, scale clamped to [0.5,4]); contiguous alphabetical elevated blocks = contention, isolated = regression"}"""
     scala.util.Try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -117,7 +177,7 @@ object Bench {
     // stdout, and the full line outgrew that window in round 5 — the tail
     // must always contain a parseable headline total
     println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"sf":"$sfDir","methodology":"warm min-of-$runsPerQuery per query; per-query detail committed at $outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${total / canaryScale},"canary_median":$canaryNow,"canary_scale":$canaryScale,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"sf":"$sfDir","methodology":"warm min-of-$runsPerQuery per query, canary-normalized pin; per-query detail committed at $outPath"}""")
     spark.stop()
   }
 }

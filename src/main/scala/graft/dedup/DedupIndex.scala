@@ -82,14 +82,21 @@ object DedupIndex {
     } finally signed.unpersist(blocking = true)
   }
 
-  /** (Re)build the hot-bucket sidecar from an index bands frame (see
-    * [[hotTable]]). */
-  private def writeHot(bands: DataFrame, table: String): Unit =
+  /** The hot-sidecar aggregation (bands -> over-cap buckets).
+    * Factored out of [[writeHot]] so PlanAuditSpec can pin that, fed
+    * from [[write]]'s cached signed frame, it plans as an
+    * InMemoryTableScan — NOT a second corpus scan+signing pass
+    * (VERDICT r9 #7 guard-rail: the guard must stay ~free). */
+  private[graft] def hotAgg(bands: DataFrame): DataFrame =
     bands
       .groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > Dedup.DefaultBandBucketCap)
-      .write.mode("overwrite").saveAsTable(hotTable(table))
+
+  /** (Re)build the hot-bucket sidecar from an index bands frame (see
+    * [[hotTable]]). */
+  private def writeHot(bands: DataFrame, table: String): Unit =
+    hotAgg(bands).write.mode("overwrite").saveAsTable(hotTable(table))
 
   /** Drop all parts of a persisted index. */
   def drop(spark: SparkSession, table: String): Unit =

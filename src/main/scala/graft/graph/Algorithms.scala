@@ -34,6 +34,34 @@ object Algorithms {
     * edges: (src: long, dst: long) — treated as undirected.
     * returns: (vertex: long, component: long) = min vertex id reachable.
     */
+  /** Driver-measured cap on the root-set broadcast: 4M single-long
+    * rows ≈ 32 MB — comfortably executor-resident. Above it the
+    * anti-join is skipped (a many-component graph has no root skew to
+    * fix) and the plan is the round-8 one. */
+  private[graft] val RootBroadcastBound = 4194304L
+
+  /** Probe side of CC's pointer-jump join: non-rooted vertices, with
+    * the convergence-tail root-set anti-join (r9, SCALE.md "iteration
+    * headroom") applied when the previous barrier OBSERVED a root
+    * count within [[RootBroadcastBound]]. Removes exactly the rows
+    * whose jump target is already a root (no-op messages) BEFORE the
+    * exchange, so the late-superstep skew collapse onto component
+    * roots never rides the shuffle. Factored out of the loop so
+    * PlanAuditSpec can pin the shape: broadcast LeftAnti on a
+    * single-long-column roots frame, no extra exchange on the probe
+    * side (VERDICT r9 #7 guard-rail). */
+  private[graft] def rootPrunedProbe(solution: DataFrame,
+      rootFilterEligible: Boolean, rootCount: Long): DataFrame = {
+    val aBase = solution.alias("a")
+      .filter(col("a.component") =!= col("a.vertex"))
+    if (rootFilterEligible && rootCount >= 0 && rootCount <= RootBroadcastBound) {
+      val roots = solution.filter(col("component") === col("vertex"))
+        .select(col("vertex").as("rooted_v"))
+      aBase.join(broadcast(roots),
+        col("a.component") === col("rooted_v"), "left_anti")
+    } else aBase
+  }
+
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
     // loop-invariant edge set: persist once (the analogue of the
     // reference's iteration-boundary cache — recomputing it every
@@ -183,15 +211,7 @@ object Algorithms {
           // possible on a many-component graph, where the probe keys
           // are spread and there is no skew to fix — the filter is
           // skipped and the plan is the round-8 one.
-          val aBase = solution.alias("a")
-            .filter(col("a.component") =!= col("a.vertex"))
-          val aSide = if (rootFilterEligible &&
-              rootCount >= 0 && rootCount <= 4194304L) {
-            val roots = solution.filter(col("component") === col("vertex"))
-              .select(col("vertex").as("rooted_v"))
-            aBase.join(broadcast(roots),
-              col("a.component") === col("rooted_v"), "left_anti")
-          } else aBase
+          val aSide = rootPrunedProbe(solution, rootFilterEligible, rootCount)
           val j1 = aSide
             .join(solution.alias("b")
                 .filter(col("b.component") =!= col("b.vertex")),

@@ -114,6 +114,38 @@ object TextOps {
         col("nb"), col("batch_id"))
   }
 
+  /** LSM compaction of the growing dedup index, e2e (VERDICT r9 #4):
+    * base = doc_id%4==0, admit batches %4==1 and %4==2 as extents,
+    * [[graft.dedup.DedupIndex.compact]] folds them into the bucketed
+    * base (recomputing the hot-bucket sidecar over the WHOLE compacted
+    * index), then batch %4==3 flags against the compacted base alone.
+    * Not the q_dedup_grow oracle verbatim: compaction legitimately
+    * changes the hot-guard's scope (pre-compact it covers base
+    * buckets only, post-compact the admitted extents' buckets
+    * re-enter the guard — DedupIndex.scala compaction contract), so
+    * the oracle unrolls batches 1-2 with the %4==0-scoped guard and
+    * batch 3 with the recomputed whole-index guard. */
+  def qDedupCompact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_dedup_compact"
+    graft.dedup.DedupIndex.write(
+      docs.filter(col("doc_id") % 4 === 0), table, buckets = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_dedup_compact")
+    val (grow, sink) = (s"$root/ext", s"$root/sink")
+    (1 to 2).foreach { k =>
+      graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
+        docs.filter(col("doc_id") % 4 === k), k - 1L, sink, 0.5)
+    }
+    graft.dedup.DedupIndex.compact(spark, table, grow, buckets = 8)
+    graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
+      docs.filter(col("doc_id") % 4 === 3), 2L, sink, 0.5)
+    spark.read
+      .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+      .parquet(sink)
+      .select(col("doc_id"), col("dup_of"), col("common"), col("na"),
+        col("nb"), col("batch_id"))
+  }
+
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -244,6 +276,50 @@ object TextOps {
     graft.sim.IvfIndex.admit(spark, table, grow,
       emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
     graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5)
+  }
+
+  /** IVF compaction e2e (VERDICT r9 #4 — the other half of the growth
+    * contract): the exact q_knn_grow setup (base = even vec_ids, two
+    * frozen-quantizer extent batches), then [[graft.sim.IvfIndex
+    * .compact]] folds the extents into the bucketed base, and top-k is
+    * served from the COMPACTED base alone. Shares q_knn_grow's oracle
+    * verbatim: compaction must be invisible to results (same pairs,
+    * sims, ranks), which is precisely what the shared oracle asserts
+    * at gate SF. */
+  def qKnnCompact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val table = "graft_q_knn_compact"
+    graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_compact")
+    val grow = s"$root/ext"
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+    graft.sim.IvfIndex.compact(spark, table, grow)
+    graft.sim.IvfIndex.search(spark, table, knnQueries(emb), 5)
+  }
+
+  /** Metadata-filtered ANN (VERDICT r9 #6 — the vector-store serving
+    * primitive): the grown-index setup of q_knn_grow, searched with a
+    * label predicate (`label IN (1,4,7)`) pushed into EACH index
+    * part's parquet scan BEFORE the candidate join (PushedFilters —
+    * asserted in PlanAuditSpec). Ranks are over the allowed set only:
+    * "top-k of the filtered corpus", not "filtered global top-k".
+    * Oracle: the q_knn_grow replay with the same label filter on the
+    * corpus assignment CTE. */
+  def qKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val table = "graft_q_knn_filtered"
+    graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_filtered")
+    val grow = s"$root/ext"
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+    graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5,
+      pred = Some(col("label").isin(1, 4, 7)))
   }
 
   /** Int8-quantized IVF serving e2e (VERDICT r7 #3): persist the
@@ -730,6 +806,7 @@ object TextOps {
     "q_dedup_keep" -> (qDedupKeep _),
     "q_dedup_index" -> (qDedupIndex _),
     "q_dedup_grow" -> (qDedupGrow _),
+    "q_dedup_compact" -> (qDedupCompact _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_simhash" -> (qSimhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -746,6 +823,8 @@ object TextOps {
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_grow" -> (qKnnGrow _),
+    "q_knn_compact" -> (qKnnCompact _),
+    "q_knn_filtered" -> (qKnnFiltered _),
     "q_knn_ivf_int8" -> (qKnnIvfInt8 _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_centroids" -> (qCentroids _),
@@ -851,6 +930,39 @@ object TextOps {
                FROM cand JOIN sv0 sa ON da = sa.doc_id
                  JOIN sv0 sb ON db = sb.doc_id)"""
 
+  /** Shared replay for the grown-IVF family (q_knn_grow /
+    * q_knn_compact / q_knn_filtered): KMeans trajectory on the EVEN
+    * half (the base write), frozen-quantizer assignment over ALL
+    * vectors, probe + rank. `cbWhere` optionally filters the corpus
+    * assignment CTE — the oracle twin of searchGrown's scan-side
+    * metadata predicate (filter-before-or-after-assignment is
+    * identical because a vector's nearest cell doesn't depend on
+    * other rows). */
+  private def knnGrownOracle(cbWhere: String = ""): String =
+    s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3,
+          ptsWhere = "WHERE vec_id % 2 = 0")},
+       allp AS (SELECT vec_id, embedding, label FROM embeddings),
+       cb AS MATERIALIZED (
+         SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
+         FROM allp p CROSS JOIN c3 c
+         $cbWhere
+         QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
+       qp AS (
+         SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
+         FROM allp p CROSS JOIN c3 c
+         WHERE p.vec_id < 10
+         QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
+       cand AS (
+         SELECT qid, cid, ${Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
+         FROM qp JOIN cb USING (cell) WHERE qid <> cid),
+       ranked AS (
+         SELECT qid, cid, sim,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
+         FROM cand)
+       SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5"""
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT n_copies, COUNT(1) AS n_groups FROM (
@@ -924,6 +1036,73 @@ object TextOps {
                  HAVING count(*) > ${Dedup.DefaultBandBucketCap}),
          idx1 AS (SELECT doc_id FROM sv0 WHERE doc_id % 4 = 0),
          $per
+         SELECT doc_id, dup_of, common, na, nb, batch_id FROM (
+           SELECT * FROM ver1 UNION ALL SELECT * FROM ver2
+           UNION ALL SELECT * FROM ver3)"""
+    },
+    // compaction run: batches 1-2 replay q_dedup_grow's recursion
+    // (hot guard scoped to the %4==0 base), then DedupIndex.compact
+    // folds the extents into the base and RECOMPUTES the hot sidecar
+    // over the WHOLE compacted index, so batch 3's guard covers every
+    // indexed doc — the one semantic compaction legitimately changes
+    // (everything else must be invisible, which the shared batch-1/2
+    // replay asserts)
+    "q_dedup_compact" -> {
+      val per12 = (1 to 2).map { k =>
+        s"""cand$k AS (
+             SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS dup_of
+             FROM bk d JOIN bk i ON d.band_idx = i.band_idx
+               AND d.band_key = i.band_key
+             WHERE d.doc_id % 4 = $k
+               AND (i.doc_id IN (SELECT doc_id FROM idx$k)
+                    OR (i.doc_id % 4 = $k AND i.doc_id < d.doc_id))
+               AND NOT (i.doc_id % 4 = 0 AND EXISTS (SELECT 1 FROM hot h
+                 WHERE h.band_idx = d.band_idx
+                   AND h.band_key = d.band_key))),
+           ver$k AS (
+             SELECT c.doc_id AS doc_id, c.dup_of AS dup_of,
+               len(list_intersect(sa.sv, sb.sv)) AS common,
+               len(sa.sv) AS na, len(sb.sv) AS nb,
+               CAST(${k - 1} AS BIGINT) AS batch_id
+             FROM cand$k c JOIN sv0 sa ON c.doc_id = sa.doc_id
+               JOIN sv0 sb ON c.dup_of = sb.doc_id
+             WHERE CAST(len(list_intersect(sa.sv, sb.sv)) AS DOUBLE) /
+               (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5),
+           adm$k AS (SELECT doc_id FROM sv0 WHERE doc_id % 4 = $k
+                     AND doc_id NOT IN (SELECT doc_id FROM ver$k)),
+           idx${k + 1} AS (SELECT doc_id FROM idx$k
+                           UNION ALL SELECT doc_id FROM adm$k)"""
+      }.mkString(",\n")
+      s"""WITH $minhashBkCtes,
+         hot AS (SELECT band_idx, band_key FROM bk WHERE doc_id % 4 = 0
+                 GROUP BY 1, 2
+                 HAVING count(*) > ${Dedup.DefaultBandBucketCap}),
+         idx1 AS (SELECT doc_id FROM sv0 WHERE doc_id % 4 = 0),
+         $per12,
+         hot3 AS (SELECT band_idx, band_key FROM bk
+                  WHERE doc_id IN (SELECT doc_id FROM idx3)
+                  GROUP BY 1, 2
+                  HAVING count(*) > ${Dedup.DefaultBandBucketCap}),
+         cand3 AS (
+           SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS dup_of
+           FROM bk d JOIN bk i ON d.band_idx = i.band_idx
+             AND d.band_key = i.band_key
+           WHERE d.doc_id % 4 = 3
+             AND (i.doc_id IN (SELECT doc_id FROM idx3)
+                  OR (i.doc_id % 4 = 3 AND i.doc_id < d.doc_id))
+             AND NOT (i.doc_id IN (SELECT doc_id FROM idx3)
+               AND EXISTS (SELECT 1 FROM hot3 h
+                 WHERE h.band_idx = d.band_idx
+                   AND h.band_key = d.band_key))),
+         ver3 AS (
+           SELECT c.doc_id AS doc_id, c.dup_of AS dup_of,
+             len(list_intersect(sa.sv, sb.sv)) AS common,
+             len(sa.sv) AS na, len(sb.sv) AS nb,
+             CAST(2 AS BIGINT) AS batch_id
+           FROM cand3 c JOIN sv0 sa ON c.doc_id = sa.doc_id
+             JOIN sv0 sb ON c.dup_of = sb.doc_id
+           WHERE CAST(len(list_intersect(sa.sv, sb.sv)) AS DOUBLE) /
+             (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5)
          SELECT doc_id, dup_of, common, na, nb, batch_id FROM (
            SELECT * FROM ver1 UNION ALL SELECT * FROM ver2
            UNION ALL SELECT * FROM ver3)"""
@@ -1182,29 +1361,14 @@ object TextOps {
     // growing IVF: quantizer trained on the EVEN half only (the base
     // write), assignment over ALL vectors (frozen-quantizer admission),
     // identical probe/rank contract - extents must be invisible
-    "q_knn_grow" ->
-      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3,
-            ptsWhere = "WHERE vec_id % 2 = 0")},
-         allp AS (SELECT vec_id, embedding FROM embeddings),
-         cb AS MATERIALIZED (
-           SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
-           FROM allp p CROSS JOIN c3 c
-           QUALIFY row_number() OVER (PARTITION BY p.vec_id
-             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
-         qp AS (
-           SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
-           FROM allp p CROSS JOIN c3 c
-           WHERE p.vec_id < 10
-           QUALIFY row_number() OVER (PARTITION BY p.vec_id
-             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
-         cand AS (
-           SELECT qid, cid, ${Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
-           FROM qp JOIN cb USING (cell) WHERE qid <> cid),
-         ranked AS (
-           SELECT qid, cid, sim,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
-           FROM cand)
-         SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    "q_knn_grow" -> knnGrownOracle(),
+    // compaction must ALSO be invisible to results (the other half of
+    // the growth contract), so q_knn_compact shares the exact oracle
+    "q_knn_compact" -> knnGrownOracle(),
+    // filtered ANN: same replay with the label predicate applied to
+    // the corpus assignment CTE — ranks over the allowed set only,
+    // mirroring the scan-side filter in IvfIndex.searchGrown(pred)
+    "q_knn_filtered" -> knnGrownOracle("WHERE p.label IN (1, 4, 7)"),
     // int8 IVF: the same KMeans trajectory + cell assignment, then the
     // quantizer of q_quantize_int8 (exact integer codes), the integer
     // dot candidate ranking (dotq / sqrt(normq) — scales cancel out of

@@ -22,8 +22,13 @@ import graft.graph.Algorithms
   */
 object IvfIndex {
 
-  /** Train on `corpus` (vec_id, embedding) and persist under
-    * `table` (+ `table_centroids`): corpus bucketed by cell. */
+  /** Train on `corpus` (vec_id, embedding, metadata...) and persist
+    * under `table` (+ `table_centroids`): corpus bucketed by cell.
+    * Metadata columns beyond (vec_id, embedding) ride along into the
+    * stored table — the vector-store serving shape, where every
+    * vector carries filterable attributes (label, source, license,
+    * timestamp) and filtered search prunes on them AT THE SCAN
+    * (see [[searchGrown]]'s `pred`). */
   def write(corpus: DataFrame, table: String, nlist: Int = 16,
       iterations: Int = 3, buckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
@@ -39,7 +44,7 @@ object IvfIndex {
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
     graft.api.Bucketing.writeBucketed(
-      corpus.select(col("vec_id"), col("embedding"),
+      corpus.select(col("*"),
         NearestCell.nearestCell(col("embedding"), cells).as("cell")),
       table, Seq("cell"), buckets)
   }
@@ -90,15 +95,26 @@ object IvfIndex {
   /** Extent directory of a growing index. */
   def extentPath(growPath: String): String = growPath + "/cells"
 
-  private val extSchema = "vec_id LONG, embedding ARRAY<FLOAT>, cell INT, batch_id LONG"
+  /** Extent read schema = the base table's columns + the batch_id
+    * partition column: explicit (not inferred) so an empty extent
+    * partition can't break inference, and derived from the base so
+    * metadata columns survive the round-trip. */
+  private def extSchema(spark: SparkSession, table: String) =
+    org.apache.spark.sql.types.StructType(
+      spark.table(table).schema.fields :+
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType))
 
   /** Admit one batch of new vectors: assign each to its nearest
-    * TRAINED cell and append as the batch's own extent partition. */
+    * TRAINED cell and append as the batch's own extent partition.
+    * Batch columns must match the base corpus (vec_id, embedding,
+    * metadata...); the cell column is computed here. */
   def admit(spark: SparkSession, table: String, growPath: String,
       batch: DataFrame, batchId: Long): Unit = {
     val cells = loadCentroids(spark, table)
-    batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+    batch.select(col("*"),
         NearestCell.nearestCell(col("embedding"), cells).as("cell"))
+      .withColumn("vec_id", col("vec_id").cast("long"))
       .write.mode("overwrite")
       .parquet(s"${extentPath(growPath)}/batch_id=$batchId")
   }
@@ -110,24 +126,37 @@ object IvfIndex {
 
   /** Top-k cosine search against base + every admitted extent. Same
     * ranking contract as [[search]]; with no extents the two are
-    * plan-identical. */
+    * plan-identical.
+    *
+    * `pred` is the filtered-ANN serving primitive (VERDICT r9 #6): a
+    * metadata predicate over the index's stored columns (e.g.
+    * `col("label").isin(1, 4, 7)`), applied to EACH index part's scan
+    * BEFORE the candidate join — Catalyst pushes it into the parquet
+    * scan (PushedFilters; asserted in PlanAuditSpec), so filtered
+    * search reads strictly less than unfiltered instead of filtering
+    * candidates post-join. Ranks are computed over the filtered
+    * corpus only, which is the contract a vector store's
+    * metadata-filtered query needs (top-k OF THE ALLOWED SET, not
+    * allowed-members of the global top-k). */
   def searchGrown(spark: SparkSession, table: String, growPath: String,
-      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+      queries: DataFrame, k: Int, nprobe: Int = 4,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.sim.Similarity.simRounded
     val cells = loadCentroids(spark, table)
     val qb = broadcast(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
     val parts: Seq[DataFrame] =
-      spark.table(table).select(col("vec_id"), col("embedding"), col("cell")) +:
+      spark.table(table) +:
         (if (dirExists(spark, extentPath(growPath)))
-          Seq(spark.read.schema(extSchema).parquet(extentPath(growPath))
-            .select(col("vec_id"), col("embedding"), col("cell")))
+          Seq(spark.read.schema(extSchema(spark, table))
+            .parquet(extentPath(growPath)))
         else Nil)
     val cand = parts
       .map { p =>
-        val cb = p.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-          col("cell"))
+        val cb = pred.map(p.filter).getOrElse(p)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            col("cell"))
         qb.join(cb, Seq("cell")).filter(col("qid") =!= col("cid"))
           .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
       }
@@ -145,9 +174,9 @@ object IvfIndex {
       buckets: Int = 16): Unit = {
     if (!dirExists(spark, extentPath(growPath))) return
     val staging = growPath + "/_compact_staging"
-    spark.table(table).select(col("vec_id"), col("embedding"), col("cell"))
-      .unionByName(spark.read.schema(extSchema).parquet(extentPath(growPath))
-        .drop("batch_id"))
+    spark.table(table)
+      .unionByName(spark.read.schema(extSchema(spark, table))
+        .parquet(extentPath(growPath)).drop("batch_id"))
       .write.mode("overwrite").parquet(staging)
     graft.api.Bucketing.resetManaged(spark, table)
     graft.api.Bucketing.writeBucketed(spark.read.parquet(staging),

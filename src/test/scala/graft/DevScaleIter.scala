@@ -107,6 +107,49 @@ object DevScaleIter {
       }
       println(s"sssp-vc reached=$reached of $n")
     }
+    if (which == "sssp-tree-prof") {
+      // VERDICT r9 #5: separate FIXED per-barrier cost (the checkpoint
+      // job itself) from driver gaps (scheduling + Observation drain +
+      // freeCheckpoint + noise). At fold=1 each barrier is ~one job,
+      // so the ordered job spans from a SparkListener give the
+      // per-barrier breakdown directly: job duration = compute+
+      // materialize; gap before a job = driver-side fixed cost +
+      // external noise. Two back-to-back runs in one session separate
+      // the two: a component that's equal across runs is structure, a
+      // component that swings is box noise.
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, Array(js.time, -1L))
+        override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+          val v = jobs.get(je.jobId); if (v != null) v(1) = je.time
+        }
+      })
+      val chain = spark.range(10000000L - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"),
+          lit(1L).as("weight"))
+      (1 to 2).foreach { run =>
+        jobs.clear()
+        val t0 = System.currentTimeMillis()
+        val got = timed(s"sssp-tree-prof-run$run") {
+          graft.graph.Algorithms.treeShortestPaths(chain, source = 0L,
+            maxDepth = 10000000).count()
+        }
+        val wall = (System.currentTimeMillis() - t0) / 1000.0
+        import scala.jdk.CollectionConverters._
+        val spans = jobs.asScala.values.toSeq.filter(_(1) > 0)
+          .map(v => (v(0), v(1))).sortBy(_._1)
+        val jobSec = spans.map(s => (s._2 - s._1) / 1000.0)
+        val gaps = (t0 +: spans.map(_._2)).zip(spans.map(_._1))
+          .map { case (prevEnd, start) => math.max(0, start - prevEnd) / 1000.0 }
+        println(f"PROF run$run wall=$wall%.1f jobs=${spans.size} " +
+          f"jobSum=${jobSec.sum}%.1f gapSum=${gaps.sum}%.1f reached=$got")
+        spans.indices.foreach { k =>
+          println(f"PROF run$run job$k%02d dur=${jobSec(k)}%6.2f gapBefore=${gaps(k)}%6.2f")
+        }
+      }
+    }
     if (which == "all" || which == "sssp-tree") {
       // pointer-jump SSSP on ONE 10M-vertex chain (a rooted path):
       // ceil(log2 1e7)+1 = 25 self-join jumps over 10M-row state

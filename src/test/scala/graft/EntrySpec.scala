@@ -27,6 +27,32 @@ class EntrySpec extends SparkSpec {
     }
     assert(missing.isEmpty, s"catalog missing: ${missing.mkString(", ")}")
   }
+  test("docs/QUERIES.md header count + table rows match the registry exactly") {
+    // round 9's verdict caught the header stuck at 128 while the
+    // registry (and the catalog's own table) had 132, plus q7/q15
+    // listed twice (dedicated row + a combined TPC-H row). This pins
+    // BOTH: the headline number, and the table's first-cell name set
+    // being exactly the registry — no missing rows, no duplicates.
+    val md = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("docs/QUERIES.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val claimed = "the (\\d+) declared".r.findFirstMatchIn(md).map(_.group(1).toInt)
+    assert(claimed.contains(SparkEntry.queries.size),
+      s"QUERIES.md header claims $claimed, registry has ${SparkEntry.queries.size}")
+    // first table cell per row; combined rows list several names
+    // separated by " / " (e.g. the TPC-H adaptations row)
+    val rowNames = md.linesIterator.collect {
+      case l if l.startsWith("| q") =>
+        l.drop(1).takeWhile(_ != '|').split("/").map(_.trim)
+          .filter(n => n.matches("q[a-z0-9_]+") && n != "query").toSeq
+    }.flatten.toSeq
+    val dups = rowNames.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate catalog rows: ${dups.mkString(", ")}")
+    val missing = SparkEntry.queries.keySet -- rowNames.toSet
+    val stale = rowNames.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty && stale.isEmpty,
+      s"catalog missing: ${missing.mkString(", ")}; stale: ${stale.mkString(", ")}")
+  }
   test("README's driver-contract query count matches the registry (drift guard)") {
     // the count rotted twice in round 7 (101 vs 103 vs 105) before
     // this pin existed

@@ -329,6 +329,82 @@ class PlanAuditSpec extends SparkSpec {
     "q15_top_supplier" -> "1-row max-revenue frame broadcast as the selection scalar",
   )
 
+  test("filtered ANN: label predicate reaches EVERY index part's scan, pre-join") {
+    // VERDICT r9 #6 done-criterion: the metadata predicate must show
+    // up in PushedFilters of the index scans (base bucketed table AND
+    // extent parquet), not as a post-join Filter — at serving scale
+    // the filter is the thing that makes a restricted query cheaper
+    // than an unrestricted one instead of equally expensive.
+    val p = executedPlan("q_knn_filtered")
+    val pushed = "PushedFilters: \\[[^\\]]*In\\(label, \\[1,4,7\\]\\)".r
+      .findAllIn(p).size
+    assert(pushed >= 2,
+      s"label IN-filter must push into both index-part scans (found $pushed):\n" + p)
+  }
+
+  test("cc guard-rail: root-set anti-join = broadcast LeftAnti, zero extra probe exchanges") {
+    // VERDICT r9 #7: the convergence-tail root filter must stay ~free
+    // — a refactor that turns the tiny roots broadcast into a shuffle
+    // (or adds an exchange on the probe side) would silently make the
+    // guard cost a superstep's worth of shuffle at every barrier.
+    import org.apache.spark.sql.functions._
+    val sol = graft.Tables.t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("vertex"),
+        (col("l_orderkey") % 7).as("component"))
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val base = planOf(graft.graph.Algorithms.rootPrunedProbe(sol,
+      rootFilterEligible = false, rootCount = -1L))
+    val pruned = planOf(graft.graph.Algorithms.rootPrunedProbe(sol,
+      rootFilterEligible = true, rootCount = 100L))
+    assert(pruned.contains("BroadcastHashJoin") && pruned.contains("LeftAnti"),
+      "root filter must plan as a broadcast anti join:\n" + pruned)
+    assert("Exchange hashpartitioning".r.findAllIn(pruned).size ==
+      "Exchange hashpartitioning".r.findAllIn(base).size,
+      s"root filter must add no probe-side exchange:\nbase:\n$base\npruned:\n$pruned")
+    // above the driver-measured bound the filter must vanish entirely
+    val over = planOf(graft.graph.Algorithms.rootPrunedProbe(sol,
+      rootFilterEligible = true,
+      rootCount = graft.graph.Algorithms.RootBroadcastBound + 1))
+    assert(!over.contains("Join"), "over-bound rootCount must skip the filter:\n" + over)
+    // the bound itself: 4M single-long rows ~= 32 MB, executor-resident
+    assert(graft.graph.Algorithms.RootBroadcastBound == 4194304L)
+  }
+
+  test("dedup-index guard-rail: hot-sidecar agg reads the cached signed frame, no corpus rescan") {
+    // VERDICT r9 #7: DedupIndex.write computes the hot sidecar from
+    // the SAME persisted signed frame that feeds the two table writes
+    // — one signing pass, three readers. A refactor that re-derived
+    // the bands from the raw documents would silently re-scan and
+    // re-sign the whole corpus per index write.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val signed = graft.dedup.Dedup.signedBands(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      signed.count() // materialize the cache, as write() does
+      val hot = graft.dedup.DedupIndex.hotAgg(
+        signed.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
+      hot.collect()
+      val p = hot.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val cacheAt = p.indexOf("TableCacheQueryStage") match {
+        case -1 => p.indexOf("InMemoryTableScan")
+        case i => i
+      }
+      assert(cacheAt >= 0,
+        "hot agg must read the signed-frame cache:\n" + p)
+      // everything ABOVE the cache boundary must be cache-fed; the
+      // cache node itself prints its origin plan, which legitimately
+      // contains the one FileScan that FILLED the cache
+      assert(!p.substring(0, cacheAt).contains("FileScan"),
+        "hot agg must not rescan the documents corpus:\n" + p)
+    } finally signed.unpersist(blocking = true)
+  }
+
   test("q5 at gate SF: AQE broadcasts the de-hinted dims without any hard hint") {
     // VERDICT r8 #1: customer/supplier/part are xSF-scaled, so their
     // hard broadcast() hints were removed — at 100 TB a hard hint
