@@ -336,6 +336,18 @@ object TextOps {
       knnQueries(emb), k = 5)
   }
 
+  /** Metadata-filtered int8 serving (the quantized leg of VERDICT r9
+    * #6): the q_knn_ivf_int8 index with metadata riding the codes
+    * scan table, searched with `label IN (1,4,7)` pushed into the
+    * bucketed codes scan — the rerank-cut and final ranks are over
+    * the allowed set only. */
+  def qKnnFilteredInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    graft.sim.IvfIndex.writeInt8(emb, "graft_q_knn_filtered_int8", buckets = 8)
+    graft.sim.IvfIndex.searchInt8(spark, "graft_q_knn_filtered_int8",
+      knnQueries(emb), k = 5, pred = Some(col("label").isin(1, 4, 7)))
+  }
+
   /** Int8 vector-quantization audit: per-label scale/code/residual
     * checksums of the symmetric-127 quantizer — the ANN compression
     * arithmetic itself is oracle-checked. */
@@ -826,6 +838,7 @@ object TextOps {
     "q_knn_compact" -> (qKnnCompact _),
     "q_knn_filtered" -> (qKnnFiltered _),
     "q_knn_ivf_int8" -> (qKnnIvfInt8 _),
+    "q_knn_filtered_int8" -> (qKnnFilteredInt8 _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_centroids" -> (qCentroids _),
     "q_embed_gram" -> (qEmbedGram _),
@@ -1374,7 +1387,23 @@ object TextOps {
     // dot candidate ranking (dotq / sqrt(normq) — scales cancel out of
     // cosine; dotq/normq exact longs, one fixed IEEE divide+sqrt) cut
     // to top-25, and the exact float re-rank — every stage replayed.
-    "q_knn_ivf_int8" ->
+    "q_knn_ivf_int8" -> knnInt8Oracle(),
+    // filtered int8 serving: the same replay with the label predicate
+    // restricting the corpus-side assignment CTE — both the int8
+    // candidate stage (incl. the top-25 cut) and the float re-rank
+    // see allowed vectors only, mirroring searchInt8(pred)'s
+    // scan-side filter
+    "q_knn_filtered_int8" -> knnInt8Oracle(
+      "WHERE p.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (1, 4, 7))"),
+  ) ++ oracleSqlTail
+
+  /** Shared replay for the int8-IVF family (q_knn_ivf_int8 /
+    * q_knn_filtered_int8): KMeans trajectory, exact-integer int8
+    * quantization, integer-dot candidate ranking cut to top-25, float
+    * re-rank. `cbWhere` optionally restricts the corpus-side
+    * assignment CTE — the oracle twin of [[graft.sim.IvfIndex
+    * .searchInt8]]'s scan-side metadata predicate. */
+  private def knnInt8Oracle(cbWhere: String = ""): String =
       s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
          xqv AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
@@ -1393,6 +1422,7 @@ object TextOps {
          cb AS MATERIALIZED (
            SELECT p.vec_id AS cid, p.embedding AS cv, n.q AS cq, n.normq, c.cid AS cell
            FROM pts p JOIN nz n ON p.vec_id = n.vec_id CROSS JOIN c3 c
+           $cbWhere
            QUALIFY row_number() OVER (PARTITION BY p.vec_id
              ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
          qp AS (
@@ -1420,7 +1450,11 @@ object TextOps {
            SELECT qid, cid, sim,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
            FROM rer)
-         SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+         SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5"""
+
+  // lazy: referenced by oracleSql's initializer ABOVE its own
+  // definition site — a plain val would still be null there
+  private lazy val oracleSqlTail: Map[String, String] = Map(
     "q_quantize_int8" -> graft.sim.Quantize.sqlInt8Stats,
     "q_centroids" ->
       """WITH e AS (

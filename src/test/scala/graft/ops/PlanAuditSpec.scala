@@ -340,6 +340,12 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(p).size
     assert(pushed >= 2,
       s"label IN-filter must push into both index-part scans (found $pushed):\n" + p)
+    // and the int8 leg: the predicate prunes the CODES scan (the
+    // narrow table), so the restricted search reads less, not more
+    val p8 = executedPlan("q_knn_filtered_int8")
+    assert("PushedFilters: \\[[^\\]]*In\\(label, \\[1,4,7\\]\\)".r
+      .findFirstIn(p8).isDefined,
+      "label IN-filter must push into the int8 codes scan:\n" + p8)
   }
 
   test("cc guard-rail: root-set anti-join = broadcast LeftAnti, zero extra probe exchanges") {
