@@ -258,6 +258,13 @@ object TextOps {
     Similarity.ivfTopK(emb, knnQueries(emb), 5)
   }
 
+  /** kNN-graph over the WHOLE corpus ([[Similarity.knnGraph]]): every
+    * vector gets its IVF-blocked top-5 neighbors — the probe side is
+    * the corpus itself, so this is the one ANN query whose plan must
+    * be broadcast-free end to end (pinned in PlanAuditSpec). */
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(t(spark, dir, "embeddings"), 5)
+
   /** GROWING IVF index e2e (the ANN twin of q_dedup_grow): train +
     * persist the quantizer and base corpus (even vec_ids), admit two
     * "crawl batches" of new vectors (vec_id%4==1, then %4==3) against
@@ -834,6 +841,7 @@ object TextOps {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
+    "q_knn_graph" -> (qKnnGraph _),
     "q_knn_grow" -> (qKnnGrow _),
     "q_knn_compact" -> (qKnnCompact _),
     "q_knn_filtered" -> (qKnnFiltered _),
@@ -1361,6 +1369,28 @@ object TextOps {
            SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
            FROM pts p CROSS JOIN c3 c
            WHERE p.vec_id < 10
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
+         cand AS (
+           SELECT qid, cid, ${Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
+           FROM qp JOIN cb USING (cell) WHERE qid <> cid),
+         ranked AS (
+           SELECT qid, cid, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
+           FROM cand)
+         SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    // kNN graph: the q_knn_ivf replay with the probe set = the whole
+    // corpus (no vec_id bound) — every vector ranks its probed cells
+    "q_knn_graph" ->
+      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
+         cb AS MATERIALIZED (
+           SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
+           FROM pts p CROSS JOIN c3 c
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
+         qp AS (
+           SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
+           FROM pts p CROSS JOIN c3 c
            QUALIFY row_number() OVER (PARTITION BY p.vec_id
              ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
          cand AS (

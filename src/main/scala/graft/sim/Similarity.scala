@@ -159,6 +159,41 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 
+  /** kNN-GRAPH construction: top-k cosine neighbors for EVERY corpus
+    * vector — the batch primitive behind embedding-space clustering,
+    * shared-nearest-neighbor dedup, and graph-based label propagation
+    * over a training corpus. Same IVF blocking as [[ivfTopK]], but
+    * the probe side IS the corpus, so NOTHING broadcasts: both sides
+    * carry the narrow cell id, the candidate join is a keyed shuffle
+    * join (SHUFFLE_HASH, the q_dedup_embedding posture — a
+    * corpus-sized side must never broadcast), and the per-vector rank
+    * is one WindowGroupLimit. Join volume ~ nprobe/nlist of the
+    * all-pairs square. At 100 TB, nlist scales with the corpus
+    * (cells ~ sqrt(n) keeps both the per-cell block and the centroid
+    * table bounded) so the cell key count stays well above the
+    * partition count; at fixture scale nlist=16 under-fills 32
+    * partitions, which is the fixture's problem, not the plan's.
+    * Recall contract matches ivfTopK: neighbors outside the nprobe
+    * probed cells are missed (SimilaritySpec asserts recall vs brute
+    * force on the fixture). */
+  def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+    import graft.functions.NearestCell
+    import graft.graph.Algorithms
+    val pts = corpus.select(col("vec_id").as("id"), col("embedding").as("features"))
+    val cells = Algorithms.kMeansCentroids(pts, nlist, iterations)
+    val cb = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("cell", NearestCell.nearestCell(col("cv"), cells))
+    val qb = corpus.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe)))
+    val cand = qb.join(cb.hint("SHUFFLE_HASH"), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+
   /** ANN top-k with multi-probe LSH: each query probes its own bucket
     * plus every bucket at Hamming distance 1 (flip one hyperplane
     * sign) — near-neighbors that land just across one hyperplane are

@@ -329,6 +329,14 @@ class PlanAuditSpec extends SparkSpec {
     "q15_top_supplier" -> "1-row max-revenue frame broadcast as the selection scalar",
   )
 
+  test("knn graph: corpus-probe candidate join is a keyed shuffle join, nothing broadcasts") {
+    // the probe side IS the corpus here — the one ANN query where a
+    // BroadcastExchange anywhere in the plan is a 100-TB failure
+    val p = executedPlan("q_knn_graph")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastExchange"), "corpus must not broadcast:\n" + p)
+  }
+
   test("filtered ANN: label predicate reaches EVERY index part's scan, pre-join") {
     // VERDICT r9 #6 done-criterion: the metadata predicate must show
     // up in PushedFilters of the index scans (base bucketed table AND

@@ -85,6 +85,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == again)
   }
 
+  test("kNN graph: per-vector neighbors match ivfTopK with the corpus as queries") {
+    // knnGraph IS ivfTopK with probe side = corpus, minus the
+    // bounded-query broadcast; the outputs must be identical
+    val graph = Similarity.knnGraph(emb, 5, nlist = 16, nprobe = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val viaTopK = Similarity.ivfTopK(emb, emb, 5, nlist = 16, nprobe = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(graph == viaTopK)
+    // every corpus vector gets neighbors (no probe starves at k=5
+    // with ~16-vector cells on this fixture)
+    assert(Similarity.knnGraph(emb, 5).select("qid").distinct().count() ==
+      emb.count())
+  }
+
+  test("kNN graph: usable recall vs the brute-force graph") {
+    val brute = Similarity.bruteForceTopK(emb, emb, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val graph = Similarity.knnGraph(emb, 5, nlist = 16, nprobe = 6)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & graph).size.toDouble / brute.size
+    assert(recall > 0.5, s"kNN-graph recall collapsed: $recall")
+  }
+
   test("LshBucketExpr matches the Column hyperplane formulation") {
     val diff = emb.select(
         Similarity.lshBucket(col("embedding"), 8, 64).as("fast"),
