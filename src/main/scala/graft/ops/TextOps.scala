@@ -265,6 +265,13 @@ object TextOps {
   def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnGraph(t(spark, dir, "embeddings"), 5)
 
+  /** Mutual-kNN clusters ([[Similarity.knnClusters]]): symmetric-cut
+    * edges over the q_knn_graph top-5, components labeled min-id —
+    * the hub-resistant alternative to q_embed_clusters' threshold
+    * cut. */
+  def qKnnClusters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnClusters(t(spark, dir, "embeddings"), 5)
+
   /** GROWING IVF index e2e (the ANN twin of q_dedup_grow): train +
     * persist the quantizer and base corpus (even vec_ids), admit two
     * "crawl batches" of new vectors (vec_id%4==1, then %4==3) against
@@ -842,6 +849,7 @@ object TextOps {
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_graph" -> (qKnnGraph _),
+    "q_knn_clusters" -> (qKnnClusters _),
     "q_knn_grow" -> (qKnnGrow _),
     "q_knn_compact" -> (qKnnCompact _),
     "q_knn_filtered" -> (qKnnFiltered _),
@@ -983,6 +991,29 @@ object TextOps {
            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
          FROM cand)
        SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5"""
+
+  /** CTE body shared by the kNN-graph family (q_knn_graph /
+    * q_knn_clusters): KMeans trajectory, corpus cell assignment,
+    * whole-corpus probe sets, candidate sims, per-vector ranks. */
+  private def knnGraphCtes: String =
+    s"""${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
+       cb AS MATERIALIZED (
+         SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
+         FROM pts p CROSS JOIN c3 c
+         QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
+       qp AS (
+         SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
+         FROM pts p CROSS JOIN c3 c
+         QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
+       cand AS (
+         SELECT qid, cid, ${Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
+         FROM qp JOIN cb USING (cell) WHERE qid <> cid),
+       ranked AS (
+         SELECT qid, cid, sim,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
+         FROM cand)"""
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1382,25 +1413,26 @@ object TextOps {
     // kNN graph: the q_knn_ivf replay with the probe set = the whole
     // corpus (no vec_id bound) — every vector ranks its probed cells
     "q_knn_graph" ->
-      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
-         cb AS MATERIALIZED (
-           SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
-           FROM pts p CROSS JOIN c3 c
-           QUALIFY row_number() OVER (PARTITION BY p.vec_id
-             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
-         qp AS (
-           SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
-           FROM pts p CROSS JOIN c3 c
-           QUALIFY row_number() OVER (PARTITION BY p.vec_id
-             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
-         cand AS (
-           SELECT qid, cid, ${Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
-           FROM qp JOIN cb USING (cell) WHERE qid <> cid),
-         ranked AS (
-           SELECT qid, cid, sim,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
-           FROM cand)
+      s"""WITH $knnGraphCtes
          SELECT qid, cid, sim, rk FROM ranked WHERE rk <= 5""",
+    // mutual-kNN clusters: the same graph, edges kept only where BOTH
+    // directions are in the other's top-5, components via the
+    // recursive closure (the q_embed_clusters pattern)
+    "q_knn_clusters" ->
+      s"""WITH RECURSIVE $knnGraphCtes,
+         top5 AS (SELECT qid, cid FROM ranked WHERE rk <= 5),
+         mp AS (
+           SELECT a.qid AS va, a.cid AS vb FROM top5 a JOIN top5 b
+           ON a.qid = b.cid AND a.cid = b.qid WHERE a.qid < a.cid),
+         e AS (SELECT va AS u, vb AS v FROM mp UNION SELECT vb, va FROM mp),
+         reach(node, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT e2.v, r.lbl FROM reach r JOIN e e2 ON r.node = e2.u),
+         comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+         SELECT cluster_id, COUNT(1) AS n_vecs, MAX(node) AS max_vec,
+           CAST(SUM(node) AS BIGINT) AS sum_vec
+         FROM comp GROUP BY cluster_id""",
     // growing IVF: quantizer trained on the EVEN half only (the base
     // write), assignment over ALL vectors (frozen-quantizer admission),
     // identical probe/rank contract - extents must be invisible

@@ -194,6 +194,36 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 
+  /** Mutual-kNN (shared-nearest-neighbor) clustering: an edge joins
+    * two vectors iff EACH appears in the other's [[knnGraph]] top-k —
+    * the standard symmetric cut that resists hub vectors (a hub that
+    * rides many top-k lists only links where the relation is mutual,
+    * so one generic centroid-ish embedding can't glue unrelated
+    * clusters together the way a plain threshold does) — then
+    * connected components label the clusters. Output matches the
+    * q_embed_clusters shape (min-id cluster label, per-cluster count/
+    * max/sum); vectors with no mutual edge are absent, the same
+    * singleton contract as [[graft.dedup.Dedup.embeddingClusters]].
+    * The graph frame is persisted for the mutuality self-join's two
+    * readers and released once the components are checkpointed. */
+  def knnClusters(corpus: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, iterations: Int = 3): DataFrame = {
+    val g = knnGraph(corpus, k, nlist, nprobe, iterations)
+      .select(col("qid"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mutual = g.alias("a").join(g.alias("b"),
+        col("a.qid") === col("b.cid") && col("a.cid") === col("b.qid"))
+      .filter(col("a.qid") < col("a.cid"))
+      .select(col("a.qid").as("src"), col("a.cid").as("dst"))
+    // connectedComponents runs its superstep loop eagerly and returns
+    // checkpointed state, so the graph cache is dead on return
+    val cc = graft.graph.Algorithms.connectedComponents(mutual)
+    g.unpersist(blocking = false)
+    cc.groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("vertex")).as("max_vec"),
+        sum(col("vertex")).as("sum_vec"))
+  }
+
   /** ANN top-k with multi-probe LSH: each query probes its own bucket
     * plus every bucket at Hamming distance 1 (flip one hyperplane
     * sign) — near-neighbors that land just across one hyperplane are

@@ -108,6 +108,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"kNN-graph recall collapsed: $recall")
   }
 
+  test("kNN clusters: match a local union-find over the mutual pairs of the graph") {
+    val edges = Similarity.knnGraph(emb, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val mutual = edges.filter { case (a, b) => a < b && edges.contains((b, a)) }
+    // local union-find model
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val model = parent.keys.toSeq.groupBy(find)
+      .map { case (root, members) =>
+        // min-id labeling matches CC's component contract
+        (members.min, members.size.toLong, members.max, members.sum) }
+      .toSet
+    val got = Similarity.knnClusters(emb, 5)
+      .select("cluster_id", "n_vecs", "max_vec", "sum_vec")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == model, s"clusters diverge from the local model:\n$got\nvs\n$model")
+  }
+
   test("LshBucketExpr matches the Column hyperplane formulation") {
     val diff = emb.select(
         Similarity.lshBucket(col("embedding"), 8, 64).as("fast"),
