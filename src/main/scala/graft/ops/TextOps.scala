@@ -248,6 +248,14 @@ object TextOps {
     Similarity.hardNegatives(emb, knnQueries(emb), 5)
   }
 
+  /** Semi-hard negatives ([[Similarity.semiHardNegatives]]): per
+    * query, top-k different-label vectors inside the exact-integer
+    * band [pos_sim - 0.1, pos_sim), pos_sim = hardest positive. */
+  def qSemiHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.semiHardNegatives(emb, knnQueries(emb), 5)
+  }
+
   def qKnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.lshTopK(emb, knnQueries(emb), 5)
@@ -846,6 +854,7 @@ object TextOps {
     "q_quality_filter" -> (qQualityFilter _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_semi_hard_negatives" -> (qSemiHardNegatives _),
     "q_knn_lsh" -> (qKnnLsh _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_graph" -> (qKnnGraph _),
@@ -1351,6 +1360,33 @@ object TextOps {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rk
            FROM sims)
          SELECT qid, cid, neg_label, sim, rk FROM ranked WHERE rk <= 5""",
+    // semi-hard band in exact 1e-6-unit longs: pos_simq = hardest
+    // positive, negatives kept iff pos_simq - 100000 <= simq < pos_simq
+    "q_semi_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+                     FROM embeddings WHERE vec_id < 10),
+         pos AS (
+           SELECT qid,
+             MAX(CAST(round((${Similarity.sqlCosine("qv", "c.embedding", 64)}) * 1e6) AS BIGINT)) AS pos_simq
+           FROM q JOIN embeddings c
+             ON qid <> c.vec_id AND qlabel = c.label
+           GROUP BY qid),
+         cands AS (
+           SELECT qid, c.vec_id AS cid, c.label AS neg_label,
+             CAST(round((${Similarity.sqlCosine("qv", "c.embedding", 64)}) * 1e6) AS BIGINT) AS simq,
+             p.pos_simq
+           FROM q JOIN pos p USING (qid)
+             JOIN embeddings c ON qid <> c.vec_id AND qlabel <> c.label),
+         band AS (
+           SELECT * FROM cands
+           WHERE simq < pos_simq AND simq >= pos_simq - 100000),
+         ranked AS (
+           SELECT qid, cid, neg_label, simq, pos_simq,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY simq DESC, cid) AS INT) AS rk
+           FROM band)
+         SELECT qid, cid, neg_label, simq / 1e6 AS sim,
+           pos_simq / 1e6 AS pos_sim, rk
+         FROM ranked WHERE rk <= 5""",
     "q_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
          sims AS (

@@ -194,6 +194,48 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 
+  /** Semi-hard negative mining (the FaceNet triplet band applied to
+    * corpus mining): per query, the top-k DIFFERENT-label vectors
+    * whose similarity falls in `[pos_sim - margin, pos_sim)`, where
+    * pos_sim is the query's hardest positive (max same-label sim).
+    * Harder than random negatives, but excluded are the "too hard"
+    * ones that outrank the positive itself — training on those mostly
+    * teaches label noise. Complements [[hardNegatives]] (which keeps
+    * the unconditioned top-k).
+    *
+    * All band arithmetic runs in exact 1e-6-unit LONG space
+    * (marginMicro), so the band membership is integer-exact and
+    * SQL-replayable. Two bounded-query-broadcast passes over the
+    * corpus: one for pos_sim (a <=|queries|-row aggregate that rides
+    * back on the broadcast side), one for the negatives; the corpus
+    * streams partition-parallel in both, nothing corpus-sized
+    * shuffles or broadcasts. Queries with no same-label counterpart
+    * have no positive and are absent (the caller can't form a triplet
+    * for them anyway). */
+  def semiHardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      marginMicro: Long = 100000L): DataFrame = {
+    def simq(a: Column, b: Column): Column =
+      round(graft.functions.CosineSim.cosineSim(a, b) * lit(1e6)).cast("long")
+    val qs = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"), col("label").as("qlabel"))
+    val cb = corpus.select(col("vec_id").as("cid"),
+      col("embedding").as("cv"), col("label").as("clabel"))
+    val pos = broadcast(qs)
+      .join(cb, col("qid") =!= col("cid") && col("qlabel") === col("clabel"))
+      .groupBy(col("qid")).agg(max(simq(col("qv"), col("cv"))).as("pos_simq"))
+    val negs = broadcast(qs.join(pos, Seq("qid")))
+      .join(cb, col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("cid"), col("clabel").as("neg_label"),
+        simq(col("qv"), col("cv")).as("simq"), col("pos_simq"))
+      .filter(col("simq") < col("pos_simq") &&
+        col("simq") >= col("pos_simq") - lit(marginMicro))
+    val w = Window.partitionBy(col("qid")).orderBy(col("simq").desc, col("cid"))
+    negs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("neg_label"),
+        (col("simq") / lit(1e6)).as("sim"),
+        (col("pos_simq") / lit(1e6)).as("pos_sim"), col("rk"))
+  }
+
   /** Mutual-kNN (shared-nearest-neighbor) clustering: an edge joins
     * two vectors iff EACH appears in the other's [[knnGraph]] top-k —
     * the standard symmetric cut that resists hub vectors (a hub that

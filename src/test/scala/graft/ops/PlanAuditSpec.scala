@@ -319,6 +319,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_cross" -> "cross operator itself (region x nation, both tiny)",
     "q_knn_brute" -> "bounded query set broadcast against the corpus (the exactness baseline)",
     "q_hard_negatives" -> "bounded query set broadcast against the corpus (label-inequality residual)",
+    "q_semi_hard_negatives" -> "bounded query set (+ its <=|queries|-row pos_sim aggregate) broadcast against the corpus twice (label-inequality + band residuals)",
     "q_knn_lsh" -> "broadcast probe-bucket set; corpus side keeps one bucket/vector",
     "q_knn_ivf" -> "broadcast probe-cell set against the bucketed corpus",
     "q_unigram_score" -> "1-row corpus-total frame broadcast into the weight projection",

@@ -133,6 +133,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == model, s"clusters diverge from the local model:\n$got\nvs\n$model")
   }
 
+  test("semi-hard negatives: band and ranks match a local model over exact sims") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.semiHardNegatives(emb, queries, 5)
+      .select("qid", "cid", "rk").as[(Long, Long, Int)].collect().toSet
+    // independent pairwise sims via the same quantized expression,
+    // model arithmetic in exact 1e-6-unit longs
+    val sims = broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("label").as("qlabel")))
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("label").as("clabel")), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qlabel"), col("clabel"),
+        Similarity.simRounded(col("qv"), col("cv")).as("sim"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val model = sims.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val posQ = rows.filter(r => r._3 == r._4).map(r => math.round(r._5 * 1e6)).max
+      rows.filter(r => r._3 != r._4)
+        .map(r => (r._2, math.round(r._5 * 1e6)))
+        .filter { case (_, sq) => sq < posQ && sq >= posQ - 100000L }
+        .sortBy { case (cid, sq) => (-sq, cid) }
+        .take(5).zipWithIndex
+        .map { case ((cid, _), i) => (qid, cid, i + 1) }
+    }.toSet
+    assert(got == model, s"semi-hard set diverges:\n$got\nvs\n$model")
+  }
+
   test("LshBucketExpr matches the Column hyperplane formulation") {
     val diff = emb.select(
         Similarity.lshBucket(col("embedding"), 8, 64).as("fast"),
