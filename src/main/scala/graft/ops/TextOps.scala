@@ -734,6 +734,13 @@ object TextOps {
       docs.filter(!isProbe), docs.filter(isProbe).limit(1000), minCommon = 3)
   }
 
+  /** Split-leakage audit ([[graft.pipeline.Decontaminate
+    * .splitLeakage]]): MinHash-verified near-dup pairs whose two docs
+    * land in DIFFERENT train/val/test splits — per-row hash split
+    * labels over the dedup pipeline's own pair output. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Decontaminate.splitLeakage(t(spark, dir, "documents"), 0.5)
+
   /** Token-window chunking (64-token windows, stride 48): every chunk
     * content- and boundary-pinned by a rolling-hash fingerprint. */
   def qChunking(spark: SparkSession, dir: String): DataFrame =
@@ -888,6 +895,7 @@ object TextOps {
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_upsert" -> (qUpsert _),
     "q_chunking" -> (qChunking _),
@@ -1191,6 +1199,18 @@ object TextOps {
       s"""WITH $minhashVerCtes
          SELECT da, db, common, na, nb FROM ver
          WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""",
+    // split-leakage: the verified pair set with per-id hash split
+    // labels, boundary-crossing pairs only
+    "q_split_leakage" ->
+      s"""WITH $minhashVerCtes,
+         lk AS (
+           SELECT da, db, common, na, nb,
+             ${graft.pipeline.Sampling.sqlSplitLabel("da")} AS split_a,
+             ${graft.pipeline.Sampling.sqlSplitLabel("db")} AS split_b
+           FROM ver
+           WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5)
+         SELECT da, db, common, na, nb, split_a, split_b FROM lk
+         WHERE split_a <> split_b""",
     // brute-force candidate generation is fine at oracle scale; the
     // integer cross-multiplied threshold mirrors the Spark side exactly
     "q_dedup_containment" ->

@@ -37,6 +37,29 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_probes_hit"), max(col("common")).as("max_common"))
   }
 
+  /** Train/eval split LEAKAGE audit: verified near-duplicate pairs
+    * that CROSS the split boundary — the self-contamination a
+    * hash-based split cannot prevent (a doc's near-duplicates hash
+    * independently, so ~2·p·(1−p) of near-dup pairs straddle an
+    * 80/10/10 split's boundaries). This is decontamination turned
+    * inward: [[flagOverlap]] guards against eval benchmarks in the
+    * training set; this guards against the eval SPLIT seeing
+    * paraphrases of training rows. Output: the MinHash-LSH verified
+    * pair columns (da, db, common, na, nb) plus both split labels,
+    * only for boundary-crossing pairs — the input to a move-or-drop
+    * remediation pass.
+    *
+    * 100 TB posture: the pair frame is the dedup pipeline's own
+    * output (O(near-dups), not corpus-sized) and the split labels are
+    * per-row hash expressions over the pair's id columns — zero
+    * additional scans, joins, or shuffles beyond what the dedup pass
+    * already pays. */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    graft.dedup.Dedup.minhashLshPairs(docs, threshold, materialize = true)
+      .withColumn("split_a", graft.pipeline.Sampling.splitLabel(col("da")))
+      .withColumn("split_b", graft.pipeline.Sampling.splitLabel(col("db")))
+      .filter(col("split_a") =!= col("split_b"))
+
   /** SQL twin of [[flagOverlap]] for the DuckDB oracle.
     * `probePred` selects the probe rows out of the documents table. */
   def sqlFlagOverlap(probePred: String, minCommon: Int = 3): String =
