@@ -158,15 +158,25 @@ object Bench {
     // the pin compares NORMALIZED values (VERDICT r9 #2): a query is a
     // regression only if it is slow relative to how slow the BOX is.
     // v/canaryScale > 1.5*prior  <=>  v > 1.5*prior*canaryScale.
+    // ASYMMETRIC on purpose: normalization exists to absorb box
+    // SLOWDOWNS; a canary that comes back FASTER than the prior run
+    // must never tighten the pin below the raw comparison — canary
+    // variance would manufacture regressions out of flat queries
+    // (observed in r10: canary 1.85 -> 1.21 between runs while the
+    // whole suite stayed flat; a symmetric pin flagged a dozen flat
+    // queries). The cost is that a genuinely-faster box can mask a
+    // sub-50% regression for one round — the committed per-query
+    // detail still shows it raw.
+    val pinScale = math.max(1.0, canaryScale)
     val regressions = results.collect {
       case (k, Some(v), _, _)
-        if priorQueries.get(k).exists(p => v > 1.5 * p * canaryScale) =>
+        if priorQueries.get(k).exists(p => v > 1.5 * p * pinScale) =>
         s"\"" + k + "\":{\"prior\":" + priorQueries(k) + ",\"now\":" + v +
           ",\"now_normalized\":" + (v / canaryScale) + "}"
     }.mkString("{", ",", "}")
     val canaryJson =
       s""""canary":{"start":$canaryStart,"mid":$canaryMid,"end":$canaryEnd},"canary_median":$canaryNow,"canary_prior":${priorCanary.getOrElse(-1.0)},"canary_scale":$canaryScale,"value_normalized":${total / canaryScale}"""
-    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query; regression pin is canary-normalized (fixed probe at suite start/mid/end, median vs prior round's committed median, scale clamped to [0.5,4]); contiguous alphabetical elevated blocks = contention, isolated = regression"}"""
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query; regression pin is canary-normalized (fixed probe at suite start/mid/end, median vs prior round's committed median, scale clamped to [0.5,4], pin uses max(1,scale) — slowdowns relax it, a faster canary never tightens it below raw); contiguous alphabetical elevated blocks = contention, isolated = regression"}"""
     scala.util.Try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
