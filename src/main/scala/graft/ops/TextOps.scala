@@ -300,6 +300,29 @@ object TextOps {
     graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5)
   }
 
+  /** Tombstone deletes on the growing IVF index: the q_knn_grow setup,
+    * then vec_id % 7 == 0 deleted as a tombstone batch — NO rewrite of
+    * base or extents — and top-k served with the tombstone anti-join
+    * dropping deleted vectors BEFORE the rank window (a deleted vector
+    * must not eat a top-k slot). Oracle: the grow replay over the
+    * corpus minus the deleted ids. Compaction applying the tombstones
+    * physically (search-after ≡ search-before) is pinned in
+    * IvfIndexSpec. */
+  def qKnnDelete(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val table = "graft_q_knn_delete"
+    graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_delete")
+    val grow = s"$root/ext"
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+    graft.sim.IvfIndex.delete(spark, grow,
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
+    graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5)
+  }
+
   /** IVF compaction e2e (VERDICT r9 #4 — the other half of the growth
     * contract): the exact q_knn_grow setup (base = even vec_ids, two
     * frozen-quantizer extent batches), then [[graft.sim.IvfIndex
@@ -868,6 +891,7 @@ object TextOps {
     "q_knn_clusters" -> (qKnnClusters _),
     "q_knn_grow" -> (qKnnGrow _),
     "q_knn_compact" -> (qKnnCompact _),
+    "q_knn_delete" -> (qKnnDelete _),
     "q_knn_filtered" -> (qKnnFiltered _),
     "q_knn_ivf_int8" -> (qKnnIvfInt8 _),
     "q_knn_filtered_int8" -> (qKnnFilteredInt8 _),
@@ -1496,6 +1520,8 @@ object TextOps {
     // compaction must ALSO be invisible to results (the other half of
     // the growth contract), so q_knn_compact shares the exact oracle
     "q_knn_compact" -> knnGrownOracle(),
+    // tombstone deletes: the grow replay over the live corpus only
+    "q_knn_delete" -> knnGrownOracle("WHERE p.vec_id % 7 <> 0"),
     // filtered ANN: same replay with the label predicate applied to
     // the corpus assignment CTE — ranks over the allowed set only,
     // mirroring the scan-side filter in IvfIndex.searchGrown(pred)

@@ -95,6 +95,29 @@ object IvfIndex {
   /** Extent directory of a growing index. */
   def extentPath(growPath: String): String = growPath + "/cells"
 
+  /** Tombstone directory of a growing index (deleted vec_ids). */
+  def tombstonePath(growPath: String): String = growPath + "/tombstones"
+
+  /** Delete vectors from a growing index WITHOUT rewriting anything:
+    * the ids land as the batch's own tombstone partition (idempotent
+    * replay, the extent contract) and [[searchGrown]] anti-joins them
+    * off the candidate set; [[compact]] applies them physically and
+    * clears the directory. Between compactions the tombstone set is
+    * delete-rate bounded — the same LSM argument as the extents
+    * (never corpus-sized), so the anti-join side stays small and AQE
+    * broadcasts it from runtime stats; no hard hint. */
+  def delete(spark: SparkSession, growPath: String, ids: DataFrame,
+      batchId: Long): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("overwrite")
+      .parquet(s"${tombstonePath(growPath)}/batch_id=$batchId")
+
+  private def tombstones(spark: SparkSession, growPath: String): Option[DataFrame] =
+    if (dirExists(spark, tombstonePath(growPath)))
+      Some(spark.read.schema("vec_id LONG, batch_id LONG")
+        .parquet(tombstonePath(growPath)).select(col("vec_id")))
+    else None
+
   /** Extent read schema = the base table's columns + the batch_id
     * partition column: explicit (not inferred) so an empty extent
     * partition can't break inference, and derived from the base so
@@ -161,29 +184,42 @@ object IvfIndex {
           .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
       }
       .reduce(_ unionByName _)
+    // tombstoned vectors drop out of the candidate set BEFORE the rank
+    // window, so ranks are over live vectors only (a deleted vector
+    // must not eat a top-k slot)
+    val live = tombstones(spark, growPath).fold(cand)(ts =>
+      cand.join(ts.select(col("vec_id").as("cid")), Seq("cid"), "left_anti"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    live.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 
-  /** Fold every extent into the bucketed base table and delete the
-    * extent directory — cell assignments are already final (frozen
-    * quantizer), so compaction is a straight rewrite, no retrain.
-    * Callers must not run it while admissions are active. */
+  /** Fold every extent into the bucketed base table, APPLY tombstones
+    * physically, and delete both directories — cell assignments are
+    * already final (frozen quantizer), so compaction is a straight
+    * rewrite, no retrain. Callers must not run it while admissions or
+    * deletes are active. */
   def compact(spark: SparkSession, table: String, growPath: String,
       buckets: Int = 16): Unit = {
-    if (!dirExists(spark, extentPath(growPath))) return
+    val hasExtents = dirExists(spark, extentPath(growPath))
+    val hasTombs = dirExists(spark, tombstonePath(growPath))
+    if (!hasExtents && !hasTombs) return
     val staging = growPath + "/_compact_staging"
-    spark.table(table)
-      .unionByName(spark.read.schema(extSchema(spark, table))
-        .parquet(extentPath(growPath)).drop("batch_id"))
+    val unioned =
+      if (hasExtents)
+        spark.table(table)
+          .unionByName(spark.read.schema(extSchema(spark, table))
+            .parquet(extentPath(growPath)).drop("batch_id"))
+      else spark.table(table)
+    tombstones(spark, growPath).fold(unioned)(ts =>
+        unioned.join(ts, Seq("vec_id"), "left_anti"))
       .write.mode("overwrite").parquet(staging)
     graft.api.Bucketing.resetManaged(spark, table)
     graft.api.Bucketing.writeBucketed(spark.read.parquet(staging),
       table, Seq("cell"), buckets)
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(extentPath(growPath), staging)
+    Seq(extentPath(growPath), tombstonePath(growPath), staging)
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 

@@ -119,4 +119,34 @@ class IvfIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_grow_idx")
     spark.sql("DROP TABLE IF EXISTS ivf_grow_idx_centroids")
   }
+
+  test("growing IVF deletes: tombstones mask immediately, compact applies them physically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val grow = java.nio.file.Files.createTempDirectory("ivf_del_spec").toString
+    IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), "ivf_del_idx")
+    IvfIndex.admit(spark, "ivf_del_idx", grow,
+      emb.filter(col("vec_id") % 2 === 1), 1L)
+    // delete every 7th id (base AND extent members)
+    IvfIndex.delete(spark, grow,
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 2L)
+    val masked = IvfIndex.searchGrown(spark, "ivf_del_idx", grow, queries, 5)
+      .orderBy("qid", "rk").collect().toSeq
+    // no deleted vector may appear, and ranks are over live vectors
+    assert(masked.forall(r => r.getLong(1) % 7 != 0),
+      "tombstoned ids must not surface in results")
+    // compaction applies tombstones physically: same answers, both
+    // sidecar directories gone, deleted rows gone from the base table
+    IvfIndex.compact(spark, "ivf_del_idx", grow)
+    val compacted = IvfIndex.searchGrown(spark, "ivf_del_idx", grow,
+      queries, 5).orderBy("qid", "rk").collect().toSeq
+    assert(compacted == masked)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IvfIndex.tombstonePath(grow))))
+    assert(spark.table("ivf_del_idx")
+      .filter(col("vec_id") % 7 === 0).count() == 0)
+    spark.sql("DROP TABLE IF EXISTS ivf_del_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_del_idx_centroids")
+  }
 }
