@@ -196,6 +196,31 @@ object DedupIndex {
   /** Extent directories for a growing index. */
   def extentBandsPath(growPath: String): String = growPath + "/bands"
   def extentSvPath(growPath: String): String = growPath + "/sv"
+  def tombstonePath(growPath: String): String = growPath + "/tombstones"
+
+  /** Forget documents (right-to-be-forgotten over the growing index):
+    * the ids land as an idempotent tombstone batch partition — no
+    * rewrite of the bucketed base or the extents. From the next
+    * [[flagAndAdmit]] on, a forgotten document no longer witnesses
+    * duplicates (its pairs are anti-joined off the flag output);
+    * [[compact]] removes its bands/sv rows physically and clears the
+    * tombstones. Caller contract: ids must reference INDEXED
+    * documents — tombstoning an id that later arrives as a NEW batch
+    * document would silently drop that batch's within-batch pairs
+    * too (ids are unique upstream, so this only needs stating, not
+    * guarding). */
+  def forget(spark: SparkSession, growPath: String, ids: DataFrame,
+      batchId: Long): Unit =
+    ids.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite")
+      .parquet(s"${tombstonePath(growPath)}/batch_id=$batchId")
+
+  private def tombstonesFor(spark: SparkSession,
+      growPath: String): Option[DataFrame] =
+    if (dirExists(spark, tombstonePath(growPath)))
+      Some(spark.read.schema("doc_id LONG, batch_id LONG")
+        .parquet(tombstonePath(growPath)).select(col("doc_id")))
+    else None
 
   private def dirExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -266,13 +291,20 @@ object DedupIndex {
       // the hot guard applies to the BASE part only (parts.head):
       // extents are admission-rate-bounded between compactions
       val hot = hotFor(spark, table)
-      val dropped = parts.zipWithIndex
+      val flagged = parts.zipWithIndex
         .map { case ((idxBands, idxSv), i) =>
           flagSigned(signed, idxBands, idxSv, threshold,
             hot = if (i == 0) hot else None) }
         .reduce(_ unionByName _)
         .unionByName(flagSigned(signed, deltaBands, deltaSv, threshold,
           pairFilter = col("dup_of") < col("doc_id")))
+      // forget-tombstones (see [[forget]]): a deleted document must no
+      // longer witness duplicates. Applied on the PAIR frame (O(pairs))
+      // — an index-side anti-join would rescan O(index) bands per
+      // batch, the exact delta-sized-admission trap of docs/SCALE.md.
+      val dropped = tombstonesFor(spark, growPath).fold(flagged)(ts =>
+          flagged.join(ts.select(col("doc_id").as("dup_of")),
+            Seq("dup_of"), "left_anti"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         dropped.write.mode("overwrite")
@@ -298,15 +330,25 @@ object DedupIndex {
     * must run this while no growing stream is active on `growPath`. */
   def compact(spark: SparkSession, table: String, growPath: String,
       buckets: Int = 16): Unit = {
-    if (!dirExists(spark, extentBandsPath(growPath))) return
+    val hasExtents = dirExists(spark, extentBandsPath(growPath))
+    val tombs = tombstonesFor(spark, growPath)
+    if (!hasExtents && tombs.isEmpty) return
     val staging = growPath + "/_compact_staging"
-    spark.table(bandsTable(table))
-      .unionByName(spark.read.schema(extBandsSchema)
-        .parquet(extentBandsPath(growPath)).drop("batch_id"))
+    def withExtents(base: DataFrame, extDir: String, schema: String) =
+      if (hasExtents)
+        base.unionByName(
+          spark.read.schema(schema).parquet(extDir).drop("batch_id"))
+      else base
+    // forget-tombstones applied physically: the forgotten docs' bands
+    // and shingle arrays leave the index here (flagAndAdmit only
+    // masked their pairs until now)
+    def live(df: DataFrame) =
+      tombs.fold(df)(ts => df.join(ts, Seq("doc_id"), "left_anti"))
+    live(withExtents(spark.table(bandsTable(table)),
+        extentBandsPath(growPath), extBandsSchema))
       .write.mode("overwrite").parquet(staging + "/bands")
-    spark.table(svTable(table))
-      .unionByName(spark.read.schema(extSvSchema)
-        .parquet(extentSvPath(growPath)).drop("batch_id"))
+    live(withExtents(spark.table(svTable(table)),
+        extentSvPath(growPath), extSvSchema))
       .write.mode("overwrite").parquet(staging + "/sv")
     resetManaged(spark, bandsTable(table))
     resetManaged(spark, svTable(table))
@@ -320,7 +362,8 @@ object DedupIndex {
     writeHot(spark.table(bandsTable(table)), table)
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(extentBandsPath(growPath), extentSvPath(growPath), staging)
+    Seq(extentBandsPath(growPath), extentSvPath(growPath),
+        tombstonePath(growPath), staging)
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 }

@@ -114,6 +114,36 @@ object TextOps {
         col("nb"), col("batch_id"))
   }
 
+  /** Right-to-be-forgotten over the growing dedup index
+    * ([[graft.dedup.DedupIndex.forget]]): base (%4==0) + batch 1
+    * (%4==1) admitted, then every indexed doc with doc_id%5==0 is
+    * FORGOTTEN (tombstone batch — no index rewrite), then batch 2
+    * (%4==2) flags — its pairs must not cite a forgotten witness.
+    * Oracle: the 2-batch grow recursion with batch 2's verified pairs
+    * anti-filtered on the tombstone set, mirroring the pairs-side
+    * anti-join (O(pairs), never O(index)). */
+  def qDedupForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_dedup_forget"
+    graft.dedup.DedupIndex.write(
+      docs.filter(col("doc_id") % 4 === 0), table, buckets = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_dedup_forget")
+    val (grow, sink) = (s"$root/ext", s"$root/sink")
+    graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
+      docs.filter(col("doc_id") % 4 === 1), 0L, sink, 0.5)
+    graft.dedup.DedupIndex.forget(spark, grow,
+      docs.filter(col("doc_id") % 5 === 0 &&
+        (col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1))
+        .select(col("doc_id")), 100L)
+    graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
+      docs.filter(col("doc_id") % 4 === 2), 1L, sink, 0.5)
+    spark.read
+      .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+      .parquet(sink)
+      .select(col("doc_id"), col("dup_of"), col("common"), col("na"),
+        col("nb"), col("batch_id"))
+  }
+
   /** LSM compaction of the growing dedup index, e2e (VERDICT r9 #4):
     * base = doc_id%4==0, admit batches %4==1 and %4==2 as extents,
     * [[graft.dedup.DedupIndex.compact]] folds them into the bucketed
@@ -871,6 +901,7 @@ object TextOps {
     "q_dedup_index" -> (qDedupIndex _),
     "q_dedup_grow" -> (qDedupGrow _),
     "q_dedup_compact" -> (qDedupCompact _),
+    "q_dedup_forget" -> (qDedupForget _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_simhash" -> (qSimhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1200,6 +1231,65 @@ object TextOps {
            SELECT * FROM ver1 UNION ALL SELECT * FROM ver2
            UNION ALL SELECT * FROM ver3)"""
     },
+    // forget run: batch 1 replays the grow recursion, the tombstone
+    // set (indexed ids with doc_id%5==0) then anti-filters batch 2's
+    // VERIFIED pairs on dup_of — the exact pairs-side anti-join of
+    // flagAndAdmit (deleted docs still sit in the stored bands until
+    // compaction, so candidate generation is untouched; only the
+    // flag output loses the forgotten witnesses)
+    "q_dedup_forget" ->
+      s"""WITH $minhashBkCtes,
+         hot AS (SELECT band_idx, band_key FROM bk WHERE doc_id % 4 = 0
+                 GROUP BY 1, 2
+                 HAVING count(*) > ${Dedup.DefaultBandBucketCap}),
+         idx1 AS (SELECT doc_id FROM sv0 WHERE doc_id % 4 = 0),
+         cand1 AS (
+           SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS dup_of
+           FROM bk d JOIN bk i ON d.band_idx = i.band_idx
+             AND d.band_key = i.band_key
+           WHERE d.doc_id % 4 = 1
+             AND (i.doc_id IN (SELECT doc_id FROM idx1)
+                  OR (i.doc_id % 4 = 1 AND i.doc_id < d.doc_id))
+             AND NOT (i.doc_id % 4 = 0 AND EXISTS (SELECT 1 FROM hot h
+               WHERE h.band_idx = d.band_idx
+                 AND h.band_key = d.band_key))),
+         ver1 AS (
+           SELECT c.doc_id AS doc_id, c.dup_of AS dup_of,
+             len(list_intersect(sa.sv, sb.sv)) AS common,
+             len(sa.sv) AS na, len(sb.sv) AS nb,
+             CAST(0 AS BIGINT) AS batch_id
+           FROM cand1 c JOIN sv0 sa ON c.doc_id = sa.doc_id
+             JOIN sv0 sb ON c.dup_of = sb.doc_id
+           WHERE CAST(len(list_intersect(sa.sv, sb.sv)) AS DOUBLE) /
+             (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5),
+         adm1 AS (SELECT doc_id FROM sv0 WHERE doc_id % 4 = 1
+                  AND doc_id NOT IN (SELECT doc_id FROM ver1)),
+         idx2 AS (SELECT doc_id FROM idx1
+                  UNION ALL SELECT doc_id FROM adm1),
+         tomb AS (SELECT doc_id FROM sv0
+                  WHERE doc_id % 5 = 0 AND doc_id % 4 IN (0, 1)),
+         cand2 AS (
+           SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS dup_of
+           FROM bk d JOIN bk i ON d.band_idx = i.band_idx
+             AND d.band_key = i.band_key
+           WHERE d.doc_id % 4 = 2
+             AND (i.doc_id IN (SELECT doc_id FROM idx2)
+                  OR (i.doc_id % 4 = 2 AND i.doc_id < d.doc_id))
+             AND NOT (i.doc_id % 4 = 0 AND EXISTS (SELECT 1 FROM hot h
+               WHERE h.band_idx = d.band_idx
+                 AND h.band_key = d.band_key))),
+         ver2 AS (
+           SELECT c.doc_id AS doc_id, c.dup_of AS dup_of,
+             len(list_intersect(sa.sv, sb.sv)) AS common,
+             len(sa.sv) AS na, len(sb.sv) AS nb,
+             CAST(1 AS BIGINT) AS batch_id
+           FROM cand2 c JOIN sv0 sa ON c.doc_id = sa.doc_id
+             JOIN sv0 sb ON c.dup_of = sb.doc_id
+           WHERE CAST(len(list_intersect(sa.sv, sb.sv)) AS DOUBLE) /
+             (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5
+             AND c.dup_of NOT IN (SELECT doc_id FROM tomb))
+         SELECT doc_id, dup_of, common, na, nb, batch_id FROM (
+           SELECT * FROM ver1 UNION ALL SELECT * FROM ver2)""",
     // bk's band_idx is 1-based (generate_series) vs Spark posexplode's
     // 0-based — shift on output so the engines agree on the column
     "q_band_stats" ->

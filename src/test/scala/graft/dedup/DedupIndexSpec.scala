@@ -129,4 +129,38 @@ class DedupIndexSpec extends SparkSpec {
     assert(flagged.contains((502L, 400L)), s"planted pair missed: $flagged")
     DedupIndex.drop(spark, "dedup_idx_hot")
   }
+
+  test("forget: tombstoned witness stops flagging immediately; compact removes it physically") {
+    val grow = java.nio.file.Files.createTempDirectory("dedup_forget_spec").toString
+    val sink = java.nio.file.Files.createTempDirectory("dedup_forget_sink").toString
+    // index holds doc 10 (= text a); doc 21 (= near-dup text b) would
+    // flag against it
+    DedupIndex.write(Seq((10L, a), (12L, c)).toDF("doc_id", "text"),
+      "dedup_forget_idx", buckets = 4)
+    val batch = Seq((21L, b)).toDF("doc_id", "text")
+    DedupIndex.flagAndAdmit(spark, "dedup_forget_idx", grow, batch, 0L, sink)
+    val before = spark.read
+      .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+      .parquet(sink).select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(before == Set((21L, 10L)), s"expected the near-dup flag, got $before")
+    // forget doc 10 -> replaying the SAME batch must flag nothing
+    // (and the replay overwrites its own sink/extent partitions)
+    DedupIndex.forget(spark, grow, Seq(10L).toDF("doc_id"), 1L)
+    DedupIndex.flagAndAdmit(spark, "dedup_forget_idx", grow, batch, 0L, sink)
+    val after = spark.read
+      .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+      .parquet(sink).select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(after.isEmpty, s"forgotten witness must not flag: $after")
+    // compact applies the tombstone physically: doc 10's bands and sv
+    // rows leave the base tables, tombstone dir cleared
+    DedupIndex.compact(spark, "dedup_forget_idx", grow, buckets = 4)
+    assert(spark.table(DedupIndex.bandsTable("dedup_forget_idx"))
+      .filter(col("doc_id") === 10L).count() == 0)
+    assert(spark.table(DedupIndex.svTable("dedup_forget_idx"))
+      .filter(col("doc_id") === 10L).count() == 0)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(DedupIndex.tombstonePath(grow))))
+    DedupIndex.drop(spark, "dedup_forget_idx")
+  }
 }
