@@ -71,8 +71,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // each probe POINT is min-of-2: single-shot probes measured 40%
+    // swings (1.62 -> 1.16 between back-to-back r10 runs) while the
+    // suite moved 4% — driver GC / JIT state hits a 1-2 s probe much
+    // harder than a 90 s suite, and min-of-2 discards exactly that
+    def canaryProbe(): Double = math.min(canary(), canary())
     canary() // one untimed pass so the canary itself is warm-methodology
-    val canaryStart = canary()
+    val canaryStart = canaryProbe()
     // deterministic name order: each query always runs after the same
     // predecessors, so per-query numbers are comparable across rounds
     // (Map iteration order shifts whenever a query is added)
@@ -80,7 +85,7 @@ object Bench {
     val midIdx = sortedQueries.size / 2
     var canaryMid = 0.0
     val results = sortedQueries.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == midIdx) canaryMid = canary()
+      if (i == midIdx) canaryMid = canaryProbe()
       val timed = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -99,7 +104,7 @@ object Bench {
       val good = timed.collect { case (dt, true) => dt }
       (name, good.minOption, timed.map(_._1), timed.count(!_._2))
     }
-    val canaryEnd = canary()
+    val canaryEnd = canaryProbe()
     // median of the three probes: robust to one probe landing inside a
     // transient contention spike (the exact failure mode being measured)
     val canaryNow =
@@ -168,15 +173,23 @@ object Bench {
     // sub-50% regression for one round — the committed per-query
     // detail still shows it raw.
     val pinScale = math.max(1.0, canaryScale)
+    // tiered threshold: sub-0.5 s queries swing up to ~1.7x between
+    // back-to-back min-of-3 runs on a FLAT box (r10 measured: three
+    // <0.5 s queries fired at scale 1.007 while every >=0.5 s query
+    // stayed quiet) — scheduler jitter is a fixed ~50-100 ms cost that
+    // is relative noise only below ~0.5 s. 2.5x still catches a real
+    // small-query regression (the injected 3x validation case fires).
+    def pinThreshold(p: Double): Double =
+      (if (p < 0.5) 2.5 else 1.5) * p * pinScale
     val regressions = results.collect {
       case (k, Some(v), _, _)
-        if priorQueries.get(k).exists(p => v > 1.5 * p * pinScale) =>
+        if priorQueries.get(k).exists(p => v > pinThreshold(p)) =>
         s"\"" + k + "\":{\"prior\":" + priorQueries(k) + ",\"now\":" + v +
           ",\"now_normalized\":" + (v / canaryScale) + "}"
     }.mkString("{", ",", "}")
     val canaryJson =
       s""""canary":{"start":$canaryStart,"mid":$canaryMid,"end":$canaryEnd},"canary_median":$canaryNow,"canary_prior":${priorCanary.getOrElse(-1.0)},"canary_scale":$canaryScale,"value_normalized":${total / canaryScale}"""
-    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query; regression pin is canary-normalized (fixed probe at suite start/mid/end, median vs prior round's committed median, scale clamped to [0.5,4], pin uses max(1,scale) — slowdowns relax it, a faster canary never tightens it below raw); contiguous alphabetical elevated blocks = contention, isolated = regression"}"""
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query; regression pin is canary-normalized (min-of-2 probes at suite start/mid/end, median vs prior committed median, scale clamped to [0.5,4], pin uses max(1,scale) — slowdowns relax it, a faster canary never tightens below raw; threshold 1.5x, or 2.5x for sub-0.5s priors where scheduler jitter dominates); contiguous alphabetical elevated blocks = contention, isolated = regression"}"""
     scala.util.Try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
