@@ -794,6 +794,14 @@ object TextOps {
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.Decontaminate.splitLeakage(t(spark, dir, "documents"), 0.5)
 
+  /** Leakage-safe split ([[graft.pipeline.Decontaminate
+    * .leakageSafeSplit]]): near-dup clusters assigned atomically, so
+    * the q_split_leakage audit over THIS assignment returns zero rows
+    * by construction (asserted in DecontaminateSpec). */
+  def qSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Decontaminate.leakageSafeSplit(
+      t(spark, dir, "documents"), 0.5)
+
   /** Token-window chunking (64-token windows, stride 48): every chunk
     * content- and boundary-pinned by a rolling-hash fingerprint. */
   def qChunking(spark: SparkSession, dir: String): DataFrame =
@@ -951,6 +959,7 @@ object TextOps {
     "q_pack" -> (qPack _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_safe_split" -> (qSafeSplit _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_upsert" -> (qUpsert _),
     "q_chunking" -> (qChunking _),
@@ -1313,6 +1322,24 @@ object TextOps {
       s"""WITH $minhashVerCtes
          SELECT da, db, common, na, nb FROM ver
          WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""",
+    // leakage-safe split: components over the verified pair graph
+    // (recursive closure, min-id label), split key = COALESCE(component,
+    // own id) — singletons keep the plain hash assignment
+    "q_safe_split" ->
+      s"""WITH RECURSIVE $minhashVerCtes,
+         vp AS (SELECT da, db FROM ver
+                WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
+         e AS (SELECT da AS u, db AS v FROM vp UNION SELECT db, da FROM vp),
+         reach(node, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT e2.v, r.lbl FROM reach r JOIN e e2 ON r.node = e2.u),
+         comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+         keyed AS (
+           SELECT d.doc_id AS doc_id, COALESCE(c.component, d.doc_id) AS k
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+         SELECT doc_id, ${graft.pipeline.Sampling.sqlSplitLabel("k")} AS split
+         FROM keyed""",
     // split-leakage: the verified pair set with per-id hash split
     // labels, boundary-crossing pairs only
     "q_split_leakage" ->

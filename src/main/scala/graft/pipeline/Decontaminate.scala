@@ -60,6 +60,32 @@ object Decontaminate {
       .withColumn("split_b", graft.pipeline.Sampling.splitLabel(col("db")))
       .filter(col("split_a") =!= col("split_b"))
 
+  /** The REMEDIATION for [[splitLeakage]]: a near-dup-aware split that
+    * assigns every near-dup CLUSTER atomically. Clusters come from
+    * connected components over the verified MinHash pair graph; each
+    * doc's split key is its cluster label (the cluster's min doc_id),
+    * falling back to its own id for singletons — so singleton docs
+    * keep EXACTLY the plain [[graft.pipeline.Sampling.splitLabel]]
+    * assignment (only clustered docs can move), and by construction
+    * no verified near-dup pair can cross a split boundary
+    * (DecontaminateSpec asserts both).
+    *
+    * 100 TB posture: the CC runs over the pair graph (O(near-dups)),
+    * never the corpus; the corpus-side work is one left join against
+    * the (small) vertex-component map plus per-row hash exprs. */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = graft.dedup.Dedup.minhashLshPairs(docs, threshold,
+      materialize = true)
+    val cc = graft.graph.Algorithms.connectedComponents(
+      pairs.select(col("da").as("src"), col("db").as("dst")))
+    docs.select(col("doc_id"))
+      .join(cc.select(col("vertex").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.pipeline.Sampling.splitLabel(
+          coalesce(col("component"), col("doc_id"))).as("split"))
+  }
+
   /** SQL twin of [[flagOverlap]] for the DuckDB oracle.
     * `probePred` selects the probe rows out of the documents table. */
   def sqlFlagOverlap(probePred: String, minCommon: Int = 3): String =

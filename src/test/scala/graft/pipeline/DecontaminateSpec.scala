@@ -31,4 +31,28 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("leakageSafeSplit: zero cross-split near-dup pairs; singletons keep the plain split") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assigned = Decontaminate.leakageSafeSplit(docs, 0.5)
+      .as[(Long, String)].collect().toMap
+    val pairs = graft.dedup.Dedup.minhashLshPairs(docs, 0.5, materialize = true)
+      .select("da", "db").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    // the remediation guarantee: the q_split_leakage audit over THIS
+    // assignment is empty by construction
+    val crossing = pairs.filter { case (a, b) => assigned(a) != assigned(b) }
+    assert(crossing.isEmpty, s"near-dup pairs crossing the split: $crossing")
+    // stability: docs in no near-dup pair keep the plain hash split
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val plain = docs.select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(assigned.keySet == plain.keySet, "every doc must be assigned")
+    val moved = assigned.collect {
+      case (id, s) if !paired.contains(id) && s != plain(id) => id
+    }
+    assert(moved.isEmpty, s"singleton docs must not move: $moved")
+  }
 }
