@@ -185,11 +185,12 @@ object Bench {
       case (k, Some(v), _, _)
         if priorQueries.get(k).exists(p => v > pinThreshold(p)) =>
         s"\"" + k + "\":{\"prior\":" + priorQueries(k) + ",\"now\":" + v +
-          ",\"now_normalized\":" + (v / canaryScale) + "}"
+          ",\"now_normalized\":" + (v / canaryScale) +
+          ",\"effective_threshold\":" + pinThreshold(priorQueries(k)) + "}"
     }.mkString("{", ",", "}")
     val canaryJson =
       s""""canary":{"start":$canaryStart,"mid":$canaryMid,"end":$canaryEnd},"canary_median":$canaryNow,"canary_prior":${priorCanary.getOrElse(-1.0)},"canary_scale":$canaryScale,"value_normalized":${total / canaryScale}"""
-    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query; regression pin is canary-normalized (min-of-2 probes at suite start/mid/end, median vs prior committed median, scale clamped to [0.5,4], pin uses max(1,scale) — slowdowns relax it, a faster canary never tightens below raw; threshold 1.5x, or 2.5x for sub-0.5s priors where scheduler jitter dominates); contiguous alphabetical elevated blocks = contention, isolated = regression"}"""
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_normalized":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query; regression pin is canary-normalized (min-of-2 probes at suite start/mid/end, median vs prior committed median, scale clamped to [0.5,4], pin uses max(1,scale) — slowdowns relax it, a faster canary never tightens below raw; threshold 1.5x, or 2.5x for sub-0.5s priors where scheduler jitter dominates); contiguous alphabetical elevated blocks = contention, isolated = regression"}"""
     scala.util.Try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -200,7 +201,7 @@ object Bench {
     // stdout, and the full line outgrew that window in round 5 — the tail
     // must always contain a parseable headline total
     println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${total / canaryScale},"canary_median":$canaryNow,"canary_scale":$canaryScale,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_1p5x":$regressions,"sf":"$sfDir","methodology":"warm min-of-$runsPerQuery per query, canary-normalized pin; per-query detail committed at $outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${total / canaryScale},"canary_median":$canaryNow,"canary_scale":$canaryScale,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_normalized":$regressions,"sf":"$sfDir","methodology":"warm min-of-$runsPerQuery per query, canary-normalized pin; per-query detail committed at $outPath"}""")
     spark.stop()
   }
 }

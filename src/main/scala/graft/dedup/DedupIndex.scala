@@ -207,8 +207,18 @@ object DedupIndex {
     * tombstones. Caller contract: ids must reference INDEXED
     * documents — tombstoning an id that later arrives as a NEW batch
     * document would silently drop that batch's within-batch pairs
-    * too (ids are unique upstream, so this only needs stating, not
-    * guarding). */
+    * too. Since r11 the contract is self-enforcing: [[flagAndAdmit]]
+    * rejects a batch whose ids intersect the tombstone set (one
+    * O(batch) semi-join count, paid only when tombstones exist).
+    *
+    * Replay scope (ADVICE r10 #3): tombstones apply RETROACTIVELY on
+    * replay — a flag batch re-run after a later forget() rewrites its
+    * sink partition WITHOUT the forgotten witnesses' pairs. This is
+    * deliberate: forget() is a privacy erasure, so a crash-replay
+    * must not resurrect a forgotten document's pairs in the sink. The
+    * replay-idempotence claim on [[flagAndAdmit]] is therefore scoped
+    * to a FIXED tombstone state; extents (guarded by batch_id) are
+    * bit-identical on replay regardless. */
   def forget(spark: SparkSession, growPath: String, ids: DataFrame,
       batchId: Long): Unit =
     ids.select(col("doc_id").cast("long").as("doc_id"))
@@ -270,7 +280,10 @@ object DedupIndex {
     * batch is flagged with that witness as dup_of), so two copies
     * arriving in one crawl batch admit only one — consistent with
     * [[Dedup]] keep-one-per-cluster direction. All three writes
-    * overwrite their own batch_id partition: replay-idempotent.
+    * overwrite their own batch_id partition: replay-idempotent at a
+    * fixed tombstone state (a forget() BETWEEN original run and
+    * replay intentionally erases the forgotten witnesses' pairs from
+    * the replayed sink — see [[forget]]'s replay-scope note).
     *
     * 100 TB posture: ONE signing pass feeds the index flag, the
     * within-batch flag and the admission writes; candidate joins
@@ -302,7 +315,21 @@ object DedupIndex {
       // longer witness duplicates. Applied on the PAIR frame (O(pairs))
       // — an index-side anti-join would rescan O(index) bands per
       // batch, the exact delta-sized-admission trap of docs/SCALE.md.
-      val dropped = tombstonesFor(spark, growPath).fold(flagged)(ts =>
+      val tombs = tombstonesFor(spark, growPath)
+      // caller-contract guard (VERDICT r10 #3): a tombstoned id
+      // re-arriving as a NEW batch doc would silently lose its
+      // within-batch pairs (the pair-side anti-join can't tell a
+      // forgotten witness from a reborn doc). One O(batch) semi-join
+      // count, paid only when tombstones exist at all.
+      tombs.foreach { ts =>
+        val reborn = signed.select(col("doc_id"))
+          .join(ts, Seq("doc_id"), "left_semi").count()
+        require(reborn == 0L,
+          s"flagAndAdmit batch $batchId contains $reborn doc_id(s) that are " +
+            "tombstoned in this index (forget() ids must reference INDEXED " +
+            "documents; reusing an id for a new document is not supported)")
+      }
+      val dropped = tombs.fold(flagged)(ts =>
           flagged.join(ts.select(col("doc_id").as("dup_of")),
             Seq("dup_of"), "left_anti"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -116,9 +116,16 @@ object TextOps {
 
   /** Right-to-be-forgotten over the growing dedup index
     * ([[graft.dedup.DedupIndex.forget]]): base (%4==0) + batch 1
-    * (%4==1) admitted, then every indexed doc with doc_id%5==0 is
+    * (%4==1) admitted, then every INDEXED doc with doc_id%5==0 is
     * FORGOTTEN (tombstone batch — no index rewrite), then batch 2
     * (%4==2) flags — its pairs must not cite a forgotten witness.
+    * The tombstone set is derived from docs actually IN the index —
+    * base ∪ batch-1 admitted survivors, the latter read back from the
+    * batch's own sv extent partition (ADVICE r10 #2: the earlier
+    * raw-docs filter also tombstoned batch-1 docs that were flagged
+    * and never admitted, breaching forget()'s caller contract; benign
+    * for this id partition but now honored, and enforced by
+    * flagAndAdmit's tombstone∩batch guard).
     * Oracle: the 2-batch grow recursion with batch 2's verified pairs
     * anti-filtered on the tombstone set, mirroring the pairs-side
     * anti-join (O(pairs), never O(index)). */
@@ -131,10 +138,14 @@ object TextOps {
     val (grow, sink) = (s"$root/ext", s"$root/sink")
     graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
       docs.filter(col("doc_id") % 4 === 1), 0L, sink, 0.5)
+    val admitted = spark.read
+      .schema("doc_id LONG, sv ARRAY<LONG>")
+      .parquet(s"${graft.dedup.DedupIndex.extentSvPath(grow)}/batch_id=0")
+      .select(col("doc_id"))
     graft.dedup.DedupIndex.forget(spark, grow,
-      docs.filter(col("doc_id") % 5 === 0 &&
-        (col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1))
-        .select(col("doc_id")), 100L)
+      docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+        .unionByName(admitted)
+        .filter(col("doc_id") % 5 === 0), 100L)
     graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
       docs.filter(col("doc_id") % 4 === 2), 1L, sink, 0.5)
     spark.read
@@ -1275,8 +1286,7 @@ object TextOps {
                   AND doc_id NOT IN (SELECT doc_id FROM ver1)),
          idx2 AS (SELECT doc_id FROM idx1
                   UNION ALL SELECT doc_id FROM adm1),
-         tomb AS (SELECT doc_id FROM sv0
-                  WHERE doc_id % 5 = 0 AND doc_id % 4 IN (0, 1)),
+         tomb AS (SELECT doc_id FROM idx2 WHERE doc_id % 5 = 0),
          cand2 AS (
            SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS dup_of
            FROM bk d JOIN bk i ON d.band_idx = i.band_idx

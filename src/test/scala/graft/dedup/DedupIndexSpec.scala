@@ -163,4 +163,26 @@ class DedupIndexSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(DedupIndex.tombstonePath(grow))))
     DedupIndex.drop(spark, "dedup_forget_idx")
   }
+
+  test("forget contract guard: a batch reusing a tombstoned id is rejected, not silently mis-paired") {
+    // VERDICT r10 #3: tombstoning an id that later arrives as a NEW
+    // batch document would silently drop that batch's within-batch
+    // pairs (the pair-side anti-join can't tell a forgotten witness
+    // from a reborn doc). The violation must SURFACE.
+    val grow = java.nio.file.Files.createTempDirectory("dedup_guard_spec").toString
+    val sink = java.nio.file.Files.createTempDirectory("dedup_guard_sink").toString
+    DedupIndex.write(Seq((10L, a), (12L, c)).toDF("doc_id", "text"),
+      "dedup_guard_idx", buckets = 4)
+    DedupIndex.forget(spark, grow, Seq(10L).toDF("doc_id"), 0L)
+    val reborn = Seq((10L, "completely new text for a reused id"), (21L, b))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.flagAndAdmit(spark, "dedup_guard_idx", grow, reborn, 1L, sink)
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    // a clean batch on the same index still works
+    DedupIndex.flagAndAdmit(spark, "dedup_guard_idx", grow,
+      Seq((21L, b)).toDF("doc_id", "text"), 1L, sink)
+    DedupIndex.drop(spark, "dedup_guard_idx")
+  }
 }
