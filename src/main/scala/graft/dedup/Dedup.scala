@@ -481,29 +481,51 @@ object Dedup {
     * plan shape. */
   def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3,
       materialize: Boolean = false): DataFrame = {
-    val bands = maxHamming + 1
-    require(HammingBits % bands == 0,
-      s"bands=$bands (maxHamming+1) must divide $HammingBits")
-    val bandBits = HammingBits / bands
-    val mask = (1L << bandBits) - 1
     val sh = docs.select(col("doc_id"),
         graft.functions.TextExprs.simhashFast(col("text"), HammingBits).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bk = sh.select(col("doc_id"), col("sh"),
+    val pairs = bandedHammingPairs(sh, "doc_id", "sh", HammingBits, maxHamming)
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(sh))
+    else pairs
+  }
+
+  /** The Manku banded-Hamming pair join over an ARBITRARY fingerprint
+    * frame — the machinery of [[simhashHammingPairs]] factored out so
+    * every fingerprint family (text SimHash, image dHash
+    * [[graft.multimodal.Multimodal.imageNearDupPairs]], any future
+    * audio/video perceptual hash) shares one implementation: split the
+    * `bits`-wide fingerprint into maxHamming+1 bands, bucket-join per
+    * band (pigeonhole — lossless within the radius), popcount-filter.
+    * Returns (da, db, hamming), da < db, exact within the radius.
+    *
+    * `fps` must expose `idCol` (long) and `fpCol` (long, the low
+    * `bits` bits significant, NON-NEGATIVE — i.e. bits <= 63; wider
+    * fingerprints become multiple longs, each banded the same way).
+    * Caller owns caching of `fps` (it feeds both self-join sides).
+    * shiftrightunsigned on principle (fp is non-negative by contract,
+    * but a sign-extending shift on a future 64-bit caller would
+    * silently corrupt the top band). */
+  def bandedHammingPairs(fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0,
+      s"bands=$bands (maxHamming+1) must divide $bits")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sh = fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
+    val bk = sh.select(col("id"), col("fp"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        shiftrightunsigned(col("fp"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band_idx", "band_key")))
-    val pairs = bk.alias("x")
+    bk.alias("x")
       .join(bk.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    if (materialize) graft.api.Materialize.releasing(pairs, Seq(sh))
-    else pairs
   }
 
   /** Sorted-neighborhood near-dup pairs (Hernandez/Stolfo SNM): sort

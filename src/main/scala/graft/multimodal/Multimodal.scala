@@ -73,6 +73,95 @@ object Multimodal {
       }
   }
 
+  /** Originals plus deterministically PERTURBED re-encodes of every
+    * `every`-th doc (media_id = doc_id + idOffset, same container
+    * format/dims as the original): the perturbed-copy leg of the
+    * image near-dup family (VERDICT r10 #2). The perturbation bumps
+    * every 5th payload byte by +8 — visually a faint brightness
+    * dither that leaves most dHash gradients intact (measured gate
+    * spread: Hamming 0-7 vs original, noise floor 14 for unrelated
+    * pairs), i.e. exactly the "same image, slightly different bytes"
+    * case a perceptual dedup exists to catch and an exact/byte hash
+    * misses. Text is ASCII (<128) so +8 never wraps — the SQL oracle
+    * replays the bump without masking. */
+  def asMediaTableWithVariants(docs: DataFrame, every: Int = 20,
+      idOffset: Long = 10000000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val variants = docs.filter(col("doc_id") % every === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val pert = Array.tabulate(raw.length)(i =>
+            if (i % 5 == 0) ((raw(i) + 8) & 0xff).toByte else raw(i))
+          // format/dims keyed by the ORIGINAL doc id/length, so the
+          // variant is a same-container, same-size near-copy
+          val (fmt, payload) = MediaCodec.encodeDoc(id, pert)
+          (id + idOffset, payload, fmt, payload.length.toLong)
+        }
+      }
+      .toDF("media_id", "payload", "format", "n_bytes")
+    asMediaTable(docs).unionByName(variants)
+  }
+
+  case class DecodedRaster(media_id: Long, format: String,
+      width: Int, height: Int, rgb: Array[Byte])
+
+  /** Batched decode through to the full top-down row-major RGB raster
+    * (same per-partition codec lifecycle as [[decodeFeatures]]) — the
+    * input of raster-consuming expressions like the perceptual hash.
+    * The raster column never crosses a shuffle in the operators built
+    * on this: consumers project it down to scalars (fingerprint,
+    * checksum) in the SAME stage. */
+  def decodeRaster(media: DataFrame): Dataset[DecodedRaster] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "format", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = MediaCodec.open()
+        val out = it.map { case (id, fmt, payload) =>
+          val img = codec.decode(payload)
+          DecodedRaster(id, fmt, img.width, img.height, img.rgb)
+        }
+        closingIterator(() => codec.close(), out)
+      }
+  }
+
+  /** Per-image 56-bit perceptual fingerprints
+    * ([[graft.functions.ImageHash]] dHash over the decoded raster):
+    * decode and hash run in ONE stage — the raster exists only inside
+    * it; what comes out is (media_id, format, fp), 3 scalars/image. */
+  def imageFingerprints(media: DataFrame): DataFrame =
+    decodeRaster(media).toDF()
+      .select(col("media_id"), col("format"),
+        graft.functions.ImageHash.dHash56(col("rgb"), col("width"),
+          col("height")).as("fp"))
+
+  /** Image near-duplicate pairs: perceptual dHash fingerprints fed
+    * through the SHARED banded-Hamming machinery
+    * ([[graft.dedup.Dedup.bandedHammingPairs]] — same pigeonhole
+    * band join as the text SimHash family). Returns (ma, mb,
+    * hamming), ma < mb, set-exact within the radius.
+    *
+    * 100 TB posture: one long per image out of the decode stage (the
+    * rasters never shuffle); the band join exchanges (id, long) pairs
+    * only. At radius 7 the 56-bit fingerprint yields 7-bit bands —
+    * fine at fixture scale, but the band value space (128) is the
+    * quadratic-candidate lever at corpus scale: a production deploy
+    * widens the grid (16x16 -> 240-bit fingerprint as 4 longs, 30-bit
+    * bands at the same radius), identical plan shape. The fingerprint
+    * frame is persisted across the self-join's two sides and released
+    * via the standard materialize contract. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 7,
+      materialize: Boolean = false): DataFrame = {
+    val fps = imageFingerprints(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.dedup.Dedup.bandedHammingPairs(fps, "media_id", "fp",
+        graft.functions.ImageHash.DHashBits, maxHamming)
+      .select(col("da").as("ma"), col("db").as("mb"), col("hamming"))
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(fps))
+    else pairs
+  }
+
   case class DecodedPixels(media_id: Long, format: String,
       px_sum: Long, px_wsum: Long)
 

@@ -900,6 +900,21 @@ object TextOps {
         sum(col("px_sum")).as("sum_px"),
         sum(col("px_wsum")).as("wsum_px"))
 
+  /** Perceptual-hash image near-dup (VERDICT r10 #2): the media table
+    * plus deterministically perturbed re-encodes of every 20th doc,
+    * 56-bit dHash over each DECODED raster (real PPM/BMP/PGM decode —
+    * a row-order or channel-swap bug changes gradients and breaks the
+    * hash), banded-Hamming pairs at radius 7. Catches every perturbed
+    * copy (spread 0-7) plus exact-dup originals; unrelated images sit
+    * >= 14 bits apart on this corpus. Oracle: replay the encoder
+    * (pixels = text bytes cycled), the 8x8 luma grid and the gradient
+    * bits in SQL, then brute-force pairs at gate scale (the band join
+    * is lossless within the radius, so the sets agree). */
+  def qImageDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupPairs(
+      Multimodal.asMediaTableWithVariants(t(spark, dir, "documents")),
+      maxHamming = 7, materialize = true)
+
   /** Frame-sampling plumbing: per-format sampled-frame counts. */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.asMediaTable(t(spark, dir, "documents")))
@@ -952,6 +967,7 @@ object TextOps {
     "q_multimodal_pixels" -> (qMultimodalPixels _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_image_dedup" -> (qImageDedup _),
     "q_audio_stats" -> (qAudioStats _),
     "q_split" -> (qSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -1840,6 +1856,48 @@ object TextOps {
          SELECT format, COUNT(1) AS n_frames_sampled,
            CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx
          FROM fr GROUP BY format""",
+    // encoder-replay oracle for the perceptual dHash: raster pixel p
+    // holds text byte (p % len) [+8 on the perturbed-variant leg when
+    // (p % len) % 5 = 0 — ASCII, never wraps]; luma at a sampled grid
+    // point is r+g+b for ppm/bmp and 3*gray for pgm (decode replicates
+    // gray to rgb, so the same closed form). 8x8 grid at x=(i*w)//8,
+    // y=(j*h)//8; bit (j,i) = [luma(i+1) > luma(i)] << (j*7+i); pairs
+    // brute-forced at gate scale (banded join is lossless in-radius).
+    // 56-bit fp stays positive, so BIGINT sums/shifts are exact twins.
+    "q_image_dedup" -> {
+      // byte value at raster position p (expanded inline per channel)
+      def bv(p: String) =
+        s"""(ascii(substr(text, CAST(($p) % len + 1 AS INT), 1))
+            + CASE WHEN pert AND (($p) % len) % 5 = 0 THEN 8 ELSE 0 END)"""
+      s"""WITH docs0 AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+         m AS (
+           SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS fmt,
+             text, len, FALSE AS pert FROM docs0
+           UNION ALL
+           SELECT doc_id + 10000000 AS media_id, CAST(doc_id % 3 AS INT) AS fmt,
+             text, len, TRUE AS pert FROM docs0 WHERE doc_id % 20 = 0),
+         d AS (SELECT m.*, 8 + len % 57 AS w, 8 + (len * 31) % 43 AS h FROM m),
+         gp AS (SELECT media_id, fmt, text, len, pert, w, h, j, i,
+                  (j*h)//8 AS y, (i*w)//8 AS x
+                FROM d, unnest(range(0, 8)) t1(j), unnest(range(0, 8)) t2(i)),
+         lu AS MATERIALIZED (SELECT media_id, j, i,
+             CASE WHEN fmt = 2 THEN 3 * ${bv("y*w + x")}
+               ELSE ${bv("3*(y*w + x)")} + ${bv("3*(y*w + x) + 1")}
+                  + ${bv("3*(y*w + x) + 2")} END AS luma
+           FROM gp),
+         bits AS (SELECT a.media_id,
+             CASE WHEN b.luma > a.luma
+               THEN CAST(1 AS BIGINT) << (a.j*7 + a.i) ELSE 0 END AS bit
+           FROM lu a JOIN lu b ON a.media_id = b.media_id AND a.j = b.j
+             AND b.i = a.i + 1
+           WHERE a.i < 7),
+         fp AS (SELECT media_id, CAST(SUM(bit) AS BIGINT) AS fp
+                FROM bits GROUP BY media_id)
+         SELECT a.media_id AS ma, b.media_id AS mb,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         FROM fp a JOIN fp b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 7"""
+    },
     "q_audio_stats" ->
       """WITH m AS (
            SELECT CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
