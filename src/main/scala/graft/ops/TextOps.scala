@@ -386,6 +386,33 @@ object TextOps {
     graft.sim.IvfIndex.search(spark, table, knnQueries(emb), 5)
   }
 
+  /** Quantizer RETRAIN e2e (VERDICT r10 #3 — the last index-lifecycle
+    * stage): the grown-index setup (base = even vec_ids, two
+    * frozen-quantizer extent batches), vec_id%7==0 tombstoned, then
+    * [[graft.sim.IvfIndex.retrain]] re-trains the coarse quantizer on
+    * the LIVE corpus, reassigns every vector, rewrites the bucketed
+    * base and clears extents+tombstones; top-k is served from the
+    * retrained base alone. Oracle: retrain ≡ a fresh write of the
+    * live corpus — the KMeans trajectory runs on vec_id%7<>0 (NOT the
+    * even half: the new quantizer sees the whole live corpus, which
+    * is the point of retraining) and assignment/ranking covers the
+    * live set only. */
+  def qKnnRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val table = "graft_q_knn_retrain"
+    graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_retrain")
+    val grow = s"$root/ext"
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+    graft.sim.IvfIndex.delete(spark, grow,
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
+    graft.sim.IvfIndex.retrain(spark, table, grow)
+    graft.sim.IvfIndex.search(spark, table, knnQueries(emb), 5)
+  }
+
   /** Metadata-filtered ANN (VERDICT r9 #6 — the vector-store serving
     * primitive): the grown-index setup of q_knn_grow, searched with a
     * label predicate (`label IN (1,4,7)`) pushed into EACH index
@@ -957,6 +984,7 @@ object TextOps {
     "q_knn_grow" -> (qKnnGrow _),
     "q_knn_compact" -> (qKnnCompact _),
     "q_knn_delete" -> (qKnnDelete _),
+    "q_knn_retrain" -> (qKnnRetrain _),
     "q_knn_filtered" -> (qKnnFiltered _),
     "q_knn_ivf_int8" -> (qKnnIvfInt8 _),
     "q_knn_filtered_int8" -> (qKnnFilteredInt8 _),
@@ -1075,9 +1103,10 @@ object TextOps {
     * metadata predicate (filter-before-or-after-assignment is
     * identical because a vector's nearest cell doesn't depend on
     * other rows). */
-  private def knnGrownOracle(cbWhere: String = ""): String =
+  private def knnGrownOracle(cbWhere: String = "",
+      ptsWhere: String = "WHERE vec_id % 2 = 0"): String =
     s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3,
-          ptsWhere = "WHERE vec_id % 2 = 0")},
+          ptsWhere = ptsWhere)},
        allp AS (SELECT vec_id, embedding, label FROM embeddings),
        cb AS MATERIALIZED (
          SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
@@ -1665,6 +1694,13 @@ object TextOps {
     "q_knn_compact" -> knnGrownOracle(),
     // tombstone deletes: the grow replay over the live corpus only
     "q_knn_delete" -> knnGrownOracle("WHERE p.vec_id % 7 <> 0"),
+    // retrain ≡ fresh write of the live corpus: the KMeans trajectory
+    // trains on the WHOLE live set (vec_id % 7 <> 0), not the even
+    // half — new quantizer geometry is the point; the corpus
+    // assignment covers the same live set, queries stay vec_id < 10
+    "q_knn_retrain" -> knnGrownOracle(
+      cbWhere = "WHERE p.vec_id % 7 <> 0",
+      ptsWhere = "WHERE vec_id % 7 <> 0"),
     // filtered ANN: same replay with the label predicate applied to
     // the corpus assignment CTE — ranks over the allowed set only,
     // mirroring the scan-side filter in IvfIndex.searchGrown(pred)

@@ -149,4 +149,45 @@ class IvfIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_del_idx")
     spark.sql("DROP TABLE IF EXISTS ivf_del_idx_centroids")
   }
+
+  test("retrain: search-after-retrain == search against a fresh write of the live corpus; grow dirs cleared") {
+    // VERDICT r10 #3 — the last lifecycle stage. retrain() must be
+    // indistinguishable from dropping everything and write()-ing the
+    // live corpus (base + admitted extents - tombstones) from scratch:
+    // new quantizer trained on the live set, full reassignment,
+    // rewritten bucketed base, extent/tombstone dirs consumed.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val grow = java.nio.file.Files.createTempDirectory("ivf_retrain_spec").toString
+    IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), "ivf_rt_idx")
+    IvfIndex.admit(spark, "ivf_rt_idx", grow,
+      emb.filter(col("vec_id") % 2 === 1), 1L)
+    IvfIndex.delete(spark, grow,
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 2L)
+    IvfIndex.retrain(spark, "ivf_rt_idx", grow)
+    val retrained = IvfIndex.search(spark, "ivf_rt_idx", queries, 5)
+      .orderBy("qid", "rk").collect().toSeq
+
+    // ground truth: a fresh index over the live corpus
+    IvfIndex.write(emb.filter(col("vec_id") % 7 =!= 0), "ivf_rt_fresh")
+    val fresh = IvfIndex.search(spark, "ivf_rt_fresh", queries, 5)
+      .orderBy("qid", "rk").collect().toSeq
+    assert(retrained == fresh, "retrain must equal a fresh write of the live corpus")
+    assert(retrained.nonEmpty)
+
+    // extents + tombstones consumed; retrained base holds exactly the
+    // live corpus; searchGrown on the cleared growPath == plain search
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IvfIndex.extentPath(grow))))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IvfIndex.tombstonePath(grow))))
+    assert(spark.table("ivf_rt_idx").count() ==
+      emb.filter(col("vec_id") % 7 =!= 0).count())
+    val grown = IvfIndex.searchGrown(spark, "ivf_rt_idx", grow, queries, 5)
+      .orderBy("qid", "rk").collect().toSeq
+    assert(grown == retrained)
+    Seq("ivf_rt_idx", "ivf_rt_idx_centroids", "ivf_rt_fresh",
+      "ivf_rt_fresh_centroids").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
