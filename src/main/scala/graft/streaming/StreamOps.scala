@@ -232,6 +232,32 @@ object StreamOps {
       .start()
   }
 
+  /** Right-to-be-forgotten in the ANN serving loop (VERDICT r10 #7):
+    * each micro-batch of deletion requests (`vec_id` rows) lands as
+    * the batch's own tombstone partition via
+    * [[graft.sim.IvfIndex.delete]] — no rewrite of base or extents,
+    * searchGrown masks the ids from the NEXT query on, and compaction
+    * (stream paused) applies them physically. Same idempotent
+    * batch_id partition discipline as [[admitVectorsStream]]: a
+    * replayed batch overwrites its own partition, so crash-recovery
+    * can never double- or un-delete. Deletions and admissions are
+    * separate streams sharing one growPath; give each its OWN
+    * checkpoint but a DISJOINT batch-id keyspace is not needed —
+    * tombstones and extents live in different directories, so their
+    * batch ids never collide. State is source offsets only; the
+    * tombstone set is delete-rate-bounded between compactions (the
+    * LSM argument), so the serving anti-join side stays small. */
+  def deleteVectorsStream(spark: SparkSession, growPath: String,
+      deleteIds: DataFrame, checkpoint: String): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.sim.IvfIndex.delete(spark, growPath, batch.toDF(), batchId)
+    deleteIds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
   case class FunnelStage(user_id: Long, stage: Long)
 
   /** Unbounded form of ops.Events.funnelStages: the same ordered,

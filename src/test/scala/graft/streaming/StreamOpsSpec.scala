@@ -720,4 +720,59 @@ class StreamOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_grow_stream")
     spark.sql("DROP TABLE IF EXISTS ivf_grow_stream_centroids")
   }
+
+  test("vector deletion stream: tombstones mask served results mid-stream; replay is idempotent") {
+    // right-to-be-forgotten in the serving loop (VERDICT r10 #7): the
+    // delete twin of the admission stream — no batch job needed to
+    // honor an erasure request while the index keeps serving
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0),
+      "ivf_del_stream", nlist = 8, iterations = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfdelstream")
+    val (ckpt, grow) = (s"$root/ckpt", s"$root/grow")
+    val queries = emb.filter(col("vec_id") < 4)
+    // plant an exact copy of query 0 as an admitted extent vector
+    graft.sim.IvfIndex.admit(spark, "ivf_del_stream", grow,
+      emb.filter(col("vec_id") === 0)
+        .select(lit(999001L).as("vec_id"), col("embedding")), 1L)
+    def top1() = graft.sim.IvfIndex.searchGrown(spark, "ivf_del_stream",
+        grow, queries, 3)
+      .filter(col("qid") === 0 && col("rk") === 1)
+      .select("cid").as[Long].collect().head
+    assert(top1() == 999001L, "planted dup must serve as top-1 before deletion")
+
+    // erasure request arrives ON THE STREAM: the planted dup + one
+    // base vector; the next search must not surface either
+    val in = MemoryStream[Long]
+    val q = StreamOps.deleteVectorsStream(spark, grow,
+      in.toDF().select(col("value").as("vec_id")), ckpt)
+    in.addData(999001L, 2L)
+    q.processAllAvailable()
+    val afterFirst = top1()
+    assert(afterFirst != 999001L, "deleted vector must stop serving immediately")
+    // a second micro-batch through the SAME running stream
+    in.addData(afterFirst)
+    q.processAllAvailable()
+    q.stop()
+    val afterSecond = top1()
+    assert(afterSecond != 999001L && afterSecond != afterFirst)
+    val served = graft.sim.IvfIndex.searchGrown(spark, "ivf_del_stream",
+      grow, queries, 3).orderBy("qid", "rk").collect().toSeq
+    // replaying a delete batch overwrites its own tombstone partition:
+    // served results are bit-identical
+    graft.sim.IvfIndex.delete(spark, grow,
+      Seq(999001L, 2L).toDF("vec_id"), 0L)
+    val replayed = graft.sim.IvfIndex.searchGrown(spark, "ivf_del_stream",
+      grow, queries, 3).orderBy("qid", "rk").collect().toSeq
+    assert(replayed == served, "delete replay must be idempotent")
+    // compact applies the streamed tombstones physically
+    graft.sim.IvfIndex.compact(spark, "ivf_del_stream", grow)
+    assert(spark.table("ivf_del_stream")
+      .filter(col("vec_id").isin(999001L, 2L, afterFirst)).count() == 0)
+    spark.sql("DROP TABLE IF EXISTS ivf_del_stream")
+    spark.sql("DROP TABLE IF EXISTS ivf_del_stream_centroids")
+  }
 }
