@@ -232,6 +232,75 @@ object Multimodal {
       .toDF("media_id", "payload", "format", "n_bytes")
   }
 
+  /** Originals plus deterministically perturbed re-encodes of every
+    * `every`-th doc — the audio twin of [[asMediaTableWithVariants]]
+    * (same +8-on-every-5th-byte dither BEFORE recentring to PCM16, so
+    * the variant is the same stream with a faint level shift on a
+    * sparse comb of samples; same rate/length as the original). */
+  def asAudioTableWithVariants(docs: DataFrame, every: Int = 20,
+      idOffset: Long = 10000000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val variants = docs.filter(col("doc_id") % every === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val pert = Array.tabulate(raw.length)(i =>
+            if (i % 5 == 0) ((raw(i) + 8) & 0xff).toByte else raw(i))
+          val payload = AudioCodec.encodeDoc(id, pert)
+          (id + idOffset, payload, "wav", payload.length.toLong)
+        }
+      }
+      .toDF("media_id", "payload", "format", "n_bytes")
+    asAudioTable(docs).unionByName(variants)
+  }
+
+  case class DecodedPcm(media_id: Long, sample_rate: Int,
+      samples: Array[Short])
+
+  /** Batched WAV decode through to the raw PCM16 sample array (the
+    * audio analogue of [[decodeRaster]]): consumers reduce the array
+    * to scalars (fingerprint, stats) in the SAME stage — samples
+    * never cross a shuffle in the operators built on this. */
+  def decodePcm(audio: DataFrame): Dataset[DecodedPcm] = {
+    import audio.sparkSession.implicits._
+    audio.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = AudioCodec.open()
+        val out = it.map { case (id, payload) =>
+          val a = codec.decodeWav(payload)
+          DecodedPcm(id, a.sampleRate, a.samples)
+        }
+        closingIterator(() => codec.close(), out)
+      }
+  }
+
+  /** Per-clip 56-bit perceptual fingerprints
+    * ([[graft.functions.AudioHash]] energy-gradient hash): decode and
+    * hash run in one stage; out come (media_id, sample_rate, fp). */
+  def audioFingerprints(audio: DataFrame): DataFrame =
+    decodePcm(audio).toDF()
+      .select(col("media_id"), col("sample_rate"),
+        graft.functions.AudioHash.audioHash56(col("samples")).as("fp"))
+
+  /** Audio near-duplicate pairs: perceptual energy-gradient
+    * fingerprints through the SHARED banded-Hamming machinery — the
+    * audio member of the near-dup family (same contract as
+    * [[imageNearDupPairs]]: (ma, mb, hamming), ma < mb, set-exact
+    * within the radius; same 100 TB posture — one long per clip out
+    * of the decode stage, band join exchanges (id, long) only, wider
+    * spectral fingerprints deepen the band space at scale). */
+  def audioNearDupPairs(audio: DataFrame, maxHamming: Int = 7,
+      materialize: Boolean = false): DataFrame = {
+    val fps = audioFingerprints(audio)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.dedup.Dedup.bandedHammingPairs(fps, "media_id", "fp",
+        graft.functions.AudioHash.Bits, maxHamming)
+      .select(col("da").as("ma"), col("db").as("mb"), col("hamming"))
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(fps))
+    else pairs
+  }
+
   case class DecodedAudio(media_id: Long, sample_rate: Int,
       n_samples: Int, duration_ms: Long, peak: Int)
 

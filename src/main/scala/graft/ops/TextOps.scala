@@ -942,6 +942,19 @@ object TextOps {
       Multimodal.asMediaTableWithVariants(t(spark, dir, "documents")),
       maxHamming = 7, materialize = true)
 
+  /** Perceptual audio near-dup: the audio table plus perturbed
+    * re-encodes of every 20th doc, 56-bit energy-gradient fingerprint
+    * over each DECODED PCM stream (real RIFF chunk walk — a sample
+    * sign/endianness bug changes |s| and breaks the hash),
+    * banded-Hamming pairs at radius 7. Oracle: replay the encoder
+    * (|sample| = 256*|byte-128|; the 256 cancels in gradient
+    * comparisons so the oracle sums |byte-128|), the 57 4-sample
+    * windows and the gradient bits in SQL, brute-force pairs. */
+  def qAudioDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDupPairs(
+      Multimodal.asAudioTableWithVariants(t(spark, dir, "documents")),
+      maxHamming = 7, materialize = true)
+
   /** Frame-sampling plumbing: per-format sampled-frame counts. */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.asMediaTable(t(spark, dir, "documents")))
@@ -996,6 +1009,7 @@ object TextOps {
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_image_dedup" -> (qImageDedup _),
+    "q_audio_dedup" -> (qAudioDedup _),
     "q_audio_stats" -> (qAudioStats _),
     "q_split" -> (qSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -1927,6 +1941,38 @@ object TextOps {
            FROM lu a JOIN lu b ON a.media_id = b.media_id AND a.j = b.j
              AND b.i = a.i + 1
            WHERE a.i < 7),
+         fp AS (SELECT media_id, CAST(SUM(bit) AS BIGINT) AS fp
+                FROM bits GROUP BY media_id)
+         SELECT a.media_id AS ma, b.media_id AS mb,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         FROM fp a JOIN fp b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 7"""
+    },
+    // encoder-replay oracle for the audio fingerprint: sample i holds
+    // (byte(i % len) - 128) << 8, so |sample| = 256*|byte-128| and the
+    // 256 cancels in the gradient comparisons — the oracle sums
+    // |byte-128| per 4-sample window at the 57 anchors k*n//57 and
+    // compares consecutive windows, exactly AudioHash.energyHash56.
+    "q_audio_dedup" -> {
+      def bv(p: String) =
+        s"""(ascii(substr(text, CAST(($p) % len + 1 AS INT), 1))
+            + CASE WHEN pert AND (($p) % len) % 5 = 0 THEN 8 ELSE 0 END)"""
+      s"""WITH docs0 AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+         m AS (
+           SELECT doc_id AS media_id, text, len, FALSE AS pert FROM docs0
+           UNION ALL
+           SELECT doc_id + 10000000 AS media_id, text, len, TRUE AS pert
+           FROM docs0 WHERE doc_id % 20 = 0),
+         d AS (SELECT m.*, 500 + (len * 17) % 4000 AS n FROM m),
+         e AS MATERIALIZED (
+           SELECT media_id, k, SUM(ABS(${bv("(k*n)//57 + i")} - 128)) AS energy
+           FROM d, unnest(range(0, 57)) t1(k), unnest(range(0, 4)) t2(i)
+           GROUP BY media_id, k),
+         bits AS (SELECT a.media_id,
+             CASE WHEN b.energy > a.energy
+               THEN CAST(1 AS BIGINT) << a.k ELSE 0 END AS bit
+           FROM e a JOIN e b ON a.media_id = b.media_id AND b.k = a.k + 1
+           WHERE a.k < 56),
          fp AS (SELECT media_id, CAST(SUM(bit) AS BIGINT) AS fp
                 FROM bits GROUP BY media_id)
          SELECT a.media_id AS ma, b.media_id AS mb,
