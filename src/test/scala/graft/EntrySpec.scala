@@ -53,6 +53,19 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty && stale.isEmpty,
       s"catalog missing: ${missing.mkString(", ")}; stale: ${stale.mkString(", ")}")
   }
+  test("SURVEY.md §8 count line matches the registry (drift guard)") {
+    // VERDICT r10 #1: the §8 header/count lagged two rounds behind
+    // reality — the same drift class the QUERIES.md/README guards
+    // already prevent; this pins §8's "N/N declared queries" line
+    val md = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val n = SparkEntry.queries.size
+    val claimed = "\\*\\*(\\d+)/(\\d+) declared queries".r
+      .findFirstMatchIn(md).map(m => (m.group(1).toInt, m.group(2).toInt))
+    assert(claimed.contains((n, n)),
+      s"SURVEY §8 claims $claimed, registry has $n")
+  }
   test("README's driver-contract query count matches the registry (drift guard)") {
     // the count rotted twice in round 7 (101 vs 103 vs 105) before
     // this pin existed
