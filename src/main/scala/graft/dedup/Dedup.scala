@@ -505,18 +505,38 @@ object Dedup {
     * shiftrightunsigned on principle (fp is non-negative by contract,
     * but a sign-extending shift on a future 64-bit caller would
     * silently corrupt the top band). */
+  /** `bucketCap`: the fingerprint-family twin of the LSH hot-bucket
+    * guard ([[DefaultBandBucketCap]] rationale) — a band bucket of B
+    * fingerprints emits B*(B-1)/2 candidates, so ONE boilerplate
+    * flood (the same logo/jingle re-encoded a million times) turns
+    * the candidate bound quadratic. Capped buckets are excluded from
+    * candidate generation; members still pair through their other
+    * bands when those stay healthy, and an exact-duplicate flood
+    * (identical fp => ALL bands hot) is exact-dedup territory by
+    * definition. Capping trades the pigeonhole losslessness on
+    * capped buckets for bounded cost — declared oracle queries run
+    * uncapped (set-exact; the gate fixture's max bucket is far below
+    * any sane cap), production runs cap + monitor via
+    * [[hammingBandOccupancy]]. */
   def bandedHammingPairs(fps: DataFrame, idCol: String, fpCol: String,
-      bits: Int, maxHamming: Int): DataFrame = {
+      bits: Int, maxHamming: Int, bucketCap: Option[Int] = None): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0,
       s"bands=$bands (maxHamming+1) must divide $bits")
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
     val sh = fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
-    val bk = sh.select(col("id"), col("fp"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("fp"), b * bandBits).bitwiseAND(lit(mask))): _*))
+    val bk0 = sh.select(col("id"), col("fp"),
+      posexplode(bandKeyArray(col("fp"), bits, bands))
         .as(Seq("band_idx", "band_key")))
+    // over-cap set + anti-join, not a count window: same plan
+    // rationale as minhashLshPairsFrom (empty on a healthy corpus,
+    // AQE broadcasts it; the explode stays a narrow pass)
+    val bk = bucketCap.fold(bk0) { cap =>
+      val hot = bk0.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > cap)
+        .select(col("band_idx"), col("band_key"))
+      bk0.join(hot, Seq("band_idx", "band_key"), "left_anti")
+    }
     bk.alias("x")
       .join(bk.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -526,6 +546,38 @@ object Dedup {
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Band keys of a `bits`-wide non-negative fingerprint split into
+    * `bands` equal slices (shared by the pair join and the occupancy
+    * monitor so they can never disagree on bucketing). */
+  private def bandKeyArray(fp: Column, bits: Int, bands: Int): Column = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    array((0 until bands).map(b =>
+      shiftrightunsigned(fp, b * bandBits).bitwiseAND(lit(mask))): _*)
+  }
+
+  /** Per-band occupancy of a fingerprint frame under the
+    * [[bandedHammingPairs]] banding — the monitoring view that sizes
+    * `bucketCap` for a fingerprint family (the [[bandOccupancy]]
+    * twin): bucket count, hottest bucket, and row volume per band.
+    * Σ_bucket C(n,2) over a band is its candidate volume; watch
+    * max_bucket to spot a boilerplate flood before it goes
+    * quadratic. */
+  def hammingBandOccupancy(fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0,
+      s"bands=$bands (maxHamming+1) must divide $bits")
+    fps.select(col(idCol).as("id"),
+        posexplode(bandKeyArray(col(fpCol), bits, bands))
+          .as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+        sum(col("n")).as("n_rows"))
   }
 
   /** Sorted-neighborhood near-dup pairs (Hernandez/Stolfo SNM): sort

@@ -120,4 +120,28 @@ class ImageDedupSpec extends SparkSpec {
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
     assert(brute.nonEmpty, "fixture must plant at least the variant pairs")
   }
+
+  test("hot-bucket guard: a boilerplate fingerprint flood stops generating candidates; healthy pairs survive") {
+    // the fingerprint-family twin of the LSH bucket cap: 300 copies of
+    // one fingerprint flood every band bucket (C(300,2) candidates per
+    // band uncapped); with the cap they generate nothing, while a
+    // planted near-pair in healthy buckets still comes through
+    import graft.dedup.Dedup
+    val flood = (1L to 300L).map(i => (i, 0x00FA12345678L))
+    val near = Seq((901L, 0x55AA55AA55AA55L & ((1L << 56) - 1)),
+      (902L, (0x55AA55AA55AA55L ^ 3L) & ((1L << 56) - 1))) // hamming 2
+    val fps = (flood ++ near).toDF("media_id", "fp")
+    val capped = Dedup.bandedHammingPairs(fps, "media_id", "fp", 56, 7,
+      bucketCap = Some(64)).as[(Long, Long, Long)].collect()
+    assert(capped.toSeq == Seq((901L, 902L, 2L)),
+      s"flood must be diverted, planted pair kept: ${capped.toSeq}")
+    // uncapped, the flood pairs quadratically (sanity of the premise)
+    val uncapped = Dedup.bandedHammingPairs(fps, "media_id", "fp", 56, 7)
+      .count()
+    assert(uncapped == 300L * 299 / 2 + 1)
+    // the monitor sees the flood: every band's hottest bucket is 300
+    val occ = Dedup.hammingBandOccupancy(fps, "media_id", "fp", 56, 7)
+      .select("band_idx", "max_bucket").as[(Int, Long)].collect().toMap
+    assert(occ.size == 8 && occ.values.forall(_ == 300L))
+  }
 }

@@ -420,6 +420,32 @@ class PlanAuditSpec extends SparkSpec {
     } finally signed.unpersist(blocking = true)
   }
 
+  test("perceptual fingerprints: decode + hash is ONE narrow stage, rasters/PCM never shuffle") {
+    // the r11 image/audio dedup contract: the only thing that leaves
+    // the decode stage is (media_id, format/rate, fp) — 3 scalars per
+    // row. A shuffle anywhere in the fingerprint subtree would exchange
+    // multi-KB rasters/sample-arrays, the exact payload-through-the-
+    // shuffle trap the operators are shaped to avoid.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, dir, "documents")
+    Seq(
+      graft.multimodal.Multimodal.imageFingerprints(
+        graft.multimodal.Multimodal.asMediaTable(docs)),
+      graft.multimodal.Multimodal.audioFingerprints(
+        graft.multimodal.Multimodal.asAudioTable(docs))
+    ).foreach { fps =>
+      fps.collect()
+      val p = fps.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "fingerprinting must be a single narrow stage:\n" + p)
+      // the hash Project must sit inside a WholeStageCodegen span
+      // (executedPlan.toString marks codegen'd operators with "*(n)")
+      assert("\\*\\(\\d+\\) Project \\[.*(dhashexpr|audiohashexpr)".r
+        .findFirstIn(p).isDefined,
+        "fingerprint expression must be codegen'd:\n" + p)
+    }
+  }
+
   test("q5 at gate SF: AQE broadcasts the de-hinted dims without any hard hint") {
     // VERDICT r8 #1: customer/supplier/part are xSF-scaled, so their
     // hard broadcast() hints were removed — at 100 TB a hard hint
