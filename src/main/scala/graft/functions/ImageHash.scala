@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
 
@@ -38,21 +38,31 @@ object ImageHash {
   /** The kernel — shared verbatim by interpreted eval and codegen
     * (static-method doGenCode pattern, as TextHash). `rgb` must be a
     * top-down row-major RGB raster of exactly 3*w*h bytes (the
-    * [[graft.multimodal.MediaCodec]] decode contract). */
-  def dhash56(rgb: Array[Byte], w: Int, h: Int): Long = {
+    * [[graft.multimodal.MediaCodec]] decode contract). `roll`
+    * rotates the sampled pixel index by `roll` pixels (mod w*h) —
+    * frame f of the synthetic video fixture is the still raster
+    * scrolled by f pixels, so one kernel serves stills (roll 0) and
+    * per-frame video fingerprints without re-materializing a rolled
+    * raster per frame. */
+  def dhash56(rgb: Array[Byte], w: Int, h: Int): Long =
+    dhash56(rgb, w, h, 0)
+
+  def dhash56(rgb: Array[Byte], w: Int, h: Int, roll: Int): Long = {
     require(w > 0 && h > 0 && rgb.length >= 3 * w * h,
       s"dhash56: raster ${rgb.length} bytes < ${w}x${h}x3")
+    val wh = w * h
+    val r = ((roll % wh) + wh) % wh
     var fp = 0L
     var j = 0
     while (j < 8) {
       val y = j * h / 8
-      var s = 3 * (y * w) // pixel offset of (x=0, y)
-      var prev = (rgb(s) & 0xff) + (rgb(s + 1) & 0xff) + (rgb(s + 2) & 0xff)
-      var i = 1
+      var prev = -1
+      var i = 0
       while (i < 8) {
-        s = 3 * (y * w + i * w / 8)
+        val m = (y * w + i * w / 8 + r) % wh
+        val s = 3 * m
         val cur = (rgb(s) & 0xff) + (rgb(s + 1) & 0xff) + (rgb(s + 2) & 0xff)
-        if (cur > prev) fp |= 1L << (j * 7 + (i - 1))
+        if (i > 0 && cur > prev) fp |= 1L << (j * 7 + (i - 1))
         prev = cur
         i += 1
       }
@@ -61,23 +71,30 @@ object ImageHash {
     fp
   }
 
-  /** Column API: `dHash56(rgb, width, height)` over decoded rasters. */
-  def dHash56(rgb: Column, width: Column, height: Column): Column = {
+  /** Column API: `dHash56(rgb, width, height[, roll])` over decoded
+    * rasters. */
+  def dHash56(rgb: Column, width: Column, height: Column): Column =
+    dHash56(rgb, width, height, org.apache.spark.sql.functions.lit(0))
+
+  def dHash56(rgb: Column, width: Column, height: Column,
+      roll: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(DHashExpr(Bridge.expression(rgb),
-      Bridge.expression(width), Bridge.expression(height)))
+      Bridge.expression(width), Bridge.expression(height),
+      Bridge.expression(roll)))
   }
 }
 
 /** Codegen'd [[ImageHash.dhash56]]: the per-row loop runs inside
   * whole-stage codegen via the static kernel call — no per-sample
   * interpreted HOF passes (same rationale as SimHashExpr). */
-case class DHashExpr(rgb: Expression, imgW: Expression, imgH: Expression)
-    extends TernaryExpression {
+case class DHashExpr(rgb: Expression, imgW: Expression, imgH: Expression,
+    roll: Expression) extends QuaternaryExpression {
 
   override def first: Expression = rgb
   override def second: Expression = imgW
   override def third: Expression = imgH
+  override def fourth: Expression = roll
 
   override def dataType: DataType = LongType
 
@@ -85,22 +102,23 @@ case class DHashExpr(rgb: Expression, imgW: Expression, imgH: Expression)
     if (rgb.dataType != BinaryType)
       TypeCheckResult.TypeCheckFailure(
         s"dhash56 requires a BINARY raster, got ${rgb.dataType.catalogString}")
-    else if (imgW.dataType != IntegerType || imgH.dataType != IntegerType)
+    else if (imgW.dataType != IntegerType || imgH.dataType != IntegerType ||
+        roll.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
-        s"dhash56 requires INT dims, got ${imgW.dataType.catalogString}/" +
-          imgH.dataType.catalogString)
+        s"dhash56 requires INT dims/roll, got ${imgW.dataType.catalogString}/" +
+          s"${imgH.dataType.catalogString}/${roll.dataType.catalogString}")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def nullSafeEval(r: Any, w: Any, h: Any): Any =
+  override def nullSafeEval(r: Any, w: Any, h: Any, rl: Any): Any =
     ImageHash.dhash56(r.asInstanceOf[Array[Byte]],
-      w.asInstanceOf[Int], h.asInstanceOf[Int])
+      w.asInstanceOf[Int], h.asInstanceOf[Int], rl.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (r, w, h) =>
-      s"${ev.value} = graft.functions.ImageHash.dhash56($r, $w, $h);")
+    nullSafeCodeGen(ctx, ev, (r, w, h, rl) =>
+      s"${ev.value} = graft.functions.ImageHash.dhash56($r, $w, $h, $rl);")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
-      newThird: Expression): Expression =
-    copy(rgb = newFirst, imgW = newSecond, imgH = newThird)
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(rgb = newFirst, imgW = newSecond, imgH = newThird, roll = newFourth)
 }

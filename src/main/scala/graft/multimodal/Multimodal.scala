@@ -232,6 +232,86 @@ object Multimodal {
       .toDF("media_id", "payload", "format", "n_bytes")
   }
 
+  /** Per-FRAME perceptual fingerprints of a video-like media table —
+    * the decode half of [[videoNearDupPairs]]. Frame count derives
+    * from the DECODED raster size (as [[sampleFrames]]) and every
+    * `stride`-th frame from `firstFrame` on is fingerprinted;
+    * `firstFrame > 0` models a TRIMMED clip (the canonical video
+    * near-dup case: the same footage minus its head). The fixture's
+    * frame f is the still raster scrolled by f pixels (this container
+    * ships no video codec — per the multimodal contract the per-frame
+    * DECODE is the stubbed step while everything Spark-side is real:
+    * batched decode, one-generator frame explode, codegen'd per-frame
+    * dHash in the SAME stage, rasters never shuffled; a real
+    * container's frame decoder slots into the mapPartitions pass
+    * without touching the plan). */
+  def videoFrameFingerprints(media: DataFrame, stride: Int = 10,
+      firstFrame: Int = 0): DataFrame =
+    decodeRaster(media).toDF()
+      .withColumn("n_frames",
+        ((col("width") * col("height")) % 241 + 8).cast("int"))
+      .filter(col("n_frames") > firstFrame)
+      .withColumn("frame_idx",
+        explode(sequence(lit(firstFrame), col("n_frames") - 1, lit(stride))))
+      .select(col("media_id"), col("frame_idx"),
+        graft.functions.ImageHash.dHash56(col("rgb"), col("width"),
+          col("height"), col("frame_idx")).as("fp"))
+
+  /** Video near-duplicate pairs by FRAME-FINGERPRINT set similarity:
+    * two videos pair when the Jaccard overlap of their distinct
+    * per-frame fingerprints clears `threshold` — the keyframe-match
+    * dedup that catches re-encodes, trims and short clips of the same
+    * footage. Candidates come from a self-join on EXACT shared frame
+    * fingerprints; verification is exact set arithmetic over the
+    * collected fingerprint sets (bounded: sampled frames per video).
+    * Output (ma, mb, common, na, nb), ma < mb, integer-exact with the
+    * cross-multiplied threshold.
+    *
+    * 100 TB posture: per-frame fingerprints are 56-bit perceptual
+    * hashes — near-uniform over real footage — so per-fingerprint
+    * frequency ≈ true matches and the shared-key join IS the
+    * scalable path (the same argument as content-defined-chunk dedup
+    * joining on chunk hash; unlike text shingles there is no Zipf
+    * head). The degenerate case is a shared intro/bumper frame
+    * (station logo on every video): `hotFpCap` excludes fingerprints
+    * appearing in more than cap videos from CANDIDATE generation
+    * (verification still runs over full sets, so surviving pairs keep
+    * exact counts); monitoring = a groupBy(fp) count, the
+    * [[graft.dedup.Dedup.hammingBandOccupancy]] analogue. */
+  def videoNearDupPairs(frames: DataFrame, threshold: Double = 0.5,
+      materialize: Boolean = false,
+      hotFpCap: Option[Int] = None): DataFrame = {
+    val tq = math.round(threshold * 1000)
+    val sets = frames.select(col("media_id"), col("fp")).distinct()
+      .groupBy(col("media_id"))
+      .agg(collect_set(col("fp")).as("fps"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex0 = sets.select(col("media_id"), explode(col("fps")).as("fp"))
+    val ex = hotFpCap.fold(ex0) { cap =>
+      val hot = ex0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("fp"))
+      ex0.join(hot, Seq("fp"), "left_anti")
+    }
+    val cand = ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      .distinct()
+    val pairs = cand
+      .join(sets.select(col("media_id").as("ma"), col("fps").as("fa"),
+        col("n").as("na")), Seq("ma"))
+      .join(sets.select(col("media_id").as("mb"), col("fps").as("fb"),
+        col("n").as("nb")), Seq("mb"))
+      .select(col("ma"), col("mb"),
+        size(array_intersect(col("fa"), col("fb"))).cast("long").as("common"),
+        col("na"), col("nb"))
+      .filter(col("common") * lit(1000L) >=
+        lit(tq) * (col("na") + col("nb") - col("common")))
+    if (materialize) graft.api.Materialize.releasing(pairs, Seq(sets))
+    else pairs
+  }
+
   /** Originals plus deterministically perturbed re-encodes of every
     * `every`-th doc — the audio twin of [[asMediaTableWithVariants]]
     * (same +8-on-every-5th-byte dither BEFORE recentring to PCM16, so

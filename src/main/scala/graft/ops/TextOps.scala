@@ -955,6 +955,28 @@ object TextOps {
       Multimodal.asAudioTableWithVariants(t(spark, dir, "documents")),
       maxHamming = 7, materialize = true)
 
+  /** Video near-dup by frame-fingerprint set similarity: originals
+    * (frames sampled 0, 10, 20, ...) plus a TRIMMED variant of every
+    * 20th doc (same footage, sampling starts at frame 10 — the
+    * clipped-head case a video dedup exists to catch); two videos
+    * pair when their distinct frame-dHash sets overlap with Jaccard
+    * >= 0.5 (integer cross-multiplied). Candidates from exact shared
+    * frame fingerprints — measured zero cross-video collisions on
+    * this corpus, so candidates = true matches. Oracle: closed-form
+    * frame fingerprints (the rolled-raster grid replay), set overlap
+    * in SQL. */
+  def qVideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val originals = Multimodal.videoFrameFingerprints(
+      Multimodal.asMediaTable(docs), stride = 10, firstFrame = 0)
+    val trimmed = Multimodal.videoFrameFingerprints(
+      Multimodal.asMediaTable(docs.filter(col("doc_id") % 20 === 0))
+        .withColumn("media_id", col("media_id") + 10000000L),
+      stride = 10, firstFrame = 10)
+    Multimodal.videoNearDupPairs(originals.unionByName(trimmed), 0.5,
+      materialize = true)
+  }
+
   /** Frame-sampling plumbing: per-format sampled-frame counts. */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.asMediaTable(t(spark, dir, "documents")))
@@ -1010,6 +1032,7 @@ object TextOps {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_image_dedup" -> (qImageDedup _),
     "q_audio_dedup" -> (qAudioDedup _),
+    "q_video_dedup" -> (qVideoDedup _),
     "q_audio_stats" -> (qAudioStats _),
     "q_split" -> (qSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -1947,6 +1970,55 @@ object TextOps {
            CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
          FROM fp a JOIN fp b ON a.media_id < b.media_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 7"""
+    },
+    // frame-fingerprint video dedup: frame f of a video is the still
+    // raster scrolled by f pixels, so the grid replay is the image
+    // oracle's with sampled pixel index m = (grid_pos + f) % (w*h);
+    // the trimmed variant samples frames 10,20,... of the SAME text
+    // (no perturbation). Pairing = exact distinct-fingerprint set
+    // overlap, integer cross-multiplied Jaccard at 0.5.
+    "q_video_dedup" -> {
+      def bv(p: String) =
+        s"ascii(substr(text, CAST(($p) % len + 1 AS INT), 1))"
+      s"""WITH docs0 AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+         v AS (
+           SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS fmt,
+             text, len, 0 AS ff FROM docs0
+           UNION ALL
+           SELECT doc_id + 10000000 AS media_id, CAST(doc_id % 3 AS INT) AS fmt,
+             text, len, 10 AS ff FROM docs0 WHERE doc_id % 20 = 0),
+         d AS (SELECT v.*, 8 + len % 57 AS w, 8 + (len * 31) % 43 AS h FROM v),
+         d2 AS (SELECT d.*, (w * h) % 241 + 8 AS n_frames FROM d),
+         fr AS (SELECT media_id, fmt, text, len, w, h,
+                  unnest(range(ff, n_frames, 10)) AS f
+                FROM d2 WHERE n_frames > ff),
+         gp AS (SELECT media_id, fmt, text, len, f, j, i,
+                  ((j*h)//8 * w + (i*w)//8 + f) % (w*h) AS m
+                FROM fr, unnest(range(0, 8)) t1(j), unnest(range(0, 8)) t2(i)),
+         lu AS MATERIALIZED (SELECT media_id, f, j, i,
+             CASE WHEN fmt = 2 THEN 3 * ${bv("m")}
+               ELSE ${bv("3*m")} + ${bv("3*m + 1")} + ${bv("3*m + 2")} END AS luma
+           FROM gp),
+         fbits AS (SELECT a.media_id, a.f,
+             CASE WHEN b.luma > a.luma
+               THEN CAST(1 AS BIGINT) << (a.j*7 + a.i) ELSE 0 END AS bit
+           FROM lu a JOIN lu b ON a.media_id = b.media_id AND a.f = b.f
+             AND a.j = b.j AND b.i = a.i + 1
+           WHERE a.i < 7),
+         fp AS (SELECT DISTINCT media_id, fp FROM (
+             SELECT media_id, f, CAST(SUM(bit) AS BIGINT) AS fp
+             FROM fbits GROUP BY media_id, f)),
+         sets AS (SELECT media_id, count(*) AS n FROM fp GROUP BY media_id),
+         cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+                  FROM fp a JOIN fp b ON a.fp = b.fp AND a.media_id < b.media_id),
+         cm AS (SELECT c.ma, c.mb, count(*) AS common
+                FROM cand c JOIN fp a ON a.media_id = c.ma
+                  JOIN fp b ON b.media_id = c.mb AND b.fp = a.fp
+                GROUP BY 1, 2)
+         SELECT cm.ma, cm.mb, cm.common, sa.n AS na, sb.n AS nb
+         FROM cm JOIN sets sa ON cm.ma = sa.media_id
+           JOIN sets sb ON cm.mb = sb.media_id
+         WHERE cm.common * 1000 >= 500 * (sa.n + sb.n - cm.common)"""
     },
     // encoder-replay oracle for the audio fingerprint: sample i holds
     // (byte(i % len) - 128) << 8, so |sample| = 256*|byte-128| and the
