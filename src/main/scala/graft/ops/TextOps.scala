@@ -461,6 +461,33 @@ object TextOps {
       knnQueries(emb), k = 5, pred = Some(col("label").isin(1, 4, 7)))
   }
 
+  /** GROWING int8 index e2e (r11 — lifecycle parity with the float
+    * path): quantized base over even vec_ids, two frozen-quantizer
+    * admission batches (%4==1, %4==3) landing codes + float extents,
+    * vec_id%7==0 tombstoned, then top-k served through the two-stage
+    * int8 scan + float re-rank over base + extents with deleted
+    * vectors masked BEFORE the rerank cut. Oracle: the int8 replay
+    * with the KMeans trajectory trained on the even half and the
+    * corpus-side assignment covering live vectors only (per-vector
+    * quantization means admit-time codes are bit-identical to
+    * write-time codes — the growth contract). */
+  def qKnnGrowInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val table = "graft_q_knn_grow_int8"
+    graft.sim.IvfIndex.writeInt8(
+      emb.filter(col("vec_id") % 2 === 0), table, buckets = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_grow_int8")
+    val grow = s"$root/ext"
+    graft.sim.IvfIndex.admitInt8(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+    graft.sim.IvfIndex.admitInt8(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+    graft.sim.IvfIndex.delete(spark, grow,
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
+    graft.sim.IvfIndex.searchInt8Grown(spark, table, grow,
+      knnQueries(emb), k = 5)
+  }
+
   /** Int8 vector-quantization audit: per-label scale/code/residual
     * checksums of the symmetric-127 quantizer — the ANN compression
     * arithmetic itself is oracle-checked. */
@@ -1022,6 +1049,7 @@ object TextOps {
     "q_knn_retrain" -> (qKnnRetrain _),
     "q_knn_filtered" -> (qKnnFiltered _),
     "q_knn_ivf_int8" -> (qKnnIvfInt8 _),
+    "q_knn_grow_int8" -> (qKnnGrowInt8 _),
     "q_knn_filtered_int8" -> (qKnnFilteredInt8 _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_centroids" -> (qCentroids _),
@@ -1755,6 +1783,11 @@ object TextOps {
     // scan-side filter
     "q_knn_filtered_int8" -> knnInt8Oracle(
       "WHERE p.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (1, 4, 7))"),
+    // grown int8: trajectory trained on the even half (the base
+    // write), corpus side = live vectors (deletes masked pre-rerank)
+    "q_knn_grow_int8" -> knnInt8Oracle(
+      cbWhere = "WHERE p.vec_id % 7 <> 0",
+      ptsWhere = "WHERE vec_id % 2 = 0"),
   ) ++ oracleSqlTail
 
   /** Shared replay for the int8-IVF family (q_knn_ivf_int8 /
@@ -1763,8 +1796,11 @@ object TextOps {
     * re-rank. `cbWhere` optionally restricts the corpus-side
     * assignment CTE — the oracle twin of [[graft.sim.IvfIndex
     * .searchInt8]]'s scan-side metadata predicate. */
-  private def knnInt8Oracle(cbWhere: String = ""): String =
-      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
+  private def knnInt8Oracle(cbWhere: String = "",
+      ptsWhere: String = ""): String =
+      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3,
+            ptsWhere = ptsWhere)},
+         allp AS (SELECT vec_id, embedding FROM embeddings),
          xqv AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
            FROM embeddings),
@@ -1781,13 +1817,13 @@ object TextOps {
            FROM cdz),
          cb AS MATERIALIZED (
            SELECT p.vec_id AS cid, p.embedding AS cv, n.q AS cq, n.normq, c.cid AS cell
-           FROM pts p JOIN nz n ON p.vec_id = n.vec_id CROSS JOIN c3 c
+           FROM allp p JOIN nz n ON p.vec_id = n.vec_id CROSS JOIN c3 c
            $cbWhere
            QUALIFY row_number() OVER (PARTITION BY p.vec_id
              ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
          qp AS (
            SELECT p.vec_id AS qid, p.embedding AS qv, n.q AS qq, c.cid AS cell
-           FROM pts p JOIN nz n ON p.vec_id = n.vec_id CROSS JOIN c3 c
+           FROM allp p JOIN nz n ON p.vec_id = n.vec_id CROSS JOIN c3 c
            WHERE p.vec_id < 10
            QUALIFY row_number() OVER (PARTITION BY p.vec_id
              ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),

@@ -368,4 +368,153 @@ object IvfIndex {
   def dropInt8(spark: SparkSession, table: String): Unit =
     Seq(table, vecsTable(table), s"${table}_centroids")
       .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
+
+  // ---- growing int8 index (r11: lifecycle parity with the float path)
+  //
+  // The quantized serving index must grow with the crawl too: the
+  // same LSM extent shape as the float path, except each admission
+  // writes TWO extent families — the codes rows (the scan side) and
+  // the float rows (the re-rank side) — mirroring the base index's
+  // two-table normalization. Quantization is per-vector (scale from
+  // the vector itself), so admitting against the FROZEN quantizer is
+  // bit-identical to having had the vector at write time — which is
+  // exactly the oracle/spec contract.
+
+  /** Codes-extent directory of a growing int8 index. */
+  def int8CodesPath(growPath: String): String = growPath + "/codes"
+
+  /** Float-vector extent directory of a growing int8 index. */
+  def int8VecsPath(growPath: String): String = growPath + "/vecs"
+
+  /** Admit one batch of new vectors to a persisted int8 index:
+    * quantize, assign to the frozen quantizer's nearest cell, land
+    * codes + floats as the batch's own extent partitions (idempotent
+    * replay). Metadata columns ride into the codes extent like the
+    * base write. [[delete]] works unchanged on a growing int8 index
+    * (the tombstone dir is shared across both index kinds). */
+  def admitInt8(spark: SparkSession, table: String, growPath: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val cells = loadCentroids(spark, table)
+    val coded = graft.sim.Quantize.withInt8Codes(batch)
+      .withColumn("normq",
+        graft.functions.Int8Dot.int8Dot(col("codes"), col("codes")))
+    val meta = batch.columns.toSeq
+      .filterNot(Set("vec_id", "embedding")).map(col)
+    coded.select(Seq(col("vec_id").cast("long").as("vec_id"),
+        NearestCell.nearestCell(col("embedding"), cells).as("cell"),
+        col("codes"), col("scale_q"), col("normq")) ++ meta: _*)
+      .write.mode("overwrite")
+      .parquet(s"${int8CodesPath(growPath)}/batch_id=$batchId")
+    batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .write.mode("overwrite")
+      .parquet(s"${int8VecsPath(growPath)}/batch_id=$batchId")
+  }
+
+  private def int8ExtSchema(spark: SparkSession, table: String) =
+    org.apache.spark.sql.types.StructType(
+      spark.table(table).schema.fields :+
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType))
+
+  private def int8VecsExtSchema(spark: SparkSession, table: String) =
+    org.apache.spark.sql.types.StructType(
+      spark.table(vecsTable(table)).schema.fields :+
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType))
+
+  /** [[searchInt8]] against base + every admitted extent: the int8
+    * candidate stage scans base codes (bucketed) and codes extents as
+    * SEPARATE parts (the union-erases-bucketing trap, as searchGrown);
+    * tombstoned ids drop out of the candidate set BEFORE the rerank
+    * cut (a deleted vector must not eat a rerank slot either); the
+    * float re-rank fetches by id from base vecs + vecs extents. Same
+    * ranking contract as [[searchInt8]]; `pred` prunes each codes
+    * part's scan. */
+  def searchInt8Grown(spark: SparkSession, table: String, growPath: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4, rerankC: Int = 25,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import graft.sim.Similarity.simRounded
+    import graft.functions.Int8Dot.int8Dot
+    val cells = loadCentroids(spark, table)
+    val qb = broadcast(
+      graft.sim.Quantize.withInt8Codes(
+          queries.select(col("vec_id").as("qid"), col("embedding")))
+        .select(col("qid"), col("embedding").as("qv"), col("codes").as("qcodes"))
+        .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
+    val codesParts: Seq[DataFrame] =
+      spark.table(table) +:
+        (if (dirExists(spark, int8CodesPath(growPath)))
+          Seq(spark.read.schema(int8ExtSchema(spark, table))
+            .parquet(int8CodesPath(growPath)))
+        else Nil)
+    val scoreq = when(col("normq") === 0, lit(-1e9)).otherwise(
+      int8Dot(col("qcodes"), col("ccodes")).cast("double") /
+        sqrt(col("normq").cast("double")))
+    val cand = codesParts
+      .map { p =>
+        val cb = pred.map(p.filter).getOrElse(p)
+          .select(col("vec_id").as("cid"), col("codes").as("ccodes"),
+            col("normq"), col("cell"))
+        qb.join(cb, Seq("cell")).filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("qv"), col("qcodes"), col("cid"),
+            col("ccodes"), col("normq"))
+      }
+      .reduce(_ unionByName _)
+      .select(col("qid"), col("qv"), col("cid"), scoreq.as("scoreq"))
+    val live = tombstones(spark, growPath).fold(cand)(ts =>
+      cand.join(ts.select(col("vec_id").as("cid")), Seq("cid"), "left_anti"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("scoreq").desc, col("cid"))
+    val topC = live.withColumn("rkq", row_number().over(wq))
+      .filter(col("rkq") <= rerankC)
+    val vecsBase = spark.table(vecsTable(table))
+      .select(col("vec_id"), col("embedding"))
+    val vecs = (if (dirExists(spark, int8VecsPath(growPath)))
+        vecsBase.unionByName(
+          spark.read.schema(int8VecsExtSchema(spark, table))
+            .parquet(int8VecsPath(growPath)).drop("batch_id"))
+      else vecsBase)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    topC.join(vecs, Seq("cid"))
+      .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+
+  /** Fold int8 extents into the bucketed base tables, apply
+    * tombstones physically to BOTH sides, clear the directories —
+    * cell/code assignments are final (frozen quantizer + per-vector
+    * quantization), so compaction is a straight rewrite. */
+  def compactInt8(spark: SparkSession, table: String, growPath: String,
+      buckets: Int = 16): Unit = {
+    val hasExt = dirExists(spark, int8CodesPath(growPath))
+    val hasTombs = dirExists(spark, tombstonePath(growPath))
+    if (!hasExt && !hasTombs) return
+    val staging = growPath + "/_compact_staging"
+    def live(df: DataFrame) = tombstones(spark, growPath).fold(df)(ts =>
+      df.join(ts, Seq("vec_id"), "left_anti"))
+    val codes =
+      if (hasExt) spark.table(table).unionByName(
+        spark.read.schema(int8ExtSchema(spark, table))
+          .parquet(int8CodesPath(growPath)).drop("batch_id"))
+      else spark.table(table)
+    val vecs =
+      if (hasExt) spark.table(vecsTable(table)).unionByName(
+        spark.read.schema(int8VecsExtSchema(spark, table))
+          .parquet(int8VecsPath(growPath)).drop("batch_id"))
+      else spark.table(vecsTable(table))
+    live(codes).write.mode("overwrite").parquet(staging + "/codes")
+    live(vecs).write.mode("overwrite").parquet(staging + "/vecs")
+    graft.api.Bucketing.resetManaged(spark, table)
+    graft.api.Bucketing.resetManaged(spark, vecsTable(table))
+    graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/codes"),
+      table, Seq("cell"), buckets)
+    graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/vecs"),
+      vecsTable(table), Seq("vec_id"), buckets)
+    val root = new org.apache.hadoop.fs.Path(growPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(int8CodesPath(growPath), int8VecsPath(growPath),
+        tombstonePath(growPath), staging)
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+  }
 }

@@ -150,6 +150,54 @@ class IvfIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_del_idx_centroids")
   }
 
+  test("growing int8: admission == write-time presence; deletes mask pre-rerank; compact folds both sides") {
+    // per-vector quantization + frozen quantizer => a vector admitted
+    // later must serve bit-identically to one present at write time.
+    // Ground truth: writeInt8 of the FULL corpus but with centroids
+    // frozen from the even half is not directly expressible, so the
+    // equivalence is asserted the spec-strong way we can: grown
+    // search == compacted search (compact is a pure fold), and the
+    // planted exact-dup admitted as an extent must serve as top-1.
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 4)
+    val grow = java.nio.file.Files.createTempDirectory("ivf_i8grow_spec").toString
+    IvfIndex.writeInt8(emb.filter(col("vec_id") % 2 === 0), "ivf_i8g_idx",
+      nlist = 8, iterations = 2, buckets = 4)
+    // batch 1: odds plus an exact copy of query 0 (planted top-1)
+    IvfIndex.admitInt8(spark, "ivf_i8g_idx", grow,
+      emb.filter(col("vec_id") % 2 === 1)
+        .unionByName(emb.filter(col("vec_id") === 0)
+          .select(lit(999001L).as("vec_id"), col("embedding"))), 1L)
+    val grown = IvfIndex.searchInt8Grown(spark, "ivf_i8g_idx", grow,
+      queries, 5).orderBy("qid", "rk").collect().toSeq
+    val top1 = grown.find(r => r.getLong(0) == 0 && r.getInt(3) == 1).get
+    assert(top1.getLong(1) == 999001L && top1.getDouble(2) == 1.0,
+      s"planted admitted dup must be top-1: $top1")
+    // delete the planted dup: it must stop serving (and not eat a
+    // rerank slot), everything else unchanged in membership
+    IvfIndex.delete(spark, grow,
+      Seq(999001L).toDF("vec_id"), 2L)
+    val masked = IvfIndex.searchInt8Grown(spark, "ivf_i8g_idx", grow,
+      queries, 5).orderBy("qid", "rk").collect().toSeq
+    assert(masked.forall(_.getLong(1) != 999001L))
+    // compact folds codes + vecs extents and applies tombstones:
+    // searches answer identically from the rewritten base alone
+    IvfIndex.compactInt8(spark, "ivf_i8g_idx", grow, buckets = 4)
+    val compacted = IvfIndex.searchInt8(spark, "ivf_i8g_idx", queries, 5)
+      .orderBy("qid", "rk").collect().toSeq
+    assert(compacted == masked, "compaction must be invisible to results")
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IvfIndex.int8CodesPath(grow))))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IvfIndex.int8VecsPath(grow))))
+    assert(spark.table("ivf_i8g_idx").filter(col("vec_id") === 999001L).count() == 0)
+    assert(spark.table(IvfIndex.vecsTable("ivf_i8g_idx"))
+      .filter(col("vec_id") === 999001L).count() == 0)
+    IvfIndex.dropInt8(spark, "ivf_i8g_idx")
+  }
+
   test("retrain: search-after-retrain == search against a fresh write of the live corpus; grow dirs cleared") {
     // VERDICT r10 #3 — the last lifecycle stage. retrain() must be
     // indistinguishable from dropping everything and write()-ing the
