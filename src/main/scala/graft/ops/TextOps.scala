@@ -488,6 +488,30 @@ object TextOps {
       knnQueries(emb), k = 5)
   }
 
+  /** Int8 quantizer retrain e2e (the quantized twin of
+    * q_knn_retrain): the q_knn_grow_int8 setup, then
+    * [[graft.sim.IvfIndex.retrainInt8]] re-trains on the live floats,
+    * re-quantizes, rewrites both tables and clears the grow dirs;
+    * top-k served by the plain two-stage search. Oracle: the int8
+    * replay with the trajectory AND the corpus side on the live set
+    * (retrain ≡ fresh writeInt8 of the live corpus). */
+  def qKnnRetrainInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val table = "graft_q_knn_retrain_int8"
+    graft.sim.IvfIndex.writeInt8(
+      emb.filter(col("vec_id") % 2 === 0), table, buckets = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_retrain_int8")
+    val grow = s"$root/ext"
+    graft.sim.IvfIndex.admitInt8(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+    graft.sim.IvfIndex.admitInt8(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+    graft.sim.IvfIndex.delete(spark, grow,
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
+    graft.sim.IvfIndex.retrainInt8(spark, table, grow, buckets = 8)
+    graft.sim.IvfIndex.searchInt8(spark, table, knnQueries(emb), k = 5)
+  }
+
   /** Int8 vector-quantization audit: per-label scale/code/residual
     * checksums of the symmetric-127 quantizer — the ANN compression
     * arithmetic itself is oracle-checked. */
@@ -1050,6 +1074,7 @@ object TextOps {
     "q_knn_filtered" -> (qKnnFiltered _),
     "q_knn_ivf_int8" -> (qKnnIvfInt8 _),
     "q_knn_grow_int8" -> (qKnnGrowInt8 _),
+    "q_knn_retrain_int8" -> (qKnnRetrainInt8 _),
     "q_knn_filtered_int8" -> (qKnnFilteredInt8 _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_centroids" -> (qCentroids _),
@@ -1788,6 +1813,11 @@ object TextOps {
     "q_knn_grow_int8" -> knnInt8Oracle(
       cbWhere = "WHERE p.vec_id % 7 <> 0",
       ptsWhere = "WHERE vec_id % 2 = 0"),
+    // int8 retrain ≡ fresh writeInt8 of the live corpus: trajectory
+    // AND corpus side on vec_id % 7 <> 0 (queries stay vec_id < 10)
+    "q_knn_retrain_int8" -> knnInt8Oracle(
+      cbWhere = "WHERE p.vec_id % 7 <> 0",
+      ptsWhere = "WHERE vec_id % 7 <> 0"),
   ) ++ oracleSqlTail
 
   /** Shared replay for the int8-IVF family (q_knn_ivf_int8 /

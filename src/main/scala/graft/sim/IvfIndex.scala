@@ -481,6 +481,52 @@ object IvfIndex {
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 
+  /** Retrain the int8 index's coarse quantizer on the LIVE corpus and
+    * rebuild both tables — the quantized twin of [[retrain]], closing
+    * the int8 lifecycle (write → admit → delete → filtered search →
+    * compact → retrain). The live FLOAT vectors (base vecs + vecs
+    * extents − tombstones) are the training and re-quantization
+    * input; codes are per-vector, so [[writeInt8]] on the staged live
+    * corpus is definitionally the fresh-write contract. Same O(corpus)
+    * cost class and cadence as [[compactInt8]]. */
+  def retrainInt8(spark: SparkSession, table: String, growPath: String,
+      nlist: Int = 16, iterations: Int = 3, buckets: Int = 16): Unit = {
+    val staging = growPath + "/_retrain_staging"
+    val vecsBase = spark.table(vecsTable(table))
+      .select(col("vec_id"), col("embedding"))
+    val unioned =
+      if (dirExists(spark, int8VecsPath(growPath)))
+        vecsBase.unionByName(
+          spark.read.schema(int8VecsExtSchema(spark, table))
+            .parquet(int8VecsPath(growPath)).drop("batch_id"))
+      else vecsBase
+    // metadata columns live on the CODES side — carry them through
+    // the rebuild by joining codes metadata onto the live floats
+    val metaCols = spark.table(table).columns.toSeq
+      .filterNot(Set("vec_id", "cell", "codes", "scale_q", "normq"))
+    val codesBase = spark.table(table)
+    val codesAll =
+      if (dirExists(spark, int8CodesPath(growPath)))
+        codesBase.unionByName(
+          spark.read.schema(int8ExtSchema(spark, table))
+            .parquet(int8CodesPath(growPath)).drop("batch_id"))
+      else codesBase
+    val withMeta =
+      if (metaCols.isEmpty) unioned
+      else unioned.join(
+        codesAll.select((Seq(col("vec_id")) ++ metaCols.map(col)): _*),
+        Seq("vec_id"))
+    val live = tombstones(spark, growPath).fold(withMeta)(ts =>
+      withMeta.join(ts, Seq("vec_id"), "left_anti"))
+    live.write.mode("overwrite").parquet(staging)
+    writeInt8(spark.read.parquet(staging), table, nlist, iterations, buckets)
+    val root = new org.apache.hadoop.fs.Path(growPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(int8CodesPath(growPath), int8VecsPath(growPath),
+        tombstonePath(growPath), staging)
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+  }
+
   /** Fold int8 extents into the bucketed base tables, apply
     * tombstones physically to BOTH sides, clear the directories —
     * cell/code assignments are final (frozen quantizer + per-vector

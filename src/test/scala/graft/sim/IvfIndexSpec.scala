@@ -198,6 +198,42 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.dropInt8(spark, "ivf_i8g_idx")
   }
 
+  test("int8 retrain: == fresh writeInt8 of the live corpus; grow dirs cleared; metadata survives") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val grow = java.nio.file.Files.createTempDirectory("ivf_i8rt_spec").toString
+    IvfIndex.writeInt8(emb.filter(col("vec_id") % 2 === 0), "ivf_i8rt_idx",
+      nlist = 8, iterations = 2, buckets = 4)
+    IvfIndex.admitInt8(spark, "ivf_i8rt_idx", grow,
+      emb.filter(col("vec_id") % 2 === 1), 1L)
+    IvfIndex.delete(spark, grow,
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 2L)
+    IvfIndex.retrainInt8(spark, "ivf_i8rt_idx", grow,
+      nlist = 8, iterations = 2, buckets = 4)
+    val retrained = IvfIndex.searchInt8(spark, "ivf_i8rt_idx", queries, 5)
+      .orderBy("qid", "rk").collect().toSeq
+    IvfIndex.writeInt8(emb.filter(col("vec_id") % 7 =!= 0), "ivf_i8rt_fresh",
+      nlist = 8, iterations = 2, buckets = 4)
+    val fresh = IvfIndex.searchInt8(spark, "ivf_i8rt_fresh", queries, 5)
+      .orderBy("qid", "rk").collect().toSeq
+    assert(retrained == fresh && retrained.nonEmpty,
+      "int8 retrain must equal a fresh writeInt8 of the live corpus")
+    // metadata (label) survives the rebuild on the codes table, and a
+    // filtered search still works against the retrained index
+    assert(spark.table("ivf_i8rt_idx").columns.contains("label"))
+    val filtered = IvfIndex.searchInt8(spark, "ivf_i8rt_idx", queries, 5,
+      pred = Some(col("label").isin(1, 4, 7)))
+    assert(filtered.count() > 0)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IvfIndex.int8CodesPath(grow))))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IvfIndex.tombstonePath(grow))))
+    IvfIndex.dropInt8(spark, "ivf_i8rt_idx")
+    IvfIndex.dropInt8(spark, "ivf_i8rt_fresh")
+  }
+
   test("retrain: search-after-retrain == search against a fresh write of the live corpus; grow dirs cleared") {
     // VERDICT r10 #3 — the last lifecycle stage. retrain() must be
     // indistinguishable from dropping everything and write()-ing the
