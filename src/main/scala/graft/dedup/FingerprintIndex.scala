@@ -1,0 +1,141 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistable banded-Hamming fingerprint index — the incremental
+  * serving shape of the perceptual near-dup family (image dHash,
+  * audio energy hash, text SimHash fingerprints): index the corpus's
+  * fingerprints once, check each crawl batch against the store
+  * without re-hashing or re-shuffling history. The fingerprint twin
+  * of [[DedupIndex]] with one deliberate storage difference: a
+  * fingerprint is ONE long (not a shingle array), so it RIDES the
+  * stored band rows — (id, fp, band_idx, band_key), 4 scalars —
+  * and verification is an inline popcount on the candidate join,
+  * no fetch-by-id side table. (DedupIndex's two-table normalization
+  * exists to keep ARRAYS off the candidate shuffle; an 8-byte scalar
+  * rides free.)
+  *
+  * 100 TB posture: the bands table is bucketed on band_key, so a
+  * delta's candidate join clusters on the stored layout (zero
+  * index-side exchange — the DedupIndex plan contract); the delta is
+  * the only thing fingerprinted per run; extents grow LSM-style per
+  * batch (idempotent partitions) and [[compact]] folds them. Band
+  * arithmetic is [[Dedup.bandedHammingPairs]]'s, shared via the same
+  * shift/mask construction, so index-vs-delta agrees bit-for-bit
+  * with the monolithic pair join within the radius.
+  */
+object FingerprintIndex {
+
+  /** The one stored table: (id, fp, band_idx, band_key) bucketed on
+    * band_key. */
+  def bandsTable(table: String): String = table + "_fbands"
+
+  /** Extent directory of a growing fingerprint index. */
+  def extentPath(growPath: String): String = growPath + "/fbands"
+
+  private def bandRows(fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bands=$bands must divide $bits")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    fps.select(col(idCol).cast("long").as("id"), col(fpCol).as("fp"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col(fpCol), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_key")))
+  }
+
+  /** Persist the banded index over `fps` (idCol, fpCol). */
+  def write(fps: DataFrame, idCol: String, fpCol: String, table: String,
+      bits: Int, maxHamming: Int, buckets: Int = 16): Unit = {
+    graft.api.Bucketing.resetManaged(fps.sparkSession, bandsTable(table))
+    graft.api.Bucketing.writeBucketed(
+      bandRows(fps, idCol, fpCol, bits, maxHamming),
+      bandsTable(table), Seq("band_key"), buckets)
+  }
+
+  def drop(spark: SparkSession, table: String): Unit =
+    graft.api.Bucketing.resetManaged(spark, bandsTable(table))
+
+  /** Flag fingerprints of `newFps` within Hamming `maxHamming` of any
+    * INDEXED fingerprint: (id, dup_of, hamming), dup_of the indexed
+    * id. Candidates from the band join against the stored layout;
+    * popcount verifies inline — set-exact within the radius. */
+  def flagAgainst(spark: SparkSession, table: String, newFps: DataFrame,
+      idCol: String, fpCol: String, bits: Int, maxHamming: Int): DataFrame =
+    flagRows(bandRows(newFps, idCol, fpCol, bits, maxHamming),
+      spark.table(bandsTable(table)), maxHamming)
+
+  private def flagRows(delta: DataFrame, idx: DataFrame,
+      maxHamming: Int, pairFilter: org.apache.spark.sql.Column = lit(true))
+      : DataFrame =
+    delta.alias("d")
+      .join(idx.alias("i"),
+        col("d.band_idx") === col("i.band_idx") &&
+          col("d.band_key") === col("i.band_key"))
+      .select(col("d.id").as("id"), col("i.id").as("dup_of"),
+        bit_count(col("d.fp").bitwiseXOR(col("i.fp"))).cast("long").as("hamming"))
+      .filter(pairFilter)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+  private val extSchema = "id LONG, fp LONG, band_idx INT, band_key LONG, batch_id LONG"
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** One micro-batch of the GROWING fingerprint dedup: flag `batch`
+    * against base + prior extents + smaller-id batch members, write
+    * flagged rows (id, dup_of, hamming) to the batch's sink
+    * partition, admit survivors' band rows as the batch's extent.
+    * All writes overwrite their own batch_id partition —
+    * replay-idempotent. The per-batch cost is O(batch x bands) rows
+    * joined against the bucketed base (no index exchange) plus the
+    * admission-rate-bounded extents. */
+  def flagAndAdmit(spark: SparkSession, table: String, growPath: String,
+      batchFps: DataFrame, idCol: String, fpCol: String, bits: Int,
+      maxHamming: Int, batchId: Long, sinkPath: String): Unit = {
+    val delta = bandRows(batchFps, idCol, fpCol, bits, maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts: Seq[DataFrame] =
+        spark.table(bandsTable(table)) +:
+          (if (dirExists(spark, extentPath(growPath)))
+            Seq(spark.read.schema(extSchema).parquet(extentPath(growPath))
+              .filter(col("batch_id") < lit(batchId)).drop("batch_id"))
+          else Nil)
+      val flagged = parts.map(p => flagRows(delta, p, maxHamming))
+        .reduce(_ unionByName _)
+        .unionByName(flagRows(delta, delta, maxHamming,
+          pairFilter = col("dup_of") < col("id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        flagged.write.mode("overwrite").parquet(s"$sinkPath/batch_id=$batchId")
+        delta.join(flagged.select(col("id")).distinct(), Seq("id"), "left_anti")
+          .write.mode("overwrite")
+          .parquet(s"${extentPath(growPath)}/batch_id=$batchId")
+      } finally flagged.unpersist(blocking = true)
+    } finally delta.unpersist(blocking = true)
+  }
+
+  /** Fold extents into the bucketed base and clear the directory. */
+  def compact(spark: SparkSession, table: String, growPath: String,
+      buckets: Int = 16): Unit = {
+    if (!dirExists(spark, extentPath(growPath))) return
+    val staging = growPath + "/_compact_staging"
+    spark.table(bandsTable(table))
+      .unionByName(spark.read.schema(extSchema)
+        .parquet(extentPath(growPath)).drop("batch_id"))
+      .write.mode("overwrite").parquet(staging)
+    graft.api.Bucketing.resetManaged(spark, bandsTable(table))
+    graft.api.Bucketing.writeBucketed(spark.read.parquet(staging),
+      bandsTable(table), Seq("band_key"), buckets)
+    val root = new org.apache.hadoop.fs.Path(growPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(extentPath(growPath), staging)
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+  }
+}

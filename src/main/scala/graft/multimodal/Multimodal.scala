@@ -85,9 +85,16 @@ object Multimodal {
     * misses. Text is ASCII (<128) so +8 never wraps — the SQL oracle
     * replays the bump without masking. */
   def asMediaTableWithVariants(docs: DataFrame, every: Int = 20,
+      idOffset: Long = 10000000L): DataFrame =
+    asMediaTable(docs).unionByName(mediaVariants(docs, every, idOffset))
+
+  /** Just the perturbed-variant leg of [[asMediaTableWithVariants]]
+    * (consumers that index originals separately — e.g.
+    * q_image_dedup_index's delta side — encode only the variants). */
+  def mediaVariants(docs: DataFrame, every: Int = 20,
       idOffset: Long = 10000000L): DataFrame = {
     import docs.sparkSession.implicits._
-    val variants = docs.filter(col("doc_id") % every === 0)
+    docs.filter(col("doc_id") % every === 0)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -101,7 +108,6 @@ object Multimodal {
         }
       }
       .toDF("media_id", "payload", "format", "n_bytes")
-    asMediaTable(docs).unionByName(variants)
   }
 
   case class DecodedRaster(media_id: Long, format: String,

@@ -1028,6 +1028,30 @@ object TextOps {
       materialize = true)
   }
 
+  /** Incremental image dedup against a persisted
+    * [[graft.dedup.FingerprintIndex]]: index the EVEN docs' image
+    * fingerprints (bucketed band store), then flag the odd docs plus
+    * every perturbed variant against it — "is this crawl image
+    * already in the corpus", the serving shape of q_image_dedup.
+    * Every variant's source is even (doc_id%20==0 ⊂ evens), so the
+    * planted copies all flag cross-boundary. Oracle: the image
+    * fingerprint replay + the band join (shift/mask in SQL) with
+    * candidates restricted to delta-vs-indexed, popcount-verified. */
+  def qImageDedupIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_image_dedup_index"
+    val bits = graft.functions.ImageHash.DHashBits
+    graft.dedup.FingerprintIndex.write(
+      Multimodal.imageFingerprints(
+        Multimodal.asMediaTable(docs.filter(col("doc_id") % 2 === 0))),
+      "media_id", "fp", table, bits, maxHamming = 7, buckets = 8)
+    val deltaMedia = Multimodal.asMediaTable(docs.filter(col("doc_id") % 2 =!= 0))
+      .unionByName(Multimodal.mediaVariants(docs))
+    graft.dedup.FingerprintIndex.flagAgainst(spark, table,
+      Multimodal.imageFingerprints(deltaMedia),
+      "media_id", "fp", bits, maxHamming = 7)
+  }
+
   /** Frame-sampling plumbing: per-format sampled-frame counts. */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.asMediaTable(t(spark, dir, "documents")))
@@ -1084,6 +1108,7 @@ object TextOps {
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_image_dedup" -> (qImageDedup _),
+    "q_image_dedup_index" -> (qImageDedupIndex _),
     "q_audio_dedup" -> (qAudioDedup _),
     "q_video_dedup" -> (qVideoDedup _),
     "q_audio_stats" -> (qAudioStats _),
@@ -2036,6 +2061,52 @@ object TextOps {
            CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
          FROM fp a JOIN fp b ON a.media_id < b.media_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 7"""
+    },
+    // incremental image dedup: the image-fingerprint replay, then the
+    // band join (shift/mask in SQL — the pigeonhole candidate step is
+    // replicated, not brute-forced, because the index contract is
+    // "within the radius of an INDEXED fp", which equals brute force
+    // within the radius by losslessness) restricted delta-vs-indexed
+    "q_image_dedup_index" -> {
+      def bv(p: String) =
+        s"""(ascii(substr(text, CAST(($p) % len + 1 AS INT), 1))
+            + CASE WHEN pert AND (($p) % len) % 5 = 0 THEN 8 ELSE 0 END)"""
+      s"""WITH docs0 AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+         m AS (
+           SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS fmt,
+             text, len, FALSE AS pert FROM docs0
+           UNION ALL
+           SELECT doc_id + 10000000 AS media_id, CAST(doc_id % 3 AS INT) AS fmt,
+             text, len, TRUE AS pert FROM docs0 WHERE doc_id % 20 = 0),
+         d AS (SELECT m.*, 8 + len % 57 AS w, 8 + (len * 31) % 43 AS h FROM m),
+         gp AS (SELECT media_id, fmt, text, len, pert, w, h, j, i,
+                  (j*h)//8 AS y, (i*w)//8 AS x
+                FROM d, unnest(range(0, 8)) t1(j), unnest(range(0, 8)) t2(i)),
+         lu AS MATERIALIZED (SELECT media_id, j, i,
+             CASE WHEN fmt = 2 THEN 3 * ${bv("y*w + x")}
+               ELSE ${bv("3*(y*w + x)")} + ${bv("3*(y*w + x) + 1")}
+                  + ${bv("3*(y*w + x) + 2")} END AS luma
+           FROM gp),
+         bits AS (SELECT a.media_id,
+             CASE WHEN b.luma > a.luma
+               THEN CAST(1 AS BIGINT) << (a.j*7 + a.i) ELSE 0 END AS bit
+           FROM lu a JOIN lu b ON a.media_id = b.media_id AND a.j = b.j
+             AND b.i = a.i + 1
+           WHERE a.i < 7),
+         fp AS (SELECT media_id, CAST(SUM(bit) AS BIGINT) AS fp
+                FROM bits GROUP BY media_id),
+         bk AS (SELECT media_id, fp, b AS band_idx,
+                  (fp >> (b * 7)) & 127 AS band_key
+                FROM fp, unnest(range(0, 8)) t(b)),
+         idx AS (SELECT * FROM bk
+                 WHERE media_id % 2 = 0 AND media_id < 10000000),
+         delta AS (SELECT * FROM bk
+                   WHERE media_id % 2 = 1 OR media_id >= 10000000)
+         SELECT DISTINCT d.media_id AS id, i.media_id AS dup_of,
+           CAST(bit_count(xor(d.fp, i.fp)) AS BIGINT) AS hamming
+         FROM delta d JOIN idx i ON d.band_idx = i.band_idx
+           AND d.band_key = i.band_key
+         WHERE bit_count(xor(d.fp, i.fp)) <= 7"""
     },
     // frame-fingerprint video dedup: frame f of a video is the still
     // raster scrolled by f pixels, so the grid replay is the image

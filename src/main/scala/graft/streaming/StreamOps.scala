@@ -232,6 +232,33 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming perceptual-image dedup against a growing
+    * [[graft.dedup.FingerprintIndex]] — "has this crawl batch's image
+    * been seen (within Hamming radius) before": each micro-batch of
+    * media rows is decoded + dHashed (the batch is the only thing
+    * decoded) and flagged-and-admitted against the banded fingerprint
+    * store; flagged (id, dup_of, hamming) rows land in the batch's
+    * own idempotent sink partition. Same LSM/checkpoint discipline as
+    * [[growIndexStream]]; run [[graft.dedup.FingerprintIndex.compact]]
+    * periodically with the stream paused. Generalizes to any
+    * fingerprint family — pass a different `fingerprint` fn for audio
+    * or per-frame video hashes. */
+  def imageDedupStream(spark: SparkSession, table: String,
+      growPath: String, media: DataFrame, sinkPath: String,
+      checkpoint: String, maxHamming: Int = 7,
+      fingerprint: DataFrame => DataFrame =
+        graft.multimodal.Multimodal.imageFingerprints): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.dedup.FingerprintIndex.flagAndAdmit(spark, table, growPath,
+          fingerprint(batch.toDF()), "media_id", "fp",
+          graft.functions.ImageHash.DHashBits, maxHamming, batchId, sinkPath)
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
   /** Right-to-be-forgotten in the ANN serving loop (VERDICT r10 #7):
     * each micro-batch of deletion requests (`vec_id` rows) lands as
     * the batch's own tombstone partition via

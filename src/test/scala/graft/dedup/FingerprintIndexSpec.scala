@@ -1,0 +1,104 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FingerprintIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Bits = 56
+
+  test("flagAgainst == cross-boundary subset of the monolithic banded pair join") {
+    val corpus = Seq((10L, 0xAAAA5555L), (12L, 0x00FF00FF00L))
+      .toDF("media_id", "fp")
+    val delta = Seq((21L, 0xAAAA5556L), // hamming 2 vs 10
+      (22L, 0x123456789AL))             // unrelated
+      .toDF("media_id", "fp")
+    FingerprintIndex.write(corpus, "media_id", "fp", "fpidx_spec",
+      Bits, maxHamming = 7, buckets = 4)
+    val flagged = FingerprintIndex.flagAgainst(spark, "fpidx_spec", delta,
+        "media_id", "fp", Bits, maxHamming = 7)
+      .select("id", "dup_of", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(flagged == Set((21L, 10L, 2L)), s"got $flagged")
+    // ground truth: monolithic pairs over the union, cross-boundary
+    val all = corpus.unionByName(delta)
+    val mono = Dedup.bandedHammingPairs(all, "media_id", "fp", Bits, 7)
+      .as[(Long, Long, Long)].collect()
+      .collect { case (a, b, h) if a < 20 && b >= 20 => (b, a, h) }
+      .toSet
+    assert(flagged == mono)
+    FingerprintIndex.drop(spark, "fpidx_spec")
+  }
+
+  test("flag path never exchanges the stored band table (bucketed layout is load-bearing)") {
+    val corpus = (1L to 500L).map(i => (i, i * 0x9E3779B97F4AL & ((1L << 56) - 1)))
+      .toDF("media_id", "fp")
+    FingerprintIndex.write(corpus, "media_id", "fp", "fpidx_plan",
+      Bits, maxHamming = 7, buckets = 4)
+    val flagged = FingerprintIndex.flagAgainst(spark, "fpidx_plan",
+      Seq((900L, 0x1234L)).toDF("media_id", "fp"),
+      "media_id", "fp", Bits, maxHamming = 7)
+    flagged.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(collectAll)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case _ => Nil
+      })
+    val nodes = collectAll(flagged.queryExecution.executedPlan)
+    val underShuffle = nodes.collect {
+      case sh: ShuffleExchangeExec => collectAll(sh).collect {
+        case fs: FileSourceScanExec if fs.toString.contains("fpidx_plan") => fs
+      }
+    }.flatten
+    assert(underShuffle.isEmpty,
+      "stored band table must never sit under a shuffle:\n" +
+        flagged.queryExecution.executedPlan)
+    FingerprintIndex.drop(spark, "fpidx_plan")
+  }
+
+  test("growing index: within-batch greedy keep-one, cross-batch flags, replay idempotent, compact parity") {
+    val grow = java.nio.file.Files.createTempDirectory("fpidx_grow").toString
+    val sink = java.nio.file.Files.createTempDirectory("fpidx_sink").toString
+    FingerprintIndex.write(Seq((10L, 0xAAAAL)).toDF("media_id", "fp"),
+      "media_id", "fp", "fpidx_g", Bits, maxHamming = 7, buckets = 4)
+    // batch 0: 21 dups base(10); 22+23 mutual dups (greedy: 23 flags
+    // with witness 22, which itself survives); 24 novel
+    val b0 = Seq((21L, 0xAAABL), (22L, 0x5500FF00L), (23L, 0x5500FF01L),
+      (24L, 0x123456789AL)).toDF("media_id", "fp")
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_g", grow, b0,
+      "media_id", "fp", Bits, 7, 0L, sink)
+    def sinkRows() = spark.read
+      .schema("id LONG, dup_of LONG, hamming LONG, batch_id LONG")
+      .parquet(sink).select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(sinkRows() == Set((21L, 10L), (23L, 22L)), sinkRows().toString)
+    // batch 1: 31 dups the ADMITTED 22 (extent hit); 32 dups the
+    // FLAGGED-never-admitted 23 -> must NOT flag (23 isn't indexed)
+    val b1 = Seq((31L, 0x5500FF02L), (32L, 0x5500FF01L)).toDF("media_id", "fp")
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_g", grow, b1,
+      "media_id", "fp", Bits, 7, 1L, sink)
+    val after1 = sinkRows()
+    assert(after1.contains((31L, 22L)) && !after1.exists(_._2 == 23L),
+      after1.toString)
+    // replay batch 1: bit-identical sink
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_g", grow, b1,
+      "media_id", "fp", Bits, 7, 1L, sink)
+    assert(sinkRows() == after1)
+    // compact, then a new batch flags against the folded base alone
+    FingerprintIndex.compact(spark, "fpidx_g", grow, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      FingerprintIndex.extentPath(grow))))
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_g", grow,
+      Seq((41L, 0x123456789BL)).toDF("media_id", "fp"), // dups novel 24
+      "media_id", "fp", Bits, 7, 2L, sink)
+    assert(sinkRows().contains((41L, 24L)))
+    FingerprintIndex.drop(spark, "fpidx_g")
+  }
+}

@@ -721,6 +721,56 @@ class StreamOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_grow_stream_centroids")
   }
 
+  test("image dedup stream: crawl batches flag perceptual near-dups against the growing fingerprint store") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // index = images of the first 60 docs
+    val baseMedia = graft.multimodal.Multimodal.asMediaTable(docs.limit(60))
+    graft.dedup.FingerprintIndex.write(
+      graft.multimodal.Multimodal.imageFingerprints(baseMedia),
+      "media_id", "fp", "img_stream_idx",
+      graft.functions.ImageHash.DHashBits, maxHamming = 7, buckets = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft-imgstream")
+    val (src, ckpt, grow, sink) =
+      (s"$root/src", s"$root/ckpt", s"$root/grow", s"$root/sink")
+    def startQuery() = StreamOps.imageDedupStream(spark, "img_stream_idx",
+      grow, spark.readStream
+        .schema("media_id LONG, payload BINARY, format STRING, n_bytes LONG")
+        .parquet(src), sink, ckpt)
+    // batch 1: dithered variants of every 10th indexed doc (ids +100k)
+    // plus one novel image (doc 105, outside the indexed range; its
+    // dither hashes at hd 1, well inside the radius — doc choice
+    // matters: the dither spread is 0-10 and e.g. doc 400 sits at 8)
+    graft.multimodal.Multimodal.mediaVariants(docs.limit(60), every = 10,
+        idOffset = 100000L)
+      .unionByName(graft.multimodal.Multimodal.asMediaTable(
+        docs.filter(col("doc_id") === 105)))
+      .write.mode("append").parquet(src)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val flagged1 = spark.read
+      .schema("id LONG, dup_of LONG, hamming LONG, batch_id LONG")
+      .parquet(sink).select("id", "dup_of").as[(Long, Long)].collect().toSet
+    // every variant that hashes within the radius flags its original;
+    // at minimum the hd<=7 planted copies surface, the novel one not
+    assert(flagged1.nonEmpty && flagged1.forall(p => p._1 >= 100000L),
+      s"only variants may flag: $flagged1")
+    assert(flagged1.exists(p => p._2 == p._1 - 100000L),
+      s"variant must cite its source: $flagged1")
+    assert(!flagged1.exists(_._1 == 105L), "novel image must not flag")
+    // batch 2 after restart: a dithered copy of the NOVEL image from
+    // batch 1 — it must flag against the batch-1 ADMITTED extent
+    graft.multimodal.Multimodal.mediaVariants(
+        docs.filter(col("doc_id") === 105), every = 1, idOffset = 200000L)
+      .write.mode("append").parquet(src)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val flagged2 = spark.read
+      .schema("id LONG, dup_of LONG, hamming LONG, batch_id LONG")
+      .parquet(sink).select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(flagged2.contains((200105L, 105L)),
+      s"batch-2 copy must flag the batch-1 admitted image: $flagged2")
+    graft.dedup.FingerprintIndex.drop(spark, "img_stream_idx")
+  }
+
   test("vector deletion stream: tombstones mask served results mid-stream; replay is idempotent") {
     // right-to-be-forgotten in the serving loop (VERDICT r10 #7): the
     // delete twin of the admission stream — no batch job needed to
