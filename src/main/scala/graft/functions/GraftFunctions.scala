@@ -30,6 +30,13 @@ object GraftFunctions {
       graft.dedup.Dedup.hashCoeffs.flatMap(c => Seq(c._1, c._2)).toArray,
       graft.text.TextFunctions.HashMod)),
     "doc_simhash16" -> (es => SimHashExpr(es.head, 16)),
+    // perceptual fingerprints (r11): dhash56(rgb, w, h[, roll]),
+    // audio_hash56(samples array<smallint>)
+    "dhash56" -> (es => DHashExpr(es(0), es(1), es(2),
+      if (es.length > 3) es(3)
+      else org.apache.spark.sql.catalyst.expressions.Literal(0))),
+    "audio_hash56" -> (es => AudioHashExpr(es.head)),
+    "int8_dot" -> (es => Int8Dot(es(0), es(1))),
   )
 
   /** Register into a live session's function registry. Idempotent. */

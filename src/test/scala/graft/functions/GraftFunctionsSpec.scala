@@ -54,4 +54,30 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(r.length == 1)
     } finally ()
   }
+
+  test("perceptual fingerprints callable from SQL: dhash56 (3- and 4-arg) and audio_hash56") {
+    GraftFunctions.register(spark)
+    // a tiny literal raster: 8x8 gray ramp as binary; SQL vs kernel
+    val w = 8; val h = 8
+    val rgb = Array.tabulate(w * h * 3)(i => ((i / 3 % w) * 13).toByte)
+    import spark.implicits._
+    val df = Seq((1L, rgb)).toDF("id", "rgb")
+    df.createOrReplaceTempView("rasters")
+    val viaSql = spark.sql(s"SELECT dhash56(rgb, $w, $h) AS fp FROM rasters")
+      .collect().head.getLong(0)
+    assert(viaSql == ImageHash.dhash56(rgb, w, h))
+    val rolled = spark.sql(s"SELECT dhash56(rgb, $w, $h, 3) AS fp FROM rasters")
+      .collect().head.getLong(0)
+    assert(rolled == ImageHash.dhash56(rgb, w, h, 3))
+    val pcm = Array.tabulate(300)(i => ((i * 37 % 200) - 100).toShort)
+    val adf = Seq((1L, pcm)).toDF("id", "samples")
+    adf.createOrReplaceTempView("pcm")
+    val aSql = spark.sql("SELECT audio_hash56(samples) AS fp FROM pcm")
+      .collect().head.getLong(0)
+    assert(aSql == AudioHash.energyHash56(pcm))
+    val dot = spark.sql(
+      "SELECT int8_dot(CAST(array(1,2,3) AS ARRAY<TINYINT>), CAST(array(4,5,6) AS ARRAY<TINYINT>)) AS d")
+      .collect().head.getLong(0)
+    assert(dot == 32L)
+  }
 }
