@@ -28,11 +28,53 @@ import org.apache.spark.sql.functions._
 object FingerprintIndex {
 
   /** The one stored table: (id, fp, band_idx, band_key) bucketed on
-    * band_key. */
+    * band_key.
+    *
+    * WHY NO HOT-BUCKET SIDECAR (deliberate divergence from
+    * [[DedupIndex.hotTable]]): MinHash-LSH band keys live in a
+    * ~2^63 value space, so an over-cap bucket is always DEGENERACY
+    * (boilerplate) and a constant cap cleanly diverts it. A 56-bit
+    * perceptual fingerprint at radius 7 has 7-BIT bands: occupancy is
+    * n/128 per band on average — CORPUS-SIZE-driven, and any constant
+    * cap would eventually drop everything (at sf0.1 the healthy gate
+    * index already has buckets of 133). The scale lever here is
+    * fingerprint WIDTH (measured in docs/SCALE.md: doubling band bits
+    * cut candidates 136x), not a cap. The one true degeneracy —
+    * millions of EXACT-identical fingerprints (the same logo file
+    * re-crawled) — is handled upstream by exact dedup, or by storing
+    * one representative id per distinct fp (a `distinct-on-fp` write;
+    * changes witness attribution from all-copies to one-copy, the
+    * usual trade). */
   def bandsTable(table: String): String = table + "_fbands"
 
   /** Extent directory of a growing fingerprint index. */
   def extentPath(growPath: String): String = growPath + "/fbands"
+
+  /** Tombstone directory (forgotten ids) of a growing index. */
+  def tombstonePath(growPath: String): String = growPath + "/tombstones"
+
+  /** Right-to-be-forgotten for media (the image-RTBF twin of
+    * [[DedupIndex.forget]]): ids land as an idempotent tombstone
+    * batch; from the next [[flagAndAdmit]] on, a forgotten item no
+    * longer WITNESSES duplicates (pairs anti-joined on dup_of —
+    * O(pairs), never O(index)); [[compact]] removes its band rows
+    * physically and clears the tombstones. Same caller contract as
+    * DedupIndex, and equally self-enforcing: flagAndAdmit rejects a
+    * batch whose ids intersect the tombstone set. Tombstones apply
+    * retroactively on sink replay (privacy erasure must not resurrect
+    * forgotten pairs). */
+  def forget(spark: SparkSession, growPath: String, ids: DataFrame,
+      batchId: Long): Unit =
+    ids.select(col("id").cast("long").as("id"))
+      .write.mode("overwrite")
+      .parquet(s"${tombstonePath(growPath)}/batch_id=$batchId")
+
+  private def tombstonesFor(spark: SparkSession,
+      growPath: String): Option[DataFrame] =
+    if (dirExists(spark, tombstonePath(growPath)))
+      Some(spark.read.schema("id LONG, batch_id LONG")
+        .parquet(tombstonePath(growPath)).select(col("id")))
+    else None
 
   private def bandRows(fps: DataFrame, idCol: String, fpCol: String,
       bits: Int, maxHamming: Int): DataFrame = {
@@ -101,19 +143,36 @@ object FingerprintIndex {
     val delta = bandRows(batchFps, idCol, fpCol, bits, maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // forget contract guard (as DedupIndex): a tombstoned id
+      // re-arriving as a NEW item would silently lose its
+      // within-batch pairs — reject instead
+      val tombs = tombstonesFor(spark, growPath)
+      tombs.foreach { ts =>
+        val reborn = delta.select(col("id")).distinct()
+          .join(ts, Seq("id"), "left_semi").count()
+        require(reborn == 0L,
+          s"flagAndAdmit batch $batchId contains $reborn id(s) tombstoned " +
+            "in this index (forget() ids must reference INDEXED items)")
+      }
       val parts: Seq[DataFrame] =
         spark.table(bandsTable(table)) +:
           (if (dirExists(spark, extentPath(growPath)))
             Seq(spark.read.schema(extSchema).parquet(extentPath(growPath))
               .filter(col("batch_id") < lit(batchId)).drop("batch_id"))
           else Nil)
-      val flagged = parts.map(p => flagRows(delta, p, maxHamming))
+      val flagged0 = parts.map(p => flagRows(delta, p, maxHamming))
         .reduce(_ unionByName _)
         .unionByName(flagRows(delta, delta, maxHamming,
           pairFilter = col("dup_of") < col("id")))
+      // forgotten items must not witness: pair-side anti-join
+      // (O(pairs), never an index rescan)
+      val flagged = tombs.fold(flagged0)(ts =>
+          flagged0.join(ts.select(col("id").as("dup_of")),
+            Seq("dup_of"), "left_anti"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        flagged.write.mode("overwrite").parquet(s"$sinkPath/batch_id=$batchId")
+        flagged.select(col("id"), col("dup_of"), col("hamming"))
+          .write.mode("overwrite").parquet(s"$sinkPath/batch_id=$batchId")
         delta.join(flagged.select(col("id")).distinct(), Seq("id"), "left_anti")
           .write.mode("overwrite")
           .parquet(s"${extentPath(growPath)}/batch_id=$batchId")
@@ -121,21 +180,28 @@ object FingerprintIndex {
     } finally delta.unpersist(blocking = true)
   }
 
-  /** Fold extents into the bucketed base and clear the directory. */
+  /** Fold extents into the bucketed base, apply tombstones physically
+    * (forgotten ids' band rows leave the index here), clear both
+    * directories. */
   def compact(spark: SparkSession, table: String, growPath: String,
       buckets: Int = 16): Unit = {
-    if (!dirExists(spark, extentPath(growPath))) return
+    val hasExt = dirExists(spark, extentPath(growPath))
+    val tombs = tombstonesFor(spark, growPath)
+    if (!hasExt && tombs.isEmpty) return
     val staging = growPath + "/_compact_staging"
-    spark.table(bandsTable(table))
-      .unionByName(spark.read.schema(extSchema)
-        .parquet(extentPath(growPath)).drop("batch_id"))
+    val unioned =
+      if (hasExt) spark.table(bandsTable(table))
+        .unionByName(spark.read.schema(extSchema)
+          .parquet(extentPath(growPath)).drop("batch_id"))
+      else spark.table(bandsTable(table))
+    tombs.fold(unioned)(ts => unioned.join(ts, Seq("id"), "left_anti"))
       .write.mode("overwrite").parquet(staging)
     graft.api.Bucketing.resetManaged(spark, bandsTable(table))
     graft.api.Bucketing.writeBucketed(spark.read.parquet(staging),
       bandsTable(table), Seq("band_key"), buckets)
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(extentPath(growPath), staging)
+    Seq(extentPath(growPath), tombstonePath(growPath), staging)
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 }

@@ -101,4 +101,40 @@ class FingerprintIndexSpec extends SparkSpec {
     assert(sinkRows().contains((41L, 24L)))
     FingerprintIndex.drop(spark, "fpidx_g")
   }
+
+  test("forget (image RTBF): tombstoned witness stops flagging; reborn id rejected; compact removes physically") {
+    val grow = java.nio.file.Files.createTempDirectory("fpidx_forget").toString
+    val sink = java.nio.file.Files.createTempDirectory("fpidx_fsink").toString
+    FingerprintIndex.write(
+      Seq((10L, 0xAAAAL), (12L, 0x123456789AL)).toDF("media_id", "fp"),
+      "media_id", "fp", "fpidx_f", Bits, maxHamming = 7, buckets = 4)
+    val batch = Seq((21L, 0xAAABL)).toDF("media_id", "fp") // hd 1 vs 10
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_f", grow, batch,
+      "media_id", "fp", Bits, 7, 0L, sink)
+    def sinkRows() = spark.read
+      .schema("id LONG, dup_of LONG, hamming LONG, batch_id LONG")
+      .parquet(sink).select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(sinkRows() == Set((21L, 10L)))
+    // forget image 10 -> replaying the same batch flags nothing
+    FingerprintIndex.forget(spark, grow, Seq(10L).toDF("id"), 1L)
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_f", grow, batch,
+      "media_id", "fp", Bits, 7, 0L, sink)
+    assert(sinkRows().isEmpty, s"forgotten witness must not flag: ${sinkRows()}")
+    // a batch reusing the tombstoned id is rejected, not mis-paired
+    val e = intercept[IllegalArgumentException] {
+      FingerprintIndex.flagAndAdmit(spark, "fpidx_f", grow,
+        Seq((10L, 0x77777L)).toDF("media_id", "fp"),
+        "media_id", "fp", Bits, 7, 2L, sink)
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    // compact applies the tombstone physically and clears the dir
+    FingerprintIndex.compact(spark, "fpidx_f", grow, buckets = 4)
+    assert(spark.table(FingerprintIndex.bandsTable("fpidx_f"))
+      .filter(col("id") === 10L).count() == 0)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      FingerprintIndex.tombstonePath(grow))))
+    FingerprintIndex.drop(spark, "fpidx_f")
+  }
 }
