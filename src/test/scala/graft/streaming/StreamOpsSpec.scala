@@ -771,6 +771,40 @@ class StreamOpsSpec extends SparkSpec {
     graft.dedup.FingerprintIndex.drop(spark, "img_stream_idx")
   }
 
+  test("media dedup stream is fingerprint-generic: the audio plug flags dithered clips") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val baseAudio = graft.multimodal.Multimodal.asAudioTable(docs.limit(40))
+    graft.dedup.FingerprintIndex.write(
+      graft.multimodal.Multimodal.audioFingerprints(baseAudio),
+      "media_id", "fp", "aud_stream_idx",
+      graft.functions.AudioHash.Bits, maxHamming = 7, buckets = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft-audstream")
+    val (src, ckpt, grow, sink) =
+      (s"$root/src", s"$root/ckpt", s"$root/grow", s"$root/sink")
+    // audio variants of every 10th doc (+8 comb dither) land first
+    graft.multimodal.Multimodal
+      .asAudioTableWithVariants(docs.limit(40), every = 10,
+        idOffset = 100000L)
+      .filter(col("media_id") >= 100000L)
+      .write.mode("append").parquet(src)
+    // the SAME stream operator, audio fingerprint fn plugged in
+    // (audioFingerprints keeps sample_rate; project to (media_id, fp))
+    val q = StreamOps.imageDedupStream(spark, "aud_stream_idx", grow,
+      spark.readStream
+        .schema("media_id LONG, payload BINARY, format STRING, n_bytes LONG")
+        .parquet(src), sink, ckpt,
+      fingerprint = m => graft.multimodal.Multimodal.audioFingerprints(m)
+        .select("media_id", "fp"))
+    q.processAllAvailable(); q.stop()
+    val flagged = spark.read
+      .schema("id LONG, dup_of LONG, hamming LONG, batch_id LONG")
+      .parquet(sink).select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(flagged.exists(p => p._2 == p._1 - 100000L),
+      s"audio variant must flag its source clip: $flagged")
+    graft.dedup.FingerprintIndex.drop(spark, "aud_stream_idx")
+  }
+
   test("vector deletion stream: tombstones mask served results mid-stream; replay is idempotent") {
     // right-to-be-forgotten in the serving loop (VERDICT r10 #7): the
     // delete twin of the admission stream — no batch job needed to
