@@ -549,9 +549,11 @@ object Dedup {
   }
 
   /** Band keys of a `bits`-wide non-negative fingerprint split into
-    * `bands` equal slices (shared by the pair join and the occupancy
-    * monitor so they can never disagree on bucketing). */
-  private def bandKeyArray(fp: Column, bits: Int, bands: Int): Column = {
+    * `bands` equal slices — THE banding arithmetic, shared by the
+    * pair join, the occupancy monitor and [[FingerprintIndex]]'s
+    * stored band rows so no two consumers can disagree on
+    * bucketing. */
+  private[dedup] def bandKeyArray(fp: Column, bits: Int, bands: Int): Column = {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
     array((0 until bands).map(b =>
@@ -565,12 +567,12 @@ object Dedup {
     * Σ_bucket C(n,2) over a band is its candidate volume; watch
     * max_bucket to spot a boilerplate flood before it goes
     * quadratic. */
-  def hammingBandOccupancy(fps: DataFrame, idCol: String, fpCol: String,
+  def hammingBandOccupancy(fps: DataFrame, fpCol: String,
       bits: Int, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0,
       s"bands=$bands (maxHamming+1) must divide $bits")
-    fps.select(col(idCol).as("id"),
+    fps.select(
         posexplode(bandKeyArray(col(fpCol), bits, bands))
           .as(Seq("band_idx", "band_key")))
       .groupBy(col("band_idx"), col("band_key"))

@@ -319,15 +319,42 @@ object DedupIndex {
       // caller-contract guard (VERDICT r10 #3): a tombstoned id
       // re-arriving as a NEW batch doc would silently lose its
       // within-batch pairs (the pair-side anti-join can't tell a
-      // forgotten witness from a reborn doc). One O(batch) semi-join
-      // count, paid only when tombstones exist at all.
+      // forgotten witness from a reborn doc). EXEMPT: ids found in
+      // THIS batch's own prior sink/extent partitions — that is a
+      // crash-REPLAY of the batch that first carried the doc (a
+      // forget() between original run and replay is legal: the doc
+      // was indexed), and the replay must proceed, rewriting its sink
+      // without the forgotten pairs per the retroactive-replay
+      // contract above. Membership anywhere ELSE in the index is NOT
+      // exemption — a reborn id colliding with a not-yet-compacted
+      // forgotten doc is still a rejection, which is exactly the
+      // window where its within-batch pairs would silently vanish.
+      // O(batch)-sized joins, paid only when tombstones exist.
+      // Residual: a crash between the sink and sv-extent writes,
+      // followed by forget() of one of the batch's own ADMITTED ids,
+      // rejects the replay (the id left no record) — recover by
+      // clearing the batch's partial partitions.
       tombs.foreach { ts =>
-        val reborn = signed.select(col("doc_id"))
-          .join(ts, Seq("doc_id"), "left_semi").count()
+        val inBatch = signed.select(col("doc_id"))
+          .join(ts, Seq("doc_id"), "left_semi")
+        val none = signed.select(col("doc_id")).limit(0)
+        def partIds(dir: String, schema: String, idCol: String) =
+          if (dirExists(spark, dir))
+            spark.read.schema(schema).parquet(dir)
+              .select(col(idCol).as("doc_id"))
+          else none
+        val ownPrior = partIds(s"$sinkPath/batch_id=$batchId",
+            "doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG",
+            "doc_id")
+          .unionByName(partIds(
+            s"${extentSvPath(growPath)}/batch_id=$batchId",
+            "doc_id LONG, sv ARRAY<LONG>", "doc_id"))
+        val reborn = inBatch.join(ownPrior, Seq("doc_id"), "left_anti").count()
         require(reborn == 0L,
           s"flagAndAdmit batch $batchId contains $reborn doc_id(s) that are " +
-            "tombstoned in this index (forget() ids must reference INDEXED " +
-            "documents; reusing an id for a new document is not supported)")
+            "tombstoned in this index and not part of this batch's own " +
+            "prior output (forget() ids must reference INDEXED documents; " +
+            "reusing an id for a new document is not supported)")
       }
       val dropped = tombs.fold(flagged)(ts =>
           flagged.join(ts.select(col("doc_id").as("dup_of")),

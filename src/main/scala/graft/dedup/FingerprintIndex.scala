@@ -80,11 +80,10 @@ object FingerprintIndex {
       bits: Int, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bands=$bands must divide $bits")
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
+    // Dedup.bandKeyArray IS the banding arithmetic — one definition
+    // for the batch join, the monitor and this stored layout
     fps.select(col(idCol).cast("long").as("id"), col(fpCol).as("fp"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col(fpCol), b * bandBits).bitwiseAND(lit(mask))): _*))
+      posexplode(Dedup.bandKeyArray(col(fpCol), bits, bands))
         .as(Seq("band_idx", "band_key")))
   }
 
@@ -145,14 +144,30 @@ object FingerprintIndex {
     try {
       // forget contract guard (as DedupIndex): a tombstoned id
       // re-arriving as a NEW item would silently lose its
-      // within-batch pairs — reject instead
+      // within-batch pairs — reject it, EXEMPTING only ids found in
+      // THIS batch's own prior sink/extent partitions (= a
+      // crash-replay of the batch that first carried the item; a
+      // forget() in between is legal and the replay rewrites its sink
+      // without the forgotten pairs). See DedupIndex.flagAndAdmit for
+      // the full semantics and the rare mid-write-crash residual.
       val tombs = tombstonesFor(spark, growPath)
       tombs.foreach { ts =>
-        val reborn = delta.select(col("id")).distinct()
-          .join(ts, Seq("id"), "left_semi").count()
+        val inBatch = delta.select(col("id")).distinct()
+          .join(ts, Seq("id"), "left_semi")
+        val none = delta.select(col("id")).limit(0)
+        def partIds(dir: String, schema: String) =
+          if (dirExists(spark, dir))
+            spark.read.schema(schema).parquet(dir).select(col("id"))
+          else none
+        val ownPrior = partIds(s"$sinkPath/batch_id=$batchId",
+            "id LONG, dup_of LONG, hamming LONG")
+          .unionByName(partIds(s"${extentPath(growPath)}/batch_id=$batchId",
+            "id LONG, fp LONG, band_idx INT, band_key LONG"))
+        val reborn = inBatch.join(ownPrior, Seq("id"), "left_anti").count()
         require(reborn == 0L,
           s"flagAndAdmit batch $batchId contains $reborn id(s) tombstoned " +
-            "in this index (forget() ids must reference INDEXED items)")
+            "in this index and not part of this batch's own prior output " +
+            "(forget() ids must reference INDEXED items)")
       }
       val parts: Seq[DataFrame] =
         spark.table(bandsTable(table)) +:

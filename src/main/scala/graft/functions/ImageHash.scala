@@ -48,7 +48,12 @@ object ImageHash {
     dhash56(rgb, w, h, 0)
 
   def dhash56(rgb: Array[Byte], w: Int, h: Int, roll: Int): Long = {
-    require(w > 0 && h > 0 && rgb.length >= 3 * w * h,
+    // long arithmetic: this kernel is SQL-exposed (GraftFunctions
+    // "dhash56"), so dims are caller-controlled and an int-wrapping
+    // 3*w*h would defeat the bound check and then index negatively
+    // (same hardening as MediaCodec's header parsers)
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue / 3 &&
+        rgb.length >= 3 * w * h,
       s"dhash56: raster ${rgb.length} bytes < ${w}x${h}x3")
     val wh = w * h
     val r = ((roll % wh) + wh) % wh

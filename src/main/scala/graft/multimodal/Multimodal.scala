@@ -88,27 +88,39 @@ object Multimodal {
       idOffset: Long = 10000000L): DataFrame =
     asMediaTable(docs).unionByName(mediaVariants(docs, every, idOffset))
 
-  /** Just the perturbed-variant leg of [[asMediaTableWithVariants]]
-    * (consumers that index originals separately — e.g.
-    * q_image_dedup_index's delta side — encode only the variants). */
-  def mediaVariants(docs: DataFrame, every: Int = 20,
-      idOffset: Long = 10000000L): DataFrame = {
+  /** THE variant perturbation: +8 on every 5th byte — one definition
+    * for the image AND audio variant legs, because the constant is
+    * load-bearing for four SQL oracles (a tweak applied to one
+    * modality but not the other would break oracle parity). ASCII
+    * input never wraps; the mask keeps arbitrary bytes total. */
+  private def perturbBytes(raw: Array[Byte]): Array[Byte] =
+    Array.tabulate(raw.length)(i =>
+      if (i % 5 == 0) ((raw(i) + 8) & 0xff).toByte else raw(i))
+
+  /** Shared variant builder: every `every`-th doc re-encoded from its
+    * perturbed bytes by `encode` (format/dims keyed by the ORIGINAL
+    * doc id/length, so the variant is a same-container, same-size
+    * near-copy), under media_id = doc_id + idOffset. */
+  private def variantsVia(docs: DataFrame, every: Int, idOffset: Long,
+      encode: (Long, Array[Byte]) => (String, Array[Byte])): DataFrame = {
     import docs.sparkSession.implicits._
     docs.filter(col("doc_id") % every === 0)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          val pert = Array.tabulate(raw.length)(i =>
-            if (i % 5 == 0) ((raw(i) + 8) & 0xff).toByte else raw(i))
-          // format/dims keyed by the ORIGINAL doc id/length, so the
-          // variant is a same-container, same-size near-copy
-          val (fmt, payload) = MediaCodec.encodeDoc(id, pert)
+          val (fmt, payload) = encode(id, perturbBytes(text.getBytes("UTF-8")))
           (id + idOffset, payload, fmt, payload.length.toLong)
         }
       }
       .toDF("media_id", "payload", "format", "n_bytes")
   }
+
+  /** Just the perturbed-variant leg of [[asMediaTableWithVariants]]
+    * (consumers that index originals separately — e.g.
+    * q_image_dedup_index's delta side — encode only the variants). */
+  def mediaVariants(docs: DataFrame, every: Int = 20,
+      idOffset: Long = 10000000L): DataFrame =
+    variantsVia(docs, every, idOffset, MediaCodec.encodeDoc)
 
   case class DecodedRaster(media_id: Long, format: String,
       width: Int, height: Int, rgb: Array[Byte])
@@ -324,22 +336,10 @@ object Multimodal {
     * the variant is the same stream with a faint level shift on a
     * sparse comb of samples; same rate/length as the original). */
   def asAudioTableWithVariants(docs: DataFrame, every: Int = 20,
-      idOffset: Long = 10000000L): DataFrame = {
-    import docs.sparkSession.implicits._
-    val variants = docs.filter(col("doc_id") % every === 0)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          val pert = Array.tabulate(raw.length)(i =>
-            if (i % 5 == 0) ((raw(i) + 8) & 0xff).toByte else raw(i))
-          val payload = AudioCodec.encodeDoc(id, pert)
-          (id + idOffset, payload, "wav", payload.length.toLong)
-        }
-      }
-      .toDF("media_id", "payload", "format", "n_bytes")
-    asAudioTable(docs).unionByName(variants)
-  }
+      idOffset: Long = 10000000L): DataFrame =
+    asAudioTable(docs).unionByName(
+      variantsVia(docs, every, idOffset,
+        (id, pert) => ("wav", AudioCodec.encodeDoc(id, pert))))
 
   case class DecodedPcm(media_id: Long, sample_rate: Int,
       samples: Array[Short])

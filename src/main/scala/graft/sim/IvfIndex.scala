@@ -245,7 +245,13 @@ object IvfIndex {
     * paused). Admission stays O(delta) between retrains; this is the
     * planned periodic rebuild, not a per-batch cost. */
   def retrain(spark: SparkSession, table: String, growPath: String,
-      nlist: Int = 16, iterations: Int = 3, buckets: Int = 16): Unit = {
+      nlist: Int = 0, iterations: Int = 3, buckets: Int = 16): Unit = {
+    // nlist <= 0 (the default) derives the cell count from the STORED
+    // centroids: an index written with a non-default nlist must not
+    // silently change geometry class on a bare retrain() call (the
+    // cell COUNT is preserved; the cells themselves retrain — that is
+    // the point). Pass nlist explicitly to re-size on purpose.
+    val k = if (nlist > 0) nlist else loadCentroids(spark, table).length
     val staging = growPath + "/_retrain_staging"
     val unioned =
       if (dirExists(spark, extentPath(growPath)))
@@ -256,7 +262,7 @@ object IvfIndex {
     val live = tombstones(spark, growPath).fold(unioned)(ts =>
       unioned.join(ts, Seq("vec_id"), "left_anti"))
     live.drop("cell").write.mode("overwrite").parquet(staging)
-    write(spark.read.parquet(staging), table, nlist, iterations, buckets)
+    write(spark.read.parquet(staging), table, k, iterations, buckets)
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(extentPath(growPath), tombstonePath(growPath), staging)
@@ -490,7 +496,9 @@ object IvfIndex {
     * corpus is definitionally the fresh-write contract. Same O(corpus)
     * cost class and cadence as [[compactInt8]]. */
   def retrainInt8(spark: SparkSession, table: String, growPath: String,
-      nlist: Int = 16, iterations: Int = 3, buckets: Int = 16): Unit = {
+      nlist: Int = 0, iterations: Int = 3, buckets: Int = 16): Unit = {
+    // nlist <= 0 derives the stored cell count, as [[retrain]]
+    val k = if (nlist > 0) nlist else loadCentroids(spark, table).length
     val staging = growPath + "/_retrain_staging"
     val vecsBase = spark.table(vecsTable(table))
       .select(col("vec_id"), col("embedding"))
@@ -519,7 +527,7 @@ object IvfIndex {
     val live = tombstones(spark, growPath).fold(withMeta)(ts =>
       withMeta.join(ts, Seq("vec_id"), "left_anti"))
     live.write.mode("overwrite").parquet(staging)
-    writeInt8(spark.read.parquet(staging), table, nlist, iterations, buckets)
+    writeInt8(spark.read.parquet(staging), table, k, iterations, buckets)
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(int8CodesPath(growPath), int8VecsPath(growPath),

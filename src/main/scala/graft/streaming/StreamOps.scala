@@ -247,12 +247,17 @@ object StreamOps {
       growPath: String, media: DataFrame, sinkPath: String,
       checkpoint: String, maxHamming: Int = 7,
       fingerprint: DataFrame => DataFrame =
-        graft.multimodal.Multimodal.imageFingerprints): StreamingQuery = {
+        graft.multimodal.Multimodal.imageFingerprints,
+      bits: Int = graft.functions.ImageHash.DHashBits): StreamingQuery = {
+    // `bits` must match the plugged fingerprint family's width — a
+    // wider fingerprint banded at fewer bits silently never bands its
+    // top bits (missed candidates); the audio/image 56-bit families
+    // share the default
     val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) =>
         graft.dedup.FingerprintIndex.flagAndAdmit(spark, table, growPath,
           fingerprint(batch.toDF()), "media_id", "fp",
-          graft.functions.ImageHash.DHashBits, maxHamming, batchId, sinkPath)
+          bits, maxHamming, batchId, sinkPath)
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(perBatch)

@@ -39,6 +39,11 @@ class EntrySpec extends SparkSpec {
     val claimed = "the (\\d+) declared".r.findFirstMatchIn(md).map(_.group(1).toInt)
     assert(claimed.contains(SparkEntry.queries.size),
       s"QUERIES.md header claims $claimed, registry has ${SparkEntry.queries.size}")
+    // the intro sentence's "All N hash-match" count rots independently
+    // of the header (caught stale at r11 review) — pin it too
+    val intro = "All (\\d+) hash-match".r.findFirstMatchIn(md).map(_.group(1).toInt)
+    assert(intro.contains(SparkEntry.queries.size),
+      s"QUERIES.md intro claims $intro, registry has ${SparkEntry.queries.size}")
     // first table cell per row; combined rows list several names
     // separated by " / " (e.g. the TPC-H adaptations row)
     val rowNames = md.linesIterator.collect {

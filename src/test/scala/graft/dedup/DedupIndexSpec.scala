@@ -185,4 +185,37 @@ class DedupIndexSpec extends SparkSpec {
       Seq((21L, b)).toDF("doc_id", "text"), 1L, sink)
     DedupIndex.drop(spark, "dedup_guard_idx")
   }
+
+  test("crash-replay of the batch that admitted a later-forgotten doc proceeds (guard exempts own prior output)") {
+    // r11 review finding: the first guard rejected this legitimate
+    // streaming recovery path. Batch 0 admits doc 10 (and flags 21
+    // against it); forget(10) — legal, 10 is indexed; a replay of
+    // batch 0 must NOT be rejected as a rebirth: its ids are in the
+    // batch's own sink/extent partitions, and the replayed sink drops
+    // the forgotten witness's pairs (retroactive-replay contract).
+    val grow = java.nio.file.Files.createTempDirectory("dedup_replay_spec").toString
+    val sink = java.nio.file.Files.createTempDirectory("dedup_replay_sink").toString
+    DedupIndex.write(Seq((12L, c)).toDF("doc_id", "text"),
+      "dedup_replay_idx", buckets = 4)
+    val batch0 = Seq((10L, a), (21L, b)).toDF("doc_id", "text")
+    DedupIndex.flagAndAdmit(spark, "dedup_replay_idx", grow, batch0, 0L, sink)
+    def sinkPairs() = spark.read
+      .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+      .parquet(sink).select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(sinkPairs() == Set((21L, 10L))) // within-batch flag, 10 admitted
+    DedupIndex.forget(spark, grow, Seq(10L).toDF("doc_id"), 1L)
+    // the replay must proceed (no IllegalArgumentException) and its
+    // rewritten sink must not cite the forgotten witness
+    DedupIndex.flagAndAdmit(spark, "dedup_replay_idx", grow, batch0, 0L, sink)
+    assert(sinkPairs().isEmpty,
+      s"replayed sink must drop the forgotten witness's pairs: ${sinkPairs()}")
+    // while the SAME id arriving in a DIFFERENT batch is still a rebirth
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.flagAndAdmit(spark, "dedup_replay_idx", grow,
+        Seq((10L, "some entirely new document text")).toDF("doc_id", "text"),
+        5L, sink)
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    DedupIndex.drop(spark, "dedup_replay_idx")
+  }
 }

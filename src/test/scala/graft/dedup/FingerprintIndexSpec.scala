@@ -137,4 +137,32 @@ class FingerprintIndexSpec extends SparkSpec {
       FingerprintIndex.tombstonePath(grow))))
     FingerprintIndex.drop(spark, "fpidx_f")
   }
+
+  test("crash-replay of the batch that admitted a later-forgotten item proceeds") {
+    val grow = java.nio.file.Files.createTempDirectory("fpidx_replay").toString
+    val sink = java.nio.file.Files.createTempDirectory("fpidx_rsink").toString
+    FingerprintIndex.write(Seq((12L, 0x123456789AL)).toDF("media_id", "fp"),
+      "media_id", "fp", "fpidx_r", Bits, maxHamming = 7, buckets = 4)
+    // batch 0 admits novel item 50 and flags 51 against it in-batch
+    val b0 = Seq((50L, 0xAAAAL), (51L, 0xAAABL)).toDF("media_id", "fp")
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_r", grow, b0,
+      "media_id", "fp", Bits, 7, 0L, sink)
+    FingerprintIndex.forget(spark, grow, Seq(50L).toDF("id"), 1L)
+    // replay of batch 0: exempt (own prior output), sink rewritten
+    // without the forgotten witness's pairs
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_r", grow, b0,
+      "media_id", "fp", Bits, 7, 0L, sink)
+    val pairs = spark.read
+      .schema("id LONG, dup_of LONG, hamming LONG, batch_id LONG")
+      .parquet(sink).select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(pairs.isEmpty, s"forgotten witness must not re-enter on replay: $pairs")
+    // same id in a DIFFERENT batch is still a rebirth -> rejected
+    val e = intercept[IllegalArgumentException] {
+      FingerprintIndex.flagAndAdmit(spark, "fpidx_r", grow,
+        Seq((50L, 0x7777L)).toDF("media_id", "fp"),
+        "media_id", "fp", Bits, 7, 5L, sink)
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    FingerprintIndex.drop(spark, "fpidx_r")
+  }
 }

@@ -140,7 +140,7 @@ class ImageDedupSpec extends SparkSpec {
       .count()
     assert(uncapped == 300L * 299 / 2 + 1)
     // the monitor sees the flood: every band's hottest bucket is 300
-    val occ = Dedup.hammingBandOccupancy(fps, "media_id", "fp", 56, 7)
+    val occ = Dedup.hammingBandOccupancy(fps, "fp", 56, 7)
       .select("band_idx", "max_bucket").as[(Int, Long)].collect().toMap
     assert(occ.size == 8 && occ.values.forall(_ == 300L))
   }
