@@ -17,11 +17,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Iterative.queries ++ ops.Events.queries ++
-      ops.TextOps.queries ++ ops.ScrubOps.queries
+      ops.TextOps.queries ++ ops.ScrubOps.queries ++ ops.MiningOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.Iterative.oracleSql ++ ops.Events.oracleSql ++
-      ops.TextOps.oracleSql ++ ops.ScrubOps.oracleSql
+      ops.TextOps.oracleSql ++ ops.ScrubOps.oracleSql ++ ops.MiningOps.oracleSql
 }

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.text.{Retrieval, TextFunctions}
+
+/** Corpus-mining queries: retrieval, model distillation, communities,
+  * semantic dedup — the "use the corpus to improve the corpus" family
+  * a training-data pipeline runs after cleaning (round 11; registry
+  * split out of TextOps to keep module sizes reviewable).
+  */
+object MiningOps {
+
+  /** Query-set bound for [[qBm25TopK]]: doc_id is unique, so the
+    * id-window filter admits at most this many query docs at ANY SF;
+    * the limit makes the bound PLAN-VISIBLE for the suite-wide
+    * broadcast audit (same discipline as TextOps.knnQueries). */
+  val Bm25Queries = 40
+  /** First-N distinct tokens of a query doc that form its query. */
+  val Bm25Terms = 5
+  /** Results per query. */
+  val Bm25K = 3
+
+  /** BM25 top-k retrieval ([[graft.text.Retrieval]]): the first 40
+    * docs act as the bounded "benchmark" query set, each query being
+    * its doc's first 5 distinct tokens, ranked against the whole
+    * corpus. */
+  def qBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val queries = docs.filter(col("doc_id") < Bm25Queries).limit(Bm25Queries)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(
+          slice(TextFunctions.tokens(col("text")), 1, Bm25Terms))).as("tok"))
+    Retrieval.bm25TopK(docs, queries, Bm25K)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_topk" -> (qBm25TopK _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bm25_topk" -> Retrieval.sqlBm25TopK(
+      s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+  )
+}

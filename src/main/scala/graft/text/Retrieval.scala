@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus: BM25 top-k scoring of a
+  * bounded query set — the ranking half of the dataset-search /
+  * retrieval-based-decontamination loop (find the training docs most
+  * similar to an eval question before deciding to drop them), and the
+  * lexical complement to the ANN family in [[graft.sim.Similarity]].
+  *
+  * BM25 is kept log-free and integer-exact so the DuckDB oracle can
+  * replay it bit-for-bit (the same discipline as the tf-idf operator's
+  * integer-rational score, TextOps q_tfidf_terms):
+  *
+  *   idf(t)    = (2N - 2df + 1) / (2df + 1)        Robertson idf,
+  *               log dropped (monotone in the ratio, exact rational)
+  *   tfp(t,d)  = tf(k1+1) / (tf + k1(1-b) + k1·b·dl/avgdl)
+  *               with k1 = 1.2, b = 0.75 → in 1e-4 units:
+  *               22000·tf / (10000·tf + 3000 + 9·ratio_m)
+  *               where ratio_m = (dl·1e6) div avgdl_m  (dl/avgdl in
+  *               milli-units) and avgdl_m = (T·1000) div N
+  *   score(q,d) = Σ_t∈q  (tfp_ppm · idf_ppm) div 1e6
+  *
+  * The last product is evaluated in the overflow-safe decomposed form
+  *   tfq·(idf div 1e6) + (tfq·(idf mod 1e6)) div 1e6
+  * (exact: floor((q·M+r)·b/M) = q·b + floor(r·b/M)), which keeps every
+  * intermediate < 2^63 up to N ≈ 2e12 docs and 1e7-token documents.
+  *
+  * 100 TB posture: the query set is bounded by construction (an
+  * explicit limit — a benchmark suite, not a corpus), so the query
+  * terms broadcast. The corpus streams through ONE narrow explode
+  * whose rows are cut down by the broadcast term join BEFORE any
+  * shuffle — the only shuffles are hit-sized (per-doc tf groupBy, df
+  * groupBy over ≤|query terms| keys with map-side combine, and the
+  * per-query rank window, which WindowGroupLimit partially evaluates
+  * map-side so a stopword-matching query never sorts a corpus-sized
+  * partition). Corpus length stats are one ungrouped aggregate
+  * broadcast as a scalar. Nothing corpus-sized is ever broadcast,
+  * collected, or re-shuffled.
+  */
+object Retrieval {
+
+  /** k1 = 1.2 and b = 0.75 folded into the 1e-4-unit tf-part
+    * coefficients (22000·tf) / (10000·tf + 3000 + 9·ratio_m). */
+  val TfNum = 22000L
+  val TfDen = 10000L
+  val TfConst = 3000L
+  val TfLen = 9L
+
+  /** Per-(query, doc, term) BM25 term scores in integer ppm.
+    * `queries`: (qid, tok) — MUST be bounded (it is broadcast);
+    * `docs`: (doc_id, text). Output: (qid, doc_id, tok, w). */
+  private def termScores(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val qTerms = queries.select(col("tok")).distinct()
+    val sp = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+    // one ungrouped aggregate → 1-row scalar frame (broadcast-safe)
+    val stats = sp.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast("long")).as("total_toks"))
+    // the broadcast term join cuts the exploded corpus BEFORE any
+    // shuffle — tf/df are hit-sized, never corpus-sized
+    val toks = sp
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("tok"))
+      .join(broadcast(qTerms), "tok")
+    val tf = toks.groupBy(col("doc_id"), col("tok"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // ≤ |query terms| rows by construction (grouped on the term key
+    // of the broadcast-filtered postings)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("ratio_m",
+        expr(s"(dl * 1000000L) div ((total_toks * 1000L) div n_docs)"))
+      .withColumn("tfq",
+        expr(s"($TfNum * tf * 1000000L) div" +
+          s" ($TfDen * tf + $TfConst + $TfLen * ratio_m)"))
+      .withColumn("idf",
+        expr("((2L * n_docs - 2L * df + 1L) * 1000000L) div (2L * df + 1L)"))
+      .join(broadcast(queries), "tok")
+      .select(col("qid"), col("doc_id"), col("tok"),
+        expr("tfq * (idf div 1000000L) + (tfq * (idf % 1000000L)) div 1000000L")
+          .as("w"))
+  }
+
+  /** BM25 top-`k` docs per query. `queries`: (qid, tok), bounded.
+    * Output: (qid, doc_id, score, rk), rk 1..k by (score desc,
+    * doc_id) — fully deterministic. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    termScores(docs, queries)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** SQL twin of [[bm25TopK]] for the DuckDB oracle. `queryPred`
+    * selects the query docs; their first `qTerms` distinct tokens are
+    * the query. */
+  def sqlBm25TopK(queryPred: String, qTerms: Int, k: Int): String =
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       q AS (SELECT DISTINCT doc_id AS qid, unnest(t[1:$qTerms]) AS tok
+             FROM sp WHERE $queryPred),
+       st AS (SELECT COUNT(1) AS n, CAST(SUM(len(t)) AS BIGINT) AS tt FROM sp),
+       toks AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok
+                FROM sp),
+       tf AS (SELECT doc_id, tok, dl, COUNT(1) AS tf FROM toks
+              WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2, 3),
+       dfq AS (SELECT tok, COUNT(1) AS df FROM tf GROUP BY tok),
+       sc AS (SELECT doc_id, tok,
+           ($TfNum * tf * 1000000) //
+             ($TfDen * tf + $TfConst +
+              $TfLen * ((dl * 1000000) // ((tt * 1000) // n))) AS tfq,
+           ((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1) AS idf
+         FROM tf JOIN dfq USING (tok) CROSS JOIN st),
+       term AS (SELECT doc_id, tok,
+           tfq * (idf // 1000000) + (tfq * (idf % 1000000)) // 1000000 AS w
+         FROM sc),
+       s AS (SELECT qid, doc_id, CAST(SUM(w) AS BIGINT) AS score
+             FROM q JOIN term USING (tok) GROUP BY 1, 2)
+       SELECT qid, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY qid
+           ORDER BY score DESC, doc_id) AS INT) AS rk
+       FROM s QUALIFY rk <= $k"""
+}
