@@ -35,12 +35,37 @@ object MiningOps {
     Retrieval.bm25TopK(docs, queries, Bm25K)
   }
 
+  /** Probe slice (mills of the id-hash space) for
+    * [[qDecontaminateBloom]]: 15% of the corpus — an SF-SCALED probe
+    * set, deliberately NOT the bounded-benchmark shape of
+    * q_decontaminate, because the Bloom path exists precisely for
+    * probe sets too big to broadcast raw. */
+  val BloomProbeMills = 150
+
+  /** Bloom-prefiltered decontamination
+    * ([[graft.pipeline.Decontaminate.flagOverlapBloom]]): same
+    * contract as q_decontaminate but the probe side stays distributed
+    * — only its Bloom bitset broadcasts, and the exact verify join
+    * runs keyed on the Bloom survivors. Oracle: the plain overlap SQL
+    * (the Bloom filter is invisible to results by construction). */
+  def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val isProbe =
+      graft.pipeline.Sampling.sampleFilter(col("doc_id"), BloomProbeMills)
+    graft.pipeline.Decontaminate.flagOverlapBloom(
+      docs.filter(!isProbe), docs.filter(isProbe), minCommon = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (qBm25TopK _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25_topk" -> Retrieval.sqlBm25TopK(
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+    "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
+      s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
+      minCommon = 3),
   )
 }

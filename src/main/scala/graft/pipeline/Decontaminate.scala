@@ -37,6 +37,79 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_probes_hit"), max(col("common")).as("max_common"))
   }
 
+  /** Bits per probe shingle for [[flagOverlapBloom]]'s filter: k=2
+    * hash functions at 16 bits/key → ~1.4% false-positive rate. FPs
+    * only cost verify-join work, never correctness. */
+  val BloomBitsPerKey = 16
+
+  /** [[flagOverlap]] for probe sets too big to broadcast RAW: a
+    * 1e8-shingle eval suite is gigabytes as a broadcast hash set
+    * (8-byte hashes + table overhead) but ~200 MB as Bloom BITS at 16
+    * bits/key — so the corpus is pre-filtered against a broadcast
+    * Bloom bitset and only the surviving shingles (true hits + ~1.4%
+    * FPs) enter a KEYED SHUFFLE join against the distributed probe
+    * set for exact verification. Same output as [[flagOverlap]] by
+    * construction: Bloom filters have no false negatives, and the
+    * verify join removes every false positive — which probes land in
+    * the FP set cannot affect the result, so the oracle stays the
+    * plain [[sqlFlagOverlap]].
+    *
+    * Plan shape (asserted in DecontaminateSpec): the bitset is built
+    * as ≤ m/64 (word, bits) rows via one grouped bit_or — the
+    * trailing `.limit(m/64)` is a no-op (word = pos div 64 < m/64 by
+    * construction) that makes the bound PLAN-VISIBLE to the
+    * suite-wide broadcast audit, the knnQueries discipline. The
+    * corpus streams through one explode + two broadcast word-lookup
+    * joins + bit tests (all codegen'd), and the only shuffles are
+    * survivor-sized. */
+  def flagOverlapBloom(corpus: DataFrame, probes: DataFrame,
+      minCommon: Int = 3, bitsPerKey: Int = BloomBitsPerKey,
+      materialize: Boolean = true): DataFrame = {
+    val probeSh = probes
+      .select(col("doc_id").as("pid"), explode(shingleVals(col("text"))).as("s"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKeys = probeSh.select(col("s")).distinct().count().max(1L)
+    // next power of two >= nKeys*bitsPerKey so pos % 64 / div 64 are
+    // bit ops after codegen; floor at 1024 bits
+    val m = java.lang.Long.highestOneBit(
+      (nKeys * bitsPerKey).max(1024L) * 2 - 1)
+    val maxWords = (m / 64).toInt
+    def positions(s: org.apache.spark.sql.Column) = Seq(
+      pmod(xxhash64(s), lit(m)), pmod(xxhash64(s, lit(0x9E3779B9L)), lit(m)))
+    val bits = probeSh
+      .select(explode(array(positions(col("s")): _*)).as("p"))
+      .select(expr("p div 64").as("w"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bb"))
+      .limit(maxWords)
+    val Seq(p1, p2) = positions(col("s"))
+    val survivors = corpus
+      .select(col("doc_id"), explode(shingleVals(col("text"))).as("s"))
+      .withColumn("p1v", p1).withColumn("p2v", p2)
+      .withColumn("w1", expr("p1v div 64"))
+      .withColumn("b1", expr("shiftleft(1L, cast(p1v % 64 as int))"))
+      .withColumn("w2", expr("p2v div 64"))
+      .withColumn("b2", expr("shiftleft(1L, cast(p2v % 64 as int))"))
+      .join(broadcast(bits.withColumnRenamed("w", "w1")
+        .withColumnRenamed("bb", "bb1")), Seq("w1"))
+      .filter(expr("(bb1 & b1) != 0"))
+      .join(broadcast(bits.withColumnRenamed("w", "w2")
+        .withColumnRenamed("bb", "bb2")), Seq("w2"))
+      .filter(expr("(bb2 & b2) != 0"))
+      .select(col("doc_id"), col("s"))
+    // exact verify: keyed shuffle join, survivor-sized on both sides
+    // (the probe frame is NOT broadcast — that's the premise)
+    val out = survivors.join(probeSh, "s")
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_probes_hit"), max(col("common")).as("max_common"))
+    if (materialize) graft.api.Materialize.releasing(out, Seq(probeSh))
+    else out
+  }
+
   /** Train/eval split LEAKAGE audit: verified near-duplicate pairs
     * that CROSS the split boundary — the self-contamination a
     * hash-based split cannot prevent (a doc's near-duplicates hash

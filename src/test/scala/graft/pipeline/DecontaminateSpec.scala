@@ -32,6 +32,58 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("flagOverlapBloom result is identical to the exact path") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isProbe = Sampling.sampleFilter(col("doc_id"), 150)
+    val exact = Decontaminate
+      .flagOverlap(docs.filter(!isProbe), docs.filter(isProbe))
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Decontaminate
+      .flagOverlapBloom(docs.filter(!isProbe), docs.filter(isProbe))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain contamination")
+    assert(bloom == exact)
+  }
+
+  test("flagOverlapBloom stays exact under a saturated (1 bit/key) filter") {
+    // force heavy false positives: correctness must come from the
+    // verify join, never from the Bloom FP rate
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isProbe = Sampling.sampleFilter(col("doc_id"), 150)
+    val exact = Decontaminate
+      .flagOverlap(docs.filter(!isProbe), docs.filter(isProbe))
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Decontaminate
+      .flagOverlapBloom(docs.filter(!isProbe), docs.filter(isProbe),
+        bitsPerKey = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom == exact)
+  }
+
+  test("flagOverlapBloom broadcasts only plan-visibly-bounded frames") {
+    // the SF-scaled probe set must never carry a raw broadcast hint:
+    // every hinted frame has to show a Limit marker (the bitset's
+    // no-op .limit(m/64)) — the suite-wide audit contract
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isProbe = Sampling.sampleFilter(col("doc_id"), 150)
+    // materialize = false: localCheckpoint would erase the logical
+    // plan under inspection
+    val plan = Decontaminate
+      .flagOverlapBloom(docs.filter(!isProbe), docs.filter(isProbe),
+        materialize = false)
+      .queryExecution.analyzed
+    val hinted = plan.collect { case h: ResolvedHint => h.child }
+    assert(hinted.nonEmpty, "bitset lookups must be broadcast joins")
+    val unbounded = hinted.filterNot(_.collectFirst {
+      case _: GlobalLimit => (); case _: LocalLimit => ()
+    }.isDefined)
+    assert(unbounded.isEmpty, s"unbounded broadcast frames: $unbounded")
+    spark.catalog.clearCache()
+  }
+
   test("leakageSafeSplit: zero cross-split near-dup pairs; singletons keep the plain split") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
