@@ -56,9 +56,17 @@ object MiningOps {
       docs.filter(!isProbe), docs.filter(isProbe), minCommon = 3)
   }
 
+  /** Quality-classifier distillation
+    * ([[graft.pipeline.QualityModel]]): batch-perceptron weights
+    * trained on the 80% id-band against the q_quality_filter rule
+    * label, plus the held-out confusion matrix. */
+  def qQualityDistill(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.QualityModel.distill(t(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (qBm25TopK _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_quality_distill" -> (qQualityDistill _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -67,5 +75,6 @@ object MiningOps {
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
       minCommon = 3),
+    "q_quality_distill" -> graft.pipeline.QualityModel.sqlDistill(),
   )
 }
