@@ -56,6 +56,25 @@ object MiningOps {
       docs.filter(!isProbe), docs.filter(isProbe), minCommon = 3)
   }
 
+  /** Per-leg depth and fused result count for [[qHybridRetrieval]]. */
+  val HybridEach = 10
+  val HybridK = 5
+
+  /** Hybrid lexical+semantic retrieval ([[Retrieval.hybridTopK]]):
+    * the q_bm25_topk query set searched BOTH ways — BM25 over the
+    * text and exact-quantized cosine over the query doc's embedding
+    * row — fused with integer reciprocal-rank fusion. */
+  def qHybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val queries = docs.filter(col("doc_id") < Bm25Queries).limit(Bm25Queries)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(
+          slice(TextFunctions.tokens(col("text")), 1, Bm25Terms))).as("tok"))
+    val qVecs = emb.filter(col("vec_id") < Bm25Queries).limit(Bm25Queries)
+    Retrieval.hybridTopK(docs, emb, queries, qVecs, HybridEach, HybridK)
+  }
+
   /** Quality-classifier distillation
     * ([[graft.pipeline.QualityModel]]): batch-perceptron weights
     * trained on the 80% id-band against the q_quality_filter rule
@@ -66,6 +85,7 @@ object MiningOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (qBm25TopK _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_quality_distill" -> (qQualityDistill _),
   )
 
@@ -75,6 +95,9 @@ object MiningOps {
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
       minCommon = 3),
+    "q_hybrid_retrieval" -> Retrieval.sqlHybridTopK(
+      s"doc_id < $Bm25Queries", s"vec_id < $Bm25Queries",
+      Bm25Terms, HybridEach, HybridK, dim = 64),
     "q_quality_distill" -> graft.pipeline.QualityModel.sqlDistill(),
   )
 }

@@ -83,24 +83,71 @@ object Retrieval {
           .as("w"))
   }
 
+  /** Per-(query, doc) summed BM25 scores: (qid, doc_id, score). */
+  def bm25Scores(docs: DataFrame, queries: DataFrame): DataFrame =
+    termScores(docs, queries)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+
   /** BM25 top-`k` docs per query. `queries`: (qid, tok), bounded.
     * Output: (qid, doc_id, score, rk), rk 1..k by (score desc,
     * doc_id) — fully deterministic. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    termScores(docs, queries)
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("w")).as("score"))
+    bm25Scores(docs, queries)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
 
-  /** SQL twin of [[bm25TopK]] for the DuckDB oracle. `queryPred`
-    * selects the query docs; their first `qTerms` distinct tokens are
-    * the query. */
-  def sqlBm25TopK(queryPred: String, qTerms: Int, k: Int): String =
-    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Reciprocal-rank-fusion damping constant (the standard 60 of
+    * Cormack/Clarke/Buettcher 2009): contribution of a rank-r hit is
+    * 1/(60+r), kept integer-exact as 1e9 div (60+r). */
+  val RrfDamp = 60L
+
+  /** Hybrid lexical+semantic retrieval: BM25 over the text and
+    * cosine over the embedding column, fused with reciprocal-rank
+    * fusion — the standard two-tower dataset-search shape (sparse
+    * recall catches exact terms, dense recall catches paraphrases;
+    * RRF needs no score calibration between the two).
+    *
+    * `queries`: (qid, tok) bounded term sets; `qVecs`: the SAME
+    * bounded query set's embedding rows (vec_id, embedding). Both
+    * legs rank top-`kEach` RELATED docs (the query doc itself is
+    * excluded on both legs), then fuse: rrf = Σ 1e9 div (60+rk) over
+    * the legs that retrieved the doc, ranked (rrf desc, doc_id).
+    *
+    * 100 TB posture: each leg is already hit-bounded (|queries|·kEach
+    * rows), so the fusion union/groupBy/rank moves only result-set
+    * sized data — the heavy lifting stays inside the legs (BM25's
+    * broadcast-term-cut corpus stream; swap the brute-force leg for
+    * [[graft.sim.Similarity.ivfTopK]] against a served index at
+    * corpus scale — the fusion contract is unchanged). */
+  def hybridTopK(docs: DataFrame, embeds: DataFrame, queries: DataFrame,
+      qVecs: DataFrame, kEach: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexW = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scores(docs, queries)
+      .filter(col("qid") =!= col("doc_id"))
+      .withColumn("rk", row_number().over(lexW)).filter(col("rk") <= kEach)
+      .select(col("qid"), col("doc_id").as("id"), col("rk"))
+    // bruteForceTopK already excludes qid == cid
+    val sem = graft.sim.Similarity.bruteForceTopK(embeds, qVecs, kEach)
+      .select(col("qid"), col("cid").as("id"), col("rk"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))
+    lex.unionByName(sem)
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(expr(s"1000000000L div ($RrfDamp + rk)")).as("rrf"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("id").as("doc_id"), col("rrf"), col("rk"))
+  }
+
+  /** Shared oracle CTE chain ending in `s(qid, doc_id, score)` —
+    * the summed BM25 scores both [[sqlBm25TopK]] and
+    * [[sqlHybridTopK]] rank from. */
+  private def sqlBm25Ctes(queryPred: String, qTerms: Int): String =
+    s"""sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        q AS (SELECT DISTINCT doc_id AS qid, unnest(t[1:$qTerms]) AS tok
              FROM sp WHERE $queryPred),
        st AS (SELECT COUNT(1) AS n, CAST(SUM(len(t)) AS BIGINT) AS tt FROM sp),
@@ -119,9 +166,44 @@ object Retrieval {
            tfq * (idf // 1000000) + (tfq * (idf % 1000000)) // 1000000 AS w
          FROM sc),
        s AS (SELECT qid, doc_id, CAST(SUM(w) AS BIGINT) AS score
-             FROM q JOIN term USING (tok) GROUP BY 1, 2)
+             FROM q JOIN term USING (tok) GROUP BY 1, 2)"""
+
+  /** SQL twin of [[bm25TopK]] for the DuckDB oracle. `queryPred`
+    * selects the query docs; their first `qTerms` distinct tokens are
+    * the query. */
+  def sqlBm25TopK(queryPred: String, qTerms: Int, k: Int): String =
+    s"""WITH ${sqlBm25Ctes(queryPred, qTerms)}
        SELECT qid, doc_id, score,
          CAST(row_number() OVER (PARTITION BY qid
            ORDER BY score DESC, doc_id) AS INT) AS rk
        FROM s QUALIFY rk <= $k"""
+
+  /** SQL twin of [[hybridTopK]]: lexical leg from the shared BM25
+    * CTEs (self-excluded pre-rank), semantic leg the exact-quantized
+    * cosine rank over `embeddings`, fused by integer RRF. */
+  def sqlHybridTopK(queryPred: String, qVecPred: String, qTerms: Int,
+      kEach: Int, k: Int, dim: Int): String =
+    s"""WITH ${sqlBm25Ctes(queryPred, qTerms)},
+       lex AS (SELECT qid, doc_id AS id,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id) AS INT) AS rk
+         FROM s WHERE doc_id <> qid QUALIFY rk <= $kEach),
+       sq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE $qVecPred),
+       ss AS (SELECT qid, c.vec_id AS id,
+           ${graft.sim.Similarity.sqlSimRounded("qv", "c.embedding", dim)} AS sim
+         FROM sq JOIN embeddings c ON qid <> c.vec_id),
+       sem AS (SELECT qid, id,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, id) AS INT) AS rk
+         FROM ss QUALIFY rk <= $kEach),
+       u AS (SELECT qid, id, rk FROM lex
+             UNION ALL SELECT qid, id, rk FROM sem),
+       f AS (SELECT qid, id AS doc_id,
+             CAST(SUM(1000000000 // ($RrfDamp + rk)) AS BIGINT) AS rrf
+           FROM u GROUP BY 1, 2)
+       SELECT qid, doc_id, rrf,
+         CAST(row_number() OVER (PARTITION BY qid
+           ORDER BY rrf DESC, doc_id) AS INT) AS rk
+       FROM f QUALIFY rk <= $k"""
 }

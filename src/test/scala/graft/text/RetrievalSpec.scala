@@ -46,6 +46,32 @@ class RetrievalSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  // hybrid fixture: doc 1 matches query 0 lexically AND is its
+  // 2nd-nearest embedding; doc 2 is nearest-embedding only
+  private val hDocs = Seq(
+    (0L, "alpha beta"), (1L, "alpha beta gamma"),
+    (2L, "delta epsilon"), (3L, "zeta eta")).toDF("doc_id", "text")
+  private val hEmb = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.8f, 0.2f, 0f, 0f)),
+    (2L, Array(1f, 0f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f)),
+  ).toDF("vec_id", "embedding")
+
+  test("hybridTopK: a doc hit by both legs outranks single-leg hits") {
+    val queries = Seq((0L, "alpha"), (0L, "beta")).toDF("qid", "tok")
+    val qVecs = hEmb.filter($"vec_id" === 0L)
+    val r = Retrieval.hybridTopK(hDocs, hEmb, queries, qVecs, kEach = 3, k = 3)
+      .orderBy("rk").select("doc_id", "rrf", "rk").as[(Long, Long, Int)]
+      .collect()
+    // doc 1: lexical rank 1 + semantic rank 2 (sim ~0.970 vs doc 2's
+    // exact 1.0); doc 2: semantic-only rank 1; doc 3: semantic rank 3
+    assert(r.toSeq == Seq(
+      (1L, 1000000000L / 61 + 1000000000L / 62, 1),
+      (2L, 1000000000L / 61, 2),
+      (3L, 1000000000L / 63, 3)))
+    // the query doc itself is excluded from both legs
+    assert(!r.map(_._1).contains(0L))
+  }
+
   test("idf decreases with df and the decomposed product is exact") {
     // cross-check the overflow-safe decomposition against the direct
     // product at values where the direct form cannot overflow
