@@ -56,6 +56,18 @@ object MiningOps {
       docs.filter(!isProbe), docs.filter(isProbe), minCommon = 3)
   }
 
+  /** Merge-table size for [[qBpeTrain]] — well under the corpus's
+    * mergeable-pair budget at every SF (the fixture vocabulary never
+    * exhausts in 12 merges; the Spark side would stop early, but the
+    * unrolled oracle assumes it does not). */
+  val BpeMerges = 12
+
+  /** BPE tokenizer training ([[graft.text.Bpe]]): the 12-merge table
+    * learned from the corpus — one corpus scan to the word-count
+    * dictionary, then vocab-sized merge epochs. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.train(spark, t(spark, dir, "documents"), BpeMerges)
+
   /** Per-leg depth and fused result count for [[qHybridRetrieval]]. */
   val HybridEach = 10
   val HybridK = 5
@@ -84,6 +96,7 @@ object MiningOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (qBm25TopK _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_quality_distill" -> (qQualityDistill _),
@@ -92,6 +105,7 @@ object MiningOps {
   val oracleSql: Map[String, String] = Map(
     "q_bm25_topk" -> Retrieval.sqlBm25TopK(
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+    "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
       minCommon = 3),

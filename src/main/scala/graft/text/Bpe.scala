@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training over the corpus — the merge
+  * table a training pipeline learns BEFORE it can token-count, pack
+  * or dedup at the subword level (Sennrich 2016 shape: word-internal
+  * merges, explicit end-of-word marker).
+  *
+  * The corpus is scanned ONCE into a (word, count) dictionary — the
+  * classic subword-nmt preprocessing step — and every merge epoch
+  * then runs on that vocab-sized frame, never the corpus. Words are
+  * kept in an unambiguous paren-delimited symbol string
+  * (`cat` → `(c)(a)(t)(_)`): applying merge (l,r) is then a plain
+  * left-to-right non-overlapping string replace of `(l)(r)` with
+  * `(lr)` — exactly BPE's greedy application order, and an operation
+  * whose semantics Spark and DuckDB share, so the oracle replays the
+  * whole trajectory as unrolled epoch CTEs (materialized — the
+  * word frame is referenced twice per epoch). Distinct words stay
+  * distinct strings under merging (concatenating a string's symbols
+  * recovers the word), so the dictionary never needs regrouping.
+  *
+  * Argmax tie-break is (count desc, l asc, r asc) — pure-ASCII
+  * symbols, so lexicographic order agrees across engines.
+  *
+  * 100 TB posture: one corpus scan builds the dictionary (groupBy
+  * word, map-side combine, Zipf-bounded result); each epoch is one
+  * explode+HashAggregate over the dictionary (pair keys, partial
+  * aggregation) finished by a TakeOrderedAndProject top-1 — a
+  * bounded (1-row) driver collect per epoch, the kMeansCentroids
+  * bounded-model pattern. The merge rewrite is a per-row codegen'd
+  * string replace. Nothing corpus-sized moves after the first scan.
+  */
+object Bpe {
+
+  /** (s, cnt) word dictionary: each distinct whitespace token as its
+    * initial symbol string with the `_` end-of-word marker. The
+    * corpus alphabet is lowercase ASCII, so `(`, `)` and `_` are
+    * never part of a symbol. */
+  def wordFrame(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(regexp_replace(col("tok"), "(.)", "($1)"), lit("(_)")).as("s"),
+        col("cnt"))
+
+  /** Adjacent-pair counts of a word frame: (l, r, c). */
+  def pairCounts(words: DataFrame): DataFrame = {
+    val ss = split(expr("substring(s, 2, char_length(s) - 2)"), "\\)\\(")
+    words
+      .select(col("cnt"), ss.as("ss"))
+      .select(col("cnt"), explode(zip_with(
+        slice(col("ss"), lit(1), size(col("ss")) - 1),
+        slice(col("ss"), lit(2), size(col("ss")) - 1),
+        (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Train `m` merges; returns the merge table
+    * (rank, l, r, c) — rank 1..m in merge order, c the pair count
+    * that won the rank. Stops early if the dictionary is fully
+    * merged (the SQL twin assumes it is not — keep m well under the
+    * corpus's mergeable-pair budget). */
+  def train(spark: SparkSession, docs: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dict = wordFrame(docs).persist(MEMORY_AND_DISK)
+    var w = dict
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (e <- 1 to m if !exhausted) {
+      val top = pairCounts(w)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((e, l, r, c))
+        w = w.withColumn("s",
+          expr(s"replace(s, '($l)($r)', '($l$r)')"))
+      }
+    }
+    import spark.implicits._
+    graft.api.Materialize.releasing(
+      merges.result().toDF("rank", "l", "r", "c"), Seq(dict))
+  }
+
+  /** SQL twin of [[train]]: unrolled epoch CTEs — pair counts,
+    * top-1 argmax, merge rewrite — ending in the unioned merge
+    * table. Epoch frames are MATERIALIZED (each is referenced by
+    * both the next epoch's pair count and its rewrite — without it
+    * the inlined plan re-scans the corpus 2^m times). */
+  def sqlTrain(m: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+           SELECT '(' || list_aggr(string_split(tok, ''), 'string_agg', ')(')
+                  || ')(_)' AS s,
+                  COUNT(*) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY 1)"""
+    val epochs = (1 to m).map { e =>
+      val p = e - 1
+      s"""p$e AS (SELECT ss[i] AS l, ss[i+1] AS r,
+             CAST(SUM(cnt) AS BIGINT) AS c
+           FROM (SELECT unnest(generate_series(1, len(ss) - 1)) AS i, ss, cnt
+                 FROM (SELECT string_split(s[2:-2], ')(') AS ss, cnt FROM w$p))
+           GROUP BY 1, 2),
+         b$e AS MATERIALIZED (
+           SELECT $e AS rank, l, r, c FROM p$e ORDER BY c DESC, l, r LIMIT 1),
+         w$e AS MATERIALIZED (
+           SELECT replace(s,
+               '(' || (SELECT l FROM b$e) || ')(' || (SELECT r FROM b$e) || ')',
+               '(' || (SELECT l || r FROM b$e) || ')') AS s, cnt
+           FROM w$p)"""
+    }
+    val sel = (1 to m).map(e => s"SELECT rank, l, r, c FROM b$e")
+      .mkString("\n       UNION ALL ")
+    s"""WITH $w0,
+       ${epochs.mkString(",\n       ")}
+       $sel"""
+  }
+}

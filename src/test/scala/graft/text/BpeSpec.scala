@@ -1,0 +1,76 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive in-memory BPE (symbol lists, no string tricks) — the
+    * independent reference the distributed trainer must match. */
+  private def naiveBpe(words: Map[String, Long], m: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var w: Map[Vector[String], Long] =
+      words.map { case (k, c) => (k.map(_.toString).toVector :+ "_", c) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var stop = false
+    for (e <- 1 to m if !stop) {
+      val pc = w.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map(p => (p, c))
+      }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      if (pc.isEmpty) stop = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((e, l, r, c))
+        w = w.map { case (syms, cnt) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += l + r; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), cnt)
+        }.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+      }
+    }
+    out.result()
+  }
+
+  private def trained(texts: Seq[String], m: Int) =
+    Bpe.train(spark, texts.zipWithIndex.map(_.swap).toDF("doc_id", "text"), m)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+
+  test("merges apply left-to-right non-overlapping (the BPE order)") {
+    // "aaa" -> (a)(a)(a)(_): pair (a,a) counts 2; applying it
+    // left-to-right gives (aa)(a)(_), so merge 2 is (a,_) — an
+    // overlapping or right-to-left replace would yield (a,aa) instead
+    assert(trained(Seq("aaa"), 2) ==
+      Seq((1, "a", "a", 2L), (2, "a", "_", 1L)))
+  }
+
+  test("training stops early when the dictionary is fully merged") {
+    // "ab" merges (a,b) then (ab,_) and is then a single symbol
+    assert(trained(Seq("ab"), 10) ==
+      Seq((1, "a", "b", 1L), (2, "ab", "_", 1L)))
+  }
+
+  test("distributed trainer matches the naive reference (Sennrich fixture)") {
+    val texts = Seq.fill(5)("low").mkString(" ") ::
+      Seq.fill(2)("lower").mkString(" ") ::
+      Seq.fill(6)("newest").mkString(" ") ::
+      Seq.fill(3)("widest").mkString(" ") :: Nil
+    val words = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (k, xs) => (k, xs.size.toLong) }
+    assert(trained(texts, 8) == naiveBpe(words, 8))
+  }
+
+  test("matches the naive reference on the real corpus (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = docs.select("text").as[String].collect()
+      .flatMap(_.split(" ")).groupBy(identity)
+      .map { case (k, xs) => (k, xs.size.toLong) }
+    val got = Bpe.train(spark, docs, 12)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == naiveBpe(words, 12))
+  }
+}
