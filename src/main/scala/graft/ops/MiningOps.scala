@@ -68,6 +68,13 @@ object MiningOps {
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.train(spark, t(spark, dir, "documents"), BpeMerges)
 
+  /** BPE encoding ([[graft.text.Bpe.encodeVocab]]): the learned
+    * merges applied corpus-wide — the subword vocabulary histogram
+    * after 12 merges (each word's final segmentation weighted by its
+    * corpus count; the corpus itself is scanned once). */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.encodeVocab(spark, t(spark, dir, "documents"), BpeMerges)
+
   /** Per-leg depth and fused result count for [[qHybridRetrieval]]. */
   val HybridEach = 10
   val HybridK = 5
@@ -97,6 +104,7 @@ object MiningOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (qBm25TopK _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_quality_distill" -> (qQualityDistill _),
@@ -106,6 +114,7 @@ object MiningOps {
     "q_bm25_topk" -> Retrieval.sqlBm25TopK(
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
+    "q_bpe_encode" -> graft.text.Bpe.sqlEncodeVocab(BpeMerges),
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
       minCommon = 3),

@@ -58,14 +58,16 @@ object Bpe {
       .agg(sum(col("cnt")).as("c"))
   }
 
-  /** Train `m` merges; returns the merge table
-    * (rank, l, r, c) — rank 1..m in merge order, c the pair count
-    * that won the rank. Stops early if the dictionary is fully
-    * merged (the SQL twin assumes it is not — keep m well under the
-    * corpus's mergeable-pair budget). */
-  def train(spark: SparkSession, docs: DataFrame, m: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val dict = wordFrame(docs).persist(MEMORY_AND_DISK)
+  /** The merge-application rewrite for one learned pair. */
+  private def applyMerge(w: DataFrame, l: String, r: String): DataFrame =
+    w.withColumn("s", expr(s"replace(s, '($l)($r)', '($l$r)')"))
+
+  /** The epoch loop over a (persisted) dictionary: at most `m`
+    * (pair-count → top-1 → rewrite) rounds, each a bounded 1-row
+    * driver collect. Returns the merge trajectory and the final
+    * (still lazy) dictionary frame. */
+  private def trainLoop(dict: DataFrame, m: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var w = dict
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
@@ -77,21 +79,48 @@ object Bpe {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((e, l, r, c))
-        w = w.withColumn("s",
-          expr(s"replace(s, '($l)($r)', '($l$r)')"))
+        w = applyMerge(w, l, r)
       }
     }
-    import spark.implicits._
-    graft.api.Materialize.releasing(
-      merges.result().toDF("rank", "l", "r", "c"), Seq(dict))
+    (merges.result(), w)
   }
 
-  /** SQL twin of [[train]]: unrolled epoch CTEs — pair counts,
-    * top-1 argmax, merge rewrite — ending in the unioned merge
-    * table. Epoch frames are MATERIALIZED (each is referenced by
-    * both the next epoch's pair count and its rewrite — without it
-    * the inlined plan re-scans the corpus 2^m times). */
-  def sqlTrain(m: Int): String = {
+  /** Train `m` merges; returns the merge table
+    * (rank, l, r, c) — rank 1..m in merge order, c the pair count
+    * that won the rank. Stops early if the dictionary is fully
+    * merged (the SQL twin assumes it is not — keep m well under the
+    * corpus's mergeable-pair budget). */
+  def train(spark: SparkSession, docs: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dict = wordFrame(docs).persist(MEMORY_AND_DISK)
+    val (merges, _) = trainLoop(dict, m)
+    import spark.implicits._
+    graft.api.Materialize.releasing(
+      merges.toDF("rank", "l", "r", "c"), Seq(dict))
+  }
+
+  /** Train `m` merges and APPLY them corpus-wide: the resulting
+    * subword vocabulary histogram (sym, cnt) — cnt the subword's
+    * total corpus occurrence count. Encoding reuses the trained
+    * dictionary (each word's final segmentation × its corpus count),
+    * so the corpus is still scanned exactly once. */
+  def encodeVocab(spark: SparkSession, docs: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dict = wordFrame(docs).persist(MEMORY_AND_DISK)
+    val (_, merged) = trainLoop(dict, m)
+    val ss = split(expr("substring(s, 2, char_length(s) - 2)"), "\\)\\(")
+    graft.api.Materialize.releasing(
+      merged.select(explode(ss).as("sym"), col("cnt"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("cnt")),
+      Seq(dict))
+  }
+
+  /** Shared oracle CTE chain for the `m`-epoch trajectory: ends with
+    * merge rows `b1..bm` and dictionaries `w0..wm`. Epoch frames are
+    * MATERIALIZED (each is referenced by both the next epoch's pair
+    * count and its rewrite — without it the inlined plan re-scans
+    * the corpus 2^m times). */
+  private def sqlTrainCtes(m: Int): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
            SELECT '(' || list_aggr(string_split(tok, ''), 'string_agg', ')(')
@@ -114,10 +143,24 @@ object Bpe {
                '(' || (SELECT l || r FROM b$e) || ')') AS s, cnt
            FROM w$p)"""
     }
+    s"""$w0,
+       ${epochs.mkString(",\n       ")}"""
+  }
+
+  /** SQL twin of [[train]]: the trajectory CTEs ending in the
+    * unioned merge table. */
+  def sqlTrain(m: Int): String = {
     val sel = (1 to m).map(e => s"SELECT rank, l, r, c FROM b$e")
       .mkString("\n       UNION ALL ")
-    s"""WITH $w0,
-       ${epochs.mkString(",\n       ")}
+    s"""WITH ${sqlTrainCtes(m)}
        $sel"""
   }
+
+  /** SQL twin of [[encodeVocab]]: the trajectory CTEs ending in the
+    * symbol histogram of the final dictionary. */
+  def sqlEncodeVocab(m: Int): String =
+    s"""WITH ${sqlTrainCtes(m)}
+       SELECT sym, CAST(SUM(cnt) AS BIGINT) AS cnt
+       FROM (SELECT unnest(string_split(s[2:-2], ')(')) AS sym, cnt FROM w$m)
+       GROUP BY sym"""
 }

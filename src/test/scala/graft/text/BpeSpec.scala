@@ -64,6 +64,36 @@ class BpeSpec extends SparkSpec {
     assert(trained(texts, 8) == naiveBpe(words, 8))
   }
 
+  test("encodeVocab matches the naive final segmentation histogram") {
+    val texts = Seq.fill(5)("low").mkString(" ") ::
+      Seq.fill(2)("lower").mkString(" ") ::
+      Seq.fill(6)("newest").mkString(" ") ::
+      Seq.fill(3)("widest").mkString(" ") :: Nil
+    val words = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (k, xs) => (k, xs.size.toLong) }
+    // replay the naive trainer's dictionary to a symbol histogram
+    var w: Map[Vector[String], Long] =
+      words.map { case (k, c) => (k.map(_.toString).toVector :+ "_", c) }
+    naiveBpe(words, 8).foreach { case (_, l, r, _) =>
+      w = w.map { case (syms, cnt) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += l + r; i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        (b.result(), cnt)
+      }
+    }
+    val expected = w.toSeq.flatMap { case (syms, c) => syms.map((_, c)) }
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+    val got = Bpe.encodeVocab(spark,
+        texts.zipWithIndex.map(_.swap).toDF("doc_id", "text"), 8)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("matches the naive reference on the real corpus (sf0.001)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = docs.select("text").as[String].collect()
