@@ -321,6 +321,19 @@ object TextOps {
   def qKnnClusters(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnClusters(t(spark, dir, "embeddings"), 5)
 
+  /** Seed band (mills) for [[qLabelProp]]: 20% of vectors keep their
+    * label, the rest learn one from their neighborhoods. */
+  val LabelPropSeedMills = 200
+
+  /** Label propagation ([[Similarity.labelPropagation]]): the 20%
+    * id-hash seed band's labels scaled to the corpus over the
+    * q_knn_graph top-5 out-neighborhoods, 3 synchronous
+    * majority-vote rounds (ties to the smaller label). */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelPropagation(t(spark, dir, "embeddings"),
+      graft.pipeline.Sampling.sampleFilter(col("vec_id"), LabelPropSeedMills),
+      k = 5, rounds = 3)
+
   /** GROWING IVF index e2e (the ANN twin of q_dedup_grow): train +
     * persist the quantizer and base corpus (even vec_ids), admit two
     * "crawl batches" of new vectors (vec_id%4==1, then %4==3) against
@@ -1091,6 +1104,7 @@ object TextOps {
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_graph" -> (qKnnGraph _),
     "q_knn_clusters" -> (qKnnClusters _),
+    "q_label_prop" -> (qLabelProp _),
     "q_knn_grow" -> (qKnnGrow _),
     "q_knn_compact" -> (qKnnCompact _),
     "q_knn_delete" -> (qKnnDelete _),
@@ -1800,6 +1814,33 @@ object TextOps {
          SELECT cluster_id, COUNT(1) AS n_vecs, MAX(node) AS max_vec,
            CAST(SUM(node) AS BIGINT) AS sum_vec
          FROM comp GROUP BY cluster_id""",
+    // label propagation: the q_knn_graph top-5 as the out-edge set,
+    // 3 unrolled synchronous majority-vote rounds — each round's
+    // votes come only from the PREVIOUS round's label frame
+    // (materialized — referenced by the vote join, the unlabeled
+    // anti-filter, and the union), ties to the smaller label
+    "q_label_prop" -> {
+      val seed = graft.pipeline.Sampling.sqlIdBucket("vec_id", 1000)
+      val rounds = (1 to 3).map { t =>
+        val p = t - 1
+        s"""v$t AS (SELECT g.qid, l.label, COUNT(*) AS c
+             FROM g JOIN l$p l ON g.cid = l.vec_id
+             WHERE g.qid NOT IN (SELECT vec_id FROM l$p)
+             GROUP BY 1, 2),
+           n$t AS (SELECT qid AS vec_id, label, $t AS round FROM v$t
+             QUALIFY row_number() OVER (PARTITION BY qid
+               ORDER BY c DESC, label) = 1),
+           l$t AS MATERIALIZED (
+             SELECT * FROM l$p UNION ALL SELECT * FROM n$t)"""
+      }
+      s"""WITH $knnGraphCtes,
+         g AS MATERIALIZED (SELECT qid, cid FROM ranked WHERE rk <= 5),
+         l0 AS MATERIALIZED (
+           SELECT vec_id, label, 0 AS round FROM embeddings
+           WHERE $seed < ${TextOps.LabelPropSeedMills}),
+         ${rounds.mkString(",\n         ")}
+         SELECT vec_id, label, round FROM l3"""
+    },
     // growing IVF: quantizer trained on the EVEN half only (the base
     // write), assignment over ALL vectors (frozen-quantizer admission),
     // identical probe/rank contract - extents must be invisible

@@ -266,6 +266,61 @@ object Similarity {
         sum(col("vertex")).as("sum_vec"))
   }
 
+  /** Semi-supervised label propagation over the [[knnGraph]]: scale
+    * a seed labeling (vec_ids matching `seedFilter` keep their
+    * `label` column, round 0) to the corpus by synchronous majority
+    * vote — each round, every still-unlabeled vector adopts the most
+    * common label among its already-labeled kNN out-neighbors (ties
+    * break on the smaller label; vectors with no labeled neighbor
+    * stay unlabeled and may resolve in a later round). Seeds are
+    * clamped. Output (vec_id, label, round) exposes the full
+    * trajectory — round t rows were assigned at round t — which is
+    * what the unrolled oracle checks.
+    *
+    * 100 TB posture: the graph is built once (the measured
+    * linear-in-candidates kNN-graph plan) and persisted at O(n·k)
+    * rows; each round is one keyed join (votes = graph ⋈ labels on
+    * the neighbor id, labels always a keyed side, nothing
+    * corpus-sized broadcasts), one anti-join to restrict to
+    * unlabeled nodes, one (qid,label) partial-agg and one top-1
+    * rank window — all hit-sized. State is checkpointed per round
+    * (bounded lineage), rounds are a small constant. */
+  def labelPropagation(corpus: DataFrame, seedFilter: Column, k: Int,
+      rounds: Int, nlist: Int = 16, nprobe: Int = 4,
+      iterations: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val g = knnGraph(corpus, k, nlist, nprobe, iterations)
+      .select(col("qid"), col("cid"))
+      .persist(MEMORY_AND_DISK)
+    val out = propagateLabels(g,
+      corpus.filter(seedFilter).select(col("vec_id"), col("label")), rounds)
+    g.unpersist(blocking = false)
+    out
+  }
+
+  /** The propagation core of [[labelPropagation]], over an explicit
+    * out-edge frame `g` (qid, cid) and `seeds` (vec_id, label).
+    * Runs the rounds eagerly (state checkpointed per round). */
+  def propagateLabels(g: DataFrame, seeds: DataFrame, rounds: Int)
+      : DataFrame = {
+    var labels = seeds
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        lit(0).as("round"))
+      .localCheckpoint(eager = true)
+    for (t <- 1 to rounds) {
+      val votes = g
+        .join(labels.select(col("vec_id").as("cid"), col("label")), Seq("cid"))
+        .join(labels.select(col("vec_id").as("qid")), Seq("qid"), "left_anti")
+        .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("label"))
+      val newly = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid").as("vec_id"), col("label"), lit(t).as("round"))
+      labels = labels.unionByName(newly).localCheckpoint(eager = true)
+    }
+    labels
+  }
+
   /** ANN top-k with multi-probe LSH: each query probes its own bucket
     * plus every bucket at Hamming distance 1 (flip one hyperplane
     * sign) — near-neighbors that land just across one hyperplane are
