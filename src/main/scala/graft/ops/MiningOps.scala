@@ -94,6 +94,17 @@ object MiningOps {
     Retrieval.hybridTopK(docs, emb, queries, qVecs, HybridEach, HybridK)
   }
 
+  /** Selection size for [[qImportanceSelect]]. */
+  val ImportanceK = 50
+
+  /** DSIR importance selection ([[graft.pipeline.Importance]]): the
+    * 50 non-English docs whose hashed token-bucket statistics look
+    * most like the English pool — tilt-the-crawl data selection with
+    * a bounded 128-bucket model. */
+  def qImportanceSelect(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Importance.select(
+      t(spark, dir, "documents"), col("lang") === "en", ImportanceK)
+
   /** Quality-classifier distillation
     * ([[graft.pipeline.QualityModel]]): batch-perceptron weights
     * trained on the 80% id-band against the q_quality_filter rule
@@ -107,6 +118,7 @@ object MiningOps {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
+    "q_importance_select" -> (qImportanceSelect _),
     "q_quality_distill" -> (qQualityDistill _),
   )
 
@@ -121,6 +133,8 @@ object MiningOps {
     "q_hybrid_retrieval" -> Retrieval.sqlHybridTopK(
       s"doc_id < $Bm25Queries", s"vec_id < $Bm25Queries",
       Bm25Terms, HybridEach, HybridK, dim = 64),
+    "q_importance_select" -> graft.pipeline.Importance.sqlSelect(
+      "lang = 'en'", ImportanceK),
     "q_quality_distill" -> graft.pipeline.QualityModel.sqlDistill(),
   )
 }

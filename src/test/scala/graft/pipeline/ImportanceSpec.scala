@@ -1,0 +1,37 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // buckets (wordVal % 128): "aa" -> 34, "zz" -> 66, "abc" -> 99
+  private val docs = Seq(
+    (0L, "aa aa aa abc", "en"), // target: 3 tokens in b34, 1 in b99
+    (1L, "aa aa", "de"),        // candidate sharing target vocabulary
+    (2L, "zz zz", "fr"),        // candidate with non-target vocabulary
+  ).toDF("doc_id", "text", "lang")
+
+  test("bucket weights are the smoothed ppm ratio, incl. target-only buckets") {
+    val w = Importance.bucketWeights(
+        docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en"))
+      .as[(Long, Long)].collect().toMap
+    assert(w(34L) == (3L + 1) * 1000000L / (2L + 1)) // 1333333
+    assert(w(66L) == (0L + 1) * 1000000L / (2L + 1)) // 333333
+    assert(w(99L) == (1L + 1) * 1000000L / (0L + 1)) // target-only bucket
+  }
+
+  test("select ranks target-vocabulary candidates first with exact scores") {
+    val r = Importance.select(docs, $"lang" === "en", k = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "de", 1333333L), (2L, "fr", 333333L)))
+  }
+
+  test("weight table stays bounded at the bucket count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = Importance.bucketWeights(
+      docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en")).count()
+    assert(n <= Importance.Buckets)
+  }
+}
