@@ -56,8 +56,12 @@ object Importance {
     * doc's mean token-bucket weight in ppm, selection ordered
     * (score desc, doc_id). */
   def select(docs: DataFrame, targetPred: Column, k: Int): DataFrame = {
+    // the weight table is <= Buckets rows by construction (grouped on
+    // a % Buckets key); the limit is a no-op that makes the bound
+    // PLAN-VISIBLE for the suite-wide broadcast audit
     val wts = broadcast(
-      bucketWeights(docs.filter(targetPred), docs.filter(!targetPred)))
+      bucketWeights(docs.filter(targetPred), docs.filter(!targetPred))
+        .limit(Buckets))
     docs.filter(!targetPred)
       .select(col("doc_id"), col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
