@@ -321,6 +321,19 @@ object TextOps {
   def qKnnClusters(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnClusters(t(spark, dir, "embeddings"), 5)
 
+  /** Margin threshold (ppm) for [[qBitextMine]]: keep mutual-best
+    * pairs whose sim clears their joint neighborhood average. */
+  val BitextMarginPpm = 1000000L
+
+  /** Margin-based bitext mining ([[Similarity.bitextMine]]): aligned
+    * pairs across the label-0 and label-1 pools ("two languages"),
+    * IVF cell-blocked candidates both directions, k=4 neighborhood
+    * sums, mutual-best + margin >= 1.0. */
+  def qBitextMine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bitextMine(t(spark, dir, "embeddings"),
+      col("label") === 0, col("label") === 1,
+      k = 4, marginPpmMin = BitextMarginPpm)
+
   /** Seed band (mills) for [[qLabelProp]]: 20% of vectors keep their
     * label, the rest learn one from their neighborhoods. */
   val LabelPropSeedMills = 200
@@ -1105,6 +1118,7 @@ object TextOps {
     "q_knn_graph" -> (qKnnGraph _),
     "q_knn_clusters" -> (qKnnClusters _),
     "q_label_prop" -> (qLabelProp _),
+    "q_bitext_mine" -> (qBitextMine _),
     "q_knn_grow" -> (qKnnGrow _),
     "q_knn_compact" -> (qKnnCompact _),
     "q_knn_delete" -> (qKnnDelete _),
@@ -1841,6 +1855,48 @@ object TextOps {
          ${rounds.mkString(",\n         ")}
          SELECT vec_id, label, round FROM l3"""
     },
+    // bitext mining: cb/qp reused from the kNN-graph CTEs, candidates
+    // restricted to the two label pools in both directions, k=4
+    // neighborhood sums, margin in integer ppm over positive-guarded
+    // operands, mutual best = both row_numbers 1 over the same frame
+    "q_bitext_mine" ->
+      s"""WITH $knnGraphCtes,
+         ab AS MATERIALIZED (
+           SELECT qid AS aid, cid AS bid,
+             CAST(round((${Similarity.sqlCosine("qv", "cv", 64)}) * 1e6) AS BIGINT) AS simq
+           FROM qp JOIN cb USING (cell)
+           WHERE qid IN (SELECT vec_id FROM embeddings WHERE label = 0)
+             AND cid IN (SELECT vec_id FROM embeddings WHERE label = 1)),
+         ba AS (
+           SELECT cid AS aid, qid AS bid,
+             CAST(round((${Similarity.sqlCosine("qv", "cv", 64)}) * 1e6) AS BIGINT) AS simq
+           FROM qp JOIN cb USING (cell)
+           WHERE qid IN (SELECT vec_id FROM embeddings WHERE label = 1)
+             AND cid IN (SELECT vec_id FROM embeddings WHERE label = 0)),
+         sa AS (SELECT aid, CAST(SUM(simq) AS BIGINT) AS sum_a,
+               COUNT(*) AS cnt_a
+             FROM (SELECT aid, simq, row_number() OVER (PARTITION BY aid
+                 ORDER BY simq DESC, bid) AS rk FROM ab)
+             WHERE rk <= 4 GROUP BY aid),
+         sb AS (SELECT bid, CAST(SUM(simq) AS BIGINT) AS sum_b,
+               COUNT(*) AS cnt_b
+             FROM (SELECT bid, simq, row_number() OVER (PARTITION BY bid
+                 ORDER BY simq DESC, aid) AS rk FROM ba)
+             WHERE rk <= 4 GROUP BY bid),
+         m AS MATERIALIZED (
+           SELECT aid, bid,
+             CAST((simq * (cnt_a + cnt_b) * 1000000) // (sum_a + sum_b)
+               AS BIGINT) AS margin_ppm
+           FROM ab JOIN sa USING (aid) JOIN sb USING (bid)
+           WHERE simq > 0 AND sum_a + sum_b > 0)
+         SELECT aid, bid, margin_ppm FROM (
+           SELECT aid, bid, margin_ppm,
+             row_number() OVER (PARTITION BY aid
+               ORDER BY margin_ppm DESC, bid) AS ra,
+             row_number() OVER (PARTITION BY bid
+               ORDER BY margin_ppm DESC, aid) AS rb
+           FROM m)
+         WHERE ra = 1 AND rb = 1 AND margin_ppm >= ${TextOps.BitextMarginPpm}""",
     // growing IVF: quantizer trained on the EVEN half only (the base
     // write), assignment over ALL vectors (frozen-quantizer admission),
     // identical probe/rank contract - extents must be invisible

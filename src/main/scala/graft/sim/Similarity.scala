@@ -321,6 +321,85 @@ object Similarity {
     labels
   }
 
+  /** Margin-based bitext mining (the Artetxe/Schwenk 2019 criterion):
+    * mine aligned pairs across two pools (source/target "languages")
+    * by scoring each candidate pair's cosine against BOTH endpoints'
+    * neighborhood averages — margin = sim·(cntA+cntB) div
+    * (ΣNNk(a) + ΣNNk(b)) in integer ppm — and keeping only MUTUAL
+    * best pairs above a threshold. The margin denominator is what
+    * kills hub vectors: a generic embedding with a uniformly warm
+    * neighborhood can't clear a ratio of ~1.
+    *
+    * Candidates are IVF cell-blocked exactly like [[knnGraph]]
+    * (probe side explodes nprobe cells, base side keyed on its one
+    * cell, SHUFFLE_HASH — nothing pool-sized broadcasts), in both
+    * directions; neighborhood sums are top-k windows over the
+    * candidate lists. Same recall contract as knnGraph: pairs
+    * outside the probed cells are missed.
+    *
+    * Integer-exactness guard: pairs with nonpositive sim or
+    * nonpositive neighborhood sum are dropped BEFORE the margin
+    * division (they can't be bitext anyway, and Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — they only
+    * agree on nonnegative operands). All arithmetic stays < 2^63:
+    * sim ≤ 1e6, counts ≤ 2k, so the numerator is ≤ 2k·1e12. */
+  def bitextMine(corpus: DataFrame, isSrc: Column, isTgt: Column, k: Int,
+      marginPpmMin: Long, nlist: Int = 16, nprobe: Int = 4,
+      iterations: Int = 3): DataFrame = {
+    import graft.functions.NearestCell
+    import graft.graph.Algorithms
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def simMicro(a: Column, b: Column): Column =
+      round(graft.functions.CosineSim.cosineSim(a, b) * lit(1e6)).cast("long")
+    // quantizer trained on the WHOLE corpus (the knnGraph contract)
+    val pts = corpus.select(col("vec_id").as("id"),
+      col("embedding").as("features"))
+    val cells = Algorithms.kMeansCentroids(pts, nlist, iterations)
+    val a = corpus.filter(isSrc)
+      .select(col("vec_id").as("aid"), col("embedding").as("av"))
+    val b = corpus.filter(isTgt)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+    def blocked(probe: DataFrame, pv: String, base: DataFrame,
+        basev: String): DataFrame =
+      probe.withColumn("cell",
+          explode(NearestCell.nearestCells(col(pv), cells, nprobe)))
+        .join(base.withColumn("cell",
+            NearestCell.nearestCell(col(basev), cells)).hint("SHUFFLE_HASH"),
+          Seq("cell"))
+        .select(col("aid"), col("bid"),
+          simMicro(col("av"), col("bv")).as("simq"))
+    val candAB = blocked(a, "av", b, "bv").persist(MEMORY_AND_DISK)
+    val candBA = blocked(b, "bv", a, "av")
+    def nnSum(cand: DataFrame, key: String, other: String): DataFrame = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("simq").desc, col(other))
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .groupBy(col(key))
+        .agg(sum(col("simq")).as(s"sum_$key"),
+          count(lit(1)).as(s"cnt_$key"))
+    }
+    val margins = candAB
+      .join(nnSum(candAB, "aid", "bid"), Seq("aid"))
+      .join(nnSum(candBA, "bid", "aid"), Seq("bid"))
+      .filter(col("simq") > 0 && (col("sum_aid") + col("sum_bid")) > 0)
+      .select(col("aid"), col("bid"),
+        expr("(simq * (cnt_aid + cnt_bid) * 1000000L) div (sum_aid + sum_bid)")
+          .as("margin_ppm"))
+      .persist(MEMORY_AND_DISK)
+    val wa = Window.partitionBy(col("aid"))
+      .orderBy(col("margin_ppm").desc, col("bid"))
+    val wb = Window.partitionBy(col("bid"))
+      .orderBy(col("margin_ppm").desc, col("aid"))
+    val bestA = margins.withColumn("ra", row_number().over(wa))
+      .filter(col("ra") === 1).drop("ra")
+    val bestB = margins.withColumn("rb", row_number().over(wb))
+      .filter(col("rb") === 1).drop("rb")
+    val out = bestA.join(bestB, Seq("aid", "bid", "margin_ppm"))
+      .filter(col("margin_ppm") >= marginPpmMin)
+      .select(col("aid"), col("bid"), col("margin_ppm"))
+    graft.api.Materialize.releasing(out, Seq(candAB, margins))
+  }
+
   /** ANN top-k with multi-probe LSH: each query probes its own bucket
     * plus every bucket at Hamming distance 1 (flip one hyperplane
     * sign) — near-neighbors that land just across one hyperplane are
