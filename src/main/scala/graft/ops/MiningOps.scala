@@ -75,6 +75,12 @@ object MiningOps {
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.encodeVocab(spark, t(spark, dir, "documents"), BpeMerges)
 
+  /** Per-doc subword counts ([[graft.text.Bpe.docTokenCounts]]):
+    * tokenizer-aware document lengths under the learned 12-merge
+    * vocabulary — the budget/packing input. */
+  def qBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.docTokenCounts(spark, t(spark, dir, "documents"), BpeMerges)
+
   /** Per-leg depth and fused result count for [[qHybridRetrieval]]. */
   val HybridEach = 10
   val HybridK = 5
@@ -116,6 +122,7 @@ object MiningOps {
     "q_bm25_topk" -> (qBm25TopK _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_tokens" -> (qBpeTokens _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_importance_select" -> (qImportanceSelect _),
@@ -127,6 +134,7 @@ object MiningOps {
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
     "q_bpe_encode" -> graft.text.Bpe.sqlEncodeVocab(BpeMerges),
+    "q_bpe_tokens" -> graft.text.Bpe.sqlDocTokenCounts(BpeMerges),
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
       minCommon = 3),

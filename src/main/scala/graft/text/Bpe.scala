@@ -34,14 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** (s, cnt) word dictionary: each distinct whitespace token as its
-    * initial symbol string with the `_` end-of-word marker. The
-    * corpus alphabet is lowercase ASCII, so `(`, `)` and `_` are
-    * never part of a symbol. */
+  /** (tok, s, cnt) word dictionary: each distinct whitespace token
+    * with its initial symbol string (`_` end-of-word marker) and
+    * corpus count. The corpus alphabet is lowercase ASCII, so `(`,
+    * `)` and `_` are never part of a symbol. `tok` rides along so
+    * per-document encodings can join back ([[docTokenCounts]]). */
   def wordFrame(docs: DataFrame): DataFrame =
     docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .select(
+      .select(col("tok"),
         concat(regexp_replace(col("tok"), "(.)", "($1)"), lit("(_)")).as("s"),
         col("cnt"))
 
@@ -115,6 +116,40 @@ object Bpe {
       Seq(dict))
   }
 
+  /** Train `m` merges and count each document's SUBWORD tokens —
+    * the tokenizer-aware length a packing/budget stage actually needs
+    * (whitespace counts under-budget long rare words, which BPE
+    * splits). Per distinct word the final segmentation length comes
+    * from the trained dictionary; the corpus explode joins it with
+    * the skew-safe hybrid weight join (the word dictionary IS a
+    * Zipf-frequency table, so hot words take the broadcast path and
+    * only tail words enter the keyed shuffle) and sums per doc. */
+  def docTokenCounts(spark: SparkSession, docs: DataFrame, m: Int)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dict = wordFrame(docs).persist(MEMORY_AND_DISK)
+    val (_, merged) = trainLoop(dict, m)
+    val ss = split(expr("substring(s, 2, char_length(s) - 2)"), "\\)\\(")
+    val wordLens = merged.select(col("tok"),
+      size(ss).cast("long").as("n_sub"), col("cnt"))
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val perDoc = CorpusScoring.hybridWeightJoin(toks, wordLens,
+        Seq("tok"), "cnt", hotN = 64, joinType = "inner")
+      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_subwords"))
+    graft.api.Materialize.releasing(perDoc, Seq(dict))
+  }
+
+  /** SQL twin of [[docTokenCounts]]. */
+  def sqlDocTokenCounts(m: Int): String =
+    s"""WITH ${sqlTrainCtes(m)}
+       SELECT doc_id, CAST(SUM(len(string_split(w.s[2:-2], ')('))) AS BIGINT)
+         AS n_subwords
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents) d
+       JOIN w$m w USING (tok)
+       GROUP BY doc_id"""
+
   /** Shared oracle CTE chain for the `m`-epoch trajectory: ends with
     * merge rows `b1..bm` and dictionaries `w0..wm`. Epoch frames are
     * MATERIALIZED (each is referenced by both the next epoch's pair
@@ -123,11 +158,12 @@ object Bpe {
   private def sqlTrainCtes(m: Int): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
-           SELECT '(' || list_aggr(string_split(tok, ''), 'string_agg', ')(')
+           SELECT tok,
+                  '(' || list_aggr(string_split(tok, ''), 'string_agg', ')(')
                   || ')(_)' AS s,
                   COUNT(*) AS cnt
            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-           GROUP BY 1)"""
+           GROUP BY 1, 2)"""
     val epochs = (1 to m).map { e =>
       val p = e - 1
       s"""p$e AS (SELECT ss[i] AS l, ss[i+1] AS r,
@@ -138,7 +174,7 @@ object Bpe {
          b$e AS MATERIALIZED (
            SELECT $e AS rank, l, r, c FROM p$e ORDER BY c DESC, l, r LIMIT 1),
          w$e AS MATERIALIZED (
-           SELECT replace(s,
+           SELECT tok, replace(s,
                '(' || (SELECT l FROM b$e) || ')(' || (SELECT r FROM b$e) || ')',
                '(' || (SELECT l || r FROM b$e) || ')') AS s, cnt
            FROM w$p)"""

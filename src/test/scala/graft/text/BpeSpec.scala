@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.sum
 
 class BpeSpec extends SparkSpec {
   import spark.implicits._
@@ -92,6 +93,27 @@ class BpeSpec extends SparkSpec {
         texts.zipWithIndex.map(_.swap).toDF("doc_id", "text"), 8)
       .as[(String, Long)].collect().toMap
     assert(got == expected)
+  }
+
+  test("docTokenCounts: per-doc subword lengths under the learned merges") {
+    val docs = Seq((0L, "ab ab"), (1L, "ab")).toDF("doc_id", "text")
+    // m=1 learns (a,b) -> each "ab" is (ab)(_) = 2 subwords;
+    // m=2 also learns (ab,_) -> 1 subword per word
+    val m1 = Bpe.docTokenCounts(spark, docs, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(m1 == Map(0L -> 4L, 1L -> 2L))
+    val m2 = Bpe.docTokenCounts(spark, docs, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(m2 == Map(0L -> 2L, 1L -> 1L))
+  }
+
+  test("subword mass conservation: doc counts sum to the vocab histogram") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val perDoc = Bpe.docTokenCounts(spark, docs, 12)
+      .agg(sum("n_subwords")).as[Long].head()
+    val hist = Bpe.encodeVocab(spark, docs, 12)
+      .agg(sum("cnt")).as[Long].head()
+    assert(perDoc == hist)
   }
 
   test("matches the naive reference on the real corpus (sf0.001)") {
