@@ -72,6 +72,32 @@ object Importance {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** The trained model as a driver map — bounded at [[Buckets]]
+    * entries by construction, the serve-side artifact. */
+  def weightsMap(target: DataFrame, raw: DataFrame): Map[Long, Long] =
+    bucketWeights(target, raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  /** Frozen-model scoring as a stateless projection: the weight
+    * table inlined as a literal map, so the SAME expression scores a
+    * batch frame or an unbounded stream (no join, no state, no
+    * watermark — the serving shape for "score the crawl as it
+    * arrives"). Buckets unseen at training score the neutral add-1
+    * smoothed ratio (1e6 ppm). Integer div is exact (weights are
+    * positive, so tot div nt never hits the float path). */
+  def scoreWith(docs: DataFrame, weights: Map[Long, Long]): DataFrame = {
+    val wm = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+    val toks = TextFunctions.tokens(col("text"))
+    docs.select(col("doc_id"), col("lang"),
+        aggregate(
+          transform(toks, w =>
+            coalesce(element_at(wm, bucket(w)), lit(1000000L))),
+          lit(0L), (a, v) => a + v).as("tot"),
+        size(toks).cast("long").as("nt"))
+      .select(col("doc_id"), col("lang"), expr("tot div nt").as("score"))
+  }
+
   /** SQL twin of [[select]]. */
   def sqlSelect(targetPred: String, k: Int): String =
     s"""WITH tt AS (SELECT ${sqlBucket("w")} AS b, COUNT(*) AS tc

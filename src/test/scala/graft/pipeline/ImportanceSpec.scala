@@ -28,6 +28,30 @@ class ImportanceSpec extends SparkSpec {
     assert(r == Seq((1L, "de", 1333333L), (2L, "fr", 333333L)))
   }
 
+  test("scoreWith serves a stream identically to the batch pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val raw = corpus.filter($"lang" =!= "en")
+    val w = Importance.weightsMap(corpus.filter($"lang" === "en"), raw)
+    // batch reference through the distributed join pipeline (k large
+    // enough to keep every candidate)
+    val batch = Importance.select(corpus, $"lang" === "en", k = 100000)
+      .as[(Long, String, Long)].collect()
+      .map { case (id, lang, s) => (id, (lang, s)) }.toMap
+    val in = MemoryStream[(Long, String, String)]
+    val q = Importance.scoreWith(
+        in.toDF().toDF("doc_id", "text", "lang"), w)
+      .writeStream.format("memory").queryName("imp_scores")
+      .outputMode("append").start()
+    in.addData(raw.select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("imp_scores").as[(Long, String, Long)].collect()
+      .map { case (id, lang, s) => (id, (lang, s)) }.toMap
+    assert(got == batch)
+  }
+
   test("weight table stays bounded at the bucket count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = Importance.bucketWeights(
