@@ -100,6 +100,12 @@ object MiningOps {
     Retrieval.hybridTopK(docs, emb, queries, qVecs, HybridEach, HybridK)
   }
 
+  /** Curriculum staging ([[graft.pipeline.Curriculum]]): the corpus
+    * bucketed into 4 easy→hard stages by unigram typicality, stage
+    * boundaries from a deterministic 256-doc sample's quartiles. */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curriculum.stages(t(spark, dir, "documents"))
+
   /** Selection size for [[qImportanceSelect]]. */
   val ImportanceK = 50
 
@@ -123,6 +129,7 @@ object MiningOps {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_tokens" -> (qBpeTokens _),
+    "q_curriculum" -> (qCurriculum _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_importance_select" -> (qImportanceSelect _),
@@ -135,6 +142,7 @@ object MiningOps {
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
     "q_bpe_encode" -> graft.text.Bpe.sqlEncodeVocab(BpeMerges),
     "q_bpe_tokens" -> graft.text.Bpe.sqlDocTokenCounts(BpeMerges),
+    "q_curriculum" -> graft.pipeline.Curriculum.sqlStages(),
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
       minCommon = 3),
