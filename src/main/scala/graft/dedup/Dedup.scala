@@ -445,7 +445,7 @@ object Dedup {
   /** SQL twin of [[simhash]] for the DuckDB oracle. */
   def sqlSimhash(textExpr: String, bits: Int = SimHashBits): String = {
     val hv = s"""list_transform(string_split($textExpr, ' '),
-      w -> (CAST(ascii(w)*1024 + ascii(right(w,1))*32 + length(w) AS BIGINT)
+      w -> (${sqlWordVal("w")}
             * 2654435761) % $HashMod)"""
     (0 until bits).map { b =>
       s"""(CASE WHEN list_sum(list_transform($hv,

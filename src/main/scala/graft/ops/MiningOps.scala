@@ -57,9 +57,9 @@ object MiningOps {
   }
 
   /** Merge-table size for [[qBpeTrain]] — well under the corpus's
-    * mergeable-pair budget at every SF (the fixture vocabulary never
-    * exhausts in 12 merges; the Spark side would stop early, but the
-    * unrolled oracle assumes it does not). */
+    * mergeable-pair budget at every SF; if a corpus ever exhausts
+    * earlier, both the Spark side and the unrolled oracle stop
+    * identically (exhausted epoch CTEs are no-ops). */
   val BpeMerges = 12
 
   /** BPE tokenizer training ([[graft.text.Bpe]]): the 12-merge table

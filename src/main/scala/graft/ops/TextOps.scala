@@ -257,9 +257,9 @@ object TextOps {
     val nt = nTokens(col("text"))
     val wl = length(col("text")) - nt + lit(1) // total word chars
     val nStop = size(filter(tokens(col("text")), w => w.isin(Stopwords: _*)))
-    val verdict = when(nt < 20, lit("too_short"))
-      .when(wl > nt * 8, lit("long_words"))
-      .when(nStop * 20 < nt, lit("low_stopword"))
+    val verdict = when(nt < TextFunctions.QualityMinTokens, lit("too_short"))
+      .when(wl > nt * TextFunctions.QualityMaxAvgWordLen, lit("long_words"))
+      .when(nStop * TextFunctions.QualityStopwordDen < nt, lit("low_stopword"))
       .otherwise(lit("ok"))
     t(spark, dir, "documents")
       .select(col("lang"), verdict.as("verdict"))
@@ -1700,9 +1700,9 @@ object TextOps {
              ${sqlLangScore("text", TextFunctions.Stopwords)} AS ns
            FROM documents)
          SELECT lang,
-           CASE WHEN nt < 20 THEN 'too_short'
-                WHEN wl > nt * 8 THEN 'long_words'
-                WHEN ns * 20 < nt THEN 'low_stopword'
+           CASE WHEN nt < ${TextFunctions.QualityMinTokens} THEN 'too_short'
+                WHEN wl > nt * ${TextFunctions.QualityMaxAvgWordLen} THEN 'long_words'
+                WHEN ns * ${TextFunctions.QualityStopwordDen} < nt THEN 'low_stopword'
                 ELSE 'ok' END AS verdict,
            COUNT(1) AS n_docs
          FROM q GROUP BY 1, 2""",

@@ -79,7 +79,7 @@ object Chunking {
        SELECT doc_id, chunk_idx,
          CAST(len(chunk) AS BIGINT) AS n_tok,
          list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(chunk,
-           w -> CAST(ascii(w)*1024 + ascii(right(w,1))*32 + length(w) AS BIGINT))),
+           w -> ${TextFunctions.sqlWordVal("w")})),
            (acc, v) -> (acc*31 + v) % ${TextFunctions.HashMod}) AS chunk_fp
        FROM c"""
 }

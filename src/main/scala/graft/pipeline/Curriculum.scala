@@ -36,9 +36,7 @@ object Curriculum {
     * (stage, n_docs, min_score, max_score). */
   def stages(docs: DataFrame): DataFrame = {
     val scores = CorpusScoring.unigramScores(docs, materialize = true)
-    val sample = scores
-      .orderBy(Sampling.idBucket(col("doc_id"), 1000000), col("doc_id"))
-      .limit(SampleK)
+    val sample = Sampling.fixedSample(scores, "doc_id", SampleK)
     val w = Window.orderBy(col("score"), col("doc_id"))
     val cw = Window.partitionBy()
     val th = sample

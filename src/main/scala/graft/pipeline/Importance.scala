@@ -36,19 +36,21 @@ object Importance {
     TextFunctions.wordVal(w) % lit(Buckets.toLong)
 
   def sqlBucket(wExpr: String): String =
-    s"CAST(ascii($wExpr)*1024 + ascii(right($wExpr,1))*32 + length($wExpr) AS BIGINT) % $Buckets"
+    s"${TextFunctions.sqlWordVal(wExpr)} % $Buckets"
 
-  /** Per-bucket importance weights from the two pools:
-    * (b, w) with w = (tgt+1)·1e6 div (raw+1) in ppm. */
-  def bucketWeights(target: DataFrame, raw: DataFrame): DataFrame = {
-    def counts(df: DataFrame, name: String): DataFrame =
-      df.select(explode(TextFunctions.tokens(col("text"))).as("w"))
-        .groupBy(bucket(col("w")).as("b")).agg(count(lit(1)).as(name))
-    counts(target, "tc").join(counts(raw, "rc"), Seq("b"), "full_outer")
+  /** Per-bucket importance weights over `docs` partitioned by
+    * `targetPred`: (b, w) with w = (tgt+1)·1e6 div (raw+1) in ppm.
+    * ONE conditional-aggregation pass builds both count columns —
+    * not a scan per pool — so the whole model costs a single corpus
+    * read. */
+  def bucketWeights(docs: DataFrame, targetPred: Column): DataFrame =
+    docs.select(targetPred.as("is_t"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(bucket(col("w")).as("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("rc"))
       .select(col("b"),
-        expr("((coalesce(tc, 0L) + 1L) * 1000000L) div (coalesce(rc, 0L) + 1L)")
-          .as("w"))
-  }
+        expr("((tc + 1L) * 1000000L) div (rc + 1L)").as("w"))
 
   /** Select the `k` most target-like docs from the candidate pool
     * (docs NOT matching `targetPred`; those matching it define the
@@ -59,9 +61,7 @@ object Importance {
     // the weight table is <= Buckets rows by construction (grouped on
     // a % Buckets key); the limit is a no-op that makes the bound
     // PLAN-VISIBLE for the suite-wide broadcast audit
-    val wts = broadcast(
-      bucketWeights(docs.filter(targetPred), docs.filter(!targetPred))
-        .limit(Buckets))
+    val wts = broadcast(bucketWeights(docs, targetPred).limit(Buckets))
     docs.filter(!targetPred)
       .select(col("doc_id"), col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
@@ -74,8 +74,8 @@ object Importance {
 
   /** The trained model as a driver map — bounded at [[Buckets]]
     * entries by construction, the serve-side artifact. */
-  def weightsMap(target: DataFrame, raw: DataFrame): Map[Long, Long] =
-    bucketWeights(target, raw).collect()
+  def weightsMap(docs: DataFrame, targetPred: Column): Map[Long, Long] =
+    bucketWeights(docs, targetPred).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
 
   /** Frozen-model scoring as a stateless projection: the weight
@@ -100,15 +100,13 @@ object Importance {
 
   /** SQL twin of [[select]]. */
   def sqlSelect(targetPred: String, k: Int): String =
-    s"""WITH tt AS (SELECT ${sqlBucket("w")} AS b, COUNT(*) AS tc
-           FROM (SELECT unnest(string_split(text, ' ')) AS w
-                 FROM documents WHERE $targetPred) GROUP BY 1),
-       rt AS (SELECT ${sqlBucket("w")} AS b, COUNT(*) AS rc
-           FROM (SELECT unnest(string_split(text, ' ')) AS w
-                 FROM documents WHERE NOT ($targetPred)) GROUP BY 1),
-       wts AS (SELECT COALESCE(tt.b, rt.b) AS b,
-             ((COALESCE(tc, 0) + 1) * 1000000) // (COALESCE(rc, 0) + 1) AS w
-           FROM tt FULL OUTER JOIN rt ON tt.b = rt.b),
+    s"""WITH bc AS (SELECT ${sqlBucket("w")} AS b,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS rc
+           FROM (SELECT ($targetPred) AS is_t,
+                   unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1),
+       wts AS (SELECT b, ((tc + 1) * 1000000) // (rc + 1) AS w FROM bc),
        toks AS (SELECT doc_id, lang, ${sqlBucket("tok")} AS b
            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
                  FROM documents WHERE NOT ($targetPred))),

@@ -46,6 +46,13 @@ object QualityModel {
     * 'train'); the rest is the held-out eval band. */
   val TrainMills = 800
 
+  /** The q_quality_filter rule thresholds — shared constants
+    * ([[TextFunctions.QualityMinTokens]] family), so retuning the
+    * filter automatically retunes the distillation label. */
+  private val MinT = TextFunctions.QualityMinTokens
+  private val MaxWl = TextFunctions.QualityMaxAvgWordLen
+  private val StopD = TextFunctions.QualityStopwordDen
+
   /** Per-doc label + indicator features:
     * (doc_id, y, f0, f1, f2, f3) with y ∈ {+1, -1} from the
     * q_quality_filter "ok" verdict and f1/f2/f3 the rule's own
@@ -59,12 +66,12 @@ object QualityModel {
         size(filter(TextFunctions.tokens(col("text")),
           w => w.isin(TextFunctions.Stopwords: _*))).cast("long").as("ns"))
       .select(col("doc_id"),
-        when(col("nt") >= 20 && col("wl") <= col("nt") * 8 &&
-          col("ns") * 20 >= col("nt"), 1L).otherwise(-1L).as("y"),
+        when(col("nt") >= MinT && col("wl") <= col("nt") * MaxWl &&
+          col("ns") * StopD >= col("nt"), 1L).otherwise(-1L).as("y"),
         lit(1L).as("f0"),
-        when(col("nt") >= 20, 1L).otherwise(0L).as("f1"),
-        when(col("wl") <= col("nt") * 8, 1L).otherwise(0L).as("f2"),
-        when(col("ns") * 20 >= col("nt"), 1L).otherwise(0L).as("f3"))
+        when(col("nt") >= MinT, 1L).otherwise(0L).as("f1"),
+        when(col("wl") <= col("nt") * MaxWl, 1L).otherwise(0L).as("f2"),
+        when(col("ns") * StopD >= col("nt"), 1L).otherwise(0L).as("f3"))
   }
 
   /** w·x as a Column with the trained weights inlined as literals. */
@@ -131,12 +138,12 @@ object QualityModel {
                AS BIGINT) AS ns
            FROM documents),
          f AS (SELECT doc_id,
-             CASE WHEN nt >= 20 AND wl <= nt * 8 AND ns * 20 >= nt
+             CASE WHEN nt >= $MinT AND wl <= nt * $MaxWl AND ns * $StopD >= nt
                THEN 1 ELSE -1 END AS y,
              CAST(1 AS BIGINT) AS f0,
-             CASE WHEN nt >= 20 THEN 1 ELSE 0 END AS f1,
-             CASE WHEN wl <= nt * 8 THEN 1 ELSE 0 END AS f2,
-             CASE WHEN ns * 20 >= nt THEN 1 ELSE 0 END AS f3
+             CASE WHEN nt >= $MinT THEN 1 ELSE 0 END AS f1,
+             CASE WHEN wl <= nt * $MaxWl THEN 1 ELSE 0 END AS f2,
+             CASE WHEN ns * $StopD >= nt THEN 1 ELSE 0 END AS f3
            FROM raw),
          tr AS (SELECT * FROM f WHERE $trainBand < $TrainMills)"""
     def wRef(e: Int, j: Int) = s"(SELECT w$j FROM e$e)"

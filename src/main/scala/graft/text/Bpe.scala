@@ -89,8 +89,9 @@ object Bpe {
   /** Train `m` merges; returns the merge table
     * (rank, l, r, c) — rank 1..m in merge order, c the pair count
     * that won the rank. Stops early if the dictionary is fully
-    * merged (the SQL twin assumes it is not — keep m well under the
-    * corpus's mergeable-pair budget). */
+    * merged; the SQL twin mirrors the stop (exhausted epoch CTEs
+    * are provable no-ops), so both sides return the same shorter
+    * merge table. */
   def train(spark: SparkSession, docs: DataFrame, m: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dict = wordFrame(docs).persist(MEMORY_AND_DISK)
@@ -154,7 +155,12 @@ object Bpe {
     * merge rows `b1..bm` and dictionaries `w0..wm`. Epoch frames are
     * MATERIALIZED (each is referenced by both the next epoch's pair
     * count and its rewrite — without it the inlined plan re-scans
-    * the corpus 2^m times). */
+    * the corpus 2^m times). Exhausted epochs (empty b$e) are no-ops:
+    * the COALESCE'd empty scalars form the pattern `()()`  which can
+    * never match (symbols are never empty), exactly mirroring the
+    * Spark side's early stop — so the trajectory stays
+    * oracle-consistent even if the dictionary fully merges before
+    * epoch m. */
   private def sqlTrainCtes(m: Int): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
@@ -175,8 +181,9 @@ object Bpe {
            SELECT $e AS rank, l, r, c FROM p$e ORDER BY c DESC, l, r LIMIT 1),
          w$e AS MATERIALIZED (
            SELECT tok, replace(s,
-               '(' || (SELECT l FROM b$e) || ')(' || (SELECT r FROM b$e) || ')',
-               '(' || (SELECT l || r FROM b$e) || ')') AS s, cnt
+               '(' || COALESCE((SELECT l FROM b$e), '') || ')(' ||
+                 COALESCE((SELECT r FROM b$e), '') || ')',
+               '(' || COALESCE((SELECT l || r FROM b$e), '') || ')') AS s, cnt
            FROM w$p)"""
     }
     s"""$w0,

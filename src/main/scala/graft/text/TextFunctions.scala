@@ -18,10 +18,25 @@ object TextFunctions {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** q_quality_filter rule thresholds — the single source shared by
+    * the filter itself (ops.TextOps.qQualityFilter) and the
+    * distillation label ([[graft.pipeline.QualityModel]]), so the
+    * "distills the shipped rule" contract can't silently drift:
+    * keep iff nt >= MinTokens AND wl <= nt * MaxAvgWordLen AND
+    * ns * StopwordDen >= nt. */
+  val QualityMinTokens = 20
+  val QualityMaxAvgWordLen = 8
+  val QualityStopwordDen = 20
+
   /** Portable per-word value: first char, last char, length — cheap,
     * deterministic, and expressible in any SQL dialect. */
   def wordVal(w: Column): Column =
     (ascii(w) * lit(1024L) + ascii(substring(w, -1, 1)) * lit(32L) + length(w)).cast("long")
+
+  /** SQL twin of [[wordVal]] (the formula several oracle strings
+    * previously hand-inlined — change it HERE only). */
+  def sqlWordVal(wExpr: String): String =
+    s"CAST(ascii($wExpr)*1024 + ascii(right($wExpr,1))*32 + length($wExpr) AS BIGINT)"
 
   /** Rolling polynomial hash over the token stream (document
     * fingerprint): h = fold(h*31 + wordVal(w) mod p). Runs as an
@@ -39,7 +54,7 @@ object TextFunctions {
   def sqlFingerprint(textExpr: String): String =
     s"""list_reduce(
          list_prepend(CAST(0 AS BIGINT), list_transform(string_split($textExpr, ' '),
-           w -> CAST(ascii(w)*1024 + ascii(right(w,1))*32 + length(w) AS BIGINT))),
+           w -> ${sqlWordVal("w")})),
          (acc, v) -> (acc*31 + v) % $HashMod)"""
 
   /** Distinct word-level n-gram shingles (as strings). n=3 runs as an
@@ -93,7 +108,7 @@ object TextFunctions {
           i -> list_reduce(
             list_prepend(CAST(0 AS BIGINT),
               list_transform(string_split($textExpr,' ')[i:i+2],
-                w -> CAST(ascii(w)*1024 + ascii(right(w,1))*32 + length(w) AS BIGINT))),
+                w -> ${sqlWordVal("w")})),
             (acc, v) -> (acc*31 + v) % $HashMod)))"""
 
   /** Quality signals: token count, mean word length (exact rational),

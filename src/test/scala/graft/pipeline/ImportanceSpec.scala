@@ -14,8 +14,7 @@ class ImportanceSpec extends SparkSpec {
   ).toDF("doc_id", "text", "lang")
 
   test("bucket weights are the smoothed ppm ratio, incl. target-only buckets") {
-    val w = Importance.bucketWeights(
-        docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en"))
+    val w = Importance.bucketWeights(docs, $"lang" === "en")
       .as[(Long, Long)].collect().toMap
     assert(w(34L) == (3L + 1) * 1000000L / (2L + 1)) // 1333333
     assert(w(66L) == (0L + 1) * 1000000L / (2L + 1)) // 333333
@@ -33,7 +32,7 @@ class ImportanceSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val raw = corpus.filter($"lang" =!= "en")
-    val w = Importance.weightsMap(corpus.filter($"lang" === "en"), raw)
+    val w = Importance.weightsMap(corpus, $"lang" === "en")
     // batch reference through the distributed join pipeline (k large
     // enough to keep every candidate)
     val batch = Importance.select(corpus, $"lang" === "en", k = 100000)
@@ -54,8 +53,7 @@ class ImportanceSpec extends SparkSpec {
 
   test("weight table stays bounded at the bucket count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val n = Importance.bucketWeights(
-      docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en")).count()
+    val n = Importance.bucketWeights(docs, $"lang" === "en").count()
     assert(n <= Importance.Buckets)
   }
 }
