@@ -106,6 +106,17 @@ object MiningOps {
   def qCurriculum(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.Curriculum.stages(t(spark, dir, "documents"))
 
+  /** Target sample size for [[qTemperatureMix]]. */
+  val TempMixBudget = 200L
+
+  /** Temperature-rebalanced mixture
+    * ([[graft.pipeline.Sampling.temperatureMix]]): per-lang quotas
+    * ∝ isqrt(count) at a 200-doc budget, applied as self-adapting
+    * hash keep-rates. */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.temperatureMix(
+      t(spark, dir, "documents"), "lang", "doc_id", TempMixBudget)
+
   /** Selection size for [[qImportanceSelect]]. */
   val ImportanceK = 50
 
@@ -134,6 +145,7 @@ object MiningOps {
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_importance_select" -> (qImportanceSelect _),
     "q_quality_distill" -> (qQualityDistill _),
+    "q_temperature_mix" -> (qTemperatureMix _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -152,5 +164,7 @@ object MiningOps {
     "q_importance_select" -> graft.pipeline.Importance.sqlSelect(
       "lang = 'en'", ImportanceK),
     "q_quality_distill" -> graft.pipeline.QualityModel.sqlDistill(),
+    "q_temperature_mix" -> graft.pipeline.Sampling.sqlTemperatureMix(
+      "documents", "lang", "doc_id", TempMixBudget),
   )
 }

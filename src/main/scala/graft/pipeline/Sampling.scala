@@ -107,6 +107,58 @@ object Sampling {
     s"${sqlIdBucket(idExpr, 1000)} < (CASE $cases ELSE $defaultMills END)"
   }
 
+  /** Temperature-rebalanced mixture (the α = 0.5 domain-upsampling
+    * trick multilingual training mixes use): per-domain target
+    * quotas ∝ isqrt(n_domain) — low-resource domains get upsampled
+    * relative to their share, high-resource ones damped — converted
+    * to per-domain hash keep-rates and applied as the same pure
+    * per-row predicate as [[mixtureFilter]]. Unlike mixtureFilter
+    * the rates come FROM the corpus counts, so the mix re-balances
+    * itself as the corpus grows.
+    *
+    * isqrt is engine-exact: floor(sqrt(n)) of an exactly-
+    * representable BIGINT < 2^53 is the same double in both engines.
+    * Output: (domain, n_docs, quota, n_sampled) — n_sampled tracks
+    * quota up to hash-bucket granularity.
+    *
+    * 100 TB posture: one grouped count (bounded by the domain
+    * cardinality), a 1-row total crossed back, then a per-row
+    * hash predicate — the domain-rate join is a tiny equi-join AQE
+    * broadcasts on its own, and nothing else shuffles. */
+  def temperatureMix(docs: DataFrame, domain: String, idCol: String,
+      budget: Long): DataFrame = {
+    val counts = docs.groupBy(col(domain)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("r", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("r")).as("tot"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col(domain), col("n_docs"),
+        expr(s"(r * ${budget}L) div tot").as("quota"))
+      .withColumn("rate",
+        least(lit(1000L), expr("(quota * 1000L) div n_docs")))
+    docs.select(col(idCol), col(domain))
+      .join(quotas, Seq(domain))
+      .filter(idBucket(col(idCol), 1000) < col("rate"))
+      .groupBy(col(domain), col("n_docs"), col("quota"))
+      .agg(count(lit(1)).as("n_sampled"))
+  }
+
+  /** SQL twin of [[temperatureMix]]. */
+  def sqlTemperatureMix(table: String, domain: String, idExpr: String,
+      budget: Long): String =
+    s"""WITH c AS (SELECT $domain, COUNT(1) AS n_docs,
+           CAST(floor(sqrt(CAST(COUNT(1) AS DOUBLE))) AS BIGINT) AS r
+         FROM $table GROUP BY 1),
+       t AS (SELECT CAST(SUM(r) AS BIGINT) AS tot FROM c),
+       q AS (SELECT $domain, n_docs,
+           (r * $budget) // (SELECT tot FROM t) AS quota FROM c),
+       q2 AS (SELECT $domain, n_docs, quota,
+           LEAST(1000, (quota * 1000) // n_docs) AS rate FROM q)
+       SELECT $domain, n_docs, CAST(quota AS BIGINT) AS quota,
+         COUNT(1) AS n_sampled
+       FROM $table d JOIN q2 USING ($domain)
+       WHERE ${sqlIdBucket(idExpr, 1000)} < rate
+       GROUP BY 1, 2, 3"""
+
   /** Deterministic WEIGHTED sampling priority (integer Efraimidis-
     * Spirakis analogue): rows ranked by `uniformHash / weight`
     * ascending are a weighted sample without replacement — a row with

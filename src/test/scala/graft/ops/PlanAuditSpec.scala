@@ -326,6 +326,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_topk" -> "1-row corpus-length-stats frame broadcast into the score projection",
     "q_hybrid_retrieval" -> "inherits both legs' bounded shapes: the q_knn_brute query-set broadcast and the q_bm25_topk 1-row stats frame",
     "q_curriculum" -> "1-row quartile-threshold frame broadcast into the stage assignment",
+    "q_temperature_mix" -> "1-row isqrt-total frame broadcast into the quota projection",
     "q_bigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",
     "q_trigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",
     "q_dedup_embedding" -> "1-row label-count guard frame (never the corpus)",

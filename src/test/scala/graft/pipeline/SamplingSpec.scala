@@ -116,4 +116,27 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("temperatureMix: isqrt quotas upsample low-resource domains") {
+    import org.apache.spark.sql.functions.col
+    // A: 100 docs, B: 4 docs -> isqrt 10 and 2, total 12; budget 60
+    // gives quotas 50 and 10; B's rate caps at 1000 (keeps all 4)
+    // while A keeps ~half — the low-resource domain is upsampled
+    val docs = ((0L until 100L).map((_, "A")) ++
+      (1000L until 1004L).map((_, "B"))).toDF("doc_id", "lang")
+    val out = Sampling.temperatureMix(docs, "lang", "doc_id", 60L)
+      .select("lang", "n_docs", "quota", "n_sampled")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (l, n, q, s) => (l, (n, q, s)) }.toMap
+    assert(out("A")._1 == 100L && out("A")._2 == 50L)
+    assert(out("B") == ((4L, 10L, 4L))) // rate capped, keeps all
+    assert(out("A")._3 < 100L && out("A")._3 > 0L)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(
+        docs.repartition(7, col("doc_id")), "lang", "doc_id", 60L)
+      .select("lang", "n_docs", "quota", "n_sampled")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (l, n, q, s) => (l, (n, q, s)) }.toMap
+    assert(again == out)
+  }
 }
