@@ -81,6 +81,22 @@ object MiningOps {
   def qBpeTokens(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.docTokenCounts(spark, t(spark, dir, "documents"), BpeMerges)
 
+  /** Context budget for [[qBpePack]] packs. */
+  val BpePackBudget = 512L
+
+  /** Tokenizer-aware sequence packing: q_pack's concat-and-chunk
+    * assignment driven by REAL learned subword lengths
+    * ([[graft.text.Bpe.docTokenCounts]]) instead of the
+    * (n_chars+3)/4 proxy — what a production pipeline packs with
+    * once the tokenizer exists. Same sharded window-cumsum shape. */
+  def qBpePack(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packGreedy(
+        graft.text.Bpe.docTokenCounts(spark, t(spark, dir, "documents"),
+          BpeMerges),
+        "doc_id", "n_subwords", budget = BpePackBudget, shards = 64)
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("n_tokens"))
+
   /** Per-leg depth and fused result count for [[qHybridRetrieval]]. */
   val HybridEach = 10
   val HybridK = 5
@@ -140,6 +156,7 @@ object MiningOps {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_tokens" -> (qBpeTokens _),
+    "q_bpe_pack" -> (qBpePack _),
     "q_curriculum" -> (qCurriculum _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
@@ -154,6 +171,13 @@ object MiningOps {
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
     "q_bpe_encode" -> graft.text.Bpe.sqlEncodeVocab(BpeMerges),
     "q_bpe_tokens" -> graft.text.Bpe.sqlDocTokenCounts(BpeMerges),
+    "q_bpe_pack" ->
+      s"""WITH ${graft.text.Bpe.sqlDocTokenCtes(BpeMerges)},
+         p AS (${graft.pipeline.Packing.sqlPackCte(
+            "dt", "doc_id", "n_subwords", BpePackBudget, 64)})
+         SELECT shard, pack, COUNT(1) AS n_docs,
+           CAST(SUM(n_subwords) AS BIGINT) AS n_tokens
+         FROM p GROUP BY 1, 2""",
     "q_curriculum" -> graft.pipeline.Curriculum.sqlStages(),
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",

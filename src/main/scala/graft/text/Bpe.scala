@@ -141,15 +141,60 @@ object Bpe {
     graft.api.Materialize.releasing(perDoc, Seq(dict))
   }
 
+  /** Frozen-tokenizer subword counting as a STATELESS projection:
+    * the learned merge table inlines as a chain of string replaces
+    * over the doc's whole paren-encoded text, so the same expression
+    * tokenizes a batch frame or an unbounded stream (no dictionary
+    * join, no state — "count the crawl's tokens as it arrives").
+    *
+    * Whole-doc encoding is safe: word boundaries encode as the `_`
+    * end-marker symbol, and no merge's LEFT element can end with `_`
+    * (an `_`-bearing symbol is word-final, so nothing ever follows
+    * it within a word) — cross-word pairs can therefore never match
+    * a learned merge, and the per-doc replace chain is exactly the
+    * per-word application summed. */
+  def tokenCountWith(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = concat(
+      replace(regexp_replace(col("text"), "(.)", "($1)"),
+        lit("( )"), lit("(_)")),
+      lit("(_)"))
+    val merged = merges.foldLeft(enc) { case (c, (l, r)) =>
+      replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    docs.select(col("doc_id"),
+      (length(merged) - length(replace(merged, lit("("), lit(""))))
+        .cast("long").as("n_subwords"))
+  }
+
+  /** The merge table of [[train]] as driver pairs — the frozen
+    * artifact [[tokenCountWith]] serves with. */
+  def mergesOf(spark: SparkSession, docs: DataFrame, m: Int)
+      : Seq[(String, String)] = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dict = wordFrame(docs).persist(MEMORY_AND_DISK)
+    val (merges, _) = trainLoop(dict, m)
+    dict.unpersist(blocking = false)
+    merges.map { case (_, l, r, _) => (l, r) }
+  }
+
+  /** Trajectory CTEs + the per-doc subword-count frame `dt`
+    * (doc_id, n_subwords) — composable with downstream stages
+    * (packing). */
+  def sqlDocTokenCtes(m: Int): String =
+    s"""${sqlTrainCtes(m)},
+       dt AS (SELECT doc_id,
+           CAST(SUM(len(string_split(w.s[2:-2], ')('))) AS BIGINT)
+             AS n_subwords
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents) d
+         JOIN w$m w USING (tok)
+         GROUP BY doc_id)"""
+
   /** SQL twin of [[docTokenCounts]]. */
   def sqlDocTokenCounts(m: Int): String =
-    s"""WITH ${sqlTrainCtes(m)}
-       SELECT doc_id, CAST(SUM(len(string_split(w.s[2:-2], ')('))) AS BIGINT)
-         AS n_subwords
-       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-             FROM documents) d
-       JOIN w$m w USING (tok)
-       GROUP BY doc_id"""
+    s"""WITH ${sqlDocTokenCtes(m)}
+       SELECT doc_id, n_subwords FROM dt"""
 
   /** Shared oracle CTE chain for the `m`-epoch trajectory: ends with
     * merge rows `b1..bm` and dictionaries `w0..wm`. Epoch frames are

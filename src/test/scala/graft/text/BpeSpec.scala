@@ -116,6 +116,24 @@ class BpeSpec extends SparkSpec {
     assert(perDoc == hist)
   }
 
+  test("tokenCountWith serves a stream identically to the batch join path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.mergesOf(spark, docs, 12)
+    val batch = Bpe.docTokenCounts(spark, docs, 12)
+      .as[(Long, Long)].collect().toMap
+    val in = MemoryStream[(Long, String)]
+    val q = Bpe.tokenCountWith(in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_counts")
+      .outputMode("append").start()
+    in.addData(docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bpe_counts").as[(Long, Long)].collect().toMap
+    assert(got == batch)
+  }
+
   test("matches the naive reference on the real corpus (sf0.001)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = docs.select("text").as[String].collect()
