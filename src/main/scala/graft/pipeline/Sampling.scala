@@ -130,14 +130,17 @@ object Sampling {
     val counts = docs.groupBy(col(domain)).agg(count(lit(1)).as("n_docs"))
       .withColumn("r", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
     val tot = counts.agg(sum(col("r")).as("tot"))
+    // rates in ppm, not mills: a mills rate floors to ZERO once the
+    // budget drops under n/1000 (measured: 1M docs, budget 200 ->
+    // empty sample), ppm holds to n/1e6 per domain
     val quotas = counts.crossJoin(broadcast(tot))
       .select(col(domain), col("n_docs"),
         expr(s"(r * ${budget}L) div tot").as("quota"))
       .withColumn("rate",
-        least(lit(1000L), expr("(quota * 1000L) div n_docs")))
+        least(lit(1000000L), expr("(quota * 1000000L) div n_docs")))
     docs.select(col(idCol), col(domain))
       .join(quotas, Seq(domain))
-      .filter(idBucket(col(idCol), 1000) < col("rate"))
+      .filter(idBucket(col(idCol), 1000000) < col("rate"))
       .groupBy(col(domain), col("n_docs"), col("quota"))
       .agg(count(lit(1)).as("n_sampled"))
   }
@@ -152,11 +155,11 @@ object Sampling {
        q AS (SELECT $domain, n_docs,
            (r * $budget) // (SELECT tot FROM t) AS quota FROM c),
        q2 AS (SELECT $domain, n_docs, quota,
-           LEAST(1000, (quota * 1000) // n_docs) AS rate FROM q)
+           LEAST(1000000, (quota * 1000000) // n_docs) AS rate FROM q)
        SELECT $domain, n_docs, CAST(quota AS BIGINT) AS quota,
          COUNT(1) AS n_sampled
        FROM $table d JOIN q2 USING ($domain)
-       WHERE ${sqlIdBucket(idExpr, 1000)} < rate
+       WHERE ${sqlIdBucket(idExpr, 1000000)} < rate
        GROUP BY 1, 2, 3"""
 
   /** Deterministic WEIGHTED sampling priority (integer Efraimidis-
