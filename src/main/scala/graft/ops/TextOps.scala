@@ -71,6 +71,25 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
 
+  /** Dedup-aware LOSS WEIGHTING (the keep-but-downweight alternative
+    * to dropping): every doc stays, weighted 1e6 div n_copies ppm so
+    * each duplicate GROUP contributes one doc's worth of loss mass —
+    * the soft-dedup recipe used when exact dropping is too
+    * aggressive. One windowed count per text-identity group (same
+    * key as q_dedup_exact; at deploy scale the partition key is
+    * xxhash64(text), same plan), then a tiny histogram agg. Output:
+    * (n_copies, weight_ppm, n_docs, eff_sum) — eff_sum the group
+    * band's total effective mass. */
+  def qDupWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), count(lit(1)).over(w).as("n_copies"))
+      .select(col("n_copies"), expr("1000000L div n_copies").as("weight_ppm"))
+      .groupBy(col("n_copies"), col("weight_ppm"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("weight_ppm")).as("eff_sum"))
+  }
+
   /** Incremental-index dedup e2e: persist a [[graft.dedup.DedupIndex]]
     * over a deterministic half of the corpus (even doc_ids), then flag
     * the other half against the stored index — the "is today's crawl
@@ -1095,6 +1114,7 @@ object TextOps {
     "q_embed_clusters" -> (qEmbedClusters _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
+    "q_dup_weights" -> (qDupWeights _),
     "q_dedup_index" -> (qDedupIndex _),
     "q_dedup_grow" -> (qDedupGrow _),
     "q_dedup_compact" -> (qDedupCompact _),
@@ -1573,6 +1593,15 @@ object TextOps {
          FROM comp GROUP BY cluster_id""",
     // the dedup TERMINAL: drop every non-representative cluster member
     // (node <> its min-id label), keep representatives + singletons
+    "q_dup_weights" ->
+      """WITH d AS (
+           SELECT doc_id, COUNT(1) OVER (PARTITION BY text) AS n_copies
+           FROM documents),
+         dw AS (SELECT n_copies, 1000000 // n_copies AS weight_ppm FROM d)
+         SELECT n_copies, CAST(weight_ppm AS BIGINT) AS weight_ppm,
+           COUNT(1) AS n_docs,
+           CAST(SUM(weight_ppm) AS BIGINT) AS eff_sum
+         FROM dw GROUP BY 1, 2""",
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $minhashCompCtes
          SELECT lang, COUNT(1) AS n_kept,

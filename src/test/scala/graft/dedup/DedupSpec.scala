@@ -291,4 +291,20 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped)
     assert(Dedup.bandBucketStats(docs).isEmpty)
   }
+
+  test("dup-weight histogram: each duplicate group carries one doc of mass") {
+    // 3 copies of A, 2 of B, 1 of C: weights 333333/500000/1000000 ppm
+    val fix = Seq((1L, "a a"), (2L, "a a"), (3L, "a a"),
+      (4L, "b b"), (5L, "b b"), (6L, "c c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val dirTf = new java.io.File("/tmp/graft_dupw_fix")
+    fix.write.mode("overwrite").parquet(dirTf + "/documents.parquet")
+    val out = graft.ops.TextOps.qDupWeights(spark, dirTf.toString)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (3L, 333333L, 3L, 999999L),
+      (2L, 500000L, 2L, 1000000L),
+      (1L, 1000000L, 1L, 1000000L)))
+  }
 }
