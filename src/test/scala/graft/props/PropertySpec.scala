@@ -378,4 +378,19 @@ class PropertySpec extends SparkSpec {
           !r.matches(s".*${Scrub.NumberPattern}.*")))
     }
   }
+
+  test("property: BPE trainer equals the naive reference on random corpora") {
+    import graft.text.{Bpe, NaiveBpe}
+    for (round <- 1 to 5) {
+      val texts = sample(Gen.listOfN(15, doc), 91L + round)
+        .filter(_.nonEmpty)
+      val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, xs) => (k, xs.size.toLong) }
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Bpe.train(spark, docs, 6)
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == NaiveBpe.merges(words, 6), s"round $round")
+    }
+  }
 }
