@@ -334,6 +334,22 @@ class PlanAuditSpec extends SparkSpec {
     "q15_top_supplier" -> "1-row max-revenue frame broadcast as the selection scalar",
   )
 
+  test("importance select: winners reduce via TakeOrdered, never a global sort") {
+    val p = executedPlan("q_importance_select")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), "global sort in:\n" + p)
+  }
+
+  test("curriculum: threshold sample is a TakeOrdered, assignment is sort-free") {
+    val p = executedPlan("q_curriculum")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), "global sort in:\n" + p)
+  }
+
+  // (q_bitext_mine materializes to a checkpoint, so its final plan is
+  // a scan; its cell-blocked SHUFFLE_HASH candidate shape is the same
+  // one the knn-graph audit below pins.)
+
   test("knn graph: corpus-probe candidate join is a keyed shuffle join, nothing broadcasts") {
     // the probe side IS the corpus here — the one ANN query where a
     // BroadcastExchange anywhere in the plan is a 100-TB failure
