@@ -144,6 +144,25 @@ object MiningOps {
     graft.pipeline.Importance.select(
       t(spark, dir, "documents"), col("lang") === "en", ImportanceK)
 
+  /** The scale-path hybrid: same fusion contract, dense leg served
+    * by the IVF probe ([[graft.sim.Similarity.ivfTopK]]) instead of
+    * brute force — the swap hybridTopK's scaladoc promises, as a
+    * declared oracle-checked query. Same recall contract as
+    * q_knn_ivf (neighbors outside the probed cells are missed). */
+  def qHybridIvf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val queries = docs.filter(col("doc_id") < Bm25Queries).limit(Bm25Queries)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(
+          slice(TextFunctions.tokens(col("text")), 1, Bm25Terms))).as("tok"))
+    val qVecs = emb.filter(col("vec_id") < Bm25Queries).limit(Bm25Queries)
+    val sem = graft.sim.Similarity.ivfTopK(emb, qVecs, HybridEach)
+      .select(col("qid"), col("cid").as("id"), col("rk"))
+    Retrieval.hybridFuse(
+      Retrieval.lexRanked(docs, queries, HybridEach), sem, HybridK)
+  }
+
   /** Quality-classifier distillation
     * ([[graft.pipeline.QualityModel]]): batch-perceptron weights
     * trained on the 80% id-band against the q_quality_filter rule
@@ -160,6 +179,7 @@ object MiningOps {
     "q_curriculum" -> (qCurriculum _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
+    "q_hybrid_ivf" -> (qHybridIvf _),
     "q_importance_select" -> (qImportanceSelect _),
     "q_quality_distill" -> (qQualityDistill _),
     "q_temperature_mix" -> (qTemperatureMix _),
@@ -185,6 +205,32 @@ object MiningOps {
     "q_hybrid_retrieval" -> Retrieval.sqlHybridTopK(
       s"doc_id < $Bm25Queries", s"vec_id < $Bm25Queries",
       Bm25Terms, HybridEach, HybridK, dim = 64),
+    // IVF-legged hybrid: the q_knn_ivf probe replay (quantizer
+    // trajectory, cell assignment, 4-probe candidates) feeds the
+    // shared RRF fuse tail as the `sem` leg
+    "q_hybrid_ivf" ->
+      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
+         cb AS MATERIALIZED (
+           SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
+           FROM pts p CROSS JOIN c3 c
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
+         qp AS (
+           SELECT p.vec_id AS qid, p.embedding AS qv, c.cid AS cell
+           FROM pts p CROSS JOIN c3 c
+           WHERE p.vec_id < $Bm25Queries
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) <= 4),
+         icand AS (
+           SELECT qid, cid, ${graft.sim.Similarity.sqlSimRounded("qv", "cv", 64)} AS sim
+           FROM qp JOIN cb USING (cell) WHERE qid <> cid),
+         sem AS (
+           SELECT qid, cid AS id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid) AS INT) AS rk
+           FROM icand QUALIFY rk <= $HybridEach),
+         ${Retrieval.sqlLexCtes(s"doc_id < $Bm25Queries", Bm25Terms, HybridEach)},
+         ${Retrieval.sqlFuseTail(HybridK)}""",
     "q_importance_select" -> graft.pipeline.Importance.sqlSelect(
       "lang = 'en'", ImportanceK),
     "q_quality_distill" -> graft.pipeline.QualityModel.sqlDistill(),

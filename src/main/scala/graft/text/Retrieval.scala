@@ -124,17 +124,30 @@ object Retrieval {
     * [[graft.sim.Similarity.ivfTopK]] against a served index at
     * corpus scale — the fusion contract is unchanged). */
   def hybridTopK(docs: DataFrame, embeds: DataFrame, queries: DataFrame,
-      qVecs: DataFrame, kEach: Int, k: Int): DataFrame = {
+      qVecs: DataFrame, kEach: Int, k: Int): DataFrame =
+    hybridFuse(lexRanked(docs, queries, kEach),
+      // bruteForceTopK already excludes qid == cid
+      graft.sim.Similarity.bruteForceTopK(embeds, qVecs, kEach)
+        .select(col("qid"), col("cid").as("id"), col("rk")), k)
+
+  /** The lexical leg: self-excluded BM25 top-`kEach` as
+    * (qid, id, rk). */
+  def lexRanked(docs: DataFrame, queries: DataFrame, kEach: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lexW = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    val lex = bm25Scores(docs, queries)
+    bm25Scores(docs, queries)
       .filter(col("qid") =!= col("doc_id"))
       .withColumn("rk", row_number().over(lexW)).filter(col("rk") <= kEach)
       .select(col("qid"), col("doc_id").as("id"), col("rk"))
-    // bruteForceTopK already excludes qid == cid
-    val sem = graft.sim.Similarity.bruteForceTopK(embeds, qVecs, kEach)
-      .select(col("qid"), col("cid").as("id"), col("rk"))
+  }
+
+  /** The RRF fuse over any two ranked legs (qid, id, rk) — the
+    * contract that lets the dense leg swap (brute force at
+    * exactness-gate scale, the served IVF index at corpus scale)
+    * without touching the fusion. */
+  def hybridFuse(lex: DataFrame, sem: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))
     lex.unionByName(sem)
       .groupBy(col("qid"), col("id"))
@@ -178,16 +191,35 @@ object Retrieval {
            ORDER BY score DESC, doc_id) AS INT) AS rk
        FROM s QUALIFY rk <= $k"""
 
+  /** Oracle CTEs for [[lexRanked]]: the BM25 chain + `lex`
+    * (qid, id, rk). */
+  private[graft] def sqlLexCtes(queryPred: String, qTerms: Int,
+      kEach: Int): String =
+    s"""${sqlBm25Ctes(queryPred, qTerms)},
+       lex AS (SELECT qid, doc_id AS id,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id) AS INT) AS rk
+         FROM s WHERE doc_id <> qid QUALIFY rk <= $kEach)"""
+
+  /** Oracle tail for [[hybridFuse]]: expects CTEs `lex` and `sem`
+    * each shaped (qid, id, rk). */
+  private[graft] def sqlFuseTail(k: Int): String =
+    s"""u AS (SELECT qid, id, rk FROM lex
+             UNION ALL SELECT qid, id, rk FROM sem),
+       f AS (SELECT qid, id AS doc_id,
+             CAST(SUM(1000000000 // ($RrfDamp + rk)) AS BIGINT) AS rrf
+           FROM u GROUP BY 1, 2)
+       SELECT qid, doc_id, rrf,
+         CAST(row_number() OVER (PARTITION BY qid
+           ORDER BY rrf DESC, doc_id) AS INT) AS rk
+       FROM f QUALIFY rk <= $k"""
+
   /** SQL twin of [[hybridTopK]]: lexical leg from the shared BM25
     * CTEs (self-excluded pre-rank), semantic leg the exact-quantized
     * cosine rank over `embeddings`, fused by integer RRF. */
   def sqlHybridTopK(queryPred: String, qVecPred: String, qTerms: Int,
       kEach: Int, k: Int, dim: Int): String =
-    s"""WITH ${sqlBm25Ctes(queryPred, qTerms)},
-       lex AS (SELECT qid, doc_id AS id,
-           CAST(row_number() OVER (PARTITION BY qid
-             ORDER BY score DESC, doc_id) AS INT) AS rk
-         FROM s WHERE doc_id <> qid QUALIFY rk <= $kEach),
+    s"""WITH ${sqlLexCtes(queryPred, qTerms, kEach)},
        sq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
               WHERE $qVecPred),
        ss AS (SELECT qid, c.vec_id AS id,
@@ -197,13 +229,5 @@ object Retrieval {
            CAST(row_number() OVER (PARTITION BY qid
              ORDER BY sim DESC, id) AS INT) AS rk
          FROM ss QUALIFY rk <= $kEach),
-       u AS (SELECT qid, id, rk FROM lex
-             UNION ALL SELECT qid, id, rk FROM sem),
-       f AS (SELECT qid, id AS doc_id,
-             CAST(SUM(1000000000 // ($RrfDamp + rk)) AS BIGINT) AS rrf
-           FROM u GROUP BY 1, 2)
-       SELECT qid, doc_id, rrf,
-         CAST(row_number() OVER (PARTITION BY qid
-           ORDER BY rrf DESC, doc_id) AS INT) AS rk
-       FROM f QUALIFY rk <= $k"""
+       ${sqlFuseTail(k)}"""
 }

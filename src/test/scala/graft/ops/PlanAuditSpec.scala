@@ -325,6 +325,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_unigram_score" -> "1-row corpus-total frame broadcast into the weight projection",
     "q_bm25_topk" -> "1-row corpus-length-stats frame broadcast into the score projection",
     "q_hybrid_retrieval" -> "inherits both legs' bounded shapes: the q_knn_brute query-set broadcast and the q_bm25_topk 1-row stats frame",
+    "q_hybrid_ivf" -> "inherits the q_bm25_topk 1-row stats frame (the dense leg is the keyed IVF probe)",
     "q_curriculum" -> "1-row quartile-threshold frame broadcast into the stage assignment",
     "q_temperature_mix" -> "1-row isqrt-total frame broadcast into the quota projection",
     "q_bigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",
