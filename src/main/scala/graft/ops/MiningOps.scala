@@ -170,7 +170,43 @@ object MiningOps {
   def qQualityDistill(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.QualityModel.distill(t(spark, dir, "documents"))
 
+  /** The curation pipeline composed end-to-end — quality filter →
+    * exact-dedup keep-one → train split → sequence packing — with a
+    * per-stage survivor count, the "a user runs their whole pipeline
+    * on this library" smoke query. Every stage is the SAME operator
+    * the standalone queries declare (shared thresholds, shared split
+    * bands, shared pack assignment), so the composition can't drift
+    * from the parts. Output: (stage, n) ordered by pipeline
+    * position. */
+  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextFunctions._
+    val docs = t(spark, dir, "documents")
+    val nt = nTokens(col("text"))
+    val wl = length(col("text")) - nt + lit(1)
+    val ns = size(filter(tokens(col("text")), w => w.isin(Stopwords: _*)))
+    val ok = docs.filter(nt >= QualityMinTokens &&
+      wl <= nt * QualityMaxAvgWordLen && ns * QualityStopwordDen >= nt)
+    val keepW = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val deduped = ok.withColumn("rn", row_number().over(keepW))
+      .filter(col("rn") === 1).drop("rn")
+    val train = deduped.filter(
+      graft.pipeline.Sampling.splitLabel(col("doc_id")) === "train")
+    val packed = graft.pipeline.Packing.packGreedy(
+      train.select(col("doc_id"),
+        ((col("n_chars") + 3) / 4).cast("long").as("est_tokens")),
+      "doc_id", "est_tokens", budget = 2048, shards = 64)
+    import spark.implicits._
+    def n(df: DataFrame): Long = df.count()
+    Seq(
+      (1, "raw", n(docs)), (2, "quality_ok", n(ok)),
+      (3, "dedup_keep", n(deduped)), (4, "train_split", n(train)),
+      (5, "packs", n(packed.select(col("shard"), col("pack")).distinct())))
+      .toDF("pos", "stage", "n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_bm25_topk" -> (qBm25TopK _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
@@ -186,6 +222,34 @@ object MiningOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pipeline_e2e" -> {
+      import graft.text.TextFunctions
+      val band = graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)
+      s"""WITH q0 AS (SELECT doc_id, text, n_chars,
+             len(string_split(text, ' ')) AS nt,
+             length(text) - len(string_split(text, ' ')) + 1 AS wl,
+             ${TextFunctions.sqlLangScore("text", TextFunctions.Stopwords)} AS ns
+           FROM documents),
+         ok AS (SELECT doc_id, text, n_chars FROM q0
+           WHERE nt >= ${TextFunctions.QualityMinTokens}
+             AND wl <= nt * ${TextFunctions.QualityMaxAvgWordLen}
+             AND ns * ${TextFunctions.QualityStopwordDen} >= nt),
+         ded AS (SELECT doc_id, n_chars FROM (
+             SELECT doc_id, n_chars, row_number() OVER (PARTITION BY text
+               ORDER BY doc_id) AS rn FROM ok)
+           WHERE rn = 1),
+         tr AS (SELECT doc_id, n_chars FROM ded WHERE $band < 800),
+         pk AS (SELECT DISTINCT shard, pack FROM
+           (${graft.pipeline.Packing.sqlPackCte(
+              "(SELECT doc_id, (n_chars + 3) // 4 AS est_tokens FROM tr) tp",
+              "doc_id", "est_tokens", 2048, 64)}))
+         SELECT 1 AS pos, 'raw' AS stage,
+           (SELECT COUNT(1) FROM documents) AS n
+         UNION ALL SELECT 2, 'quality_ok', (SELECT COUNT(1) FROM ok)
+         UNION ALL SELECT 3, 'dedup_keep', (SELECT COUNT(1) FROM ded)
+         UNION ALL SELECT 4, 'train_split', (SELECT COUNT(1) FROM tr)
+         UNION ALL SELECT 5, 'packs', (SELECT COUNT(1) FROM pk)"""
+    },
     "q_bm25_topk" -> Retrieval.sqlBm25TopK(
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
