@@ -54,6 +54,18 @@ object DevScaleMining {
         .count() }
     time("quality_distill") {
       graft.pipeline.QualityModel.distill(docs).count() }
+    // label propagation decoupled from the kNN build (DevScaleSim
+    // measures that): synthetic 5-out-degree hash graph, 20% seeds
+    val g = spark.range(n).select(col("id").as("qid"),
+        explode(transform(sequence(lit(0), lit(4)),
+          j => pmod(hash(col("id"), j), lit(n)))).as("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    g.count()
+    val seeds = spark.range(n)
+      .filter(graft.pipeline.Sampling.idBucket(col("id"), 1000) < 200)
+      .select(col("id").as("vec_id"), pmod(col("id"), lit(10)).cast("int").as("label"))
+    time("label_prop_3r") {
+      graft.sim.Similarity.propagateLabels(g, seeds, 3).count() }
     spark.stop()
   }
 }
