@@ -22,17 +22,28 @@ object MiningOps {
   /** Results per query. */
   val Bm25K = 3
 
+  /** The shared bounded query set: the first [[Bm25Queries]] docs,
+    * each query its doc's first [[Bm25Terms]] distinct tokens —
+    * ONE definition for the bm25/hybrid family so the three queries'
+    * query sets can't diverge (the knnQueries discipline). */
+  private def bm25QuerySet(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < Bm25Queries).limit(Bm25Queries)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(
+          slice(TextFunctions.tokens(col("text")), 1, Bm25Terms))).as("tok"))
+
+  /** The query docs' embedding rows (same id window, plan-visible
+    * bound). */
+  private def bm25QVecs(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < Bm25Queries).limit(Bm25Queries)
+
   /** BM25 top-k retrieval ([[graft.text.Retrieval]]): the first 40
     * docs act as the bounded "benchmark" query set, each query being
     * its doc's first 5 distinct tokens, ranked against the whole
     * corpus. */
   def qBm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val queries = docs.filter(col("doc_id") < Bm25Queries).limit(Bm25Queries)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(
-          slice(TextFunctions.tokens(col("text")), 1, Bm25Terms))).as("tok"))
-    Retrieval.bm25TopK(docs, queries, Bm25K)
+    Retrieval.bm25TopK(docs, bm25QuerySet(docs), Bm25K)
   }
 
   /** Probe slice (mills of the id-hash space) for
@@ -108,12 +119,8 @@ object MiningOps {
   def qHybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val emb = t(spark, dir, "embeddings")
-    val queries = docs.filter(col("doc_id") < Bm25Queries).limit(Bm25Queries)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(
-          slice(TextFunctions.tokens(col("text")), 1, Bm25Terms))).as("tok"))
-    val qVecs = emb.filter(col("vec_id") < Bm25Queries).limit(Bm25Queries)
-    Retrieval.hybridTopK(docs, emb, queries, qVecs, HybridEach, HybridK)
+    Retrieval.hybridTopK(docs, emb, bm25QuerySet(docs), bm25QVecs(emb),
+      HybridEach, HybridK)
   }
 
   /** Curriculum staging ([[graft.pipeline.Curriculum]]): the corpus
@@ -152,15 +159,11 @@ object MiningOps {
   def qHybridIvf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val emb = t(spark, dir, "embeddings")
-    val queries = docs.filter(col("doc_id") < Bm25Queries).limit(Bm25Queries)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(
-          slice(TextFunctions.tokens(col("text")), 1, Bm25Terms))).as("tok"))
-    val qVecs = emb.filter(col("vec_id") < Bm25Queries).limit(Bm25Queries)
-    val sem = graft.sim.Similarity.ivfTopK(emb, qVecs, HybridEach)
+    val sem = graft.sim.Similarity.ivfTopK(emb, bm25QVecs(emb), HybridEach)
       .select(col("qid"), col("cid").as("id"), col("rk"))
     Retrieval.hybridFuse(
-      Retrieval.lexRanked(docs, queries, HybridEach), sem, HybridK)
+      Retrieval.lexRanked(docs, bm25QuerySet(docs), HybridEach),
+      sem, HybridK)
   }
 
   /** Quality-classifier distillation
@@ -180,29 +183,33 @@ object MiningOps {
     * position. */
   def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.text.TextFunctions._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = t(spark, dir, "documents")
-    val nt = nTokens(col("text"))
-    val wl = length(col("text")) - nt + lit(1)
-    val ns = size(filter(tokens(col("text")), w => w.isin(Stopwords: _*)))
-    val ok = docs.filter(nt >= QualityMinTokens &&
-      wl <= nt * QualityMaxAvgWordLen && ns * QualityStopwordDen >= nt)
+    // each surviving stage is persisted so the five stage counts run
+    // each stage ONCE (not re-derived per downstream count) — the
+    // same discipline a real pipeline run uses
+    val ok = docs.filter(graft.text.TextFunctions.qualityOk(col("text")))
+      .persist(MEMORY_AND_DISK)
     val keepW = Window.partitionBy(col("text")).orderBy(col("doc_id"))
     val deduped = ok.withColumn("rn", row_number().over(keepW))
       .filter(col("rn") === 1).drop("rn")
+      .persist(MEMORY_AND_DISK)
     val train = deduped.filter(
-      graft.pipeline.Sampling.splitLabel(col("doc_id")) === "train")
+        graft.pipeline.Sampling.splitLabel(col("doc_id")) === "train")
+      .persist(MEMORY_AND_DISK)
     val packed = graft.pipeline.Packing.packGreedy(
       train.select(col("doc_id"),
         ((col("n_chars") + 3) / 4).cast("long").as("est_tokens")),
       "doc_id", "est_tokens", budget = 2048, shards = 64)
     import spark.implicits._
-    def n(df: DataFrame): Long = df.count()
-    Seq(
-      (1, "raw", n(docs)), (2, "quality_ok", n(ok)),
-      (3, "dedup_keep", n(deduped)), (4, "train_split", n(train)),
-      (5, "packs", n(packed.select(col("shard"), col("pack")).distinct())))
+    val out = Seq(
+      (1, "raw", docs.count()), (2, "quality_ok", ok.count()),
+      (3, "dedup_keep", deduped.count()), (4, "train_split", train.count()),
+      (5, "packs",
+        packed.select(col("shard"), col("pack")).distinct().count()))
       .toDF("pos", "stage", "n")
+    Seq(ok, deduped, train).foreach(_.unpersist(blocking = false))
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,15 +232,8 @@ object MiningOps {
     "q_pipeline_e2e" -> {
       import graft.text.TextFunctions
       val band = graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)
-      s"""WITH q0 AS (SELECT doc_id, text, n_chars,
-             len(string_split(text, ' ')) AS nt,
-             length(text) - len(string_split(text, ' ')) + 1 AS wl,
-             ${TextFunctions.sqlLangScore("text", TextFunctions.Stopwords)} AS ns
-           FROM documents),
-         ok AS (SELECT doc_id, text, n_chars FROM q0
-           WHERE nt >= ${TextFunctions.QualityMinTokens}
-             AND wl <= nt * ${TextFunctions.QualityMaxAvgWordLen}
-             AND ns * ${TextFunctions.QualityStopwordDen} >= nt),
+      s"""WITH ok AS (SELECT doc_id, text, n_chars FROM documents
+           WHERE ${TextFunctions.sqlQualityOk("text")}),
          ded AS (SELECT doc_id, n_chars FROM (
              SELECT doc_id, n_chars, row_number() OVER (PARTITION BY text
                ORDER BY doc_id) AS rn FROM ok)

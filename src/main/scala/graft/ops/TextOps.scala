@@ -271,7 +271,10 @@ object TextOps {
     * pipeline actually runs; q_text_quality is the stats view): first
     * failing rule labels the doc. Every rule compares INTEGERS
     * (cross-multiplied thresholds) so the verdict is trivially
-    * engine-exact. Output: verdict histogram per lang. */
+    * engine-exact. Output: verdict histogram per lang. The "ok"
+    * verdict is by construction the conjunction
+    * [[TextFunctions.qualityOk]] (shared thresholds), which is what
+    * the pipeline composition (q_pipeline_e2e) filters with. */
   def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val nt = nTokens(col("text"))
     val wl = length(col("text")) - nt + lit(1) // total word chars

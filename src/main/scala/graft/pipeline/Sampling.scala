@@ -138,11 +138,16 @@ object Sampling {
         expr(s"(r * ${budget}L) div tot").as("quota"))
       .withColumn("rate",
         least(lit(1000000L), expr("(quota * 1000000L) div n_docs")))
-    docs.select(col(idCol), col(domain))
-      .join(quotas, Seq(domain))
+    // LEFT join back onto the quota table so a domain whose rate
+    // floors to zero still reports n_sampled = 0 — an auditor must
+    // see zeroed domains, not mistake them for absent ones
+    val sampled = docs.select(col(idCol), col(domain))
+      .join(quotas.select(col(domain), col("rate")), Seq(domain))
       .filter(idBucket(col(idCol), 1000000) < col("rate"))
-      .groupBy(col(domain), col("n_docs"), col("quota"))
-      .agg(count(lit(1)).as("n_sampled"))
+      .groupBy(col(domain)).agg(count(lit(1)).as("n_sampled"))
+    quotas.join(sampled, Seq(domain), "left")
+      .select(col(domain), col("n_docs"), col("quota"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
   }
 
   /** SQL twin of [[temperatureMix]]. */
@@ -155,12 +160,14 @@ object Sampling {
        q AS (SELECT $domain, n_docs,
            (r * $budget) // (SELECT tot FROM t) AS quota FROM c),
        q2 AS (SELECT $domain, n_docs, quota,
-           LEAST(1000000, (quota * 1000000) // n_docs) AS rate FROM q)
+           LEAST(1000000, (quota * 1000000) // n_docs) AS rate FROM q),
+       s AS (SELECT $domain, COUNT(1) AS n_sampled
+           FROM $table d JOIN q2 USING ($domain)
+           WHERE ${sqlIdBucket(idExpr, 1000000)} < rate
+           GROUP BY 1)
        SELECT $domain, n_docs, CAST(quota AS BIGINT) AS quota,
-         COUNT(1) AS n_sampled
-       FROM $table d JOIN q2 USING ($domain)
-       WHERE ${sqlIdBucket(idExpr, 1000000)} < rate
-       GROUP BY 1, 2, 3"""
+         COALESCE(n_sampled, 0) AS n_sampled
+       FROM q2 LEFT JOIN s USING ($domain)"""
 
   /** Deterministic WEIGHTED sampling priority (integer Efraimidis-
     * Spirakis analogue): rows ranked by `uniformHash / weight`

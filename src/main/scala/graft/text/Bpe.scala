@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   * Argmax tie-break is (count desc, l asc, r asc) — pure-ASCII
   * symbols, so lexicographic order agrees across engines.
   *
+  * PRECONDITION (whole module): corpus text must not contain the
+  * encoding's three reserved characters `(`, `)`, `_` — they delimit
+  * symbols and mark word ends, so text containing them would make
+  * the paren encoding ambiguous (and would let a learned merge's
+  * left element end in `_`, breaking [[tokenCountWith]]'s cross-word
+  * safety argument). The testdata corpus is lowercase a-z + space;
+  * a general deployment strips or escapes the three characters in
+  * its normalization pass, where the rest of the cleaning already
+  * happens. All other characters (digits, newlines, unicode) are
+  * fine: the char split is DOTALL on both engines.
+  *
   * 100 TB posture: one corpus scan builds the dictionary (groupBy
   * word, map-side combine, Zipf-bounded result); each epoch is one
   * explode+HashAggregate over the dictionary (pair keys, partial
@@ -43,7 +54,7 @@ object Bpe {
     docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .select(col("tok"),
-        concat(regexp_replace(col("tok"), "(.)", "($1)"), lit("(_)")).as("s"),
+        concat(regexp_replace(col("tok"), "(?s)(.)", "($1)"), lit("(_)")).as("s"),
         col("cnt"))
 
   /** Adjacent-pair counts of a word frame: (l, r, c). */
@@ -147,16 +158,17 @@ object Bpe {
     * tokenizes a batch frame or an unbounded stream (no dictionary
     * join, no state — "count the crawl's tokens as it arrives").
     *
-    * Whole-doc encoding is safe: word boundaries encode as the `_`
-    * end-marker symbol, and no merge's LEFT element can end with `_`
-    * (an `_`-bearing symbol is word-final, so nothing ever follows
-    * it within a word) — cross-word pairs can therefore never match
-    * a learned merge, and the per-doc replace chain is exactly the
-    * per-word application summed. */
+    * Whole-doc encoding is safe UNDER THE MODULE PRECONDITION (no
+    * reserved `( ) _` characters in text): word boundaries encode as
+    * the `_` end-marker symbol, and no merge's LEFT element can end
+    * with `_` (an `_`-bearing symbol is word-final, so nothing ever
+    * follows it within a word) — cross-word pairs can therefore
+    * never match a learned merge, and the per-doc replace chain is
+    * exactly the per-word application summed. */
   def tokenCountWith(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val enc = concat(
-      replace(regexp_replace(col("text"), "(.)", "($1)"),
+      replace(regexp_replace(col("text"), "(?s)(.)", "($1)"),
         lit("( )"), lit("(_)")),
       lit("(_)"))
     val merged = merges.foldLeft(enc) { case (c, (l, r)) =>

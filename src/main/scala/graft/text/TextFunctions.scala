@@ -28,6 +28,25 @@ object TextFunctions {
   val QualityMaxAvgWordLen = 8
   val QualityStopwordDen = 20
 
+  /** The rule's keep-predicate as one shared expression (the
+    * conjunction of the three signals) — used by the pipeline
+    * composition so the stage can't drift from the filter. */
+  def qualityOk(text: Column): Column = {
+    val nt = nTokens(text)
+    val wl = length(text) - nt + lit(1)
+    val ns = size(filter(tokens(text), w => w.isin(Stopwords: _*)))
+    nt >= QualityMinTokens && wl <= nt * QualityMaxAvgWordLen &&
+      ns * QualityStopwordDen >= nt
+  }
+
+  /** SQL twin of [[qualityOk]]. */
+  def sqlQualityOk(textExpr: String): String = {
+    val nt = s"len(string_split($textExpr, ' '))"
+    s"""($nt >= $QualityMinTokens
+        AND length($textExpr) - $nt + 1 <= $nt * $QualityMaxAvgWordLen
+        AND ${sqlLangScore(textExpr, Stopwords)} * $QualityStopwordDen >= $nt)"""
+  }
+
   /** Portable per-word value: first char, last char, length — cheap,
     * deterministic, and expressible in any SQL dialect. */
   def wordVal(w: Column): Column =

@@ -120,8 +120,8 @@ class SamplingSpec extends SparkSpec {
   test("temperatureMix: isqrt quotas upsample low-resource domains") {
     import org.apache.spark.sql.functions.col
     // A: 100 docs, B: 4 docs -> isqrt 10 and 2, total 12; budget 60
-    // gives quotas 50 and 10; B's rate caps at 1000 (keeps all 4)
-    // while A keeps ~half — the low-resource domain is upsampled
+    // gives quotas 50 and 10; B's rate caps at 1000000 ppm (keeps all
+    // 4) while A keeps ~half — the low-resource domain is upsampled
     val docs = ((0L until 100L).map((_, "A")) ++
       (1000L until 1004L).map((_, "B"))).toDF("doc_id", "lang")
     val out = Sampling.temperatureMix(docs, "lang", "doc_id", 60L)
@@ -138,5 +138,13 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
       .map { case (l, n, q, s) => (l, (n, q, s)) }.toMap
     assert(again == out)
+    // a domain whose quota floors to zero must still REPORT, with
+    // n_sampled = 0 — zeroed is not the same as absent
+    val tiny = Sampling.temperatureMix(docs, "lang", "doc_id", 1L)
+      .select("lang", "quota", "n_sampled")
+      .as[(String, Long, Long)].collect()
+      .map { case (l, q, s) => (l, (q, s)) }.toMap
+    assert(tiny.keySet == Set("A", "B"))
+    assert(tiny("B") == ((0L, 0L)))
   }
 }
