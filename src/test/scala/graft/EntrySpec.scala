@@ -13,6 +13,16 @@ class EntrySpec extends SparkSpec {
     // and no orphan oracle entries
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+  test("no module shadows another's query name (++ merge is silent)") {
+    val modules = Seq(
+      "Relational" -> ops.Relational.queries, "Iterative" -> ops.Iterative.queries,
+      "Events" -> ops.Events.queries, "TextOps" -> ops.TextOps.queries,
+      "ScrubOps" -> ops.ScrubOps.queries, "MiningOps" -> ops.MiningOps.queries)
+    val all = modules.flatMap { case (m, qs) => qs.keys.map((_, m)) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"query names declared in two modules: $dups")
+    assert(all.size == SparkEntry.queries.size)
+  }
   test("docs/QUERIES.md catalog names every declared query (drift guard)") {
     // round 6's review caught a declared query missing from the
     // catalog; this pins the document's "every entry" contract
