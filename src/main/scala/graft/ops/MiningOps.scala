@@ -173,6 +173,32 @@ object MiningOps {
   def qQualityDistill(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.QualityModel.distill(t(spark, dir, "documents"))
 
+  /** Semantic packing (the in-context-pretraining data layout): docs
+    * packed WITHIN their embedding cluster instead of an arbitrary
+    * id-hash shard, so each fixed-budget training context holds
+    * topically related documents. Cluster = the shared 16-cell
+    * quantizer over the doc's embedding row (doc_id ≡ vec_id);
+    * assignment replays exactly in the oracle, packing is the same
+    * budget-aligned window cumsum as q_pack, partitioned by cell. */
+  def qPackSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NearestCell
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val pts = emb.select(col("vec_id").as("id"),
+      col("embedding").as("features"))
+    val cells = graft.graph.Algorithms.kMeansCentroids(pts, 16, 3)
+    val clustered = docs
+      .select(col("doc_id"), ((col("n_chars") + 3) / 4).cast("long")
+        .as("est_tokens"))
+      .join(emb.select(col("vec_id").as("doc_id"),
+        NearestCell.nearestCell(col("embedding"), cells).as("cell")),
+        Seq("doc_id"))
+    graft.pipeline.Packing.packWithin(
+        clustered, "cell", "doc_id", "est_tokens", budget = 2048)
+      .groupBy(col("cell"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("n_tokens"))
+  }
+
   /** The curation pipeline composed end-to-end — quality filter →
     * exact-dedup keep-one → train split → sequence packing — with a
     * per-stage survivor count, the "a user runs their whole pipeline
@@ -214,6 +240,7 @@ object MiningOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> (qPipelineE2e _),
+    "q_pack_semantic" -> (qPackSemantic _),
     "q_bm25_topk" -> (qBm25TopK _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
@@ -269,6 +296,22 @@ object MiningOps {
     "q_hybrid_retrieval" -> Retrieval.sqlHybridTopK(
       s"doc_id < $Bm25Queries", s"vec_id < $Bm25Queries",
       Bm25Terms, HybridEach, HybridK, dim = 64),
+    // semantic packing: quantizer-trajectory cluster assignment +
+    // the within-group pack window
+    "q_pack_semantic" ->
+      s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
+         cl AS (
+           SELECT p.vec_id AS doc_id, c.cid AS cell
+           FROM pts p CROSS JOIN c3 c
+           QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY ${Iterative.kmDist("p.embedding", "c.cent")}, c.cid) = 1),
+         sdt AS (SELECT d.doc_id, (d.n_chars + 3) // 4 AS est_tokens, cl.cell
+                FROM documents d JOIN cl USING (doc_id)),
+         sp2 AS (${graft.pipeline.Packing.sqlPackWithinCte(
+            "sdt", "cell", "doc_id", "est_tokens", 2048)})
+         SELECT cell, pack, COUNT(1) AS n_docs,
+           CAST(SUM(est_tokens) AS BIGINT) AS n_tokens
+         FROM sp2 GROUP BY 1, 2""",
     // IVF-legged hybrid: the q_knn_ivf probe replay (quantizer
     // trajectory, cell assignment, 4-probe candidates) feeds the
     // shared RRF fuse tail as the `sem` leg

@@ -40,6 +40,31 @@ object Packing {
       .withColumnRenamed("cum", "pack_offset")
   }
 
+  /** Packing WITHIN caller-supplied groups (semantic packing): the
+    * same budget-aligned cumsum cut, but the partition key is a
+    * topical group (e.g. an embedding cluster) instead of the id
+    * hash — so every pack holds docs from ONE group and training
+    * contexts are topically coherent (the in-context-pretraining
+    * data layout). Same scale shape: embarrassingly parallel window
+    * cumsum per group, no global sort. */
+  def packWithin(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.withColumn("cum",
+        sum(col(tokensCol).cast("long")).over(w) - col(tokensCol).cast("long"))
+      .withColumn("pack", floor(col("cum") / lit(budget)).cast("long"))
+      .withColumnRenamed("cum", "pack_offset")
+  }
+
+  /** SQL twin of [[packWithin]]'s assignment. */
+  def sqlPackWithinCte(table: String, groupExpr: String, idExpr: String,
+      tokensExpr: String, budget: Long): String =
+    s"""SELECT *,
+         CAST(((SUM(CAST($tokensExpr AS BIGINT)) OVER
+             (PARTITION BY $groupExpr ORDER BY $idExpr))
+           - CAST($tokensExpr AS BIGINT)) // $budget AS BIGINT) AS pack
+       FROM $table"""
+
   /** SQL twin of [[packGreedy]]'s assignment for the DuckDB oracle:
     * emits shard/pack expressions given the same columns. */
   def sqlPackCte(table: String, idExpr: String, tokensExpr: String,

@@ -27,6 +27,25 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packWithin never mixes groups inside a pack and chunks each group by start offset") {
+    val grouped = docs.withColumn("grp", pmod(col("doc_id"), lit(7)))
+    val packed = Packing.packWithin(grouped, "grp", "doc_id", "toks", budget = 1000)
+      .select("grp", "pack", "pack_offset", "toks", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(packed.length == docs.count())
+    // pack id is exactly the start-offset chunk within the group
+    assert(packed.forall { case (_, p, off, _, _) => p == off / 1000 })
+    // offsets within a group are a contiguous cumsum in doc_id order
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._5)
+      assert(ordered.head._3 == 0L)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _           =>
+      }
+    }
+  }
+
   test("packGreedy is deterministic across partitionings") {
     val a = Packing.packGreedy(docs, "doc_id", "toks", 1000, 8)
       .select("doc_id", "shard", "pack").as[(Long, Long, Long)].collect().sorted.toSeq
