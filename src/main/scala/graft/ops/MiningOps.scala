@@ -46,6 +46,87 @@ object MiningOps {
     Retrieval.bm25TopK(docs, bm25QuerySet(docs), Bm25K)
   }
 
+  // ---- served lexical index ([[graft.text.PostingsIndex]]) ------------
+  //
+  // The same bounded query set as q_bm25_topk runs against the
+  // PERSISTED inverted index instead of a one-shot corpus scan — and
+  // the lifecycle queries assert the serving invariant that matters:
+  // search over base+extents−tombstones equals brute-force BM25 over
+  // exactly the live doc set (stats, df and ranks included), which is
+  // what each oracle replays with a docs-universe predicate.
+
+  /** Live-universe predicate pieces shared by the lifecycle queries
+    * (and their oracles): base = doc_id%3==0, admitted batches
+    * %3==1 / %3==2, forgotten = indexed ids with doc_id%5==0. */
+  private val Bm25ForgetPred = "doc_id % 3 < 2 AND doc_id % 5 = 0"
+
+  /** BM25 top-k served from a written [[graft.text.PostingsIndex]]
+    * over the full corpus — must equal q_bm25_topk exactly (same
+    * oracle SQL: the index path is pure machinery, not semantics). */
+  def qBm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.text.PostingsIndex.write(docs, "graft_q_bm25_index")
+    graft.text.PostingsIndex.search(spark, "graft_q_bm25_index",
+      bm25QuerySet(docs), Bm25K)
+  }
+
+  /** Growing lexical index: base (doc_id%3==0) + two admitted batches
+    * (%3==1, %3==2), searched — equals brute-force BM25 over ALL docs
+    * (the monolithic q_bm25_topk oracle), proving admission changes
+    * nothing but the storage layout. */
+  def qBm25Grow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_bm25_grow"
+    graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_bm25_grow")
+    (1 to 2).foreach(k => graft.text.PostingsIndex.admit(spark, table,
+      root.toString, docs.filter(col("doc_id") % 3 === k), k - 1L))
+    graft.text.PostingsIndex.searchGrown(spark, table, root.toString,
+      bm25QuerySet(docs), Bm25K)
+  }
+
+  /** Right-to-be-forgotten on the lexical index: base (%3==0) +
+    * batch 1 (%3==1) admitted, then every indexed doc with
+    * doc_id%5==0 is forgotten (tombstones only — no rewrite), then
+    * searched. Equals brute-force BM25 over the live set — a
+    * forgotten doc must vanish from results AND stop counting toward
+    * df / N / avgdl. */
+  def qBm25Forget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_bm25_forget"
+    graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_bm25_forget")
+    graft.text.PostingsIndex.admit(spark, table, root.toString,
+      docs.filter(col("doc_id") % 3 === 1), 0L)
+    graft.text.PostingsIndex.forget(spark, root.toString,
+      docs.filter(expr(Bm25ForgetPred)).select(col("doc_id")), 100L)
+    graft.text.PostingsIndex.searchGrown(spark, table, root.toString,
+      bm25QuerySet(docs), Bm25K)
+  }
+
+  /** The lexical-index lifecycle end-to-end: write base (%3==0),
+    * admit batch 1 (%3==1), forget (%5==0 of the indexed), COMPACT
+    * (tombstones applied physically, stats recomputed, dirs cleared),
+    * then admit batch 2 (%3==2) against the compacted base and
+    * search. Live universe = (base ∪ batch1 − forgotten) ∪ batch2.
+    * There is no retrain leg: an inverted index has no trained state,
+    * so compact closes the lifecycle (PostingsIndex scaladoc). */
+  def qBm25Compact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_bm25_compact"
+    graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("graft_q_bm25_compact")
+    graft.text.PostingsIndex.admit(spark, table, root.toString,
+      docs.filter(col("doc_id") % 3 === 1), 0L)
+    graft.text.PostingsIndex.forget(spark, root.toString,
+      docs.filter(expr(Bm25ForgetPred)).select(col("doc_id")), 100L)
+    graft.text.PostingsIndex.compact(spark, table, root.toString)
+    graft.text.PostingsIndex.admit(spark, table, root.toString,
+      docs.filter(col("doc_id") % 3 === 2), 1L)
+    graft.text.PostingsIndex.searchGrown(spark, table, root.toString,
+      bm25QuerySet(docs), Bm25K)
+  }
+
   /** Probe slice (mills of the id-hash space) for
     * [[qDecontaminateBloom]]: 15% of the corpus — an SF-SCALED probe
     * set, deliberately NOT the bounded-benchmark shape of
@@ -242,6 +323,10 @@ object MiningOps {
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_pack_semantic" -> (qPackSemantic _),
     "q_bm25_topk" -> (qBm25TopK _),
+    "q_bm25_index" -> (qBm25Index _),
+    "q_bm25_grow" -> (qBm25Grow _),
+    "q_bm25_forget" -> (qBm25Forget _),
+    "q_bm25_compact" -> (qBm25Compact _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_tokens" -> (qBpeTokens _),
@@ -278,6 +363,20 @@ object MiningOps {
          UNION ALL SELECT 5, 'packs', (SELECT COUNT(1) FROM pk)"""
     },
     "q_bm25_topk" -> Retrieval.sqlBm25TopK(
+      s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+    // the served-index family: the index path must be INVISIBLE in
+    // the results, so index and grow replay the monolithic BM25
+    // oracle verbatim, and forget/compact restrict its doc universe
+    // to the live set
+    "q_bm25_index" -> Retrieval.sqlBm25TopK(
+      s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+    "q_bm25_grow" -> Retrieval.sqlBm25TopK(
+      s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+    "q_bm25_forget" -> Retrieval.sqlBm25TopKLive(
+      s"doc_id % 3 < 2 AND NOT ($Bm25ForgetPred)",
+      s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+    "q_bm25_compact" -> Retrieval.sqlBm25TopKLive(
+      s"(doc_id % 3 < 2 AND NOT ($Bm25ForgetPred)) OR doc_id % 3 = 2",
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
     "q_bpe_encode" -> graft.text.Bpe.sqlEncodeVocab(BpeMerges),

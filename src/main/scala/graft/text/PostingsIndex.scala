@@ -1,0 +1,316 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistable inverted index — the lexical retrieval *serving*
+  * shape, completing the served-index triad next to the ANN index
+  * ([[graft.sim.IvfIndex]]) and the dedup index
+  * ([[graft.dedup.DedupIndex]]): tokenize the corpus once, store the
+  * postings bucketed by term, and answer BM25 top-k queries by
+  * reading ONLY the queried terms' postings — never re-tokenizing or
+  * re-scanning the corpus per query batch, which is what
+  * [[Retrieval.bm25TopK]]'s one-shot corpus stream would do at
+  * serving cadence.
+  *
+  * Storage layout (the DedupIndex two-table normalization applied to
+  * text): `<table>(tok, doc_id, tf, dl)` bucketed on `tok` — the
+  * scored side, one row per (term, doc), with the doc length
+  * DENORMALIZED onto each posting so scoring never joins a length
+  * table; `<table>_docs(doc_id, dl)` bucketed on `doc_id` — the
+  * per-doc side, read only for tombstone stats corrections and
+  * compaction; `<table>_stats` — the 1-row (n_docs, total_toks)
+  * scalar that BM25's avgdl needs.
+  *
+  * 100 TB posture: a query batch touches |query terms| bucket keys of
+  * the postings table. The bounded query set (a benchmark suite, not
+  * a corpus — the [[Retrieval]] contract) collects its distinct terms
+  * driver-side and each index part's scan filters `tok IN (terms)` as
+  * a LITERAL predicate, so the filter reaches the parquet scan
+  * (PushedFilters; row-group dictionary skipping) and prunes buckets
+  * — the index reads postings proportional to the query's term hit
+  * mass, not the corpus. df and the corpus stats are exact under
+  * growth and deletion: df recomputes over the (term-bounded) live
+  * postings at query time, stats fold base + per-batch extent deltas
+  * − an O(tombstones) correction joined by id against the
+  * doc-bucketed side. Nothing corpus-sized is broadcast, collected,
+  * or re-shuffled at search time.
+  *
+  * Growth follows the LSM extent discipline shared by the other two
+  * indexes: [[admit]] lands a batch's postings/docs/stats-delta in
+  * the batch's OWN partitions (replay = overwrite itself:
+  * idempotent); [[searchGrown]] scans base + extents as SEPARATE
+  * parts (a union before the per-part term filter would erase the
+  * base bucketing); [[forget]] tombstones ids without rewriting
+  * anything — masked at search (results, df AND stats), applied
+  * physically by [[compact]]. There is no retrain stage: an inverted
+  * index has no trained state (nothing analogous to the IVF coarse
+  * quantizer), so the lifecycle closes at compact by construction.
+  *
+  * Caller contract: doc_ids are unique across base + extents, and a
+  * tombstoned id must not be re-admitted before a [[compact]] clears
+  * the tombstones — [[admit]] enforces that with an O(batch)
+  * anti-join guard (exempting the batch's own prior partition, which
+  * is crash-replay, not rebirth — the
+  * [[graft.dedup.DedupIndex.flagAndAdmit]] rule).
+  */
+object PostingsIndex {
+
+  /** Per-doc side: (doc_id, dl), bucketed on doc_id. */
+  def docsTable(table: String): String = table + "_docs"
+
+  /** 1-row corpus stats: (n_docs, total_toks). */
+  def statsTable(table: String): String = table + "_stats"
+
+  /** Postings-extent directory of a growing index. */
+  def postingsPath(growPath: String): String = growPath + "/postings"
+
+  /** Doc-side extent directory. */
+  def docsPath(growPath: String): String = growPath + "/docs"
+
+  /** Per-batch stats-delta directory. */
+  def statsPath(growPath: String): String = growPath + "/stats"
+
+  /** Tombstone directory (forgotten doc_ids). */
+  def tombstonePath(growPath: String): String = growPath + "/tombstones"
+
+  /** (doc_id, t=tokens, dl) of a doc batch — ONE tokenize pass feeds
+    * postings, doc side and stats delta (callers cache it). */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        TextFunctions.tokens(col("text")).as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+
+  /** Postings rows of a tokenized batch: (tok, doc_id, tf, dl). */
+  private def postingsOf(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+
+  /** Tokenize `docs` (doc_id, text) and persist the index under
+    * `<table>` / `<table>_docs` / `<table>_stats`. */
+  def write(docs: DataFrame, table: String, buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    Seq(table, docsTable(table), statsTable(table))
+      .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
+    val tok = tokenized(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.api.Bucketing.writeBucketed(
+        postingsOf(tok), table, Seq("tok"), buckets)
+      graft.api.Bucketing.writeBucketed(
+        tok.select(col("doc_id"), col("dl")),
+        docsTable(table), Seq("doc_id"), buckets)
+      tok.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+        .coalesce(1)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(statsTable(table))
+    } finally tok.unpersist(blocking = true)
+  }
+
+  /** Drop all parts of a persisted index. */
+  def drop(spark: SparkSession, table: String): Unit =
+    Seq(table, docsTable(table), statsTable(table))
+      .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private val PostingsExtSchema = "tok STRING, doc_id LONG, tf LONG, dl LONG, batch_id LONG"
+  private val DocsExtSchema = "doc_id LONG, dl LONG, batch_id LONG"
+  private val StatsExtSchema = "n_docs LONG, total_toks LONG, batch_id LONG"
+  private val TombSchema = "doc_id LONG, batch_id LONG"
+
+  private def tombstones(spark: SparkSession, growPath: String): Option[DataFrame] =
+    if (dirExists(spark, tombstonePath(growPath)))
+      Some(spark.read.schema(TombSchema)
+        .parquet(tombstonePath(growPath)).select(col("doc_id")))
+    else None
+
+  /** Admit one batch of new docs (doc_id, text): tokenize the BATCH
+    * only and land its postings, doc rows and stats delta as the
+    * batch's own extent partitions — O(batch) work, the index never
+    * rewrites. Guards the tombstone-rebirth contract (see object
+    * scaladoc): a batch id that is tombstoned and NOT in this batch's
+    * own prior partition (crash replay) is rejected. */
+  def admit(spark: SparkSession, table: String, growPath: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    tombstones(spark, growPath).foreach { ts =>
+      val own =
+        if (dirExists(spark, s"${docsPath(growPath)}/batch_id=$batchId"))
+          spark.read.schema("doc_id LONG, dl LONG")
+            .parquet(s"${docsPath(growPath)}/batch_id=$batchId")
+            .select(col("doc_id"))
+        else spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      val reborn = batch.select(col("doc_id").cast("long").as("doc_id"))
+        .join(ts, Seq("doc_id"), "left_semi")
+        .join(own, Seq("doc_id"), "left_anti")
+        .count()
+      require(reborn == 0,
+        s"admit(batch $batchId): $reborn doc_id(s) are tombstoned in this " +
+          "index and not part of this batch's own prior partition — a " +
+          "forgotten id must not be re-admitted before compact() clears " +
+          "the tombstones")
+    }
+    val tok = tokenized(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postingsOf(tok).write.mode("overwrite")
+        .parquet(s"${postingsPath(growPath)}/batch_id=$batchId")
+      tok.select(col("doc_id"), col("dl")).write.mode("overwrite")
+        .parquet(s"${docsPath(growPath)}/batch_id=$batchId")
+      tok.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${statsPath(growPath)}/batch_id=$batchId")
+    } finally tok.unpersist(blocking = true)
+  }
+
+  /** Forget documents (right-to-be-forgotten) WITHOUT rewriting: ids
+    * land as the batch's own tombstone partition; [[searchGrown]]
+    * masks them out of results, df and the corpus stats;
+    * [[compact]] applies them physically. Ids should reference
+    * indexed documents — a stray id is benign (every correction joins
+    * against the index by id, so it contributes nothing). */
+  def forget(spark: SparkSession, growPath: String, ids: DataFrame,
+      batchId: Long): Unit =
+    ids.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite")
+      .parquet(s"${tombstonePath(growPath)}/batch_id=$batchId")
+
+  /** BM25 top-k against the base index only (no growth dirs). Same
+    * contract as [[Retrieval.bm25TopK]] over the indexed corpus:
+    * (qid, doc_id, score, rk), rk 1..k by (score desc, doc_id). */
+  def search(spark: SparkSession, table: String, queries: DataFrame,
+      k: Int): DataFrame =
+    searchParts(spark, Seq(spark.table(table)),
+      spark.table(statsTable(table)), None, Nil, queries, k)
+
+  /** BM25 top-k against base + every admitted extent, minus
+    * tombstones — exact under growth and deletion: equals
+    * [[Retrieval.bm25TopK]] over the LIVE doc set (asserted in
+    * PostingsIndexSpec; oracle-checked by the q_bm25_* lifecycle
+    * queries). */
+  def searchGrown(spark: SparkSession, table: String, growPath: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val parts: Seq[DataFrame] =
+      spark.table(table) +:
+        (if (dirExists(spark, postingsPath(growPath)))
+          Seq(spark.read.schema(PostingsExtSchema)
+            .parquet(postingsPath(growPath)).drop("batch_id"))
+        else Nil)
+    val statsParts: Seq[DataFrame] =
+      if (dirExists(spark, statsPath(growPath)))
+        Seq(spark.read.schema(StatsExtSchema)
+          .parquet(statsPath(growPath)).select(col("n_docs"), col("total_toks")))
+      else Nil
+    val docsParts: Seq[DataFrame] =
+      spark.table(docsTable(table)) +:
+        (if (dirExists(spark, docsPath(growPath)))
+          Seq(spark.read.schema(DocsExtSchema)
+            .parquet(docsPath(growPath)).drop("batch_id"))
+        else Nil)
+    searchParts(spark, parts, spark.table(statsTable(table)),
+      tombstones(spark, growPath).map(ts => (ts, docsParts)),
+      statsParts, queries, k)
+  }
+
+  /** The shared search core. `tombs` carries the tombstone ids plus
+    * the doc-side parts they correct the stats against. */
+  private def searchParts(spark: SparkSession, postingsParts: Seq[DataFrame],
+      statsBase: DataFrame, tombs: Option[(DataFrame, Seq[DataFrame])],
+      statsExtents: Seq[DataFrame], queries: DataFrame, k: Int): DataFrame = {
+    // the query set is bounded by the Retrieval contract (a benchmark
+    // suite, not a corpus), so its distinct terms collect driver-side
+    // — that is what turns the term filter into a LITERAL predicate
+    // each part's parquet scan can push down and prune buckets with
+    // (the loadCentroids discipline applied to text)
+    val terms: Seq[String] = queries.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val termFilter: Column = col("tok").isin(terms: _*)
+    val cand = postingsParts
+      .map(_.filter(termFilter)
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl")))
+      .reduce(_ unionByName _)
+    // tombstoned docs drop out BEFORE df — a forgotten doc must not
+    // inflate document frequency any more than it may appear in results
+    val live = tombs.fold(cand) { case (ts, _) =>
+      cand.join(ts, Seq("doc_id"), "left_anti") }
+    // grouped on the literal-IN-bounded term key → ≤ |terms| rows; the
+    // limit is a no-op that makes the bound PLAN-VISIBLE for the
+    // suite-wide hard-broadcast audit (the knnQueries discipline)
+    val dfreq = live.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .limit(math.max(terms.size, 1))
+    // stats fold: base row + per-batch extent deltas − the tombstoned
+    // docs' (count, Σdl), the latter joined by id against the
+    // doc-bucketed side — O(tombstones), never an index rescan
+    val corr: Seq[DataFrame] = tombs.toSeq.map { case (ts, docsParts) =>
+      ts.join(docsParts.reduce(_ unionByName _), Seq("doc_id"))
+        .agg((-count(lit(1))).as("n_docs"),
+          (-coalesce(sum(col("dl")), lit(0L))).as("total_toks"))
+    }
+    val stats = (statsBase.select(col("n_docs"), col("total_toks")) +:
+        (statsExtents ++ corr))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_toks")).as("total_toks"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    Retrieval.scorePostings(live, dfreq, stats, queries)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Fold every extent into the bucketed base tables, apply
+    * tombstones physically (postings AND doc side), recompute the
+    * stats row exactly from the compacted doc side, and clear the
+    * growth directories. Assignments are final (tokenization is
+    * per-doc), so compaction is a straight rewrite — and since an
+    * inverted index has no trained state, this CLOSES the lifecycle
+    * (no retrain stage exists to need). Callers must not run it while
+    * admissions or forgets are active. */
+  def compact(spark: SparkSession, table: String, growPath: String,
+      buckets: Int = 16): Unit = {
+    val hasExt = dirExists(spark, postingsPath(growPath))
+    val hasTombs = dirExists(spark, tombstonePath(growPath))
+    if (!hasExt && !hasTombs) return
+    val staging = growPath + "/_compact_staging"
+    def live(df: DataFrame) = tombstones(spark, growPath).fold(df)(ts =>
+      df.join(ts, Seq("doc_id"), "left_anti"))
+    val postings =
+      if (hasExt) spark.table(table).unionByName(
+        spark.read.schema(PostingsExtSchema)
+          .parquet(postingsPath(growPath)).drop("batch_id"))
+      else spark.table(table)
+    val docs =
+      if (hasExt) spark.table(docsTable(table)).unionByName(
+        spark.read.schema(DocsExtSchema)
+          .parquet(docsPath(growPath)).drop("batch_id"))
+      else spark.table(docsTable(table))
+    live(postings).write.mode("overwrite").parquet(staging + "/postings")
+    live(docs).write.mode("overwrite").parquet(staging + "/docs")
+    Seq(table, docsTable(table), statsTable(table))
+      .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
+    graft.api.Bucketing.writeBucketed(
+      spark.read.parquet(staging + "/postings"), table, Seq("tok"), buckets)
+    graft.api.Bucketing.writeBucketed(
+      spark.read.parquet(staging + "/docs"), docsTable(table),
+      Seq("doc_id"), buckets)
+    spark.table(docsTable(table))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(statsTable(table))
+    val root = new org.apache.hadoop.fs.Path(growPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(postingsPath(growPath), docsPath(growPath), statsPath(growPath),
+        tombstonePath(growPath), staging)
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+  }
+}

@@ -48,6 +48,30 @@ object Retrieval {
   val TfConst = 3000L
   val TfLen = 9L
 
+  /** The shared BM25 scoring tail: postings rows (doc_id, tok, tf,
+    * dl) + per-term df + the 1-row corpus stats → per-(query, doc,
+    * term) integer-ppm weights (qid, doc_id, tok, w). Factored out so
+    * the corpus-scan path ([[termScores]]) and the served-index path
+    * ([[PostingsIndex.searchGrown]]) agree bit-for-bit by
+    * construction — both feed the same expressions, only the postings
+    * SOURCE differs. `dfreq` and `queries` are term-bounded (both
+    * broadcast); `stats` must be a single row. */
+  private[text] def scorePostings(postings: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, queries: DataFrame): DataFrame =
+    postings.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("ratio_m",
+        expr(s"(dl * 1000000L) div ((total_toks * 1000L) div n_docs)"))
+      .withColumn("tfq",
+        expr(s"($TfNum * tf * 1000000L) div" +
+          s" ($TfDen * tf + $TfConst + $TfLen * ratio_m)"))
+      .withColumn("idf",
+        expr("((2L * n_docs - 2L * df + 1L) * 1000000L) div (2L * df + 1L)"))
+      .join(broadcast(queries), "tok")
+      .select(col("qid"), col("doc_id"), col("tok"),
+        expr("tfq * (idf div 1000000L) + (tfq * (idf % 1000000L)) div 1000000L")
+          .as("w"))
+
   /** Per-(query, doc, term) BM25 term scores in integer ppm.
     * `queries`: (qid, tok) — MUST be bounded (it is broadcast);
     * `docs`: (doc_id, text). Output: (qid, doc_id, tok, w). */
@@ -68,19 +92,7 @@ object Retrieval {
     // ≤ |query terms| rows by construction (grouped on the term key
     // of the broadcast-filtered postings)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "tok")
-      .crossJoin(broadcast(stats))
-      .withColumn("ratio_m",
-        expr(s"(dl * 1000000L) div ((total_toks * 1000L) div n_docs)"))
-      .withColumn("tfq",
-        expr(s"($TfNum * tf * 1000000L) div" +
-          s" ($TfDen * tf + $TfConst + $TfLen * ratio_m)"))
-      .withColumn("idf",
-        expr("((2L * n_docs - 2L * df + 1L) * 1000000L) div (2L * df + 1L)"))
-      .join(broadcast(queries), "tok")
-      .select(col("qid"), col("doc_id"), col("tok"),
-        expr("tfq * (idf div 1000000L) + (tfq * (idf % 1000000L)) div 1000000L")
-          .as("w"))
+    scorePostings(tf, dfreq, stats, queries)
   }
 
   /** Per-(query, doc) summed BM25 scores: (qid, doc_id, score). */
@@ -158,11 +170,16 @@ object Retrieval {
 
   /** Shared oracle CTE chain ending in `s(qid, doc_id, score)` —
     * the summed BM25 scores both [[sqlBm25TopK]] and
-    * [[sqlHybridTopK]] rank from. */
-  private def sqlBm25Ctes(queryPred: String, qTerms: Int): String =
-    s"""sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    * [[sqlHybridTopK]] rank from. `docsPred` restricts the scored
+    * corpus universe (the LIVE doc set of an index-lifecycle query);
+    * the query set always draws from the FULL table — query terms
+    * need not come from indexed docs. */
+  private def sqlBm25Ctes(queryPred: String, qTerms: Int,
+      docsPred: String = "TRUE"): String =
+    s"""spq AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sp AS (SELECT * FROM spq WHERE $docsPred),
        q AS (SELECT DISTINCT doc_id AS qid, unnest(t[1:$qTerms]) AS tok
-             FROM sp WHERE $queryPred),
+             FROM spq WHERE $queryPred),
        st AS (SELECT COUNT(1) AS n, CAST(SUM(len(t)) AS BIGINT) AS tt FROM sp),
        toks AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok
                 FROM sp),
@@ -185,7 +202,16 @@ object Retrieval {
     * selects the query docs; their first `qTerms` distinct tokens are
     * the query. */
   def sqlBm25TopK(queryPred: String, qTerms: Int, k: Int): String =
-    s"""WITH ${sqlBm25Ctes(queryPred, qTerms)}
+    sqlBm25TopKLive("TRUE", queryPred, qTerms, k)
+
+  /** [[sqlBm25TopK]] over a restricted LIVE corpus universe — the
+    * oracle form of the [[PostingsIndex]] lifecycle queries, where
+    * the scored doc set is base ∪ admitted − forgotten, expressed as
+    * a doc_id predicate. The index search must equal the brute-force
+    * BM25 over exactly that universe (stats, df and ranks included). */
+  def sqlBm25TopKLive(docsPred: String, queryPred: String, qTerms: Int,
+      k: Int): String =
+    s"""WITH ${sqlBm25Ctes(queryPred, qTerms, docsPred)}
        SELECT qid, doc_id, score,
          CAST(row_number() OVER (PARTITION BY qid
            ORDER BY score DESC, doc_id) AS INT) AS rk

@@ -324,6 +324,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_ivf" -> "broadcast probe-cell set against the bucketed corpus",
     "q_unigram_score" -> "1-row corpus-total frame broadcast into the weight projection",
     "q_bm25_topk" -> "1-row corpus-length-stats frame broadcast into the score projection",
+    "q_bm25_index" -> "1-row corpus-length-stats frame broadcast into the score projection (served-index path)",
+    "q_bm25_grow" -> "1-row folded-stats frame broadcast into the score projection (served-index path)",
+    "q_bm25_forget" -> "1-row folded-stats frame broadcast into the score projection (served-index path)",
+    "q_bm25_compact" -> "1-row folded-stats frame broadcast into the score projection (served-index path)",
     "q_hybrid_retrieval" -> "inherits both legs' bounded shapes: the q_knn_brute query-set broadcast and the q_bm25_topk 1-row stats frame",
     "q_hybrid_ivf" -> "inherits the q_bm25_topk 1-row stats frame (the dense leg is the keyed IVF probe)",
     "q_curriculum" -> "1-row quartile-threshold frame broadcast into the stage assignment",

@@ -1,0 +1,141 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class PostingsIndexSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  /** Bounded query set: first 20 docs, each query its first 5
+    * distinct tokens (the q_bm25_topk shape at spec scale). */
+  private def queries(src: DataFrame) =
+    src.filter(col("doc_id") < 20).limit(20)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(
+          slice(TextFunctions.tokens(col("text")), 1, 5))).as("tok"))
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Int)] = {
+    import spark.implicits._
+    df.select(col("qid"), col("doc_id"), col("score"), col("rk"))
+      .as[(Long, Long, Long, Int)].collect().sorted.toSeq
+  }
+
+  private def cleanup(table: String): Unit =
+    PostingsIndex.drop(spark, table)
+
+  test("served index answers identically to the one-shot corpus BM25") {
+    val q = queries(docs)
+    val direct = rows(Retrieval.bm25TopK(docs, q, k = 3))
+    PostingsIndex.write(docs, "pidx_test_base")
+    val served = rows(PostingsIndex.search(spark, "pidx_test_base", q, k = 3))
+    assert(served == direct)
+    assert(served.nonEmpty)
+
+    // the postings scan must see the literal term filter (pushdown) —
+    // the read is term-bounded, not corpus-bounded
+    val plan = PostingsIndex.search(spark, "pidx_test_base", q, k = 3)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .filter(l => l.contains("pidx_test_base") && l.contains("Scan"))
+      .mkString("\n")
+    assert(scanLine.contains("PushedFilters: [In(tok"), scanLine)
+    // the literal IN also prunes buckets of the tok-bucketed table
+    assert(scanLine.contains("SelectedBucketsCount"), scanLine)
+    // the only nested-loop join is the 1-row stats cross (the
+    // Retrieval pattern); nothing corpus-sized rides a broadcast
+    val bnlj = plan.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, plan)
+    cleanup("pidx_test_base")
+  }
+
+  test("grow + forget: search equals brute-force BM25 over the live doc set") {
+    val q = queries(docs)
+    val table = "pidx_test_grow"
+    PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_grow").toString
+    (1 to 2).foreach(k => PostingsIndex.admit(spark, table, root,
+      docs.filter(col("doc_id") % 3 === k), k - 1L))
+    // grown index == monolithic scan over everything
+    assert(rows(PostingsIndex.searchGrown(spark, table, root, q, 3)) ==
+      rows(Retrieval.bm25TopK(docs, q, 3)))
+
+    // forget: masked docs vanish from results AND from df/N/avgdl
+    PostingsIndex.forget(spark, root,
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), 100L)
+    val live = docs.filter(col("doc_id") % 5 =!= 0)
+    val after = rows(PostingsIndex.searchGrown(spark, table, root, q, 3))
+    assert(after == rows(Retrieval.bm25TopK(live, q, 3)))
+    assert(after.forall(_._2 % 5 != 0))
+    cleanup(table)
+  }
+
+  test("compact applies tombstones physically, recomputes stats, clears dirs") {
+    val q = queries(docs)
+    val table = "pidx_test_compact"
+    PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_compact").toString
+    PostingsIndex.admit(spark, table, root,
+      docs.filter(col("doc_id") % 3 === 1), 0L)
+    PostingsIndex.forget(spark, root,
+      docs.filter(col("doc_id") % 3 < 2 && col("doc_id") % 5 === 0)
+        .select(col("doc_id")), 100L)
+    val before = rows(PostingsIndex.searchGrown(spark, table, root, q, 3))
+    PostingsIndex.compact(spark, table, root)
+    // growth dirs gone; base-only search now answers the same
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(PostingsIndex.postingsPath(root), PostingsIndex.docsPath(root),
+        PostingsIndex.statsPath(root), PostingsIndex.tombstonePath(root))
+      .foreach(d => assert(!fs.exists(new org.apache.hadoop.fs.Path(d)), d))
+    assert(rows(PostingsIndex.search(spark, table, q, 3)) == before)
+    // stats row equals the live doc side exactly
+    import spark.implicits._
+    val (n, tt) = spark.table(PostingsIndex.statsTable(table))
+      .as[(Long, Long)].collect().head
+    val liveDocs = docs.filter(col("doc_id") % 3 < 2 &&
+      !(col("doc_id") % 5 === 0))
+    assert(n == liveDocs.count())
+    assert(tt == liveDocs
+      .select(sum(size(TextFunctions.tokens(col("text")))).cast("long"))
+      .as[Long].collect().head)
+    cleanup(table)
+  }
+
+  test("tombstone-rebirth guard: re-admitting a forgotten id throws; crash replay does not") {
+    val table = "pidx_test_guard"
+    PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_guard").toString
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+    PostingsIndex.admit(spark, table, root, batch, 0L)
+    PostingsIndex.forget(spark, root,
+      batch.filter(col("doc_id") % 5 === 0).select(col("doc_id")), 100L)
+    // replaying batch 0 after the forget: its ids intersect the
+    // tombstones, but via its OWN prior partition — crash replay, ok
+    PostingsIndex.admit(spark, table, root, batch, 0L)
+    // a NEW batch carrying a forgotten id is rebirth — rejected
+    val err = intercept[IllegalArgumentException] {
+      PostingsIndex.admit(spark, table, root,
+        batch.filter(col("doc_id") % 5 === 0).limit(1), 7L)
+    }
+    assert(err.getMessage.contains("tombstoned"))
+    cleanup(table)
+  }
+
+  test("admit replay is idempotent for search") {
+    val q = queries(docs)
+    val table = "pidx_test_replay"
+    PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_replay").toString
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+    PostingsIndex.admit(spark, table, root, batch, 0L)
+    val first = rows(PostingsIndex.searchGrown(spark, table, root, q, 3))
+    PostingsIndex.admit(spark, table, root, batch, 0L)
+    assert(rows(PostingsIndex.searchGrown(spark, table, root, q, 3)) == first)
+    cleanup(table)
+  }
+}
