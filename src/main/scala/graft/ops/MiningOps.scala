@@ -280,6 +280,58 @@ object MiningOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("n_tokens"))
   }
 
+  // ---- deterministic sketches ([[graft.sketch.Sketches]]) -------------
+
+  /** Hash-space sampling rate for [[qDistinctSketch]] (1/16 of the
+    * hash range survives the pre-distinct filter). */
+  val SketchRate = 16
+  /** Bottom-k size for [[qKmvDistinct]]. */
+  val KmvK = 128
+  /** Heavy-hitter cut for [[qCmsTopk]] (absolute occurrence
+    * estimate). */
+  val CmsThreshold = 900L
+
+  /** Hash-range distinct estimator over lineitem order keys, next to
+    * the exact answer: the distinct's exchange carries only the
+    * ~1/16 of keys whose hash lands under the bound — the knob an
+    * exact 100 TB count-distinct lacks. */
+  def qDistinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    graft.sketch.Sketches.distinctRangeEstimate(li, "l_orderkey", SketchRate)
+      .crossJoin(broadcast(
+        li.agg(count_distinct(col("l_orderkey")).as("exact"))))
+  }
+
+  /** KMV / bottom-k distinct estimator over part keys — the bounded-
+    * state (k hashes), mergeable form that rides per-shard → global
+    * rollups; the bottom-k is a TakeOrdered, never a global sort. */
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    graft.sketch.Sketches.kmvEstimate(li, "l_partkey", KmvK)
+      .crossJoin(broadcast(
+        li.agg(count_distinct(col("l_partkey")).as("exact"))))
+  }
+
+  /** Count-min heavy hitters over the corpus token stream: the
+    * sketch's groupBy partial-aggregates into a FIXED Depth×Width
+    * counter space map-side (the exchange is ≤ 4096 rows per
+    * partition regardless of corpus size), candidates then
+    * point-query it and keep estimates over the cut. Output
+    * (tok, est, cnt) — est ≥ cnt always (count-min is an upper
+    * bound; collisions only inflate). */
+  def qCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sketch.Sketches
+    val docs = t(spark, dir, "documents")
+    val tokv = docs
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("tok"), Sketches.tokVal(col("tok")).as("v"))
+    val sketch = Sketches.cmsSketch(tokv, col("v"))
+    val cands = tokv.groupBy(col("tok"), col("v")).agg(count(lit(1)).as("cnt"))
+    Sketches.cmsEstimate(sketch, cands)
+      .filter(col("est") >= CmsThreshold)
+      .select(col("tok"), col("est"), col("cnt"))
+  }
+
   /** The curation pipeline composed end-to-end — quality filter →
     * exact-dedup keep-one → train split → sequence packing — with a
     * per-stage survivor count, the "a user runs their whole pipeline
@@ -332,6 +384,9 @@ object MiningOps {
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_bpe_pack" -> (qBpePack _),
     "q_curriculum" -> (qCurriculum _),
+    "q_distinct_sketch" -> (qDistinctSketch _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_cms_topk" -> (qCmsTopk _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_hybrid_ivf" -> (qHybridIvf _),
@@ -389,6 +444,37 @@ object MiningOps {
            CAST(SUM(n_subwords) AS BIGINT) AS n_tokens
          FROM p GROUP BY 1, 2""",
     "q_curriculum" -> graft.pipeline.Curriculum.sqlStages(),
+    "q_distinct_sketch" -> {
+      import graft.sketch.Sketches
+      s"""SELECT * FROM (${Sketches.sqlDistinctRangeEstimate(
+            "lineitem", "l_orderkey", SketchRate)})
+         CROSS JOIN (SELECT COUNT(DISTINCT l_orderkey) AS exact
+                     FROM lineitem)"""
+    },
+    "q_kmv_distinct" -> {
+      import graft.sketch.Sketches
+      s"""SELECT * FROM (${Sketches.sqlKmvEstimate(
+            "lineitem", "l_partkey", KmvK)})
+         CROSS JOIN (SELECT COUNT(DISTINCT l_partkey) AS exact
+                     FROM lineitem)"""
+    },
+    "q_cms_topk" -> {
+      import graft.sketch.Sketches
+      s"""WITH ${Sketches.sqlCmsCtes(
+            s"""SELECT ${Sketches.sqlTokVal("tok")} AS v FROM
+               (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents)""")},
+         cand AS (SELECT tok, ${Sketches.sqlTokVal("tok")} AS v,
+             COUNT(1) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents) GROUP BY 1, 2),
+         cb AS (SELECT cand.tok, cand.cnt, r.row_i,
+             ${Sketches.sqlCmsBucketCase("cand.v")} AS bucket
+           FROM cand CROSS JOIN cmsrows r),
+         e AS (SELECT cb.tok, cb.cnt, MIN(m.cnt) AS est
+           FROM cb JOIN cms m USING (row_i, bucket) GROUP BY 1, 2)
+         SELECT tok, est, cnt FROM e WHERE est >= $CmsThreshold"""
+    },
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
       minCommon = 3),

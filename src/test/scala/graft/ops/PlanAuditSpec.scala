@@ -331,6 +331,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_hybrid_retrieval" -> "inherits both legs' bounded shapes: the q_knn_brute query-set broadcast and the q_bm25_topk 1-row stats frame",
     "q_hybrid_ivf" -> "inherits the q_bm25_topk 1-row stats frame (the dense leg is the keyed IVF probe)",
     "q_curriculum" -> "1-row quartile-threshold frame broadcast into the stage assignment",
+    "q_distinct_sketch" -> "1-row exact-count frame crossed with the 1-row estimate (gate-scale comparison readout)",
+    "q_kmv_distinct" -> "1-row exact-count frame crossed with the 1-row estimate (gate-scale comparison readout)",
     "q_temperature_mix" -> "1-row isqrt-total frame broadcast into the quota projection",
     "q_bigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",
     "q_trigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",

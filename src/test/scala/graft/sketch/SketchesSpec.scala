@@ -1,0 +1,76 @@
+package graft.sketch
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def lineitem = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  test("hash-range estimator: deterministic across partitionings, error in bound") {
+    val a = Sketches.distinctRangeEstimate(lineitem, "l_orderkey", 16)
+      .as[(Long, Long)].collect().head
+    val b = Sketches.distinctRangeEstimate(lineitem.repartition(13), "l_orderkey", 16)
+      .as[(Long, Long)].collect().head
+    assert(a == b)
+    val exact = lineitem.select(count_distinct(col("l_orderkey")))
+      .as[Long].collect().head
+    // ~92 sampled keys → sub-50% relative error is the statistical
+    // regime; the spec pins it generously (determinism is the contract)
+    assert(math.abs(a._2 - exact).toDouble / exact < 0.5,
+      s"est ${a._2} vs exact $exact")
+  }
+
+  test("KMV: error in bound; merging per-half bottom-k equals the global sketch") {
+    val exact = lineitem.select(count_distinct(col("l_partkey")))
+      .as[Long].collect().head
+    val est = Sketches.kmvEstimate(lineitem, "l_partkey", 128)
+      .as[(Long, Long)].collect().head._2
+    assert(math.abs(est - exact).toDouble / exact < 0.5, s"$est vs $exact")
+
+    // mergeability: bottom-128 of (bottom-128(half A) ∪ bottom-128(half B))
+    // == bottom-128 of the whole — the property that lets per-shard
+    // sketches roll up without touching raw data
+    def bottom(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(Sketches.longHash(col("l_partkey")).as("h"))
+        .distinct().orderBy(col("h")).limit(128).as[Long].collect().toSeq
+    val whole = bottom(lineitem)
+    val merged = (bottom(lineitem.filter(col("l_orderkey") % 2 === 0)) ++
+        bottom(lineitem.filter(col("l_orderkey") % 2 =!= 0)))
+      .distinct.sorted.take(128)
+    assert(merged == whole)
+  }
+
+  test("count-min: estimate is an upper bound and exact absent collisions") {
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("tok"), Sketches.tokVal(col("tok")).as("v"))
+    val sketch = Sketches.cmsSketch(toks, col("v"))
+    // the sketch is structurally bounded
+    assert(sketch.count() <= Sketches.CmsDepth * Sketches.CmsWidth)
+    val cands = toks.groupBy(col("tok"), col("v")).agg(count(lit(1)).as("cnt"))
+    val est = Sketches.cmsEstimate(sketch, cands)
+      .select(col("tok"), col("cnt"), col("est"))
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    // upper-bound property: min-over-rows never undercounts
+    est.foreach { case (tok, cnt, e) =>
+      assert(e >= cnt, s"$tok: est $e < exact $cnt") }
+    // 31-token vocab in 4x1024 counters: at least one row of the four
+    // is collision-free for every token, so estimates are EXACT here
+    est.foreach { case (tok, cnt, e) =>
+      assert(e == cnt, s"$tok: est $e != exact $cnt (unexpected collision)") }
+  }
+
+  test("tokVal agrees between engines' arithmetic (reference fold)") {
+    def ref(w: String): Long =
+      w.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
+    val got = Seq("scan", "batch", "a", "").toDF("w")
+      .select(col("w"), Sketches.tokVal(col("w")).as("v"))
+      .as[(String, Long)].collect().toMap
+    Seq("scan", "batch", "a", "").foreach(w => assert(got(w) == ref(w), w))
+  }
+}
