@@ -290,6 +290,84 @@ object StreamOps {
       .start()
   }
 
+  /** GROWING lexical serving index: each micro-batch of new docs
+    * (doc_id, text) is tokenized and admitted to a persisted
+    * [[graft.text.PostingsIndex]] — the retrieval twin of
+    * [[admitVectorsStream]] (documents arrive with the crawl; BM25
+    * answers tomorrow must include them without re-tokenizing the
+    * corpus). Admission lands the batch's postings / doc-lengths /
+    * stats-delta in its own extent partitions (replay-idempotent);
+    * searchGrown folds them into exact df/N/avgdl. The
+    * tombstone-rebirth guard runs per batch — a batch carrying a
+    * forgotten id FAILS the stream rather than silently reviving the
+    * doc (compact first, then resume). Same checkpoint/growPath
+    * coupling as the other index streams. */
+  def admitDocsStream(spark: SparkSession, table: String,
+      growPath: String, newDocs: DataFrame,
+      checkpoint: String): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.text.PostingsIndex.admit(spark, table, growPath,
+          batch.toDF(), batchId)
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
+  /** Right-to-be-forgotten in the lexical serving loop: deletion
+    * requests (doc_id rows) land as per-batch tombstone partitions
+    * via [[graft.text.PostingsIndex.forget]] — no rewrite; the next
+    * search masks the ids from results, df AND the corpus stats, and
+    * compaction (stream paused) applies them physically. Same
+    * idempotent batch-partition discipline as
+    * [[deleteVectorsStream]]. */
+  def forgetDocsStream(spark: SparkSession, growPath: String,
+      forgetIds: DataFrame, checkpoint: String): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.text.PostingsIndex.forget(spark, growPath,
+          batch.toDF(), batchId)
+    forgetIds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
+  /** Streaming count-min accumulator — the [[gramStream]] discipline
+    * applied to the heavy-hitter sketch: each micro-batch folds into
+    * its OWN ≤ Depth×Width counter extent (batch_id-partitioned, so a
+    * replayed batch overwrites itself and can never double-count),
+    * and counters SUM exactly across extents because count-min is a
+    * pure counter array. At any moment [[readCms]] equals the batch
+    * [[graft.sketch.Sketches.cmsSketch]] over every admitted row,
+    * bit-for-bit, so point estimates off the accumulated sketch are
+    * the batch estimates (CmsStream e2e pins it). State is ≤
+    * Depth×Width longs per batch extent; nothing grows with the
+    * stream. `vals` must carry the hashed value column `v`
+    * ([[graft.sketch.Sketches.tokVal]] / longHash applied upstream —
+    * both are stateless per-row expressions that run unchanged on a
+    * stream). */
+  def cmsStream(vals: DataFrame, cmsPath: String,
+      checkpoint: String): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.sketch.Sketches.cmsSketch(batch.toDF(), col("v"))
+          .write.mode("overwrite").parquet(s"$cmsPath/batch_id=$batchId")
+    vals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
+  /** Sum the accumulated per-batch count-min extents into the current
+    * sketch (exact: counters are longs). */
+  def readCms(spark: SparkSession, cmsPath: String): DataFrame =
+    spark.read.schema("row_i INT, bucket LONG, cnt LONG, batch_id LONG")
+      .parquet(cmsPath)
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   case class FunnelStage(user_id: Long, stage: Long)
 
   /** Unbounded form of ops.Events.funnelStages: the same ordered,

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import graft.ops.Events
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+import org.apache.spark.sql.functions.{array_distinct, col, explode, expr, lit, pmod, slice}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Unbounded-execution tests: the batch corpus pins windowed semantics
@@ -858,5 +858,80 @@ class StreamOpsSpec extends SparkSpec {
       .filter(col("vec_id").isin(999001L, 2L, afterFirst)).count() == 0)
     spark.sql("DROP TABLE IF EXISTS ivf_del_stream")
     spark.sql("DROP TABLE IF EXISTS ivf_del_stream_centroids")
+  }
+
+  test("doc admission stream grows the served lexical index; forget masks mid-stream; compact folds") {
+    // the retrieval twin of the vector admission/deletion streams:
+    // crawl batches admitted to the postings index are served by
+    // searchGrown with exact df/N/avgdl, a streamed forget masks docs
+    // from the NEXT query on, and search always equals brute-force
+    // BM25 over the live set
+    import graft.text.{PostingsIndex, Retrieval, TextFunctions}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val queries = docs.filter(col("doc_id") < 10).limit(10)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(
+          slice(TextFunctions.tokens(col("text")), 1, 5))).as("tok"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rk").collect().toSeq
+
+    PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), "pidx_stream")
+    val root = java.nio.file.Files.createTempDirectory("graft-pidxstream")
+    val (src, ckpt, grow) = (s"$root/src", s"$root/ckpt", s"$root/grow")
+    val (fsrc, fckpt) = (s"$root/fsrc", s"$root/fckpt")
+    def startAdmit() = StreamOps.admitDocsStream(spark, "pidx_stream", grow,
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(src), ckpt)
+
+    // batch 1 admitted; restart; batch 2 admitted — grown == monolithic
+    docs.filter(col("doc_id") % 3 === 1).write.mode("append").parquet(src)
+    val q1 = startAdmit(); q1.processAllAvailable(); q1.stop()
+    docs.filter(col("doc_id") % 3 === 2).write.mode("append").parquet(src)
+    val q2 = startAdmit(); q2.processAllAvailable(); q2.stop()
+    assert(rows(PostingsIndex.searchGrown(spark, "pidx_stream", grow, queries, 3)) ==
+      rows(Retrieval.bm25TopK(docs, queries, 3)))
+
+    // streamed forget: masked from the next search, stats-exact
+    docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .write.mode("append").parquet(fsrc)
+    val qf = StreamOps.forgetDocsStream(spark, grow,
+      spark.readStream.schema("doc_id LONG").parquet(fsrc), fckpt)
+    qf.processAllAvailable(); qf.stop()
+    val live = docs.filter(col("doc_id") % 5 =!= 0)
+    val masked = rows(PostingsIndex.searchGrown(spark, "pidx_stream", grow, queries, 3))
+    assert(masked == rows(Retrieval.bm25TopK(live, queries, 3)))
+
+    // compact with streams stopped: base-only search unchanged
+    PostingsIndex.compact(spark, "pidx_stream", grow)
+    assert(rows(PostingsIndex.search(spark, "pidx_stream", queries, 3)) == masked)
+    PostingsIndex.drop(spark, "pidx_stream")
+  }
+
+  test("streaming count-min extents sum to the batch sketch bit-for-bit; replay cannot double-count") {
+    import graft.sketch.Sketches
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Sketches.tokVal(col("tok")).as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft-cmsstream")
+    val (src, ckpt, cms) = (s"$root/src", s"$root/ckpt", s"$root/cms")
+
+    toks.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    def start() = StreamOps.cmsStream(
+      spark.readStream.schema("doc_id LONG, v LONG").parquet(src), cms, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    toks.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("row_i", "bucket").collect().toSeq
+    val accumulated = sorted(StreamOps.readCms(spark, cms))
+    val batch = sorted(Sketches.cmsSketch(toks, col("v")))
+    assert(accumulated == batch)
+
+    // a replayed batch overwrites its own extent partition
+    Sketches.cmsSketch(toks.filter(col("doc_id") % 2 === 0), col("v"))
+      .write.mode("overwrite").parquet(s"$cms/batch_id=0")
+    assert(sorted(StreamOps.readCms(spark, cms)) == batch)
   }
 }
