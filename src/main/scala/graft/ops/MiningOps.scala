@@ -322,14 +322,20 @@ object MiningOps {
   def qCmsTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.sketch.Sketches
     val docs = t(spark, dir, "documents")
+    // cached: the tokenize + per-char polynomial hash pass feeds BOTH
+    // the sketch build and the candidate counts — one corpus pass,
+    // two readers (the PostingsIndex.write discipline)
     val tokv = docs
       .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
       .select(col("tok"), Sketches.tokVal(col("tok")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = Sketches.cmsSketch(tokv, col("v"))
     val cands = tokv.groupBy(col("tok"), col("v")).agg(count(lit(1)).as("cnt"))
-    Sketches.cmsEstimate(sketch, cands)
-      .filter(col("est") >= CmsThreshold)
-      .select(col("tok"), col("est"), col("cnt"))
+    graft.api.Materialize.releasing(
+      Sketches.cmsEstimate(sketch, cands)
+        .filter(col("est") >= CmsThreshold)
+        .select(col("tok"), col("est"), col("cnt")),
+      Seq(tokv))
   }
 
   /** The curation pipeline composed end-to-end — quality filter →

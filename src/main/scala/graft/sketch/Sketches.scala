@@ -86,10 +86,15 @@ object Sketches {
     df.select(longHash(col(idCol)).as("h"))
       .distinct()
       .orderBy(col("h")).limit(k)
-      .agg(max(col("h")).as("h_k"))
-      // greatest(,1): hash 0 (id ≡ 0 mod p) must not divide by zero
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_in"))
+      // under-full sketch (< k distinct values seen): the sample IS
+      // the population — return the exact count, not the k-th-order-
+      // statistic extrapolation (which would overestimate ~2.5x).
+      // greatest(,1): hash 0 (id ≡ 0 mod p) must not divide by zero.
       .select(col("h_k"),
-        expr(s"((${k - 1}L) * ${HashMod}L) div greatest(h_k, 1L)").as("est"))
+        when(col("n_in") < k, col("n_in"))
+          .otherwise(expr(s"((${k - 1}L) * ${HashMod}L) div greatest(h_k, 1L)"))
+          .as("est"))
 
   /** Oracle twins: the same arithmetic in DuckDB SQL, ending in a
     * 1-row (n_sampled, est) / (h_k, est). */
@@ -102,8 +107,11 @@ object Sketches {
   }
 
   def sqlKmvEstimate(table: String, idExpr: String, k: Int): String =
-    s"""SELECT h_k, (CAST(${k - 1} AS BIGINT) * $HashMod) // greatest(h_k, 1) AS est
-       FROM (SELECT MAX(h) AS h_k FROM (
+    s"""SELECT h_k,
+         CASE WHEN n_in < $k THEN n_in
+           ELSE (CAST(${k - 1} AS BIGINT) * $HashMod) // greatest(h_k, 1)
+         END AS est
+       FROM (SELECT MAX(h) AS h_k, COUNT(1) AS n_in FROM (
          SELECT DISTINCT ${sqlLongHash(idExpr)} AS h FROM $table
          ORDER BY h LIMIT $k))"""
 
@@ -159,12 +167,16 @@ object Sketches {
       // a no-op making that bound PLAN-VISIBLE for the hard-broadcast
       // audit (the knnQueries discipline). The counter is renamed so
       // candidates may carry their own `cnt` (the comparison readout).
+      // LEFT join + coalesce(0): an unoccupied counter reads 0 (the
+      // canonical count-min cell), so a candidate the stream never saw
+      // estimates 0 instead of vanishing or min-ing only its occupied
+      // buckets (which would overestimate)
       .join(broadcast(sketch
           .select(col("row_i"), col("bucket"), col("cnt").as("cms_cnt"))
           .limit(CmsDepth * CmsWidth)),
-        Seq("row_i", "bucket"))
+        Seq("row_i", "bucket"), "left")
       .groupBy(keyCols :+ col("v"): _*)
-      .agg(min(col("cms_cnt")).as("est"))
+      .agg(min(coalesce(col("cms_cnt"), lit(0L))).as("est"))
   }
 
   /** Oracle CTEs: `cms(row_i, bucket, cnt)` over a caller-supplied

@@ -248,9 +248,13 @@ object PostingsIndex {
       .limit(math.max(terms.size, 1))
     // stats fold: base row + per-batch extent deltas − the tombstoned
     // docs' (count, Σdl), the latter joined by id against the
-    // doc-bucketed side — O(tombstones), never an index rescan
+    // doc-bucketed side — O(tombstones), never an index rescan.
+    // DISTINCT first: the same id forgotten twice (a re-submitted
+    // deletion request — forgetDocsStream explicitly allows it) must
+    // subtract once, not once per tombstone row. The masking/df
+    // anti-joins above are dup-insensitive; this inner join is not.
     val corr: Seq[DataFrame] = tombs.toSeq.map { case (ts, docsParts) =>
-      ts.join(docsParts.reduce(_ unionByName _), Seq("doc_id"))
+      ts.distinct().join(docsParts.reduce(_ unionByName _), Seq("doc_id"))
         .agg((-count(lit(1))).as("n_docs"),
           (-coalesce(sum(col("dl")), lit(0L))).as("total_toks"))
     }

@@ -65,6 +65,32 @@ class SketchesSpec extends SparkSpec {
       assert(e == cnt, s"$tok: est $e != exact $cnt (unexpected collision)") }
   }
 
+  test("KMV under-full sketch returns the exact count, not an extrapolation") {
+    // 25 distinct suppliers < k=128: the sample IS the population
+    val sup = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_suppkey"))
+    val distinctN = sup.distinct().count()
+    assert(distinctN < 128)
+    val est = Sketches.kmvEstimate(sup, "l_suppkey", 128)
+      .select(col("est")).as[Long].collect().head
+    assert(est == distinctN, s"under-full KMV must be exact: $est vs $distinctN")
+  }
+
+  test("count-min point query for a never-seen value reports, not vanishes") {
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("tok"), Sketches.tokVal(col("tok")).as("v"))
+    val sketch = Sketches.cmsSketch(toks, col("v"))
+    val cands = Seq(("zzz_never_seen", 0L)).toDF("tok", "cnt")
+      .select(col("tok"), col("cnt"), Sketches.tokVal(col("tok")).as("v"))
+    val out = Sketches.cmsEstimate(sketch, cands)
+      .select(col("tok"), col("est")).as[(String, Long)].collect()
+    // the candidate must appear (empty counters read 0) with a valid
+    // upper-bound estimate
+    assert(out.length == 1 && out.head._1 == "zzz_never_seen")
+    assert(out.head._2 >= 0L)
+  }
+
   test("tokVal agrees between engines' arithmetic (reference fold)") {
     def ref(w: String): Long =
       w.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)

@@ -74,6 +74,23 @@ class PostingsIndexSpec extends SparkSpec {
     cleanup(table)
   }
 
+  test("a re-submitted forget batch cannot double-subtract the stats correction") {
+    val q = queries(docs)
+    val table = "pidx_test_dupforget"
+    PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_dupforget").toString
+    val ids = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+    // same deletion request lands twice (the forgetDocsStream shape);
+    // N/avgdl must subtract each doc ONCE
+    PostingsIndex.forget(spark, root, ids, 0L)
+    PostingsIndex.forget(spark, root, ids, 1L)
+    val live = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 =!= 0)
+    assert(rows(PostingsIndex.searchGrown(spark, table, root, q, 3)) ==
+      rows(Retrieval.bm25TopK(live, q, 3)))
+    cleanup(table)
+  }
+
   test("compact applies tombstones physically, recomputes stats, clears dirs") {
     val q = queries(docs)
     val table = "pidx_test_compact"
