@@ -247,6 +247,25 @@ object MiningOps {
       sem, HybridK)
   }
 
+  /** FULLY-SERVED hybrid retrieval: the lex leg answered by the
+    * persisted [[graft.text.PostingsIndex]] (self-excluded served
+    * BM25) and the dense leg by the IVF probe — the shape a
+    * 100 TB dataset-search actually deploys, where NEITHER leg may
+    * re-scan the corpus per query batch. Leg contracts make it
+    * drop-in: the oracle is q_hybrid_ivf's SQL verbatim, proving
+    * served ≡ monolithic through the whole fusion. */
+  def qHybridIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    graft.text.PostingsIndex.write(docs, "graft_q_hybrid_index")
+    val sem = graft.sim.Similarity.ivfTopK(emb, bm25QVecs(emb), HybridEach)
+      .select(col("qid"), col("cid").as("id"), col("rk"))
+    Retrieval.hybridFuse(
+      graft.text.PostingsIndex.lexRanked(spark, "graft_q_hybrid_index",
+        bm25QuerySet(docs), HybridEach),
+      sem, HybridK)
+  }
+
   /** Quality-classifier distillation
     * ([[graft.pipeline.QualityModel]]): batch-perceptron weights
     * trained on the 80% id-band against the q_quality_filter rule
@@ -396,6 +415,7 @@ object MiningOps {
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_hybrid_ivf" -> (qHybridIvf _),
+    "q_hybrid_index" -> (qHybridIndex _),
     "q_importance_select" -> (qImportanceSelect _),
     "q_quality_distill" -> (qQualityDistill _),
     "q_temperature_mix" -> (qTemperatureMix _),
@@ -506,7 +526,20 @@ object MiningOps {
     // IVF-legged hybrid: the q_knn_ivf probe replay (quantizer
     // trajectory, cell assignment, 4-probe candidates) feeds the
     // shared RRF fuse tail as the `sem` leg
-    "q_hybrid_ivf" ->
+    "q_hybrid_ivf" -> sqlHybridIvf,
+    // fully-served hybrid: the SAME oracle verbatim — serving both
+    // legs from persisted indexes must be invisible in the results
+    "q_hybrid_index" -> sqlHybridIvf,
+    "q_importance_select" -> graft.pipeline.Importance.sqlSelect(
+      "lang = 'en'", ImportanceK),
+    "q_quality_distill" -> graft.pipeline.QualityModel.sqlDistill(),
+    "q_temperature_mix" -> graft.pipeline.Sampling.sqlTemperatureMix(
+      "documents", "lang", "doc_id", TempMixBudget),
+  )
+
+  /** Oracle of q_hybrid_ivf AND q_hybrid_index (a `def`: object-init
+    * order safe). */
+  private def sqlHybridIvf: String =
       s"""WITH ${Iterative.kmTrajectoryCtes(k = 16, iters = 3)},
          cb AS MATERIALIZED (
            SELECT p.vec_id AS cid, p.embedding AS cv, c.cid AS cell
@@ -528,11 +561,5 @@ object MiningOps {
                ORDER BY sim DESC, cid) AS INT) AS rk
            FROM icand QUALIFY rk <= $HybridEach),
          ${Retrieval.sqlLexCtes(s"doc_id < $Bm25Queries", Bm25Terms, HybridEach)},
-         ${Retrieval.sqlFuseTail(HybridK)}""",
-    "q_importance_select" -> graft.pipeline.Importance.sqlSelect(
-      "lang = 'en'", ImportanceK),
-    "q_quality_distill" -> graft.pipeline.QualityModel.sqlDistill(),
-    "q_temperature_mix" -> graft.pipeline.Sampling.sqlTemperatureMix(
-      "documents", "lang", "doc_id", TempMixBudget),
-  )
+         ${Retrieval.sqlFuseTail(HybridK)}"""
 }

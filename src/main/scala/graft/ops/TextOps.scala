@@ -241,6 +241,31 @@ object TextOps {
 
   // ---- text analysis -------------------------------------------------
 
+  /** Canonical text normalization ([[TextFunctions.normalizeText]]):
+    * NFC composition + control-char strip + whitespace collapse over
+    * a deliberately dirtied corpus (the testdata text is clean ASCII,
+    * so the query injects the cases that matter deterministically by
+    * id band: a COMBINING-ACUTE sequence that NFC must compose, the
+    * precomposed equivalent with a doubled space, and C0/DEL control
+    * characters). Output carries the normalized string itself plus
+    * before/after codepoint counts — the oracle hash-compares the
+    * actual normalized bytes, so the two engines' NFC tables and
+    * regex semantics are pinned against each other. */
+  def qNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val m = col("doc_id") % 4
+    // explicit escapes, not literal chars: source tooling must never
+    // be able to silently NFC-normalize the fixture itself
+    val dirty = when(m === 0, concat(lit("e\u0301 "), col("text")))
+      .when(m === 1, concat(lit("\u00e9  "), col("text")))
+      .when(m === 2, concat(lit("\t"), col("text"), lit("\u000b\u007f")))
+      .otherwise(col("text"))
+    docs.select(col("doc_id"),
+        length(dirty).cast("long").as("raw_chars"),
+        TextFunctions.normalizeText(dirty).as("norm"))
+      .withColumn("norm_chars", length(col("norm")).cast("long"))
+  }
+
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("lang"), predictedLang(col("text")).as("predicted"))
@@ -1129,6 +1154,7 @@ object TextOps {
     "q_dedup_snm_multi" -> (qDedupSnmMulti _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_lang_id" -> (qLangId _),
+    "q_normalize" -> (qNormalize _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
     "q_fingerprint" -> (qFingerprint _),
@@ -1696,6 +1722,20 @@ object TextOps {
     "q_lang_id" ->
       s"""SELECT lang, ${sqlPredictedLang("text")} AS predicted, COUNT(1) AS n
          FROM documents GROUP BY lang, predicted""",
+    // the dirty fixture is synthesized with chr(): a combining acute
+    // (769) NFC must compose, the precomposed e-acute (233) with a
+    // doubled space, C0/DEL controls — byte-for-byte the Spark escapes
+    "q_normalize" ->
+      s"""SELECT doc_id, raw_chars, norm,
+           CAST(length(norm) AS BIGINT) AS norm_chars
+         FROM (SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_chars,
+             ${graft.text.TextFunctions.sqlNormalizeText("raw")} AS norm
+           FROM (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'e' || chr(769) || ' ' || text
+               WHEN 1 THEN chr(233) || '  ' || text
+               WHEN 2 THEN chr(9) || text || chr(11) || chr(127)
+               ELSE text END AS raw
+             FROM documents))""",
     "q_text_quality" ->
       s"""SELECT lang, COUNT(1) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -185,11 +185,24 @@ object PostingsIndex {
 
   /** BM25 top-k against the base index only (no growth dirs). Same
     * contract as [[Retrieval.bm25TopK]] over the indexed corpus:
-    * (qid, doc_id, score, rk), rk 1..k by (score desc, doc_id). */
+    * (qid, doc_id, score, rk), rk 1..k by (score desc, doc_id).
+    * `excludeSelf` drops qid == doc_id BEFORE the rank cut — the
+    * [[Retrieval.lexRanked]] related-documents contract, served. */
   def search(spark: SparkSession, table: String, queries: DataFrame,
-      k: Int): DataFrame =
+      k: Int, excludeSelf: Boolean = false): DataFrame =
     searchParts(spark, Seq(spark.table(table)),
-      spark.table(statsTable(table)), None, Nil, queries, k)
+      spark.table(statsTable(table)), None, Nil, queries, k, excludeSelf)
+
+  /** The served lexical leg for [[Retrieval.hybridFuse]]: self-
+    * excluded top-`kEach` as (qid, id, rk) — rank-identical to
+    * [[Retrieval.lexRanked]] over the indexed corpus, so a hybrid
+    * query can swap its lex leg from the monolithic scan to the
+    * served index without touching the fusion (the same leg contract
+    * the dense side's IVF swap uses). */
+  def lexRanked(spark: SparkSession, table: String, queries: DataFrame,
+      kEach: Int): DataFrame =
+    search(spark, table, queries, kEach, excludeSelf = true)
+      .select(col("qid"), col("doc_id").as("id"), col("rk"))
 
   /** BM25 top-k against base + every admitted extent, minus
     * tombstones — exact under growth and deletion: equals
@@ -217,14 +230,15 @@ object PostingsIndex {
         else Nil)
     searchParts(spark, parts, spark.table(statsTable(table)),
       tombstones(spark, growPath).map(ts => (ts, docsParts)),
-      statsParts, queries, k)
+      statsParts, queries, k, excludeSelf = false)
   }
 
   /** The shared search core. `tombs` carries the tombstone ids plus
     * the doc-side parts they correct the stats against. */
   private def searchParts(spark: SparkSession, postingsParts: Seq[DataFrame],
       statsBase: DataFrame, tombs: Option[(DataFrame, Seq[DataFrame])],
-      statsExtents: Seq[DataFrame], queries: DataFrame, k: Int): DataFrame = {
+      statsExtents: Seq[DataFrame], queries: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     // the query set is bounded by the Retrieval contract (a benchmark
     // suite, not a corpus), so its distinct terms collect driver-side
     // — that is what turns the term filter into a LITERAL predicate
@@ -264,9 +278,10 @@ object PostingsIndex {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_toks")).as("total_toks"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    Retrieval.scorePostings(live, dfreq, stats, queries)
+    val scored = Retrieval.scorePostings(live, dfreq, stats, queries)
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("w")).as("score"))
+    (if (excludeSelf) scored.filter(col("qid") =!= col("doc_id")) else scored)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 

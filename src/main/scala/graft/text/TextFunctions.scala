@@ -47,6 +47,25 @@ object TextFunctions {
         AND ${sqlLangScore(textExpr, Stopwords)} * $QualityStopwordDen >= $nt)"""
   }
 
+  /** Canonical text normalization — the cleanup pass a corpus runs
+    * BEFORE any hashing/dedup/tokenizing operator, so visually-equal
+    * strings are byte-equal: Unicode NFC composition
+    * ([[graft.functions.TextNorm]]), control characters (C0 + DEL)
+    * to spaces, space runs collapsed, ends trimmed. Stateless
+    * per-row (streams unchanged); regex classes chosen to mean the
+    * same thing in Java regex and RE2. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.TextNorm.nfcNormalize(text),
+        "[\\x00-\\x1F\\x7F]", " "),
+      " +", " "))
+
+  /** SQL twin of [[normalizeText]] (NFC is a Unicode standard — the
+    * engines' tables agree by construction). */
+  def sqlNormalizeText(textExpr: String): String =
+    s"""trim(regexp_replace(regexp_replace(nfc_normalize($textExpr),
+         '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' +', ' ', 'g'))"""
+
   /** Portable per-word value: first char, last char, length — cheap,
     * deterministic, and expressible in any SQL dialect. */
   def wordVal(w: Column): Column =

@@ -330,6 +330,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_compact" -> "1-row folded-stats frame broadcast into the score projection (served-index path)",
     "q_hybrid_retrieval" -> "inherits both legs' bounded shapes: the q_knn_brute query-set broadcast and the q_bm25_topk 1-row stats frame",
     "q_hybrid_ivf" -> "inherits the q_bm25_topk 1-row stats frame (the dense leg is the keyed IVF probe)",
+    "q_hybrid_index" -> "inherits the served lex leg's 1-row stats frame (dense leg keyed IVF probe)",
     "q_curriculum" -> "1-row quartile-threshold frame broadcast into the stage assignment",
     "q_distinct_sketch" -> "1-row exact-count frame crossed with the 1-row estimate (gate-scale comparison readout)",
     "q_kmv_distinct" -> "1-row exact-count frame crossed with the 1-row estimate (gate-scale comparison readout)",

@@ -53,6 +53,18 @@ class PostingsIndexSpec extends SparkSpec {
     cleanup("pidx_test_base")
   }
 
+  test("served lex leg is rank-identical to the monolithic lexRanked") {
+    val q = queries(docs)
+    PostingsIndex.write(docs, "pidx_test_lex")
+    import spark.implicits._
+    def legs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("id"), col("rk"))
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(legs(PostingsIndex.lexRanked(spark, "pidx_test_lex", q, 10)) ==
+      legs(Retrieval.lexRanked(docs, q, 10)))
+    cleanup("pidx_test_lex")
+  }
+
   test("grow + forget: search equals brute-force BM25 over the live doc set") {
     val q = queries(docs)
     val table = "pidx_test_grow"
