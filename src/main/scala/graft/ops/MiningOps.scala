@@ -357,6 +357,54 @@ object MiningOps {
       Seq(tokv))
   }
 
+  /** Bottom-k size for [[qKmvPerGroup]] — chosen so the gate SFs
+    * exercise BOTH estimator branches: 15 distinct users/type at
+    * sf0.001 (under-full → exact path), 150 at sf0.01 (full →
+    * order-statistic path). */
+  val KmvGroupK = 64
+
+  /** KMV as a group aggregate: estimated distinct users per event
+    * type next to the exact answer — the bounded-state rollup shape
+    * ("distinct per language/source/day") where exact count-distinct
+    * per group shuffles every key. */
+  def qKmvPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.sketch.Sketches.kmvPerGroup(ev, "event_type", "user_id", KmvGroupK)
+      .withColumnRenamed("event_type", "grp")
+      .join(ev.groupBy(col("event_type").as("grp"))
+        .agg(count_distinct(col("user_id")).as("exact")), Seq("grp"))
+  }
+
+  /** Token-distribution drift between the train and test splits
+    * ([[graft.pipeline.Drift.tokenShift]]): per-token ppm rates +
+    * total-variation contribution, log-free so integer-exact. The
+    * splits come from the SAME deterministic splitLabel the split
+    * queries declare — the drift monitor watches the real pipeline's
+    * slices, not ad-hoc ones. */
+  def qTokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val label = graft.pipeline.Sampling.splitLabel(col("doc_id"))
+    graft.pipeline.Drift.tokenShift(docs, col("text"),
+      label === "train", label === "test")
+  }
+
+  /** Pre-flight join-size estimate
+    * ([[graft.sketch.Sketches.cmsJoinSizeEstimate]]): how big is the
+    * lineitem self-join on l_partkey, answered from the sketch
+    * (two fixed counter arrays) next to the exact Σ cnt² — the check
+    * a planner runs BEFORE committing to an expensive join at scale.
+    * The estimate is an upper bound (CMS collisions only inflate). */
+  def qJoinSizeSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sketch.Sketches
+    val li = t(spark, dir, "lineitem")
+      .select(Sketches.longHash(col("l_partkey")).as("v"))
+    val exact = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact"))
+    Sketches.cmsJoinSizeEstimate(li, col("v"), li, col("v"))
+      .crossJoin(broadcast(exact))
+  }
+
   /** The curation pipeline composed end-to-end — quality filter →
     * exact-dedup keep-one → train split → sequence packing — with a
     * per-stage survivor count, the "a user runs their whole pipeline
@@ -411,6 +459,9 @@ object MiningOps {
     "q_curriculum" -> (qCurriculum _),
     "q_distinct_sketch" -> (qDistinctSketch _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_kmv_per_group" -> (qKmvPerGroup _),
+    "q_join_size_sketch" -> (qJoinSizeSketch _),
+    "q_token_drift" -> (qTokenDrift _),
     "q_cms_topk" -> (qCmsTopk _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
@@ -484,6 +535,27 @@ object MiningOps {
          CROSS JOIN (SELECT COUNT(DISTINCT l_partkey) AS exact
                      FROM lineitem)"""
     },
+    "q_kmv_per_group" -> {
+      import graft.sketch.Sketches
+      s"""SELECT grp, est, exact
+         FROM (${Sketches.sqlKmvPerGroup(
+            "events", "event_type", "user_id", KmvGroupK)})
+         JOIN (SELECT event_type AS grp,
+                 COUNT(DISTINCT user_id) AS exact
+               FROM events GROUP BY 1) USING (grp)"""
+    },
+    "q_join_size_sketch" -> {
+      import graft.sketch.Sketches
+      s"""SELECT est, exact
+         FROM (${Sketches.sqlCmsSelfJoinSizeEstimate(
+            s"SELECT ${Sketches.sqlLongHash("l_partkey")} AS v FROM lineitem")})
+         CROSS JOIN (SELECT CAST(SUM(c * c) AS BIGINT) AS exact
+           FROM (SELECT COUNT(1) AS c FROM lineitem GROUP BY l_partkey))"""
+    },
+    "q_token_drift" -> graft.pipeline.Drift.sqlTokenShift(
+      "documents", "text",
+      s"${graft.pipeline.Sampling.sqlSplitLabel("doc_id")} = 'train'",
+      s"${graft.pipeline.Sampling.sqlSplitLabel("doc_id")} = 'test'"),
     "q_cms_topk" -> {
       import graft.sketch.Sketches
       s"""WITH ${Sketches.sqlCmsCtes(

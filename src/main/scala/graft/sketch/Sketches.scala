@@ -115,6 +115,41 @@ object Sketches {
          SELECT DISTINCT ${sqlLongHash(idExpr)} AS h FROM $table
          ORDER BY h LIMIT $k))"""
 
+  /** KMV as a GROUP aggregate — "distinct users per event type /
+    * language / source" with bounded per-group state: the k smallest
+    * distinct hashes per group via a rank window (plans as
+    * WindowGroupLimit: per-partition group-wise top-k before the one
+    * keyed exchange), then the [[kmvEstimate]] tail per group
+    * (exact when a group is under-full). Output: (group, est). */
+  def kmvPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    df.select(col(groupCol), longHash(col(idCol)).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(col(groupCol))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_in"))
+      .select(col(groupCol),
+        when(col("n_in") < k, col("n_in"))
+          .otherwise(expr(s"((${k - 1}L) * ${HashMod}L) div greatest(h_k, 1L)"))
+          .as("est"))
+  }
+
+  /** Oracle twin of [[kmvPerGroup]]: ends in (grp, est). */
+  def sqlKmvPerGroup(table: String, groupExpr: String, idExpr: String,
+      k: Int): String =
+    s"""SELECT grp,
+         CASE WHEN COUNT(1) < $k THEN COUNT(1)
+           ELSE (CAST(${k - 1} AS BIGINT) * $HashMod) // greatest(MAX(h), 1)
+         END AS est
+       FROM (
+         SELECT grp, h FROM (
+           SELECT DISTINCT $groupExpr AS grp, ${sqlLongHash(idExpr)} AS h
+           FROM $table)
+         QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= $k)
+       GROUP BY 1"""
+
   // ---- count-min heavy hitters -----------------------------------------
 
   /** Count-min geometry: Depth independent rows × Width counters.
@@ -178,6 +213,33 @@ object Sketches {
       .groupBy(keyCols :+ col("v"): _*)
       .agg(min(coalesce(col("cms_cnt"), lit(0L))).as("est"))
   }
+
+  /** Join-cardinality estimate from two count-min sketches (Cormode &
+    * Muthukrishnan's inner-product bound): for each row i, the dot
+    * product Σ_bucket cntA·cntB upper-bounds the true equi-join size
+    * Σ_v fA(v)·fB(v); the min over rows is the estimate. The
+    * pre-flight "how big is this join" check — both sides reduce to
+    * fixed Depth×Width counter arrays (map-side combined), so the
+    * answer costs two narrow scans and a 4096-row join instead of the
+    * join itself. Missing buckets contribute 0, so the inner join is
+    * exact. Output 1 row: (est). Counters are longs; at extreme scale
+    * (cnt products near 2^63) widen the sketch instead. */
+  def cmsJoinSizeEstimate(a: DataFrame, aV: Column,
+      b: DataFrame, bV: Column): DataFrame =
+    cmsSketch(a, aV).select(col("row_i"), col("bucket"), col("cnt").as("ca"))
+      .join(cmsSketch(b, bV)
+        .select(col("row_i"), col("bucket"), col("cnt").as("cb")),
+        Seq("row_i", "bucket"))
+      .groupBy(col("row_i"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min(col("dot")).as("est"))
+
+  /** Oracle twin of [[cmsJoinSizeEstimate]] for a SELF-join shape:
+    * one `vals(v)` CTE, dot of the sketch with itself. */
+  def sqlCmsSelfJoinSizeEstimate(valsCte: String): String =
+    s"""WITH ${sqlCmsCtes(valsCte)}
+       SELECT CAST(MIN(dot) AS BIGINT) AS est
+       FROM (SELECT row_i, SUM(cnt * cnt) AS dot FROM cms GROUP BY 1)"""
 
   /** Oracle CTEs: `cms(row_i, bucket, cnt)` over a caller-supplied
     * `vals(v)` CTE (one row per occurrence), MATERIALIZED so DuckDB

@@ -334,6 +334,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_curriculum" -> "1-row quartile-threshold frame broadcast into the stage assignment",
     "q_distinct_sketch" -> "1-row exact-count frame crossed with the 1-row estimate (gate-scale comparison readout)",
     "q_kmv_distinct" -> "1-row exact-count frame crossed with the 1-row estimate (gate-scale comparison readout)",
+    "q_token_drift" -> "1-row slice-totals frame broadcast into the ppm rate projection",
+    "q_join_size_sketch" -> "1-row exact-size frame crossed with the 1-row sketch estimate (comparison readout)",
     "q_temperature_mix" -> "1-row isqrt-total frame broadcast into the quota projection",
     "q_bigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",
     "q_trigram_score" -> "1-row train-total frame broadcast into the backoff weight projection",

@@ -91,6 +91,47 @@ class SketchesSpec extends SparkSpec {
     assert(out.head._2 >= 0L)
   }
 
+  test("CMS join-size estimate upper-bounds the exact self-join size within the width bound") {
+    val li = lineitem.select(Sketches.longHash(col("l_partkey")).as("v"))
+    val est = Sketches.cmsJoinSizeEstimate(li, col("v"), li, col("v"))
+      .as[Long].collect().head
+    val exact = lineitem.groupBy(col("l_partkey")).count()
+      .agg(sum(col("count") * col("count"))).as[Long].collect().head
+    val n = lineitem.count()
+    assert(est >= exact, s"CMS inner product must upper-bound: $est < $exact")
+    assert(est <= exact + n * n / Sketches.CmsWidth + 1,
+      s"estimate outside the additive width bound: est $est exact $exact")
+  }
+
+  test("kmvPerGroup: under-full groups exact; full groups within error bound") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // k=4 < 15 distinct users per type → estimator branch everywhere
+    val est4 = Sketches.kmvPerGroup(ev, "event_type", "user_id", 4)
+      .as[(String, Long)].collect().toMap
+    est4.values.foreach(e => assert(math.abs(e - 15.0) / 15.0 < 1.5, est4))
+    // k=64 > 15 → exact branch everywhere
+    val est64 = Sketches.kmvPerGroup(ev, "event_type", "user_id", 64)
+      .as[(String, Long)].collect().toMap
+    assert(est64.values.forall(_ == 15L), est64)
+  }
+
+  test("token drift: rates are exact ppm floors and tv is symmetric") {
+    import graft.pipeline.Drift
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val even = col("doc_id") % 2 === 0
+    val odd = col("doc_id") % 2 === 1
+    val ab = Drift.tokenShift(docs, col("text"), even, odd)
+      .select(col("tok"), col("a_ppm"), col("b_ppm"), col("tv_ppm"))
+      .as[(String, Long, Long, Long)].collect()
+    val ba = Drift.tokenShift(docs, col("text"), odd, even)
+      .select(col("tok"), col("a_ppm"), col("b_ppm"), col("tv_ppm"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(ab.map(r => r._1 -> r._4).toMap == ba.map(r => r._1 -> r._4).toMap)
+    // floor-division rates: each side sums to 1e6 within vocab-size slack
+    val sumA = ab.map(_._2).sum
+    assert(sumA <= 1000000L && sumA > 1000000L - ab.length, sumA)
+  }
+
   test("tokVal agrees between engines' arithmetic (reference fold)") {
     def ref(w: String): Long =
       w.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
