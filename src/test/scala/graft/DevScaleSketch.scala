@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only sketch-vs-exact slope measurement (r11 cont. 2): the
+  * sketches' claim is not speed at fixture scale but SHAPE — fixed
+  * counter/hash state and rate-thinned exchanges where the exact
+  * forms move every distinct key. Measure both sides at 1M and 10M
+  * rows and report wall + estimate error. Run:
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt -batch "Test/runMain graft.DevScaleSketch"
+  *
+  * Key space: ~n/10 distinct ids (uniform), so the exact
+  * count-distinct's exchange grows 10x with n while the hash-range
+  * filter passes a fixed 1/1024 of the hash space and CMS stays at
+  * 4x1024 counters regardless. */
+object DevScaleSketch {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(1000000L, 10000000L).foreach { n =>
+      val keys = spark.range(n)
+        .select((abs(hash(col("id"))).cast("long") % (n / 10)).as("k"))
+      keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keys.count()
+      val (exact, tExact) = timed(
+        keys.agg(count_distinct(col("k"))).collect().head.getLong(0))
+      val (rng, tRange) = timed(
+        graft.sketch.Sketches.distinctRangeEstimate(keys, "k", 1024)
+          .collect().head.getLong(1))
+      val (kmv, tKmv) = timed(
+        graft.sketch.Sketches.kmvEstimate(keys, "k", 1024)
+          .collect().head.getLong(1))
+      val vals = keys.select(
+        graft.sketch.Sketches.longHash(col("k")).as("v"))
+      val (_, tCms) = timed(
+        graft.sketch.Sketches.cmsSketch(vals, col("v")).collect())
+      keys.unpersist(blocking = true)
+      def err(e: Long) = f"${100.0 * (e - exact) / exact}%+.1f%%"
+      println(f"SKETCHSCALE n=$n exactDistinct=$tExact%.1f s ($exact) " +
+        f"range=$tRange%.1f s (${err(rng)}) kmv=$tKmv%.1f s (${err(kmv)}) " +
+        f"cmsBuild=$tCms%.1f s (4x1024 counters)")
+    }
+    spark.stop()
+  }
+}
