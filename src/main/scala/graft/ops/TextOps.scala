@@ -266,6 +266,26 @@ object TextOps {
       .withColumn("norm_chars", length(col("norm")).cast("long"))
   }
 
+  /** Banned 3-token phrases for [[qBlocklist]] — two that occur in
+    * the fixture corpus, one that can occur at other SFs, one that
+    * never matches (the empty-result leg). */
+  val Blocklist: Seq[String] = Seq(
+    "big order scan", "row column sort", "data a part",
+    "graft never emits this")
+
+  /** Blocklist phrase filter — "which documents contain a banned
+    * phrase, and which one": the distinct word 3-grams each doc
+    * already computes for dedup ([[TextFunctions.shingles]]) are
+    * intersected with the broadcast phrase list; one narrow per-row
+    * pass, output one row per (doc, matched phrase). The compliance
+    * sibling of PII redaction: redact rewrites spans, this FLAGS
+    * documents for removal or review. */
+  def qBlocklist(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_intersect(TextFunctions.shingles(col("text")),
+          array(Blocklist.map(lit): _*))).as("phrase"))
+
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("lang"), predictedLang(col("text")).as("predicted"))
@@ -1155,6 +1175,7 @@ object TextOps {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_lang_id" -> (qLangId _),
     "q_normalize" -> (qNormalize _),
+    "q_blocklist" -> (qBlocklist _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
     "q_fingerprint" -> (qFingerprint _),
@@ -1722,6 +1743,13 @@ object TextOps {
     "q_lang_id" ->
       s"""SELECT lang, ${sqlPredictedLang("text")} AS predicted, COUNT(1) AS n
          FROM documents GROUP BY lang, predicted""",
+    "q_blocklist" -> {
+      val phrases = Blocklist.map(p => s"'${p}'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+           unnest(list_intersect(${graft.text.TextFunctions
+             .sqlShingles3("text")}, $phrases)) AS phrase
+         FROM documents"""
+    },
     // the dirty fixture is synthesized with chr(): a combining acute
     // (769) NFC must compose, the precomposed e-acute (233) with a
     // doubled space, C0/DEL controls — byte-for-byte the Spark escapes

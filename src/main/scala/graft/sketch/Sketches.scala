@@ -83,7 +83,14 @@ object Sketches {
     * runs map-side-partial before one exchange; the bottom-k is a
     * TakeOrdered, never a global sort. Output 1 row: (h_k, est). */
   def kmvEstimate(df: DataFrame, idCol: String, k: Int): DataFrame =
-    df.select(longHash(col(idCol)).as("h"))
+    kmvTail(df.select(longHash(col(idCol)).as("h")), k)
+
+  /** The shared KMV estimator tail over a raw hash column `h` —
+    * also the merge/read side of [[bottomK]] sketches (bottom-k of a
+    * union of bottom-k extents IS the union's bottom-k: mergeability,
+    * spec-pinned). */
+  private[graft] def kmvTail(hashes: DataFrame, k: Int): DataFrame =
+    hashes
       .distinct()
       .orderBy(col("h")).limit(k)
       .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_in"))
@@ -95,6 +102,14 @@ object Sketches {
         when(col("n_in") < k, col("n_in"))
           .otherwise(expr(s"((${k - 1}L) * ${HashMod}L) div greatest(h_k, 1L)"))
           .as("est"))
+
+  /** The bottom-k hash set of one input — the KMV sketch STATE
+    * (≤ k longs, column `h`), for per-shard/per-batch persistence and
+    * later [[kmvTail]] rollup. */
+  def bottomK(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.select(longHash(col(idCol)).as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k)
 
   /** Oracle twins: the same arithmetic in DuckDB SQL, ending in a
     * 1-row (n_sampled, est) / (h_k, est). */

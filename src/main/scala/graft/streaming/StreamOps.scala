@@ -368,6 +368,34 @@ object StreamOps {
       .groupBy(col("row_i"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Streaming KMV distinct-count accumulator: each micro-batch lands
+    * its own bottom-k hash extent (≤ k longs, batch_id-partitioned —
+    * replay overwrites itself), and [[readKmvEstimate]] rolls the
+    * extents up via the KMV merge law (bottom-k of a union of
+    * bottom-k sets IS the union's bottom-k, spec-pinned in
+    * SketchesSpec), so the running estimate equals the batch
+    * [[graft.sketch.Sketches.kmvEstimate]] over every row seen.
+    * State is ≤ k longs per batch extent. `ids` carries the id column
+    * `idCol`; hashing is the stateless shared longHash. */
+  def kmvStream(ids: DataFrame, idCol: String, kmvPath: String,
+      checkpoint: String, k: Int): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.sketch.Sketches.bottomK(batch.toDF(), idCol, k)
+          .write.mode("overwrite").parquet(s"$kmvPath/batch_id=$batchId")
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
+  /** Roll the accumulated bottom-k extents into the current distinct
+    * estimate: 1 row (h_k, est). */
+  def readKmvEstimate(spark: SparkSession, kmvPath: String, k: Int): DataFrame =
+    graft.sketch.Sketches.kmvTail(
+      spark.read.schema("h LONG, batch_id LONG").parquet(kmvPath)
+        .select(col("h")), k)
+
   case class FunnelStage(user_id: Long, stage: Long)
 
   /** Unbounded form of ops.Events.funnelStages: the same ordered,

@@ -907,6 +907,32 @@ class StreamOpsSpec extends SparkSpec {
     PostingsIndex.drop(spark, "pidx_stream")
   }
 
+  test("streaming KMV extents roll up to the batch estimate; replay cannot skew it") {
+    import graft.sketch.Sketches
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val root = java.nio.file.Files.createTempDirectory("graft-kmvstream")
+    val (src, ckpt, kmv) = (s"$root/src", s"$root/ckpt", s"$root/kmv")
+
+    li.filter(col("l_orderkey") % 2 === 0).write.mode("append").parquet(src)
+    def start() = StreamOps.kmvStream(
+      spark.readStream.schema("l_orderkey LONG, l_partkey LONG").parquet(src),
+      "l_partkey", kmv, ckpt, k = 64)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    li.filter(col("l_orderkey") % 2 === 1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    def est1(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("h_k"), col("est")).collect().head
+    val streamed = est1(StreamOps.readKmvEstimate(spark, kmv, 64))
+    val batch = est1(Sketches.kmvEstimate(li, "l_partkey", 64))
+    assert(streamed == batch)
+    // a replayed batch overwrites its own extent
+    Sketches.bottomK(li.filter(col("l_orderkey") % 2 === 0), "l_partkey", 64)
+      .write.mode("overwrite").parquet(s"$kmv/batch_id=0")
+    assert(est1(StreamOps.readKmvEstimate(spark, kmv, 64)) == batch)
+  }
+
   test("streaming count-min extents sum to the batch sketch bit-for-bit; replay cannot double-count") {
     import graft.sketch.Sketches
     val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
