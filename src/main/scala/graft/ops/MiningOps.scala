@@ -401,7 +401,9 @@ object MiningOps {
     val exact = t(spark, dir, "lineitem")
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c")).as("exact"))
-    Sketches.cmsJoinSizeEstimate(li, col("v"), li, col("v"))
+    // self-dot form: ONE sketch build (the two-sided call would scan
+    // the corpus twice for an identical answer)
+    Sketches.cmsSelfJoinSizeEstimate(li, col("v"))
       .crossJoin(broadcast(exact))
   }
 

@@ -240,21 +240,44 @@ object Sketches {
     * exact. Output 1 row: (est). Counters are longs; at extreme scale
     * (cnt products near 2^63) widen the sketch instead. */
   def cmsJoinSizeEstimate(a: DataFrame, aV: Column,
-      b: DataFrame, bV: Column): DataFrame =
-    cmsSketch(a, aV).select(col("row_i"), col("bucket"), col("cnt").as("ca"))
+      b: DataFrame, bV: Column): DataFrame = {
+    val dots = cmsSketch(a, aV)
+      .select(col("row_i"), col("bucket"), col("cnt").as("ca"))
       .join(cmsSketch(b, bV)
         .select(col("row_i"), col("bucket"), col("cnt").as("cb")),
         Seq("row_i", "bucket"))
       .groupBy(col("row_i"))
       .agg(sum(col("ca") * col("cb")).as("dot"))
-      .agg(min(col("dot")).as("est"))
+    minDot(a.sparkSession, dots)
+  }
+
+  /** Self-join (within-one-input) size estimate — ONE sketch build +
+    * Σ cnt² per row, the form [[sqlCmsSelfJoinSizeEstimate]] replays:
+    * half the scan cost of the two-sided call for the common
+    * "how many duplicate-key pairs does this table hold" question. */
+  def cmsSelfJoinSizeEstimate(df: DataFrame, v: Column): DataFrame =
+    minDot(df.sparkSession,
+      cmsSketch(df, v).groupBy(col("row_i"))
+        .agg(sum(col("cnt") * col("cnt")).as("dot")))
+
+  /** min over ALL Depth rows: a row whose buckets never overlap has
+    * dot 0 (which proves the true join size is 0) and must count —
+    * the left join against the literal row set also makes an empty
+    * sketch estimate 0, never NULL. */
+  private def minDot(spark: org.apache.spark.sql.SparkSession,
+      dots: DataFrame): DataFrame =
+    spark.range(CmsDepth).select(col("id").cast("int").as("row_i"))
+      .join(dots, Seq("row_i"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est"))
 
   /** Oracle twin of [[cmsJoinSizeEstimate]] for a SELF-join shape:
     * one `vals(v)` CTE, dot of the sketch with itself. */
   def sqlCmsSelfJoinSizeEstimate(valsCte: String): String =
     s"""WITH ${sqlCmsCtes(valsCte)}
-       SELECT CAST(MIN(dot) AS BIGINT) AS est
-       FROM (SELECT row_i, SUM(cnt * cnt) AS dot FROM cms GROUP BY 1)"""
+       SELECT CAST(MIN(COALESCE(dot, 0)) AS BIGINT) AS est
+       FROM cmsrows LEFT JOIN
+         (SELECT row_i, SUM(cnt * cnt) AS dot FROM cms GROUP BY 1)
+       USING (row_i)"""
 
   /** Oracle CTEs: `cms(row_i, bucket, cnt)` over a caller-supplied
     * `vals(v)` CTE (one row per occurrence), MATERIALIZED so DuckDB

@@ -103,6 +103,21 @@ class SketchesSpec extends SparkSpec {
       s"estimate outside the additive width bound: est $est exact $exact")
   }
 
+  test("CMS join-size estimate: empty side yields 0, not NULL; self-dot equals two-sided self") {
+    val li = lineitem.select(Sketches.longHash(col("l_partkey")).as("v"))
+    val empty = li.filter(lit(false))
+    val estEmpty = Sketches.cmsJoinSizeEstimate(li, col("v"), empty, col("v"))
+      .as[Long].collect().head
+    assert(estEmpty == 0L, s"empty join side must estimate 0: $estEmpty")
+    // the one-scan self-dot form answers identically to the
+    // two-sided call on the same input
+    val self1 = Sketches.cmsSelfJoinSizeEstimate(li, col("v"))
+      .as[Long].collect().head
+    val self2 = Sketches.cmsJoinSizeEstimate(li, col("v"), li, col("v"))
+      .as[Long].collect().head
+    assert(self1 == self2)
+  }
+
   test("kmvPerGroup: under-full groups exact; full groups within error bound") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     // k=4 < 15 distinct users per type → estimator branch everywhere
