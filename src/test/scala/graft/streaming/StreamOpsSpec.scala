@@ -245,6 +245,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("normalization + blocklist expressions run unchanged on a stream (per-row, stateless)") {
+    import spark.implicits._
+    import graft.text.TextFunctions
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val flagged = in.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.normalizeText(col("text")).as("norm"),
+        org.apache.spark.sql.functions.array_intersect(
+          TextFunctions.shingles(col("text")),
+          org.apache.spark.sql.functions.array(
+            graft.ops.TextOps.Blocklist.map(lit): _*)).as("hits"))
+    val q = flagged.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_norm").start()
+    in.addData(
+      (1L, "é  big order scan here"),
+      (2L, "\talready clean text"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_norm").orderBy("doc_id")
+      .select("norm", "hits").as[(String, Seq[String])].collect()
+    assert(got(0)._1 == "é big order scan here")
+    assert(got(0)._2 == Seq("big order scan"))
+    assert(got(1) == (("already clean text", Seq())))
+  }
+
   test("token-window chunking runs unchanged on a stream (per-row, stateless)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
