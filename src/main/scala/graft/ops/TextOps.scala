@@ -684,6 +684,18 @@ object TextOps {
         t(spark, dir, "documents"), "doc_id", 100)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Deterministic epoch shuffle
+    * ([[graft.pipeline.Sampling.epochShuffle]]): every doc gets a
+    * shard and in-shard position per epoch from a pure (id, epoch)
+    * hash — a different order each epoch, bit-identical across
+    * re-runs/engines, and never a global sort (per-shard windows
+    * only). The reproducible-dataloader contract at corpus scale. */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.epochShuffle(
+        t(spark, dir, "documents").select(col("doc_id")),
+        "doc_id", epochs = 2, shards = 8)
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+
   /** Deterministic fixed-k sample per stratum ("20 docs per lang"):
     * the per-group twin of q_sample_fixed (WindowGroupLimit, no
     * global sort; hash order makes the pick uniform + reproducible). */
@@ -1213,6 +1225,7 @@ object TextOps {
     "q_split" -> (qSplit _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_fixed" -> (qSampleFixed _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_sample_per_group" -> (qSamplePerGroup _),
     "q_mixture" -> (qMixture _),
     "q_repetition" -> (qRepetition _),
@@ -2497,6 +2510,13 @@ object TextOps {
       s"""SELECT doc_id, lang, n_chars FROM documents
          ORDER BY ${sqlIdBucket("doc_id", 1000000)}, doc_id LIMIT 100"""
     },
+    // CAST epoch: Spark's sequence() yields INT, DuckDB's
+    // generate_series BIGINT
+    "q_epoch_shuffle" ->
+      s"""SELECT CAST(epoch AS INT) AS epoch, shard, pos, doc_id
+         FROM (${graft.pipeline.Sampling.sqlEpochShuffle(
+            "(SELECT doc_id FROM documents)", "doc_id",
+            epochs = 2, shards = 8)})""",
     "q_sample_per_group" -> {
       import graft.pipeline.Sampling.sqlIdBucket
       s"""SELECT lang,

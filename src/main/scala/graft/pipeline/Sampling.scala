@@ -84,6 +84,47 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Deterministic epoch shuffle — the reproducible training-order
+    * contract: each epoch assigns every row a shard and an in-shard
+    * position from a pure hash of (id, epoch), so the order is (a)
+    * different every epoch, (b) bit-identical across re-runs, cluster
+    * sizes and engines, and (c) NEVER a global sort — rows hash into
+    * `shards` independent shards and only each shard sorts (one keyed
+    * exchange + per-shard window; a dataloader then walks shards
+    * round-robin). The per-epoch mix of id and epoch runs through the
+    * same pre-folded Knuth hash as [[idBucket]], so every intermediate
+    * stays < 2^63 for any id. Output adds (epoch, shard, pos). */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+      shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epoch = explode(sequence(lit(0), lit(epochs - 1)))
+    val mixed = ((col(idCol).cast("long") % lit(HashMod)) * lit(31L)
+      + col("epoch")) % lit(HashMod)
+    val h = ((mixed * lit(2654435761L)) % lit(HashMod)).as("h")
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col(idCol))
+    df.withColumn("epoch", epoch)
+      .withColumn("h", h)
+      .withColumn("shard", col("h") % lit(shards.toLong))
+      .withColumn("pos", row_number().over(w))
+      .drop("h")
+  }
+
+  /** SQL twin of [[epochShuffle]] (ends in the same added columns). */
+  def sqlEpochShuffle(table: String, idExpr: String, epochs: Int,
+      shards: Int): String =
+    s"""SELECT * EXCLUDE (h),
+         CAST(row_number() OVER (PARTITION BY epoch, shard
+           ORDER BY h, $idExpr) AS INT) AS pos
+       FROM (
+         SELECT *, h % $shards AS shard FROM (
+           SELECT *,
+             ((((CAST($idExpr AS BIGINT) % $HashMod) * 31 + epoch)
+               % $HashMod) * 2654435761) % $HashMod AS h
+           FROM $table
+           CROSS JOIN (SELECT unnest(generate_series(0, ${epochs - 1}))
+                       AS epoch)))"""
+
   /** Weighted domain mixture: per-domain keep rates (in mills) applied
     * through the same deterministic id bucket — the way a training mix
     * downsamples over-represented sources (e.g. web 20%, code 100%).

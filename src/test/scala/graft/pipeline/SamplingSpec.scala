@@ -147,4 +147,30 @@ class SamplingSpec extends SparkSpec {
     assert(tiny.keySet == Set("A", "B"))
     assert(tiny("B") == ((0L, 0L)))
   }
+
+  test("epochShuffle: complete per epoch, order differs across epochs, stable across partitionings") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"))
+    val out = Sampling.epochShuffle(docs, "doc_id", epochs = 2, shards = 8)
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .as[(Int, Long, Int, Long)].collect()
+    val n = docs.count()
+    // every epoch carries every doc exactly once
+    assert(out.count(_._1 == 0) == n && out.count(_._1 == 1) == n)
+    // positions are a contiguous 1..size ranking within (epoch, shard)
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // the two epochs order a shard's members differently (the point)
+    val e0 = out.filter(_._1 == 0).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    val e1 = out.filter(_._1 == 1).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(e0 != e1)
+    // deterministic under re-partitioning
+    val again = Sampling.epochShuffle(docs.repartition(7), "doc_id", 2, 8)
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .as[(Int, Long, Int, Long)].collect()
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
 }
