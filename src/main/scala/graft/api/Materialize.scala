@@ -27,4 +27,23 @@ object Materialize {
     caches.foreach(_.unpersist(blocking = true))
     out
   }
+
+  /** Run `body` against a fresh driver-local temp root (the
+    * grow/sink directory of an index-lifecycle query), materialize
+    * the (bounded) result eagerly, then recursively delete the root —
+    * repeated bench/verify runs must not accumulate extent, tombstone
+    * and sink data under java.io.tmpdir (ADVICE r11 #3). The
+    * driver-local path is a fixture convenience for the gate queries
+    * only: the index APIs themselves take Hadoop-FS paths, and a
+    * deployment passes its own durable root directly. */
+  def withTempRoot(prefix: String)(body: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try body(tmp.toString).localCheckpoint(eager = true)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp) // must be closed (open dir handles)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

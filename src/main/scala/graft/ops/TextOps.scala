@@ -120,17 +120,18 @@ object TextOps {
     val table = "graft_q_dedup_grow"
     graft.dedup.DedupIndex.write(
       docs.filter(col("doc_id") % 4 === 0), table, buckets = 8)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_dedup_grow")
-    val (grow, sink) = (s"$root/ext", s"$root/sink")
-    (1 to 3).foreach { k =>
-      graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
-        docs.filter(col("doc_id") % 4 === k), k - 1L, sink, 0.5)
+    graft.api.Materialize.withTempRoot("graft_q_dedup_grow") { root =>
+      val (grow, sink) = (s"$root/ext", s"$root/sink")
+      (1 to 3).foreach { k =>
+        graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
+          docs.filter(col("doc_id") % 4 === k), k - 1L, sink, 0.5)
+      }
+      spark.read
+        .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+        .parquet(sink)
+        .select(col("doc_id"), col("dup_of"), col("common"), col("na"),
+          col("nb"), col("batch_id"))
     }
-    spark.read
-      .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
-      .parquet(sink)
-      .select(col("doc_id"), col("dup_of"), col("common"), col("na"),
-        col("nb"), col("batch_id"))
   }
 
   /** Right-to-be-forgotten over the growing dedup index
@@ -153,25 +154,26 @@ object TextOps {
     val table = "graft_q_dedup_forget"
     graft.dedup.DedupIndex.write(
       docs.filter(col("doc_id") % 4 === 0), table, buckets = 8)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_dedup_forget")
-    val (grow, sink) = (s"$root/ext", s"$root/sink")
-    graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
-      docs.filter(col("doc_id") % 4 === 1), 0L, sink, 0.5)
-    val admitted = spark.read
-      .schema("doc_id LONG, sv ARRAY<LONG>")
-      .parquet(s"${graft.dedup.DedupIndex.extentSvPath(grow)}/batch_id=0")
-      .select(col("doc_id"))
-    graft.dedup.DedupIndex.forget(spark, grow,
-      docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
-        .unionByName(admitted)
-        .filter(col("doc_id") % 5 === 0), 100L)
-    graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
-      docs.filter(col("doc_id") % 4 === 2), 1L, sink, 0.5)
-    spark.read
-      .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
-      .parquet(sink)
-      .select(col("doc_id"), col("dup_of"), col("common"), col("na"),
-        col("nb"), col("batch_id"))
+    graft.api.Materialize.withTempRoot("graft_q_dedup_forget") { root =>
+      val (grow, sink) = (s"$root/ext", s"$root/sink")
+      graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
+        docs.filter(col("doc_id") % 4 === 1), 0L, sink, 0.5)
+      val admitted = spark.read
+        .schema("doc_id LONG, sv ARRAY<LONG>")
+        .parquet(s"${graft.dedup.DedupIndex.extentSvPath(grow)}/batch_id=0")
+        .select(col("doc_id"))
+      graft.dedup.DedupIndex.forget(spark, grow,
+        docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+          .unionByName(admitted)
+          .filter(col("doc_id") % 5 === 0), 100L)
+      graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
+        docs.filter(col("doc_id") % 4 === 2), 1L, sink, 0.5)
+      spark.read
+        .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+        .parquet(sink)
+        .select(col("doc_id"), col("dup_of"), col("common"), col("na"),
+          col("nb"), col("batch_id"))
+    }
   }
 
   /** LSM compaction of the growing dedup index, e2e (VERDICT r9 #4):
@@ -190,20 +192,21 @@ object TextOps {
     val table = "graft_q_dedup_compact"
     graft.dedup.DedupIndex.write(
       docs.filter(col("doc_id") % 4 === 0), table, buckets = 8)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_dedup_compact")
-    val (grow, sink) = (s"$root/ext", s"$root/sink")
-    (1 to 2).foreach { k =>
+    graft.api.Materialize.withTempRoot("graft_q_dedup_compact") { root =>
+      val (grow, sink) = (s"$root/ext", s"$root/sink")
+      (1 to 2).foreach { k =>
+        graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
+          docs.filter(col("doc_id") % 4 === k), k - 1L, sink, 0.5)
+      }
+      graft.dedup.DedupIndex.compact(spark, table, grow, buckets = 8)
       graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
-        docs.filter(col("doc_id") % 4 === k), k - 1L, sink, 0.5)
+        docs.filter(col("doc_id") % 4 === 3), 2L, sink, 0.5)
+      spark.read
+        .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+        .parquet(sink)
+        .select(col("doc_id"), col("dup_of"), col("common"), col("na"),
+          col("nb"), col("batch_id"))
     }
-    graft.dedup.DedupIndex.compact(spark, table, grow, buckets = 8)
-    graft.dedup.DedupIndex.flagAndAdmit(spark, table, grow,
-      docs.filter(col("doc_id") % 4 === 3), 2L, sink, 0.5)
-    spark.read
-      .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
-      .parquet(sink)
-      .select(col("doc_id"), col("dup_of"), col("common"), col("na"),
-        col("nb"), col("batch_id"))
   }
 
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -425,13 +428,14 @@ object TextOps {
     val emb = t(spark, dir, "embeddings")
     val table = "graft_q_knn_grow"
     graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_grow")
-    val grow = s"$root/ext"
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
-    graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5)
+    graft.api.Materialize.withTempRoot("graft_q_knn_grow") { root =>
+      val grow = s"$root/ext"
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+      graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5)
+    }
   }
 
   /** Tombstone deletes on the growing IVF index: the q_knn_grow setup,
@@ -446,15 +450,16 @@ object TextOps {
     val emb = t(spark, dir, "embeddings")
     val table = "graft_q_knn_delete"
     graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_delete")
-    val grow = s"$root/ext"
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
-    graft.sim.IvfIndex.delete(spark, grow,
-      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
-    graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5)
+    graft.api.Materialize.withTempRoot("graft_q_knn_delete") { root =>
+      val grow = s"$root/ext"
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+      graft.sim.IvfIndex.delete(spark, grow,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
+      graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5)
+    }
   }
 
   /** IVF compaction e2e (VERDICT r9 #4 — the other half of the growth
@@ -469,14 +474,15 @@ object TextOps {
     val emb = t(spark, dir, "embeddings")
     val table = "graft_q_knn_compact"
     graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_compact")
-    val grow = s"$root/ext"
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
-    graft.sim.IvfIndex.compact(spark, table, grow)
-    graft.sim.IvfIndex.search(spark, table, knnQueries(emb), 5)
+    graft.api.Materialize.withTempRoot("graft_q_knn_compact") { root =>
+      val grow = s"$root/ext"
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+      graft.sim.IvfIndex.compact(spark, table, grow)
+      graft.sim.IvfIndex.search(spark, table, knnQueries(emb), 5)
+    }
   }
 
   /** Quantizer RETRAIN e2e (VERDICT r10 #3 — the last index-lifecycle
@@ -494,16 +500,17 @@ object TextOps {
     val emb = t(spark, dir, "embeddings")
     val table = "graft_q_knn_retrain"
     graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_retrain")
-    val grow = s"$root/ext"
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
-    graft.sim.IvfIndex.delete(spark, grow,
-      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
-    graft.sim.IvfIndex.retrain(spark, table, grow)
-    graft.sim.IvfIndex.search(spark, table, knnQueries(emb), 5)
+    graft.api.Materialize.withTempRoot("graft_q_knn_retrain") { root =>
+      val grow = s"$root/ext"
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+      graft.sim.IvfIndex.delete(spark, grow,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
+      graft.sim.IvfIndex.retrain(spark, table, grow)
+      graft.sim.IvfIndex.search(spark, table, knnQueries(emb), 5)
+    }
   }
 
   /** Metadata-filtered ANN (VERDICT r9 #6 — the vector-store serving
@@ -518,14 +525,15 @@ object TextOps {
     val emb = t(spark, dir, "embeddings")
     val table = "graft_q_knn_filtered"
     graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_filtered")
-    val grow = s"$root/ext"
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
-    graft.sim.IvfIndex.admit(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
-    graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5,
-      pred = Some(col("label").isin(1, 4, 7)))
+    graft.api.Materialize.withTempRoot("graft_q_knn_filtered") { root =>
+      val grow = s"$root/ext"
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+      graft.sim.IvfIndex.admit(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+      graft.sim.IvfIndex.searchGrown(spark, table, grow, knnQueries(emb), 5,
+        pred = Some(col("label").isin(1, 4, 7)))
+    }
   }
 
   /** Int8-quantized IVF serving e2e (VERDICT r7 #3): persist the
@@ -569,16 +577,17 @@ object TextOps {
     val table = "graft_q_knn_grow_int8"
     graft.sim.IvfIndex.writeInt8(
       emb.filter(col("vec_id") % 2 === 0), table, buckets = 8)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_grow_int8")
-    val grow = s"$root/ext"
-    graft.sim.IvfIndex.admitInt8(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
-    graft.sim.IvfIndex.admitInt8(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
-    graft.sim.IvfIndex.delete(spark, grow,
-      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
-    graft.sim.IvfIndex.searchInt8Grown(spark, table, grow,
-      knnQueries(emb), k = 5)
+    graft.api.Materialize.withTempRoot("graft_q_knn_grow_int8") { root =>
+      val grow = s"$root/ext"
+      graft.sim.IvfIndex.admitInt8(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+      graft.sim.IvfIndex.admitInt8(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+      graft.sim.IvfIndex.delete(spark, grow,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
+      graft.sim.IvfIndex.searchInt8Grown(spark, table, grow,
+        knnQueries(emb), k = 5)
+    }
   }
 
   /** Int8 quantizer retrain e2e (the quantized twin of
@@ -593,16 +602,17 @@ object TextOps {
     val table = "graft_q_knn_retrain_int8"
     graft.sim.IvfIndex.writeInt8(
       emb.filter(col("vec_id") % 2 === 0), table, buckets = 8)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_knn_retrain_int8")
-    val grow = s"$root/ext"
-    graft.sim.IvfIndex.admitInt8(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
-    graft.sim.IvfIndex.admitInt8(spark, table, grow,
-      emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
-    graft.sim.IvfIndex.delete(spark, grow,
-      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
-    graft.sim.IvfIndex.retrainInt8(spark, table, grow, buckets = 8)
-    graft.sim.IvfIndex.searchInt8(spark, table, knnQueries(emb), k = 5)
+    graft.api.Materialize.withTempRoot("graft_q_knn_retrain_int8") { root =>
+      val grow = s"$root/ext"
+      graft.sim.IvfIndex.admitInt8(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+      graft.sim.IvfIndex.admitInt8(spark, table, grow,
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), 2L)
+      graft.sim.IvfIndex.delete(spark, grow,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), 3L)
+      graft.sim.IvfIndex.retrainInt8(spark, table, grow, buckets = 8)
+      graft.sim.IvfIndex.searchInt8(spark, table, knnQueries(emb), k = 5)
+    }
   }
 
   /** Int8 vector-quantization audit: per-label scale/code/residual
@@ -1006,18 +1016,11 @@ object TextOps {
   /** Run a roundtrip body against a fresh temp dir, materialize the
     * (small) aggregate eagerly, then delete the corpus-sized dump —
     * repeated bench/verify runs must not accumulate dead data in
-    * java.io.tmpdir. */
+    * java.io.tmpdir (now the shared [[graft.api.Materialize
+    * .withTempRoot]] discipline, which the index-lifecycle queries
+    * use too). */
   private def withRoundtripDir(prefix: String)(body: String => DataFrame)
-      : DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    try body(tmp.toString).localCheckpoint(eager = true)
-    finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp) // must be closed (open dir handles)
-      val paths = try walk.iterator().asScala.toSeq finally walk.close()
-      paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
+      : DataFrame = graft.api.Materialize.withTempRoot(prefix)(body)
 
   /** CSV sink → CSV source roundtrip, content-pinned: write the
     * documents table as part-file CSV, read it back under the same

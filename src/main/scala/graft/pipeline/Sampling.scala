@@ -93,14 +93,27 @@ object Sampling {
     * exchange + per-shard window; a dataloader then walks shards
     * round-robin). The per-epoch mix of id and epoch runs through the
     * same pre-folded Knuth hash as [[idBucket]], so every intermediate
-    * stays < 2^63 for any id. Output adds (epoch, shard, pos). */
+    * stays < 2^63 for any id. Output adds (epoch, shard, pos).
+    *
+    * The mix is deliberately NON-AFFINE in the epoch: the mixed value
+    * is SQUARED mod the prime before the diffusion multiply, so
+    * h_e = K·(c+31·0+e)² mod M — the per-epoch difference
+    * h_{e+1} − h_e = K·(2(c+e)+1) depends on the row's own c, unlike a
+    * purely add/multiply chain mod a prime, where every composition is
+    * affine in e and each epoch's order is the previous one's global
+    * rotation (ADVICE r11 #2; [[graft.SamplingSpec]] pins near-zero
+    * rank correlation between consecutive epochs). Squaring keeps every
+    * intermediate < 2^63 (mixed < M ≈ 1e9 ⇒ mixed² ≈ 1e18;
+    * M·K ≈ 2.66e18) and is engine-exact BIGINT arithmetic, so the
+    * DuckDB twin replays it bit-for-bit. */
   def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
       shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val epoch = explode(sequence(lit(0), lit(epochs - 1)))
     val mixed = ((col(idCol).cast("long") % lit(HashMod)) * lit(31L)
       + col("epoch")) % lit(HashMod)
-    val h = ((mixed * lit(2654435761L)) % lit(HashMod)).as("h")
+    val h = ((((mixed * mixed) % lit(HashMod)) * lit(2654435761L)) %
+      lit(HashMod)).as("h")
     val w = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("h"), col(idCol))
     df.withColumn("epoch", epoch)
@@ -110,17 +123,22 @@ object Sampling {
       .drop("h")
   }
 
-  /** SQL twin of [[epochShuffle]] (ends in the same added columns). */
+  /** SQL twin of [[epochShuffle]] (ends in the same added columns,
+    * same squared non-affine mix). */
   def sqlEpochShuffle(table: String, idExpr: String, epochs: Int,
       shards: Int): String =
     s"""SELECT * EXCLUDE (h),
          CAST(row_number() OVER (PARTITION BY epoch, shard
            ORDER BY h, $idExpr) AS INT) AS pos
        FROM (
-         SELECT *, h % $shards AS shard FROM (
+         SELECT * EXCLUDE (mixed),
+           (((mixed * mixed) % $HashMod) * 2654435761) % $HashMod AS h,
+           ((((mixed * mixed) % $HashMod) * 2654435761) % $HashMod)
+             % $shards AS shard
+         FROM (
            SELECT *,
-             ((((CAST($idExpr AS BIGINT) % $HashMod) * 31 + epoch)
-               % $HashMod) * 2654435761) % $HashMod AS h
+             ((CAST($idExpr AS BIGINT) % $HashMod) * 31 + epoch)
+               % $HashMod AS mixed
            FROM $table
            CROSS JOIN (SELECT unnest(generate_series(0, ${epochs - 1}))
                        AS epoch)))"""
@@ -142,8 +160,12 @@ object Sampling {
 
   def sqlMixtureFilter(idExpr: String, domainExpr: String,
       ratesMills: Map[String, Int], defaultMills: Int = 0): String = {
+    // SQL-escape the domain keys (quote doubling): the Spark side
+    // takes them as lit(...) Columns, so a domain name containing a
+    // quote must not break only the oracle string (ADVICE r11 #5)
     val cases = ratesMills.toSeq.sortBy(_._1)
-      .map { case (d, m) => s"WHEN $domainExpr = '$d' THEN $m" }
+      .map { case (d, m) =>
+        s"WHEN $domainExpr = '${d.replace("'", "''")}' THEN $m" }
       .mkString(" ")
     s"${sqlIdBucket(idExpr, 1000)} < (CASE $cases ELSE $defaultMills END)"
   }

@@ -70,9 +70,14 @@ object Bpe {
       .agg(sum(col("cnt")).as("c"))
   }
 
-  /** The merge-application rewrite for one learned pair. */
+  /** The merge-application rewrite for one learned pair. Built with
+    * the Column API (literal pattern/replacement), not an interpolated
+    * expr string — a learned symbol containing a quote or backslash
+    * (apostrophes survive the module precondition, which only
+    * reserves `(`, `)`, `_`) must not be parsed as SQL
+    * ([[tokenCountWith]] already does it this way). */
   private def applyMerge(w: DataFrame, l: String, r: String): DataFrame =
-    w.withColumn("s", expr(s"replace(s, '($l)($r)', '($l$r)')"))
+    w.withColumn("s", replace(col("s"), lit(s"($l)($r)"), lit(s"($l$r)")))
 
   /** The epoch loop over a (persisted) dictionary: at most `m`
     * (pair-count → top-1 → rewrite) rounds, each a bounded 1-row

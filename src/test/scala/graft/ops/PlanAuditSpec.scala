@@ -374,11 +374,31 @@ class PlanAuditSpec extends SparkSpec {
     // extent parquet), not as a post-join Filter — at serving scale
     // the filter is the thing that makes a restricted query cheaper
     // than an unrestricted one instead of equally expensive.
-    val p = executedPlan("q_knn_filtered")
+    // build the q_knn_filtered serving shape directly: the registry
+    // query now materializes eagerly and deletes its temp root
+    // (ADVICE r11 #3), so its returned frame is a checkpoint scan —
+    // the plan to audit is the searchGrown call itself, pre-checkpoint
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val table = "plan_audit_knn_filtered"
+    graft.sim.IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("plan_audit_knnf")
+    val grow = s"$root/ext"
+    graft.sim.IvfIndex.admit(spark, table, grow,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L)
+    val df = graft.sim.IvfIndex.searchGrown(spark, table, grow,
+      emb.filter(col("vec_id") < 10).limit(10), 5,
+      pred = Some(col("label").isin(1, 4, 7)))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     val pushed = "PushedFilters: \\[[^\\]]*In\\(label, \\[1,4,7\\]\\)".r
       .findAllIn(p).size
     assert(pushed >= 2,
       s"label IN-filter must push into both index-part scans (found $pushed):\n" + p)
+    graft.api.Bucketing.resetManaged(spark, table)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
     // and the int8 leg: the predicate prunes the CODES scan (the
     // narrow table), so the restricted search reads less, not more
     val p8 = executedPlan("q_knn_filtered_int8")

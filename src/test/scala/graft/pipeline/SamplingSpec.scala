@@ -173,4 +173,44 @@ class SamplingSpec extends SparkSpec {
       .as[(Int, Long, Int, Long)].collect()
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
+
+  test("epochShuffle: consecutive epochs are decorrelated, not rotations (ADVICE r11 #2)") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"))
+    val out = Sampling.epochShuffle(docs, "doc_id", epochs = 2, shards = 8)
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .as[(Int, Long, Int, Long)].collect()
+    val byEpoch = (0 to 1).map { e =>
+      out.filter(_._1 == e).map(r => r._4 -> ((r._2, r._3))).toMap
+    }
+    // Kendall-style concordance over every id pair that shares a shard
+    // in BOTH epochs: under an affine epoch mix (h_{e+1} = h_e + const
+    // mod M for every id) relative order is preserved except at the
+    // single mod wrap, so concordance sits at ~1.0; an actual
+    // per-epoch reshuffle concentrates around 0.5. Pin the gap wide
+    // on both sides so the test is insensitive to corpus size.
+    val ids = byEpoch(0).keys.toArray.sorted
+    var concordant = 0L
+    var total = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (s0i, p0i) = byEpoch(0)(ids(i)); val (s0j, p0j) = byEpoch(0)(ids(j))
+      val (s1i, p1i) = byEpoch(1)(ids(i)); val (s1j, p1j) = byEpoch(1)(ids(j))
+      if (s0i == s0j && s1i == s1j) {
+        total += 1
+        if ((p0i < p0j) == (p1i < p1j)) concordant += 1
+      }
+    }
+    assert(total > 100, s"too few comparable pairs ($total) to judge")
+    val frac = concordant.toDouble / total
+    assert(frac > 0.35 && frac < 0.65,
+      s"epoch 0 -> 1 order concordance $frac over $total pairs — " +
+        "consecutive epochs look like rotations of each other")
+    // and shard assignment itself must re-mix: the fraction of ids
+    // keeping their epoch-0 shard should be ~1/shards, not ~1
+    val sameShard = ids.count(id => byEpoch(0)(id)._1 == byEpoch(1)(id)._1)
+    assert(sameShard.toDouble / ids.length < 0.3,
+      s"$sameShard/${ids.length} ids kept their shard across epochs")
+  }
 }
