@@ -77,15 +77,35 @@ object Bench {
     // harder than a 90 s suite, and min-of-2 discards exactly that
     def canaryProbe(): Double = math.min(canary(), canary())
     canary() // one untimed pass so the canary itself is warm-methodology
-    val canaryStart = canaryProbe()
-    // deterministic name order: each query always runs after the same
-    // predecessors, so per-query numbers are comparable across rounds
-    // (Map iteration order shifts whenever a query is added)
-    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val midIdx = sortedQueries.size / 2
-    var canaryMid = 0.0
+    // ---- execution order (VERDICT r11 #2): DETERMINISTICALLY SHUFFLED,
+    // not alphabetical. Sorted-name order made every mid-suite
+    // contention burst elevate a CONTIGUOUS ALPHABETICAL block (r11: one
+    // burst -> 7 false flags across c-d) and a 3-probe canary missed the
+    // burst entirely. Hashing each name with a per-round seed scatters
+    // any time-local burst across the alphabet, so a contention window
+    // now reads as SCATTERED flags (adjudicate as contention) while a
+    // real regression stays the same single query under any seed. The
+    // seed defaults to the query-set size — stable for a given code
+    // state (same-code re-runs stay comparable run-to-run), changing
+    // whenever the suite grows (each round re-rolls the order);
+    // SPARK_GRAFT_BENCH_SEED overrides for A/B adjudication runs.
+    val orderSeed =
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED",
+        SparkEntry.queries.size.toString).toInt)
+        .getOrElse(SparkEntry.queries.size)
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (scala.util.hashing.MurmurHash3.stringHash(s"$name#$orderSeed"), name)
+    }
+    // ---- canary probes every PROBE_EVERY queries (VERDICT r11 #2), not
+    // just start/mid/end: each query's normalization is attributed to
+    // its own probe window (the mean of its two flanking probes), so a
+    // mid-suite burst relaxes the pin exactly for the queries that ran
+    // inside it and nowhere else. ~7 probes x ~2 s on a 181-query suite
+    // is <10% overhead, none of it inside any query's timed region.
+    val ProbeEvery = 30
+    val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = sortedQueries.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == midIdx) canaryMid = canaryProbe()
+      if (i % ProbeEvery == 0) probeTimes += canaryProbe()
       val timed = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -102,20 +122,29 @@ object Bench {
       // "failed", and queries that threw on SOME runs are surfaced in
       // "flaky" (their min over the successful runs still counts)
       val good = timed.collect { case (dt, true) => dt }
-      (name, good.minOption, timed.map(_._1), timed.count(!_._2))
+      (name, good.minOption, timed.map(_._1), timed.count(!_._2), i)
     }
-    val canaryEnd = canaryProbe()
-    // median of the three probes: robust to one probe landing inside a
-    // transient contention spike (the exact failure mode being measured)
-    val canaryNow =
-      Seq(canaryStart, canaryMid, canaryEnd).sorted.apply(1)
-    val failed = results.collect { case (k, None, _, _) => k }
+    probeTimes += canaryProbe() // closing probe: every window has 2 ends
+    val probes = probeTimes.toSeq
+    // a query's window canary: mean of the probes flanking its position
+    // (probe j precedes query j*ProbeEvery; the last probe follows the
+    // last query)
+    def windowCanary(i: Int): Double = {
+      val j = math.min(i / ProbeEvery, probes.size - 2)
+      (probes(j) + probes(j + 1)) / 2
+    }
+    // suite-level canary: MEDIAN of all probes — robust to any one probe
+    // landing inside a transient spike, and the value the NEXT round's
+    // per-window scales compare against
+    val canaryNow = probes.sorted.apply(probes.size / 2)
+    val failed = results.collect { case (k, None, _, _, _) => k }
     val flaky = results.collect {
-      case (k, Some(_), _, nf) if nf > 0 => s"\"" + k + "\":" + nf
+      case (k, Some(_), _, nf, _) if nf > 0 => s"\"" + k + "\":" + nf
     }.mkString("{", ",", "}")
-    val qs = results.collect { case (k, Some(v), _, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, ts, _) =>
+    val qs = results.collect {
+      case (k, Some(v), _, _, _) => s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val raw = results.map { case (k, _, ts, _, _) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -125,11 +154,12 @@ object Bench {
     // per-query detail is truncated there mid-alphabet; persisting it to
     // a repo file makes each round's per-query history auditable from
     // artifacts alone. Any query whose min exceeds 1.5x its committed
-    // prior is flagged inline. HEURISTIC for readers: a CONTIGUOUS
-    // alphabetical block of elevated queries is VM/neighbor contention
-    // (the bench runs in sorted name order, so a noisy window elevates
-    // neighbors together — adjudicated exactly so in VERDICT r7), while
-    // an isolated elevated query is a real plan/code regression.
+    // prior is flagged inline. HEURISTIC for readers (shuffled-order
+    // era): a burst of SIMULTANEOUS flags on unrelated names is
+    // VM/neighbor contention (the shuffled order scatters any
+    // time-local burst across the alphabet, and each flag's own
+    // window_canary shows the elevated probe), while a single
+    // repeat-offender across runs is a real plan/code regression.
     // absolute default: the artifact must land in the repo regardless of
     // the launcher's working directory
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -150,19 +180,38 @@ object Bench {
     val priorCanary: Option[Double] =
       "\"canary_median\"\\s*:\\s*([0-9][0-9.Ee+-]*)".r.findFirstMatchIn(priorTxt)
         .map(_.group(1).toDouble)
+    // baseline provenance (VERDICT r11 #8): the commit + canary the pin
+    // compares against, copied INTO this detail so adjudicating a flag
+    // needs only this one file. The commit of THIS run is recorded too
+    // (read from .git, no subprocess) and becomes the next run's
+    // baseline_commit once committed.
+    def gitHead(): String = scala.util.Try {
+      val headTxt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/.git/HEAD")), "UTF-8").trim
+      if (headTxt.startsWith("ref: ")) {
+        val ref = headTxt.stripPrefix("ref: ")
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/root/repo/.git/$ref")), "UTF-8").trim
+      } else headTxt
+    }.getOrElse("unknown")
+    val baselineCommit =
+      "\"commit\"\\s*:\\s*\"([0-9a-f]+)\"".r.findFirstMatchIn(priorTxt)
+        .map(_.group(1)).getOrElse("unknown")
     // scale = how much slower THIS box is than the prior round's box on
     // identical fixed work. Clamped to [0.5, 4]: outside that the canary
     // itself is suspect (e.g. a canary run landed inside an extreme
     // spike) and a wrong aggressive normalization would hide a real
     // regression — better to pin near-raw and let the committed canary
     // numbers tell the adjudication story.
-    val canaryScale = priorCanary match {
-      case Some(p) if p > 0 => math.min(4.0, math.max(0.5, canaryNow / p))
+    def clampScale(now: Double): Double = priorCanary match {
+      case Some(p) if p > 0 => math.min(4.0, math.max(0.5, now / p))
       case _ => 1.0
     }
-    // the pin compares NORMALIZED values (VERDICT r9 #2): a query is a
-    // regression only if it is slow relative to how slow the BOX is.
-    // v/canaryScale > 1.5*prior  <=>  v > 1.5*prior*canaryScale.
+    val canaryScale = clampScale(canaryNow)
+    // the pin compares NORMALIZED values (VERDICT r9 #2), normalized by
+    // the query's OWN probe window (VERDICT r11 #2): a query is a
+    // regression only if it is slow relative to how slow the box was
+    // WHILE IT RAN. v/scale_i > 1.5*prior <=> v > 1.5*prior*scale_i.
     // ASYMMETRIC on purpose: normalization exists to absorb box
     // SLOWDOWNS; a canary that comes back FASTER than the prior run
     // must never tighten the pin below the raw comparison — canary
@@ -172,25 +221,27 @@ object Bench {
     // queries). The cost is that a genuinely-faster box can mask a
     // sub-50% regression for one round — the committed per-query
     // detail still shows it raw.
-    val pinScale = math.max(1.0, canaryScale)
+    def pinScaleAt(i: Int): Double = math.max(1.0, clampScale(windowCanary(i)))
     // tiered threshold: sub-0.5 s queries swing up to ~1.7x between
     // back-to-back min-of-3 runs on a FLAT box (r10 measured: three
     // <0.5 s queries fired at scale 1.007 while every >=0.5 s query
     // stayed quiet) — scheduler jitter is a fixed ~50-100 ms cost that
     // is relative noise only below ~0.5 s. 2.5x still catches a real
     // small-query regression (the injected 3x validation case fires).
-    def pinThreshold(p: Double): Double =
-      (if (p < 0.5) 2.5 else 1.5) * p * pinScale
+    def pinThreshold(p: Double, i: Int): Double =
+      (if (p < 0.5) 2.5 else 1.5) * p * pinScaleAt(i)
     val regressions = results.collect {
-      case (k, Some(v), _, _)
-        if priorQueries.get(k).exists(p => v > pinThreshold(p)) =>
+      case (k, Some(v), _, _, i)
+        if priorQueries.get(k).exists(p => v > pinThreshold(p, i)) =>
         s"\"" + k + "\":{\"prior\":" + priorQueries(k) + ",\"now\":" + v +
-          ",\"now_normalized\":" + (v / canaryScale) +
-          ",\"effective_threshold\":" + pinThreshold(priorQueries(k)) + "}"
+          ",\"now_normalized\":" + (v / clampScale(windowCanary(i))) +
+          ",\"window_canary\":" + windowCanary(i) +
+          ",\"effective_threshold\":" + pinThreshold(priorQueries(k), i) + "}"
     }.mkString("{", ",", "}")
+    val probesJson = probes.map(t => f"$t%.4f").mkString("[", ",", "]")
     val canaryJson =
-      s""""canary":{"start":$canaryStart,"mid":$canaryMid,"end":$canaryEnd},"canary_median":$canaryNow,"canary_prior":${priorCanary.getOrElse(-1.0)},"canary_scale":$canaryScale,"value_normalized":${total / canaryScale}"""
-    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_normalized":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query; regression pin is canary-normalized (min-of-2 probes at suite start/mid/end, median vs prior committed median, scale clamped to [0.5,4], pin uses max(1,scale) — slowdowns relax it, a faster canary never tightens below raw; threshold 1.5x, or 2.5x for sub-0.5s priors where scheduler jitter dominates); contiguous alphabetical elevated blocks = contention, isolated = regression"}"""
+      s""""canary_probes":$probesJson,"probe_every":$ProbeEvery,"order_seed":$orderSeed,"canary_median":$canaryNow,"canary_prior":${priorCanary.getOrElse(-1.0)},"canary_scale":$canaryScale,"commit":"${gitHead()}","baseline_commit":"$baselineCommit","baseline_canary":${priorCanary.getOrElse(-1.0)},"value_normalized":${total / canaryScale}"""
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_normalized":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query, run in a deterministically shuffled order (hash of name + order_seed, seed defaults to the query count) so a time-local contention burst scatters across names instead of elevating an alphabetical block; regression pin is canary-normalized PER PROBE WINDOW (min-of-2 canary probe every $ProbeEvery queries, each query normalized by the mean of its two flanking probes vs the prior committed canary_median, scale clamped to [0.5,4], pin uses max(1,scale) — slowdowns relax it, a faster canary never tightens below raw; threshold 1.5x, or 2.5x for sub-0.5s priors where scheduler jitter dominates); under the shuffled order SCATTERED simultaneous flags = contention, an isolated repeat-offender = regression"}"""
     scala.util.Try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -201,7 +252,7 @@ object Bench {
     // stdout, and the full line outgrew that window in round 5 — the tail
     // must always contain a parseable headline total
     println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${total / canaryScale},"canary_median":$canaryNow,"canary_scale":$canaryScale,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_normalized":$regressions,"sf":"$sfDir","methodology":"warm min-of-$runsPerQuery per query, canary-normalized pin; per-query detail committed at $outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${total / canaryScale},"canary_median":$canaryNow,"canary_scale":$canaryScale,"order_seed":$orderSeed,"commit":"${gitHead()}","baseline_commit":"$baselineCommit","baseline_canary":${priorCanary.getOrElse(-1.0)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_normalized":$regressions,"sf":"$sfDir","methodology":"warm min-of-$runsPerQuery per query, shuffled order, per-window canary-normalized pin; per-query detail committed at $outPath"}""")
     spark.stop()
   }
 }

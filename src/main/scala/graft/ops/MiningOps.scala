@@ -78,11 +78,12 @@ object MiningOps {
     val docs = t(spark, dir, "documents")
     val table = "graft_q_bm25_grow"
     graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_bm25_grow")
-    (1 to 2).foreach(k => graft.text.PostingsIndex.admit(spark, table,
-      root.toString, docs.filter(col("doc_id") % 3 === k), k - 1L))
-    graft.text.PostingsIndex.searchGrown(spark, table, root.toString,
-      bm25QuerySet(docs), Bm25K)
+    graft.api.Materialize.withTempRoot("graft_q_bm25_grow") { root =>
+      (1 to 2).foreach(k => graft.text.PostingsIndex.admit(spark, table,
+        root, docs.filter(col("doc_id") % 3 === k), k - 1L))
+      graft.text.PostingsIndex.searchGrown(spark, table, root,
+        bm25QuerySet(docs), Bm25K)
+    }
   }
 
   /** Right-to-be-forgotten on the lexical index: base (%3==0) +
@@ -95,13 +96,14 @@ object MiningOps {
     val docs = t(spark, dir, "documents")
     val table = "graft_q_bm25_forget"
     graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_bm25_forget")
-    graft.text.PostingsIndex.admit(spark, table, root.toString,
-      docs.filter(col("doc_id") % 3 === 1), 0L)
-    graft.text.PostingsIndex.forget(spark, root.toString,
-      docs.filter(expr(Bm25ForgetPred)).select(col("doc_id")), 100L)
-    graft.text.PostingsIndex.searchGrown(spark, table, root.toString,
-      bm25QuerySet(docs), Bm25K)
+    graft.api.Materialize.withTempRoot("graft_q_bm25_forget") { root =>
+      graft.text.PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 3 === 1), 0L)
+      graft.text.PostingsIndex.forget(spark, root,
+        docs.filter(expr(Bm25ForgetPred)).select(col("doc_id")), 100L)
+      graft.text.PostingsIndex.searchGrown(spark, table, root,
+        bm25QuerySet(docs), Bm25K)
+    }
   }
 
   /** The lexical-index lifecycle end-to-end: write base (%3==0),
@@ -115,16 +117,53 @@ object MiningOps {
     val docs = t(spark, dir, "documents")
     val table = "graft_q_bm25_compact"
     graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
-    val root = java.nio.file.Files.createTempDirectory("graft_q_bm25_compact")
-    graft.text.PostingsIndex.admit(spark, table, root.toString,
-      docs.filter(col("doc_id") % 3 === 1), 0L)
-    graft.text.PostingsIndex.forget(spark, root.toString,
-      docs.filter(expr(Bm25ForgetPred)).select(col("doc_id")), 100L)
-    graft.text.PostingsIndex.compact(spark, table, root.toString)
-    graft.text.PostingsIndex.admit(spark, table, root.toString,
-      docs.filter(col("doc_id") % 3 === 2), 1L)
-    graft.text.PostingsIndex.searchGrown(spark, table, root.toString,
-      bm25QuerySet(docs), Bm25K)
+    graft.api.Materialize.withTempRoot("graft_q_bm25_compact") { root =>
+      graft.text.PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 3 === 1), 0L)
+      graft.text.PostingsIndex.forget(spark, root,
+        docs.filter(expr(Bm25ForgetPred)).select(col("doc_id")), 100L)
+      graft.text.PostingsIndex.compact(spark, table, root)
+      graft.text.PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 3 === 2), 1L)
+      graft.text.PostingsIndex.searchGrown(spark, table, root,
+        bm25QuerySet(docs), Bm25K)
+    }
+  }
+
+  /** Live-universe predicate for [[qBm25CompactTiered]]: the tiered
+    * fixture's forget pass tombstones every indexed doc (base %10<8 ∪
+    * batch-1 %10==8) with doc_id%5==0. */
+  private val Bm25TieredForgetPred = "doc_id % 10 < 9 AND doc_id % 5 = 0"
+
+  /** SIZE-TIERED compaction of the lexical index, e2e (VERDICT r11
+    * #4): base = doc_id%10<8 (so the admitted batch, %10==8, is
+    * ~12.5% of the base — UNDER [[graft.text.PostingsIndex
+    * .compactTiered]]'s 20% threshold, forcing the tiered path: the
+    * base tables must not rewrite), forget (%5==0 of the indexed),
+    * compactTiered (extents fold into ONE consolidated extent with
+    * extent-hitting tombstones applied; base-hitting tombstones
+    * survive and stay masked), then admit batch 2 (%10==9) and
+    * search. Live universe = (%10<9 − forgotten) ∪ %10==9 — the same
+    * shape as q_bm25_compact's, proving tiered ≡ full ≡ monolithic on
+    * results. The file-level half of the contract (base parquet files
+    * byte-identical, one consolidated extent partition, remaining
+    * tombstones exactly the base-referencing ones) is pinned in
+    * PostingsIndexSpec. */
+  def qBm25CompactTiered(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_bm25_compact_tiered"
+    graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 10 < 8), table)
+    graft.api.Materialize.withTempRoot("graft_q_bm25_compact_tiered") { root =>
+      graft.text.PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 10 === 8), 0L)
+      graft.text.PostingsIndex.forget(spark, root,
+        docs.filter(expr(Bm25TieredForgetPred)).select(col("doc_id")), 100L)
+      graft.text.PostingsIndex.compactTiered(spark, table, root)
+      graft.text.PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 10 === 9), 1L)
+      graft.text.PostingsIndex.searchGrown(spark, table, root,
+        bm25QuerySet(docs), Bm25K)
+    }
   }
 
   /** Probe slice (mills of the id-hash space) for
@@ -454,6 +493,7 @@ object MiningOps {
     "q_bm25_grow" -> (qBm25Grow _),
     "q_bm25_forget" -> (qBm25Forget _),
     "q_bm25_compact" -> (qBm25Compact _),
+    "q_bm25_compact_tiered" -> (qBm25CompactTiered _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_tokens" -> (qBpeTokens _),
@@ -511,6 +551,9 @@ object MiningOps {
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
     "q_bm25_compact" -> Retrieval.sqlBm25TopKLive(
       s"(doc_id % 3 < 2 AND NOT ($Bm25ForgetPred)) OR doc_id % 3 = 2",
+      s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+    "q_bm25_compact_tiered" -> Retrieval.sqlBm25TopKLive(
+      s"(doc_id % 10 < 9 AND NOT ($Bm25TieredForgetPred)) OR doc_id % 10 = 9",
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
     "q_bpe_encode" -> graft.text.Bpe.sqlEncodeVocab(BpeMerges),

@@ -137,15 +137,25 @@ object PostingsIndex {
     * batch's own extent partitions — O(batch) work, the index never
     * rewrites. Guards the tombstone-rebirth contract (see object
     * scaladoc): a batch id that is tombstoned and NOT in this batch's
-    * own prior partition (crash replay) is rejected. */
+    * own prior partition (crash replay) is rejected. The exemption
+    * set unions the batch's own POSTINGS partition ids with its docs
+    * partition ids: admit writes postings first, so a crash between
+    * the postings write and the docs write followed by a forget() of
+    * one of the batch's ids must still recognize the replay as the
+    * batch's own (ADVICE r11 #4 — DedupIndex.flagAndAdmit checks both
+    * of its partitions the same way). Anything tombstoned OUTSIDE the
+    * batch's own partitions is a rebirth and is rejected. */
   def admit(spark: SparkSession, table: String, growPath: String,
       batch: DataFrame, batchId: Long): Unit = {
     tombstones(spark, growPath).foreach { ts =>
+      val ownParts = Seq(
+        (s"${docsPath(growPath)}/batch_id=$batchId", "doc_id LONG, dl LONG"),
+        (s"${postingsPath(growPath)}/batch_id=$batchId",
+          "tok STRING, doc_id LONG, tf LONG, dl LONG"))
+        .collect { case (p, sch) if dirExists(spark, p) =>
+          spark.read.schema(sch).parquet(p).select(col("doc_id")) }
       val own =
-        if (dirExists(spark, s"${docsPath(growPath)}/batch_id=$batchId"))
-          spark.read.schema("doc_id LONG, dl LONG")
-            .parquet(s"${docsPath(growPath)}/batch_id=$batchId")
-            .select(col("doc_id"))
+        if (ownParts.nonEmpty) ownParts.reduce(_.unionAll(_)).distinct()
         else spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
       val reborn = batch.select(col("doc_id").cast("long").as("doc_id"))
         .join(ts, Seq("doc_id"), "left_semi")
@@ -331,5 +341,108 @@ object PostingsIndex {
     Seq(postingsPath(growPath), docsPath(growPath), statsPath(growPath),
         tombstonePath(growPath), staging)
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+  }
+
+  /** The extent batch_id the tiered compactor consolidates into —
+    * negative so it can never collide with a caller-assigned admission
+    * id (admission ids are expected non-negative; the replay guard
+    * keys on the batch's own partition, so reusing a live admission id
+    * would alias a consolidation with a replay). */
+  val ConsolidatedBatchId: Long = -1L
+
+  /** Size-tiered compaction (VERDICT r11 #4): bound write
+    * amplification by NOT rewriting the base on every compaction.
+    * When the extents hold less than `maxExtentFraction` of the
+    * base's documents, the extents alone are folded into ONE
+    * consolidated extent partition (batch_id = [[ConsolidatedBatchId]])
+    * with the tombstones that touch extent docs applied physically;
+    * tombstones referencing base docs (or stray ids) REMAIN as
+    * tombstones, still masked at search time, and are applied
+    * physically only by the next over-threshold (full) compaction —
+    * which this method delegates to via [[compact]] when the extent
+    * mass crosses the threshold.
+    *
+    * 100 TB posture: this is the difference between "nightly job" and
+    * "impossible" — a full [[compact]] is O(index) by definition (the
+    * whole base rewrites through one bucketed shuffle), so daily 0.1%
+    * crawl batches would each pay a 100-TB rewrite; the tiered path
+    * is O(extent mass) (measured in DevScalePostings: cost tracks the
+    * extent rows, flat in the base size), and the base pays its
+    * O(index) rewrite only once per ~maxExtentFraction of growth —
+    * classic LSM write-amplification bounding. Search cost is
+    * unchanged either way (base + ONE extent part vs base alone).
+    *
+    * Semantics contract (oracle-checked by q_bm25_compact_tiered,
+    * plan/file-level assertions in PostingsIndexSpec): searchGrown
+    * after a tiered compaction ≡ before ≡ brute-force BM25 over the
+    * live doc set, and below threshold the base tables' files are
+    * untouched. Same caller contract as [[compact]]: not concurrent
+    * with admissions/forgets. */
+  def compactTiered(spark: SparkSession, table: String, growPath: String,
+      buckets: Int = 16, maxExtentFraction: Double = 0.2): Unit = {
+    val hasExt = dirExists(spark, postingsPath(growPath))
+    if (!hasExt) {
+      // no extents: nothing to consolidate; any tombstones touch only
+      // the base, which the tiered path never rewrites — full fold
+      return compact(spark, table, growPath, buckets)
+    }
+    val baseDocs = spark.table(statsTable(table))
+      .select(col("n_docs")).head().getLong(0)
+    val extDeltas = spark.read.schema(StatsExtSchema)
+      .parquet(statsPath(growPath))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"))
+      .head().getLong(0)
+    if (baseDocs <= 0 || extDeltas.toDouble / baseDocs >= maxExtentFraction)
+      return compact(spark, table, growPath, buckets)
+
+    val staging = growPath + "/_tiered_staging"
+    val ts = tombstones(spark, growPath)
+    val extPostings = spark.read.schema(PostingsExtSchema)
+      .parquet(postingsPath(growPath)).drop("batch_id")
+    val extDocs = spark.read.schema(DocsExtSchema)
+      .parquet(docsPath(growPath)).drop("batch_id")
+    def liveExt(df: DataFrame) =
+      ts.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    // consolidated extent = live extent rows only; stats delta
+    // recomputed exactly from the consolidated doc side (so applied
+    // tombstones stop counting, exactly as searchGrown's correction
+    // had them)
+    liveExt(extPostings).write.mode("overwrite")
+      .parquet(staging + "/postings")
+    liveExt(extDocs).write.mode("overwrite").parquet(staging + "/docs")
+    // tombstones that did NOT hit an extent doc survive (base docs
+    // and stray ids — strays stay benign: every correction joins by
+    // id). DISTINCT: a twice-forgotten id must survive as one row.
+    val remaining = ts.map(_.distinct()
+      .join(extDocs, Seq("doc_id"), "left_anti"))
+    val remainingCnt = remaining.map { r =>
+      r.write.mode("overwrite").parquet(staging + "/tombstones")
+      spark.read.schema("doc_id LONG").parquet(staging + "/tombstones").count()
+    }.getOrElse(0L)
+    val fs = new org.apache.hadoop.fs.Path(growPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rm(d: String): Boolean =
+      fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    def mv(from: String, to: String): Unit = {
+      val t = new org.apache.hadoop.fs.Path(to)
+      fs.mkdirs(t.getParent)
+      fs.rename(new org.apache.hadoop.fs.Path(from), t)
+    }
+    rm(postingsPath(growPath)); rm(docsPath(growPath))
+    rm(statsPath(growPath)); rm(tombstonePath(growPath))
+    mv(staging + "/postings",
+      s"${postingsPath(growPath)}/batch_id=$ConsolidatedBatchId")
+    mv(staging + "/docs",
+      s"${docsPath(growPath)}/batch_id=$ConsolidatedBatchId")
+    if (remainingCnt > 0)
+      mv(staging + "/tombstones",
+        s"${tombstonePath(growPath)}/batch_id=$ConsolidatedBatchId")
+    spark.read.schema("doc_id LONG, dl LONG")
+      .parquet(s"${docsPath(growPath)}/batch_id=$ConsolidatedBatchId")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${statsPath(growPath)}/batch_id=$ConsolidatedBatchId")
+    rm(staging)
   }
 }

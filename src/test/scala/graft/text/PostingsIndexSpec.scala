@@ -155,6 +155,111 @@ class PostingsIndexSpec extends SparkSpec {
     cleanup(table)
   }
 
+  /** (path, mtime, length) of every file under a table's warehouse
+    * dir — the "base untouched" fingerprint. */
+  private def baseFiles(table: String): Seq[(String, Long, Long)] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Seq.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      b += ((f.getPath.toString, f.getModificationTime, f.getLen))
+    }
+    b.result().sortBy(_._1)
+  }
+
+  test("compactTiered below threshold: base untouched, one consolidated extent, base tombstones survive") {
+    val q = queries(docs)
+    val table = "pidx_test_tiered"
+    // base = %10<8, extent = %10==8 (~12.5% of base, under the 20%
+    // threshold -> the tiered path MUST run, not the full fold)
+    PostingsIndex.write(docs.filter(col("doc_id") % 10 < 8), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_tiered").toString
+    PostingsIndex.admit(spark, table, root,
+      docs.filter(col("doc_id") % 10 === 8), 0L)
+    PostingsIndex.forget(spark, root,
+      docs.filter(col("doc_id") % 10 < 9 && col("doc_id") % 5 === 0)
+        .select(col("doc_id")), 100L)
+    val before = rows(PostingsIndex.searchGrown(spark, table, root, q, 3))
+    val baseBefore = (baseFiles(table), baseFiles(PostingsIndex.docsTable(table)),
+      baseFiles(PostingsIndex.statsTable(table)))
+    PostingsIndex.compactTiered(spark, table, root)
+    // 1. the base tables' files are byte-for-byte the same objects
+    assert((baseFiles(table), baseFiles(PostingsIndex.docsTable(table)),
+      baseFiles(PostingsIndex.statsTable(table))) == baseBefore)
+    // 2. extents consolidated into the single reserved partition
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partitions(dir: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    val cons = s"batch_id=${PostingsIndex.ConsolidatedBatchId}"
+    assert(partitions(PostingsIndex.postingsPath(root)) == Seq(cons))
+    assert(partitions(PostingsIndex.docsPath(root)) == Seq(cons))
+    assert(partitions(PostingsIndex.statsPath(root)) == Seq(cons))
+    // 3. surviving tombstones are exactly the base-referencing ids
+    // (extent-hitting ones were applied physically)
+    import spark.implicits._
+    val remaining = spark.read.schema("doc_id LONG")
+      .parquet(PostingsIndex.tombstonePath(root))
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val expected = docs
+      .filter(col("doc_id") % 10 < 8 && col("doc_id") % 5 === 0)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(remaining == expected)
+    // 4. results invisible: tiered-compacted == pre-compact == brute
+    // over the live set, and a later admission still composes
+    assert(rows(PostingsIndex.searchGrown(spark, table, root, q, 3)) == before)
+    PostingsIndex.admit(spark, table, root,
+      docs.filter(col("doc_id") % 10 === 9), 1L)
+    val live = docs.filter(
+      (col("doc_id") % 10 < 9 && !(col("doc_id") % 5 === 0)) ||
+        col("doc_id") % 10 === 9)
+    assert(rows(PostingsIndex.searchGrown(spark, table, root, q, 3)) ==
+      rows(Retrieval.bm25TopK(live, q, 3)))
+    cleanup(table)
+  }
+
+  test("compactTiered above threshold delegates to the full fold") {
+    val q = queries(docs)
+    val table = "pidx_test_tiered_full"
+    // extent = 50% of base -> over threshold -> full compact semantics
+    PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_tiered_full").toString
+    PostingsIndex.admit(spark, table, root,
+      docs.filter(col("doc_id") % 3 === 1), 0L)
+    val before = rows(PostingsIndex.searchGrown(spark, table, root, q, 3))
+    PostingsIndex.compactTiered(spark, table, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(PostingsIndex.postingsPath(root), PostingsIndex.docsPath(root),
+        PostingsIndex.statsPath(root), PostingsIndex.tombstonePath(root))
+      .foreach(d => assert(!fs.exists(new org.apache.hadoop.fs.Path(d)), d))
+    assert(rows(PostingsIndex.search(spark, table, q, 3)) == before)
+    cleanup(table)
+  }
+
+  test("crash replay recognized from the postings partition alone (docs write never landed)") {
+    val table = "pidx_test_crash"
+    PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_crash").toString
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+    PostingsIndex.admit(spark, table, root, batch, 0L)
+    // simulate the crash window: postings landed, docs write did not
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${PostingsIndex.docsPath(root)}/batch_id=0"), true)
+    PostingsIndex.forget(spark, root,
+      batch.filter(col("doc_id") % 5 === 0).select(col("doc_id")).limit(1), 100L)
+    // the replay's ids intersect the tombstones, but its own POSTINGS
+    // partition proves this is a replay, not a rebirth (ADVICE r11 #4)
+    PostingsIndex.admit(spark, table, root, batch, 0L)
+    cleanup(table)
+  }
+
   test("admit replay is idempotent for search") {
     val q = queries(docs)
     val table = "pidx_test_replay"
