@@ -396,6 +396,29 @@ object MiningOps {
       Seq(tokv))
   }
 
+  /** Percentiles the quantile-sketch queries read out. */
+  val QsPercents = Seq(50, 90, 99)
+  val QsGroupPercents = Seq(50, 90)
+
+  /** Mergeable log-bucket quantile sketch over document lengths
+    * (VERDICT r11 #5 — completes the sketch family with quantiles):
+    * the corpus folds map-side into ≤ 63·16+1 bucket counters (the
+    * CMS exchange shape — sketch-sized regardless of corpus), the
+    * read-out interpolates integer-linearly inside the covering
+    * bucket, and merge is counter add (per-half rollup ≡ global,
+    * pinned in SketchesSpec). Worst-case relative error 1/16;
+    * measured at 1M/10M rows in DevScaleSketch. Output (p, est). */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.sketch.Sketches.quantileSketchEstimate(
+      t(spark, dir, "documents"), col("n_chars"), QsPercents)
+
+  /** Per-group quantile sketch: P50/P90 document length per lang —
+    * bounded per-group state, one map-side-combined exchange of
+    * |groups|·buckets counter rows. Output (grp, p, est). */
+  def qQuantilePerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.sketch.Sketches.quantilePerGroup(
+      t(spark, dir, "documents"), "lang", col("n_chars"), QsGroupPercents)
+
   /** Bottom-k size for [[qKmvPerGroup]] — chosen so the gate SFs
     * exercise BOTH estimator branches: 15 distinct users/type at
     * sf0.001 (under-full → exact path), 150 at sf0.01 (full →
@@ -505,6 +528,8 @@ object MiningOps {
     "q_join_size_sketch" -> (qJoinSizeSketch _),
     "q_token_drift" -> (qTokenDrift _),
     "q_cms_topk" -> (qCmsTopk _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_quantile_per_group" -> (qQuantilePerGroup _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_hybrid_ivf" -> (qHybridIvf _),
@@ -618,6 +643,11 @@ object MiningOps {
            FROM cb JOIN cms m USING (row_i, bucket) GROUP BY 1, 2)
          SELECT tok, est, cnt FROM e WHERE est >= $CmsThreshold"""
     },
+    "q_quantile_sketch" -> graft.sketch.Sketches.sqlQuantileSketchEstimate(
+      "SELECT CAST(n_chars AS BIGINT) AS v FROM documents", QsPercents),
+    "q_quantile_per_group" -> graft.sketch.Sketches.sqlQuantilePerGroup(
+      "SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v FROM documents",
+      QsGroupPercents),
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
       minCommon = 3),

@@ -302,4 +302,223 @@ object Sketches {
       s"WHEN $i THEN ${sqlCmsBucket(vExpr, i)}")
       .mkString("CASE row_i ",
         " ", s" ELSE ${sqlCmsBucket(vExpr, CmsDepth - 1)} END")
+
+  // ---- mergeable quantile sketch (log-bucket histogram) ----------------
+  //
+  // Completes the sketch family (VERDICT r11 #5): distinct
+  // (hash-range/KMV), frequency (CMS), join-size (CMS dot) — and now
+  // QUANTILES, the remaining classic every 100-TB profiling pass needs.
+  // The exact answer (q_percentiles) is a full-shuffle global rank; the
+  // sketch is a fixed-grid LOG-BUCKET HISTOGRAM: value → octave band
+  // (floor(log2), read engine-exactly off the binary-string length) ×
+  // QsGrid linear sub-buckets per octave. Counter space is bounded
+  // (≤ 63·QsGrid+1 buckets for any long input), the groupBy
+  // partial-aggregates map-side into it (the CMS exchange shape:
+  // sketch-sized regardless of corpus), and MERGE IS COUNTER ADD — the
+  // per-shard → global rollup law the spec pins. Deterministic and
+  // RNG-free like everything above (a pure function of the input
+  // multiset, not even hash-dependent), so the DuckDB oracle replays
+  // the identical integer arithmetic bit-for-bit. Worst-case relative
+  // error of the interpolated read-out is the sub-bucket width,
+  // 1/QsGrid ≈ 6.25%; measured ≪ that on real distributions
+  // (DevScaleSketch). Classical background: the log-bucketed fixed-
+  // grid histogram family (e.g. HDR histograms; DDSketch, Masson et
+  // al. 2019, is the relative-error generalization).
+  //
+  // PRECONDITION: values non-negative (v < 1 folds to bucket 0 = the
+  // [0,1) bucket) and < 2^59 (the sub-bucket multiply (v−2^band)·QsGrid
+  // must stay < 2^63 — same guard style as the hash pre-fold).
+
+  /** Linear sub-buckets per octave: error knob (1/QsGrid worst-case
+    * relative error) and state knob (≤ 63·QsGrid+1 counters). */
+  val QsGrid = 16
+  /** Hard cap on distinct buckets — the plan-visible broadcast bound. */
+  val QsMaxBuckets: Int = 63 * QsGrid + 1
+
+  /** Engine-exact floor(log2(v)) for v ≥ 1: both engines render a
+    * non-negative BIGINT's minimal binary string, so its length − 1
+    * IS the band (probed: Spark bin ≡ DuckDB bin on [0, 2^63)). */
+  private def qsBand(v: Column): Column =
+    (length(bin(v)) - 1).cast("long")
+
+  /** Non-negative integer division a div b via the pmod identity —
+    * Column `/` is double division (the weightedPriority discipline). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Bucket id of a value: 0 for v < 1, else
+    * 1 + band·QsGrid + ((v − 2^band)·QsGrid) div 2^band. */
+  def qsBucket(v: Column): Column = {
+    val vv = v.cast("long")
+    val band = qsBand(vv)
+    val base = call_function("shiftleft", lit(1L), band.cast("int"))
+    when(vv < 1L, lit(0L))
+      .otherwise(lit(1L) + band * lit(QsGrid.toLong) +
+        idiv((vv - base) * lit(QsGrid.toLong), base))
+  }
+
+  def sqlQsBucket(vExpr: String): String = {
+    val band = s"(length(bin(CAST($vExpr AS BIGINT))) - 1)"
+    val base = s"(1::BIGINT << $band)"
+    s"""(CASE WHEN CAST($vExpr AS BIGINT) < 1 THEN 0
+         ELSE 1 + $band * $QsGrid
+           + ((CAST($vExpr AS BIGINT) - $base) * $QsGrid) // $base END)"""
+  }
+
+  /** Bucket lower bound (bucket 0 = [0,1)). */
+  private def qsLo(b: Column): Column = {
+    val band = idiv(b - 1, lit(QsGrid.toLong))
+    val off = pmod(b - 1, lit(QsGrid.toLong))
+    val base = call_function("shiftleft", lit(1L), band.cast("int"))
+    when(b === 0L, lit(0L)).otherwise(base + idiv(off * base, lit(QsGrid.toLong)))
+  }
+
+  /** Bucket upper bound (exclusive). */
+  private def qsHi(b: Column): Column = {
+    val band = idiv(b - 1, lit(QsGrid.toLong))
+    val off = pmod(b - 1, lit(QsGrid.toLong))
+    val base = call_function("shiftleft", lit(1L), band.cast("int"))
+    when(b === 0L, lit(1L))
+      .otherwise(when(off === (QsGrid - 1).toLong, base * 2)
+        .otherwise(base + idiv((off + 1) * base, lit(QsGrid.toLong))))
+  }
+
+  /** The sketch STATE of a value column: (bucket, cnt), ≤ QsMaxBuckets
+    * rows regardless of input size (map-side combined). Merge law:
+    * the sketch of a union is the bucket-wise counter SUM of the
+    * parts' sketches (spec-pinned) — persist per shard, roll up with
+    * one tiny groupBy. */
+  def quantileSketch(df: DataFrame, v: Column): DataFrame =
+    df.select(qsBucket(v).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketch states (bucket-wise counter add). */
+  def quantileMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Interpolated percentile read-out from a sketch state: one row
+    * (p, est) per requested integer percent. Rank target is the
+    * ceiling (n·p + 99) div 100 (p=50 of n=4 → rank 2); the estimate
+    * interpolates integer-linearly inside the covering bucket:
+    * lo + ((target − cum_before − 1)·(hi − lo)) div cnt. Everything
+    * runs on the ≤ QsMaxBuckets-row state — the cumulative window and
+    * the percent join cost nothing, and the bound rides a plan-visible
+    * limit (the broadcast-audit discipline). */
+  def quantileEstimate(sketch: DataFrame, percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val bounded = sketch.limit(QsMaxBuckets)
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = bounded.agg(sum(col("cnt")).as("n")).limit(1)
+    val tgt = percents.toDF("p").crossJoin(broadcast(n))
+      .select(col("p"), idiv(col("n") * col("p") + 99, lit(100L)).as("target"))
+    val w = Window.partitionBy(col("p")).orderBy(col("bucket"))
+    tgt.join(broadcast(bounded), col("cum") >= col("target"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("p"),
+        (qsLo(col("bucket")) + idiv(
+          (col("target") - (col("cum") - col("cnt")) - 1) *
+            (qsHi(col("bucket")) - qsLo(col("bucket"))),
+          col("cnt"))).as("est"))
+  }
+
+  /** Sketch + read-out in one call (the query shape). */
+  def quantileSketchEstimate(df: DataFrame, v: Column,
+      percents: Seq[Int]): DataFrame =
+    quantileEstimate(quantileSketch(df, v), percents)
+
+  /** Per-group quantile sketch read-out: (grp, p, est) — the same
+    * bounded machinery with the group key riding every stage; state
+    * is ≤ QsMaxBuckets per group and the single exchange is the
+    * sketch groupBy (map-side combined, |groups|·buckets rows). */
+  def quantilePerGroup(df: DataFrame, groupCol: String, v: Column,
+      percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sk = df.select(col(groupCol).as("grp"), qsBucket(v).as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("grp")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = sk.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    val tgt = n.crossJoin(broadcast(percents.toDF("p")))
+      .select(col("grp"), col("p"),
+        idiv(col("n") * col("p") + 99, lit(100L)).as("target"))
+    val w = Window.partitionBy(col("grp"), col("p")).orderBy(col("bucket"))
+    tgt.join(sk, Seq("grp")).filter(col("cum") >= col("target"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("grp"), col("p"),
+        (qsLo(col("bucket")) + idiv(
+          (col("target") - (col("cum") - col("cnt")) - 1) *
+            (qsHi(col("bucket")) - qsLo(col("bucket"))),
+          col("cnt"))).as("est"))
+  }
+
+  /** Shared lo/hi SQL fragments over a `bucket` column. */
+  private def sqlQsLo(b: String): String = {
+    val band = s"(($b - 1) // $QsGrid)"
+    val off = s"(($b - 1) % $QsGrid)"
+    s"""(CASE WHEN $b = 0 THEN 0
+         ELSE (1::BIGINT << $band) + ($off * (1::BIGINT << $band)) // $QsGrid
+       END)"""
+  }
+  private def sqlQsHi(b: String): String = {
+    val band = s"(($b - 1) // $QsGrid)"
+    val off = s"(($b - 1) % $QsGrid)"
+    s"""(CASE WHEN $b = 0 THEN 1
+         WHEN $off = ${QsGrid - 1} THEN (1::BIGINT << $band) * 2
+         ELSE (1::BIGINT << $band)
+           + (($off + 1) * (1::BIGINT << $band)) // $QsGrid
+       END)"""
+  }
+
+  /** Oracle twin of [[quantileSketchEstimate]] over a caller-supplied
+    * `vals(v)` CTE: ends in (p, est). */
+  def sqlQuantileSketchEstimate(valsCte: String, percents: Seq[Int]): String =
+    s"""WITH vals AS ($valsCte),
+       sk AS MATERIALIZED (SELECT ${sqlQsBucket("v")} AS bucket,
+           COUNT(1) AS cnt FROM vals GROUP BY 1),
+       cum AS (SELECT bucket, cnt,
+           SUM(cnt) OVER (ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS cum FROM sk),
+       nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM sk),
+       tgt AS (SELECT p, (n * p + 99) // 100 AS target
+           FROM (SELECT unnest([${percents.mkString(",")}]) AS p)
+           CROSS JOIN nn),
+       pick AS (SELECT p, target, bucket, cnt, cum,
+           row_number() OVER (PARTITION BY p ORDER BY bucket) AS rn
+         FROM tgt JOIN cum ON cum >= target)
+       SELECT CAST(p AS INT) AS p,
+         CAST(${sqlQsLo("bucket")}
+           + ((target - (cum - cnt) - 1)
+              * (${sqlQsHi("bucket")} - ${sqlQsLo("bucket")})) // cnt
+           AS BIGINT) AS est
+       FROM pick WHERE rn = 1"""
+
+  /** Oracle twin of [[quantilePerGroup]] over a `vals(grp, v)` CTE:
+    * ends in (grp, p, est). */
+  def sqlQuantilePerGroup(valsCte: String, percents: Seq[Int]): String =
+    s"""WITH vals AS ($valsCte),
+       sk AS MATERIALIZED (SELECT grp, ${sqlQsBucket("v")} AS bucket,
+           COUNT(1) AS cnt FROM vals GROUP BY 1, 2),
+       cum AS (SELECT grp, bucket, cnt,
+           SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS cum FROM sk),
+       nn AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+       tgt AS (SELECT grp, p, (n * p + 99) // 100 AS target
+           FROM nn CROSS JOIN (SELECT unnest([${percents.mkString(",")}]) AS p)),
+       pick AS (SELECT grp, p, target, bucket, cnt, cum,
+           row_number() OVER (PARTITION BY grp, p ORDER BY bucket) AS rn
+         FROM tgt JOIN cum USING (grp) WHERE cum >= target)
+       SELECT grp, CAST(p AS INT) AS p,
+         CAST(${sqlQsLo("bucket")}
+           + ((target - (cum - cnt) - 1)
+              * (${sqlQsHi("bucket")} - ${sqlQsLo("bucket")})) // cnt
+           AS BIGINT) AS est
+       FROM pick WHERE rn = 1"""
 }

@@ -396,6 +396,38 @@ object StreamOps {
       spark.read.schema("h LONG, batch_id LONG").parquet(kmvPath)
         .select(col("h")), k)
 
+  /** Streaming quantile-sketch accumulator (the cmsStream discipline
+    * applied to the log-bucket histogram): each micro-batch lands its
+    * own ≤ QsMaxBuckets counter extent (batch_id-partitioned — replay
+    * overwrites itself and can never double-count), and counters SUM
+    * exactly across extents because the sketch's merge law IS counter
+    * add (SketchesSpec). At any moment [[readQuantiles]] equals the
+    * batch [[graft.sketch.Sketches.quantileSketchEstimate]] over
+    * every admitted row, bit-for-bit (QuantileStream e2e pins it).
+    * `vals` carries the value column `v` — the bucket fold is a
+    * stateless per-row expression, so it runs unchanged here. */
+  def quantileStream(vals: DataFrame, qsPath: String,
+      checkpoint: String): StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        graft.sketch.Sketches.quantileSketch(batch.toDF(), col("v"))
+          .write.mode("overwrite").parquet(s"$qsPath/batch_id=$batchId")
+    vals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
+  /** Roll the accumulated bucket extents into the current percentile
+    * read-out: (p, est) per requested percent. */
+  def readQuantiles(spark: SparkSession, qsPath: String,
+      percents: Seq[Int]): DataFrame =
+    graft.sketch.Sketches.quantileEstimate(
+      spark.read.schema("bucket LONG, cnt LONG, batch_id LONG")
+        .parquet(qsPath)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt")),
+      percents)
+
   case class FunnelStage(user_id: Long, stage: Long)
 
   /** Unbounded form of ops.Events.funnelStages: the same ordered,

@@ -46,11 +46,32 @@ object DevScaleSketch {
         graft.sketch.Sketches.longHash(col("k")).as("v"))
       val (_, tCms) = timed(
         graft.sketch.Sketches.cmsSketch(vals, col("v")).collect())
+      // quantile sketch vs exact percentiles: lognormal-ish positive
+      // values (exp-shaped via squaring a uniform hash residue) so the
+      // octave buckets actually spread; exact = full-shuffle
+      // percentile_approx at accuracy=1e6 cross-checked by rank
+      val qvals = keys.select((col("k") % 100000L * (col("k") % 97L) + 1L).as("v"))
+      val (qest, tQs) = timed(
+        graft.sketch.Sketches.quantileSketchEstimate(
+            qvals, col("v"), Seq(50, 90, 99))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      val (qexact, tQexact) = timed {
+        val cnt = qvals.count()
+        Seq(50, 90, 99).map { p =>
+          val target = ((cnt * p) + 99) / 100
+          p -> qvals.orderBy(col("v")).limit(target.toInt)
+            .agg(max(col("v"))).collect().head.getLong(0)
+        }.toMap
+      }
       keys.unpersist(blocking = true)
       def err(e: Long) = f"${100.0 * (e - exact) / exact}%+.1f%%"
+      def qerr(p: Int) =
+        f"P$p ${100.0 * (qest(p) - qexact(p)) / qexact(p)}%+.2f%%"
       println(f"SKETCHSCALE n=$n exactDistinct=$tExact%.1f s ($exact) " +
         f"range=$tRange%.1f s (${err(rng)}) kmv=$tKmv%.1f s (${err(kmv)}) " +
-        f"cmsBuild=$tCms%.1f s (4x1024 counters)")
+        f"cmsBuild=$tCms%.1f s (4x1024 counters) " +
+        f"quantile=$tQs%.1f s vs exactRank=$tQexact%.1f s " +
+        f"(${qerr(50)} ${qerr(90)} ${qerr(99)})")
     }
     spark.stop()
   }

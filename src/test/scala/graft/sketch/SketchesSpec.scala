@@ -147,6 +147,74 @@ class SketchesSpec extends SparkSpec {
     assert(sumA <= 1000000L && sumA > 1000000L - ab.length, sumA)
   }
 
+  test("quantile sketch: bucket bounds contain their values; read-out within grid error") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("n_chars").cast("long").as("v"))
+    // bucket membership invariant: lo(bucket(v)) <= v < hi(bucket(v))
+    // for a model reimplementation of the bucket arithmetic
+    def model(v: Long): (Long, Long, Long) = {
+      if (v < 1) (0L, 0L, 1L)
+      else {
+        val band = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        val base = 1L << band
+        val off = (v - base) * Sketches.QsGrid / base
+        val b = 1 + band * Sketches.QsGrid + off
+        val lo = base + off * base / Sketches.QsGrid
+        val hi = if (off == Sketches.QsGrid - 1) base * 2
+          else base + (off + 1) * base / Sketches.QsGrid
+        (b, lo, hi)
+      }
+    }
+    val got = docs.select(col("v"), Sketches.qsBucket(col("v")).as("b"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (v, b) =>
+      val (mb, lo, hi) = model(v)
+      assert(b == mb, s"bucket($v): got $b, model $mb")
+      assert(lo <= v && v < hi, s"v=$v outside [$lo,$hi)")
+    }
+    // read-out error: within one sub-bucket width of the exact rank
+    // statistic (worst case 1/QsGrid relative)
+    val n = docs.count()
+    val exact = Seq(50, 90, 99).map { p =>
+      val target = ((n * p) + 99) / 100
+      p -> docs.orderBy(col("v")).limit(target.toInt)
+        .agg(max(col("v"))).as[Long].collect().head
+    }.toMap
+    val est = Sketches.quantileSketchEstimate(docs, col("v"), Seq(50, 90, 99))
+      .as[(Int, Long)].collect().toMap
+    exact.foreach { case (p, ex) =>
+      val rel = math.abs(est(p) - ex).toDouble / math.max(ex, 1)
+      assert(rel <= 1.0 / Sketches.QsGrid + 0.01,
+        s"P$p: est ${est(p)} vs exact $ex (rel $rel)")
+    }
+  }
+
+  test("quantile sketch merge law: per-half counter rollup reads out identically to the global sketch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+    val whole = Sketches.quantileSketch(docs, col("v"))
+    val merged = Sketches.quantileMerge(
+      Sketches.quantileSketch(docs.filter(col("doc_id") % 2 === 0), col("v")),
+      Sketches.quantileSketch(docs.filter(col("doc_id") % 2 =!= 0), col("v")))
+    // states identical bucket-by-bucket...
+    def state(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.as[(Long, Long)].collect().toMap
+    assert(state(merged) == state(whole))
+    // ...and the bounded state claim holds
+    assert(whole.count() <= Sketches.QsMaxBuckets)
+    // ...so the read-outs agree exactly
+    val a = Sketches.quantileEstimate(whole, Seq(50, 90, 99))
+      .as[(Int, Long)].collect().toMap
+    val b = Sketches.quantileEstimate(merged, Seq(50, 90, 99))
+      .as[(Int, Long)].collect().toMap
+    assert(a == b)
+    // determinism under re-partitioning (the suite-wide discipline)
+    val c = Sketches.quantileSketchEstimate(
+      docs.repartition(13), col("v"), Seq(50, 90, 99))
+      .as[(Int, Long)].collect().toMap
+    assert(c == a)
+  }
+
   test("tokVal agrees between engines' arithmetic (reference fold)") {
     def ref(w: String): Long =
       w.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)

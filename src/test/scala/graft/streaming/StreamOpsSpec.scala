@@ -985,4 +985,31 @@ class StreamOpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$cms/batch_id=0")
     assert(sorted(StreamOps.readCms(spark, cms)) == batch)
   }
+
+  test("streaming quantile extents read out to the batch estimate bit-for-bit; replay cannot double-count") {
+    import graft.sketch.Sketches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft-qsstream")
+    val (src, ckpt, qs) = (s"$root/src", s"$root/ckpt", s"$root/qs")
+
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    def start() = StreamOps.quantileStream(
+      spark.readStream.schema("doc_id LONG, v LONG").parquet(src), qs, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    def out(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("p").collect().toSeq
+    val streamed = out(StreamOps.readQuantiles(spark, qs, Seq(50, 90, 99)))
+    val batch = out(Sketches.quantileSketchEstimate(
+      docs, col("v"), Seq(50, 90, 99)))
+    assert(streamed == batch)
+
+    // a replayed batch overwrites its own extent partition
+    Sketches.quantileSketch(docs.filter(col("doc_id") % 2 === 0), col("v"))
+      .write.mode("overwrite").parquet(s"$qs/batch_id=0")
+    assert(out(StreamOps.readQuantiles(spark, qs, Seq(50, 90, 99))) == batch)
+  }
 }
