@@ -67,9 +67,26 @@ object DevScalePostings {
         .unionByName(docs(10020000L, deltaN))
       val tMono = timed(
         graft.text.Retrieval.bm25TopK(corpus, queries, 3).collect())
+      // tiered vs full compaction slope (r12): the 30k extent mass is
+      // fixed while the base grows 10x — tiered cost must track the
+      // EXTENT mass (flat), full cost the INDEX mass (~10x). Tombstone
+      // a slice first so the tiered path also exercises its
+      // apply-vs-survive split.
+      graft.text.PostingsIndex.forget(spark, root.toString,
+        docs(10000000L, deltaN).filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id")), 100L)
+      val tTiered = timed(graft.text.PostingsIndex.compactTiered(
+        spark, table, root.toString, buckets = 16))
+      // after the tiered pass the extents are consolidated; admit one
+      // more delta then time the FULL fold over base+extent
+      graft.text.PostingsIndex.admit(spark, table, root.toString,
+        docs(10030000L, deltaN), 50L)
+      val tFull = timed(graft.text.PostingsIndex.compact(
+        spark, table, root.toString, buckets = 16))
       println(f"PIDXSCALE base=$baseN write=$tWrite%.1f s " +
         f"admit10k=[${admits.map(t => f"$t%.1f").mkString(", ")}] s " +
-        f"servedSearch=$tServed%.1f s monolithicSearch=$tMono%.1f s")
+        f"servedSearch=$tServed%.1f s monolithicSearch=$tMono%.1f s " +
+        f"tieredCompact=$tTiered%.1f s fullCompact=$tFull%.1f s")
       graft.text.PostingsIndex.drop(spark, table)
     }
     spark.stop()
