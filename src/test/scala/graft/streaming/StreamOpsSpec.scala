@@ -1012,4 +1012,59 @@ class StreamOpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$qs/batch_id=0")
     assert(out(StreamOps.readQuantiles(spark, qs, Seq(50, 90, 99))) == batch)
   }
+
+  test("streaming hybrid serving: each query batch answered from the persisted indexes equals the batch-mode hybrid") {
+    import graft.text.{PostingsIndex, Retrieval, TextFunctions}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // persisted serving state: full-corpus lexical + vector indexes
+    PostingsIndex.write(docs, "hybrid_serve_lex")
+    graft.sim.IvfIndex.write(emb, "hybrid_serve_ivf")
+    val (qTerms, kEach, k) = (5, 10, 5)
+    // the query stream's rows: qid + text + embedding (what a real
+    // search request carries)
+    val allQueries = docs.filter(col("doc_id") < 40)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .select(col("doc_id").as("qid"), col("text"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft-hybridserve")
+    val (src, ckpt, sink) = (s"$root/src", s"$root/ckpt", s"$root/sink")
+    val schema = "qid LONG, text STRING, embedding ARRAY<FLOAT>"
+    def start() = StreamOps.hybridServeStream(spark, "hybrid_serve_lex",
+      "hybrid_serve_ivf",
+      spark.readStream.schema(schema).parquet(src),
+      sink, ckpt, qTerms, kEach, k)
+    // queries arrive in 3 batches
+    val slices = Seq(col("qid") < 14, col("qid") >= 14 && col("qid") < 27,
+      col("qid") >= 27)
+    slices.foreach { pred =>
+      allQueries.filter(pred).write.mode("append").parquet(src)
+      val q = start(); q.processAllAvailable(); q.stop()
+    }
+    // per batch: the streamed answer equals the batch-mode fully-
+    // served hybrid over exactly that batch's queries
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
+      df.select(col("qid"), col("doc_id"), col("rrf"), col("rk"))
+        .as[(Long, Long, Long, Int)].collect().sorted.toSeq
+    slices.zipWithIndex.foreach { case (pred, i) =>
+      val batchQ = allQueries.filter(pred)
+      val qset = batchQ.select(col("qid"), explode(array_distinct(
+        slice(TextFunctions.tokens(col("text")), 1, qTerms))).as("tok"))
+      val expect = Retrieval.hybridFuse(
+        PostingsIndex.lexRanked(spark, "hybrid_serve_lex", qset, kEach),
+        graft.sim.IvfIndex.search(spark, "hybrid_serve_ivf",
+          batchQ.select(col("qid").as("vec_id"), col("embedding")), kEach)
+          .select(col("qid"), col("cid").as("id"), col("rk")),
+        k)
+      val got = spark.read
+        .schema("qid LONG, doc_id LONG, rrf LONG, rk INT")
+        .parquet(s"$sink/batch_id=$i")
+      assert(rows(got) == rows(expect), s"batch $i diverged")
+      assert(rows(got).nonEmpty, s"batch $i empty")
+    }
+    PostingsIndex.drop(spark, "hybrid_serve_lex")
+    graft.api.Bucketing.resetManaged(spark, "hybrid_serve_ivf")
+    graft.api.Bucketing.resetManaged(spark, "hybrid_serve_ivf_centroids")
+  }
 }

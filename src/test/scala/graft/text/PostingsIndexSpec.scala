@@ -260,6 +260,74 @@ class PostingsIndexSpec extends SparkSpec {
     cleanup(table)
   }
 
+  /** Phrase fixture: each query doc's leading 3 tokens. */
+  private def phrases(src: DataFrame) =
+    src.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"),
+        posexplode(slice(TextFunctions.tokens(col("text")), 1, 3))
+          .as(Seq("off", "tok")))
+
+  /** Reference phrase match: brute-force over raw text token arrays.
+    * `universe` is the live doc set; phrases always come from the
+    * full corpus (the query side is independent of index liveness). */
+  private def brutePhrase(phraseSrc: DataFrame,
+      universe: DataFrame): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    val docs = universe.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("t")).as[(Long, Seq[String])]
+      .collect()
+    val ph = phrases(phraseSrc).as[(Long, Int, String)].collect()
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._2).map(_._3).toSeq }
+    (for {
+      (q, p) <- ph.toSeq
+      (d, t) <- docs
+      n = t.indices.count(s => s + p.length <= t.length &&
+        p.indices.forall(o => t(s + o) == p(o)))
+      if n > 0
+    } yield (q, d, n.toLong)).sorted
+  }
+
+  test("phrase search: served adjacency match equals brute force; lifecycle parity; bucket-pruned scan") {
+    val table = "pidx_test_phrase"
+    PostingsIndex.write(docs.filter(col("doc_id") % 3 === 0), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_phrase").toString
+    PostingsIndex.admit(spark, table, root,
+      docs.filter(col("doc_id") % 3 === 1), 0L)
+    import spark.implicits._
+    def served() = PostingsIndex
+      .phraseSearchGrown(spark, table, root, phrases(docs))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val grown = served()
+    assert(grown == brutePhrase(docs, docs.filter(col("doc_id") % 3 < 2)))
+    assert(grown.nonEmpty)
+    // forget masks a doc out of phrase results too
+    PostingsIndex.forget(spark, root,
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), 100L)
+    val masked = served()
+    assert(masked == brutePhrase(docs,
+      docs.filter(col("doc_id") % 3 < 2 && col("doc_id") % 5 =!= 0)))
+    // compact carries positions: base-only phrase search unchanged
+    PostingsIndex.compact(spark, table, root)
+    assert(served() == masked)
+    // the candidate scan is term-bounded and bucket-pruned, and the
+    // BM25 path still prunes the pos column away
+    val pp = PostingsIndex.phraseSearchGrown(spark, table, root, phrases(docs))
+      .queryExecution.executedPlan.toString
+    val scanLine = pp.linesIterator
+      .filter(l => l.contains(table) && l.contains("Scan")).mkString("\n")
+    assert(scanLine.contains("PushedFilters: [In(tok"), scanLine)
+    assert(scanLine.contains("SelectedBucketsCount"), scanLine)
+    val q = queries(docs)
+    val bp = PostingsIndex.search(spark, table, q, k = 3)
+      .queryExecution.executedPlan.toString
+    val bmScan = bp.linesIterator
+      .filter(l => l.contains(table) && l.contains("Scan")).mkString("\n")
+    assert(!bmScan.contains("pos"),
+      "BM25 scan must not read the positions column:\n" + bmScan)
+    cleanup(table)
+  }
+
   test("admit replay is idempotent for search") {
     val q = queries(docs)
     val table = "pidx_test_replay"
