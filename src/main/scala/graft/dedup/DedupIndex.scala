@@ -420,4 +420,65 @@ object DedupIndex {
         tombstonePath(growPath), staging)
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
+
+  /** Size-tiered compaction (the [[graft.text.PostingsIndex
+    * .compactTiered]] discipline — VERDICT r11 #4 extended to all LSM
+    * families): below `maxExtentFraction` of the base's doc mass (sv
+    * rows), the bands/sv extents fold into ONE consolidated extent
+    * partition each (batch_id = [[graft.api.Lsm.ConsolidatedBatchId]])
+    * with extent-hitting tombstones applied physically; base-hitting
+    * tombstones survive — [[flagAndAdmit]] keeps masking their pairs
+    * exactly as before — and the bucketed base AND the hot sidecar
+    * are untouched (the hot guard's scope deliberately stays
+    * pre-compaction: extents remain extents, so the guard contract
+    * is unchanged — only the FULL [[compact]] re-enters extent
+    * buckets into the guard). O(extent) write amplification; above
+    * the threshold delegates to [[compact]]. Same caller contract
+    * (not concurrent with admissions/forgets; pre-consolidation
+    * batches lose their replay partitions). */
+  def compactTiered(spark: SparkSession, table: String, growPath: String,
+      buckets: Int = 16, maxExtentFraction: Double = 0.2): Unit = {
+    val hasExt = dirExists(spark, extentBandsPath(growPath))
+    if (!hasExt) return compact(spark, table, growPath, buckets)
+    val extSv = spark.read.schema(extSvSchema)
+      .parquet(extentSvPath(growPath)).drop("batch_id")
+    val baseN = spark.table(svTable(table)).count()
+    val extN = extSv.count()
+    if (baseN <= 0 || extN.toDouble / baseN >= maxExtentFraction)
+      return compact(spark, table, growPath, buckets)
+    val staging = growPath + "/_tiered_staging"
+    val ts = tombstonesFor(spark, growPath)
+    val extBands = spark.read.schema(extBandsSchema)
+      .parquet(extentBandsPath(growPath)).drop("batch_id")
+    def live(df: DataFrame) =
+      ts.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    live(extBands).write.mode("overwrite").parquet(staging + "/bands")
+    live(extSv).write.mode("overwrite").parquet(staging + "/sv")
+    val remainingCnt = ts.map { t =>
+      t.distinct()
+        .join(extSv.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging + "/tombstones")
+      spark.read.schema("doc_id LONG")
+        .parquet(staging + "/tombstones").count()
+    }.getOrElse(0L)
+    val fs = new org.apache.hadoop.fs.Path(growPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rm(d: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(d), true); ()
+    }
+    def mv(from: String, to: String): Unit = {
+      val t = new org.apache.hadoop.fs.Path(to)
+      fs.mkdirs(t.getParent)
+      fs.rename(new org.apache.hadoop.fs.Path(from), t)
+    }
+    val cid = graft.api.Lsm.ConsolidatedBatchId
+    rm(extentBandsPath(growPath)); rm(extentSvPath(growPath))
+    rm(tombstonePath(growPath))
+    mv(staging + "/bands", s"${extentBandsPath(growPath)}/batch_id=$cid")
+    mv(staging + "/sv", s"${extentSvPath(growPath)}/batch_id=$cid")
+    if (remainingCnt > 0)
+      mv(staging + "/tombstones",
+        s"${tombstonePath(growPath)}/batch_id=$cid")
+    rm(staging)
+  }
 }

@@ -219,4 +219,52 @@ object FingerprintIndex {
     Seq(extentPath(growPath), tombstonePath(growPath), staging)
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
+
+  /** Size-tiered compaction (the [[graft.text.PostingsIndex
+    * .compactTiered]] discipline — VERDICT r11 #4 extended to all LSM
+    * families): below `maxExtentFraction` of the base's band-row
+    * mass, the extents fold into ONE consolidated extent partition
+    * (batch_id = [[graft.api.Lsm.ConsolidatedBatchId]]) with
+    * extent-hitting tombstones applied physically; base-hitting
+    * tombstones survive (still masked at flag time) and the bucketed
+    * base is untouched — O(extent) write amplification. Above the
+    * threshold delegates to [[compact]]. Same caller contract. */
+  def compactTiered(spark: SparkSession, table: String, growPath: String,
+      buckets: Int = 16, maxExtentFraction: Double = 0.2): Unit = {
+    val hasExt = dirExists(spark, extentPath(growPath))
+    if (!hasExt) return compact(spark, table, growPath, buckets)
+    val ext = spark.read.schema(extSchema)
+      .parquet(extentPath(growPath)).drop("batch_id")
+    val baseN = spark.table(bandsTable(table)).count()
+    val extN = ext.count()
+    if (baseN <= 0 || extN.toDouble / baseN >= maxExtentFraction)
+      return compact(spark, table, growPath, buckets)
+    val staging = growPath + "/_tiered_staging"
+    val ts = tombstonesFor(spark, growPath)
+    ts.fold(ext)(t => ext.join(t, Seq("id"), "left_anti"))
+      .write.mode("overwrite").parquet(staging + "/fbands")
+    val remainingCnt = ts.map { t =>
+      t.distinct()
+        .join(ext.select(col("id")), Seq("id"), "left_anti")
+        .write.mode("overwrite").parquet(staging + "/tombstones")
+      spark.read.schema("id LONG").parquet(staging + "/tombstones").count()
+    }.getOrElse(0L)
+    val fs = new org.apache.hadoop.fs.Path(growPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rm(d: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(d), true); ()
+    }
+    def mv(from: String, to: String): Unit = {
+      val t = new org.apache.hadoop.fs.Path(to)
+      fs.mkdirs(t.getParent)
+      fs.rename(new org.apache.hadoop.fs.Path(from), t)
+    }
+    val cid = graft.api.Lsm.ConsolidatedBatchId
+    rm(extentPath(growPath)); rm(tombstonePath(growPath))
+    mv(staging + "/fbands", s"${extentPath(growPath)}/batch_id=$cid")
+    if (remainingCnt > 0)
+      mv(staging + "/tombstones",
+        s"${tombstonePath(growPath)}/batch_id=$cid")
+    rm(staging)
+  }
 }

@@ -223,6 +223,61 @@ object IvfIndex {
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
+  /** Size-tiered compaction (the [[graft.text.PostingsIndex
+    * .compactTiered]] discipline applied to the vector index —
+    * VERDICT r11 #4 extended to all LSM families): below
+    * `maxExtentFraction` of the base's row mass, the extents fold
+    * into ONE consolidated extent partition (batch_id =
+    * [[graft.text.PostingsIndex.ConsolidatedBatchId]]) with
+    * extent-hitting tombstones applied physically; base-hitting
+    * tombstones survive (still masked by [[searchGrown]]'s
+    * anti-join) and the bucketed base + centroids are untouched —
+    * O(extent) instead of O(index) write amplification. Above the
+    * threshold, delegates to the full [[compact]]. Cell assignments
+    * are final (frozen quantizer), so consolidation is a straight
+    * rewrite. Same caller contract as compact. Spec-pinned in
+    * IvfIndexSpec: base files byte-identical below threshold, search
+    * ≡ pre-compaction ≡ live brute force. */
+  def compactTiered(spark: SparkSession, table: String, growPath: String,
+      buckets: Int = 16, maxExtentFraction: Double = 0.2): Unit = {
+    val hasExt = dirExists(spark, extentPath(growPath))
+    if (!hasExt) return compact(spark, table, growPath, buckets)
+    val ext = spark.read.schema(extSchema(spark, table))
+      .parquet(extentPath(growPath)).drop("batch_id")
+    val baseN = spark.table(table).count()
+    val extN = ext.count()
+    if (baseN <= 0 || extN.toDouble / baseN >= maxExtentFraction)
+      return compact(spark, table, growPath, buckets)
+    val staging = growPath + "/_tiered_staging"
+    val ts = tombstones(spark, growPath)
+    ts.fold(ext)(t => ext.join(t, Seq("vec_id"), "left_anti"))
+      .write.mode("overwrite").parquet(staging + "/cells")
+    val remainingCnt = ts.map { t =>
+      t.distinct()
+        .join(ext.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging + "/tombstones")
+      spark.read.schema("vec_id LONG")
+        .parquet(staging + "/tombstones").count()
+    }.getOrElse(0L)
+    val fs = new org.apache.hadoop.fs.Path(growPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rm(d: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(d), true); ()
+    }
+    def mv(from: String, to: String): Unit = {
+      val t = new org.apache.hadoop.fs.Path(to)
+      fs.mkdirs(t.getParent)
+      fs.rename(new org.apache.hadoop.fs.Path(from), t)
+    }
+    val cid = graft.api.Lsm.ConsolidatedBatchId
+    rm(extentPath(growPath)); rm(tombstonePath(growPath))
+    mv(staging + "/cells", s"${extentPath(growPath)}/batch_id=$cid")
+    if (remainingCnt > 0)
+      mv(staging + "/tombstones",
+        s"${tombstonePath(growPath)}/batch_id=$cid")
+    rm(staging)
+  }
+
   /** Retrain the coarse quantizer on the LIVE corpus (base + extents
     * − tombstones) and rebuild the index around the NEW cell geometry
     * — the lifecycle stage [[compact]] cannot provide (VERDICT r10

@@ -400,12 +400,9 @@ object PostingsIndex {
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
-  /** The extent batch_id the tiered compactor consolidates into —
-    * negative so it can never collide with a caller-assigned admission
-    * id (admission ids are expected non-negative; the replay guard
-    * keys on the batch's own partition, so reusing a live admission id
-    * would alias a consolidation with a replay). */
-  val ConsolidatedBatchId: Long = -1L
+  /** The extent batch_id the tiered compactor consolidates into
+    * (shared across the LSM families — [[graft.api.Lsm]]). */
+  val ConsolidatedBatchId: Long = graft.api.Lsm.ConsolidatedBatchId
 
   /** Size-tiered compaction (VERDICT r11 #4): bound write
     * amplification by NOT rewriting the base on every compaction.

@@ -164,6 +164,87 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.drop(spark, "dedup_forget_idx")
   }
 
+  test("compactTiered: base + hot sidecar untouched below threshold, consolidated extents, flags invariant") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def baseFiles(t: String): Seq[(String, Long, Long)] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val bld = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        bld += ((f.getPath.toString, f.getModificationTime, f.getLen))
+      }
+      bld.result().sortBy(_._1)
+    }
+    // twin setups (deterministic): base %8<7, admit %8==7 (~14% of
+    // base), forget %9==0 of the raw %8<9... restricted to indexed
+    // ids via the base predicate (extent survivors' forgetting is
+    // covered by the postings/IVF twins; base-hitting tombstones are
+    // the surviving class this test pins)
+    def setup(table: String): String = {
+      DedupIndex.write(docs.filter(col("doc_id") % 8 < 7), table, buckets = 4)
+      val root = java.nio.file.Files.createTempDirectory(table).toString
+      val (grow, sink) = (s"$root/ext", s"$root/sink")
+      DedupIndex.flagAndAdmit(spark, table, grow,
+        docs.filter(col("doc_id") % 8 === 7), 0L, sink)
+      DedupIndex.forget(spark, grow,
+        docs.filter(col("doc_id") % 8 < 7 && col("doc_id") % 9 === 0)
+          .select(col("doc_id")), 100L)
+      root
+    }
+    val rootA = setup("dedup_tiered_a") // gets compactTiered
+    val rootB = setup("dedup_tiered_b") // untouched twin
+    val basePre = (baseFiles(DedupIndex.bandsTable("dedup_tiered_a")),
+      baseFiles(DedupIndex.svTable("dedup_tiered_a")),
+      baseFiles(DedupIndex.hotTable("dedup_tiered_a")))
+    DedupIndex.compactTiered(spark, "dedup_tiered_a", s"$rootA/ext", buckets = 4)
+    // 1. base tables AND the hot sidecar byte-identical
+    assert((baseFiles(DedupIndex.bandsTable("dedup_tiered_a")),
+      baseFiles(DedupIndex.svTable("dedup_tiered_a")),
+      baseFiles(DedupIndex.hotTable("dedup_tiered_a"))) == basePre)
+    // 2. extents consolidated, base-hitting tombstones survive
+    val fs = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partitions(dir: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    val cons = s"batch_id=${graft.api.Lsm.ConsolidatedBatchId}"
+    assert(partitions(DedupIndex.extentBandsPath(s"$rootA/ext")) == Seq(cons))
+    assert(partitions(DedupIndex.extentSvPath(s"$rootA/ext")) == Seq(cons))
+    assert(partitions(DedupIndex.tombstonePath(s"$rootA/ext")) == Seq(cons))
+    val remaining = spark.read.schema("doc_id LONG")
+      .parquet(DedupIndex.tombstonePath(s"$rootA/ext"))
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val expected = docs
+      .filter(col("doc_id") % 8 < 7 && col("doc_id") % 9 === 0)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(remaining == expected)
+    // 3. the next batch's flags are INVARIANT to the tiered fold:
+    // same flags as the untouched twin (forgotten witnesses still
+    // masked, consolidated extent still witnesses)
+    def flagsOf(table: String, root: String): Set[(Long, Long)] = {
+      DedupIndex.flagAndAdmit(spark, table, s"$root/ext",
+        docs.filter(col("doc_id") % 8 === 3 && col("doc_id") % 2 === 1)
+          .select(col("doc_id") + 100000L as "doc_id", col("text")),
+        7L, s"$root/sink")
+      spark.read
+        .schema("doc_id LONG, dup_of LONG, common LONG, na LONG, nb LONG, batch_id LONG")
+        .parquet(s"$root/sink").filter(col("batch_id") === 7L)
+        .select(col("doc_id"), col("dup_of"))
+        .as[(Long, Long)].collect().toSet
+    }
+    val fa = flagsOf("dedup_tiered_a", rootA)
+    val fb = flagsOf("dedup_tiered_b", rootB)
+    assert(fa == fb)
+    assert(fa.nonEmpty, "probe batch should flag against the index")
+    DedupIndex.drop(spark, "dedup_tiered_a")
+    DedupIndex.drop(spark, "dedup_tiered_b")
+  }
+
   test("forget contract guard: a batch reusing a tombstoned id is rejected, not silently mis-paired") {
     // VERDICT r10 #3: tombstoning an id that later arrives as a NEW
     // batch document would silently drop that batch's within-batch

@@ -138,6 +138,64 @@ class FingerprintIndexSpec extends SparkSpec {
     FingerprintIndex.drop(spark, "fpidx_f")
   }
 
+  test("compactTiered: base untouched below threshold, consolidated extent still witnesses, base tombstone survives") {
+    val grow = java.nio.file.Files.createTempDirectory("fpidx_tiered").toString
+    val sink = java.nio.file.Files.createTempDirectory("fpidx_tsink").toString
+    val mask = (1L << Bits) - 1
+    def fp(i: Long): Long = (i * 0x9E3779B97F4AL) & mask
+    // base 20 items, extent 2 (~10% of base row mass, under 20%)
+    val base = (10L to 29L).map(i => (i, fp(i))).toDF("media_id", "fp")
+    FingerprintIndex.write(base, "media_id", "fp", "fpidx_t",
+      Bits, maxHamming = 7, buckets = 4)
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_t", grow,
+      Seq((30L, fp(30L)), (31L, fp(31L))).toDF("media_id", "fp"),
+      "media_id", "fp", Bits, 7, 0L, sink)
+    // forget one BASE id (10) and one EXTENT id (30)
+    FingerprintIndex.forget(spark, grow, Seq(10L, 30L).toDF("id"), 1L)
+    def baseFiles(): Seq[(String, Long, Long)] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh,
+        FingerprintIndex.bandsTable("fpidx_t").toLowerCase)
+      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fsys.listFiles(p, true)
+      val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getPath.toString, f.getModificationTime, f.getLen))
+      }
+      b.result().sortBy(_._1)
+    }
+    val pre = baseFiles()
+    FingerprintIndex.compactTiered(spark, "fpidx_t", grow, buckets = 4)
+    assert(baseFiles() == pre)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partitions(dir: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    val cons = s"batch_id=${graft.api.Lsm.ConsolidatedBatchId}"
+    assert(partitions(FingerprintIndex.extentPath(grow)) == Seq(cons))
+    assert(partitions(FingerprintIndex.tombstonePath(grow)) == Seq(cons))
+    val remaining = spark.read.schema("id LONG")
+      .parquet(FingerprintIndex.tombstonePath(grow))
+      .select(col("id")).as[Long].collect().toSeq
+    assert(remaining == Seq(10L)) // extent-hitting 30 applied physically
+    // probes: near-dups of a live base item (11), the forgotten base
+    // item (10, still masked via the surviving tombstone), the live
+    // consolidated-extent item (31), and the physically-removed
+    // extent item (30)
+    val probes = Seq((101L, fp(11L) ^ 1L), (102L, fp(10L) ^ 1L),
+      (103L, fp(31L) ^ 1L), (104L, fp(30L) ^ 1L)).toDF("media_id", "fp")
+    FingerprintIndex.flagAndAdmit(spark, "fpidx_t", grow, probes,
+      "media_id", "fp", Bits, 7, 2L, sink)
+    val flags = spark.read
+      .schema("id LONG, dup_of LONG, hamming LONG, batch_id LONG")
+      .parquet(sink).filter(col("batch_id") === 2L)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(flags == Set((101L, 11L), (103L, 31L)), s"got $flags")
+    FingerprintIndex.drop(spark, "fpidx_t")
+  }
+
   test("crash-replay of the batch that admitted a later-forgotten item proceeds") {
     val grow = java.nio.file.Files.createTempDirectory("fpidx_replay").toString
     val sink = java.nio.file.Files.createTempDirectory("fpidx_rsink").toString

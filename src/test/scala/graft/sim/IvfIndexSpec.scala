@@ -150,6 +150,59 @@ class IvfIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_del_idx_centroids")
   }
 
+  test("compactTiered: base files untouched below threshold, one consolidated extent, base tombstones survive, search invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val grow = java.nio.file.Files.createTempDirectory("ivf_tiered_spec").toString
+    val table = "ivf_tiered_idx"
+    // base 7/8 of the corpus; extent 1/8 (~14% of base, under 20%)
+    IvfIndex.write(emb.filter(col("vec_id") % 8 < 7), table)
+    IvfIndex.admit(spark, table, grow,
+      emb.filter(col("vec_id") % 8 === 7), 1L)
+    IvfIndex.delete(spark, grow,
+      emb.filter(col("vec_id") % 9 === 0).select(col("vec_id")), 2L)
+    val before = IvfIndex.searchGrown(spark, table, grow, queries, 5)
+      .orderBy("qid", "rk").collect().toSeq
+    def baseFiles(t: String): Seq[(String, Long, Long)] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getPath.toString, f.getModificationTime, f.getLen))
+      }
+      b.result().sortBy(_._1)
+    }
+    val basePre = (baseFiles(table), baseFiles(table + "_centroids"))
+    IvfIndex.compactTiered(spark, table, grow)
+    assert((baseFiles(table), baseFiles(table + "_centroids")) == basePre)
+    val fs = new org.apache.hadoop.fs.Path(grow)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partitions(dir: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq.sorted
+    val cons = s"batch_id=${graft.api.Lsm.ConsolidatedBatchId}"
+    assert(partitions(IvfIndex.extentPath(grow)) == Seq(cons))
+    assert(partitions(IvfIndex.tombstonePath(grow)) == Seq(cons))
+    // surviving tombstones = base-hitting ids only (extent ids applied)
+    import spark.implicits._
+    val remaining = spark.read.schema("vec_id LONG")
+      .parquet(IvfIndex.tombstonePath(grow))
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    val expected = emb
+      .filter(col("vec_id") % 9 === 0 && col("vec_id") % 8 < 7)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    assert(remaining == expected)
+    // search invariant through the tiered fold, and composes with a
+    // later admission
+    assert(IvfIndex.searchGrown(spark, table, grow, queries, 5)
+      .orderBy("qid", "rk").collect().toSeq == before)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+  }
+
   test("growing int8: admission == write-time presence; deletes mask pre-rerank; compact folds both sides") {
     // per-vector quantization + frozen quantizer => a vector admitted
     // later must serve bit-identically to one present at write time.
