@@ -186,12 +186,31 @@ object Bench {
     // (read from .git, no subprocess) and becomes the next run's
     // baseline_commit once committed.
     def gitHead(): String = scala.util.Try {
-      val headTxt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/root/repo/.git/HEAD")), "UTF-8").trim
+      // locate .git by walking up from the detail path (falls back to
+      // the launch cwd) — the bench may be launched from anywhere
+      val start = Option(java.nio.file.Paths.get(outPath).getParent)
+        .getOrElse(java.nio.file.Paths.get(
+          sys.props.getOrElse("user.dir", ".")))
+      val gitDir = Iterator.iterate(start.toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null).take(16)
+        .map(_.resolve(".git"))
+        .find(java.nio.file.Files.isDirectory(_))
+        .get
+      def read(p: java.nio.file.Path): String =
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val headTxt = read(gitDir.resolve("HEAD")).trim
       if (headTxt.startsWith("ref: ")) {
         val ref = headTxt.stripPrefix("ref: ")
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(s"/root/repo/.git/$ref")), "UTF-8").trim
+        val loose = gitDir.resolve(ref)
+        if (java.nio.file.Files.exists(loose)) read(loose).trim
+        else {
+          // packed refs (after git pack-refs/gc the loose file is gone)
+          read(gitDir.resolve("packed-refs")).linesIterator
+            .filterNot(l => l.startsWith("#") || l.startsWith("^"))
+            .collectFirst { case l if l.endsWith(" " + ref) =>
+              l.split(" ")(0) }
+            .get
+        }
       } else headTxt
     }.getOrElse("unknown")
     val baselineCommit =
@@ -238,7 +257,11 @@ object Bench {
           ",\"window_canary\":" + windowCanary(i) +
           ",\"effective_threshold\":" + pinThreshold(priorQueries(k), i) + "}"
     }.mkString("{", ",", "}")
-    val probesJson = probes.map(t => f"$t%.4f").mkString("[", ",", "]")
+    // Locale.ROOT: the f-interpolator follows the default locale, and
+    // a comma-decimal locale would emit invalid JSON into the artifact
+    val probesJson = probes
+      .map(t => String.format(java.util.Locale.ROOT, "%.4f", Double.box(t)))
+      .mkString("[", ",", "]")
     val canaryJson =
       s""""canary_probes":$probesJson,"probe_every":$ProbeEvery,"order_seed":$orderSeed,"canary_median":$canaryNow,"canary_prior":${priorCanary.getOrElse(-1.0)},"canary_scale":$canaryScale,"commit":"${gitHead()}","baseline_commit":"$baselineCommit","baseline_canary":${priorCanary.getOrElse(-1.0)},"value_normalized":${total / canaryScale}"""
     val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec",$canaryJson,"queries":$qs,"runs":$raw,"failed":$failedJson,"flaky_run_failures":$flaky,"regressions_vs_prior_normalized":$regressions,"n_prior":${priorQueries.size},"sf":"$sfDir","warmup":"$warmup","methodology":"warm min-of-$runsPerQuery per query, run in a deterministically shuffled order (hash of name + order_seed, seed defaults to the query count) so a time-local contention burst scatters across names instead of elevating an alphabetical block; regression pin is canary-normalized PER PROBE WINDOW (min-of-2 canary probe every $ProbeEvery queries, each query normalized by the mean of its two flanking probes vs the prior committed canary_median, scale clamped to [0.5,4], pin uses max(1,scale) — slowdowns relax it, a faster canary never tightens below raw; threshold 1.5x, or 2.5x for sub-0.5s priors where scheduler jitter dominates); under the shuffled order SCATTERED simultaneous flags = contention, an isolated repeat-offender = regression"}"""

@@ -38,12 +38,32 @@ object Materialize {
     * deployment passes its own durable root directly. */
   def withTempRoot(prefix: String)(body: String => DataFrame): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    try body(tmp.toString).localCheckpoint(eager = true)
-    finally {
+    try {
+      val result = body(tmp.toString)
+      val out = result.localCheckpoint(eager = true)
+      // the checkpoint hides the real plan behind an ExistingRDD scan;
+      // stash the executed (AQE-final — the eager checkpoint just ran
+      // it) plan of the returned shape so PlanAuditSpec's suite-wide
+      // audits keep covering lifecycle queries (review r12 #3)
+      lastAuditPlan = Some(result.queryExecution.executedPlan.toString)
+      lastAuditAnalyzed = Some(result.queryExecution.analyzed)
+      out
+    } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(tmp) // must be closed (open dir handles)
       val paths = try walk.iterator().asScala.toSeq finally walk.close()
       paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  /** The most recent [[withTempRoot]] body's executed plan — the
+    * pre-checkpoint shape the plan audits inspect. Test-support only;
+    * single-threaded audit runners read it right after invoking the
+    * query. */
+  @volatile private[graft] var lastAuditPlan: Option[String] = None
+
+  /** Its analyzed-logical-plan sibling (the broadcast-hint audit
+    * collects ResolvedHint nodes, which only exist pre-physical). */
+  @volatile private[graft] var lastAuditAnalyzed
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None
 }

@@ -461,24 +461,10 @@ object DedupIndex {
       spark.read.schema("doc_id LONG")
         .parquet(staging + "/tombstones").count()
     }.getOrElse(0L)
-    val fs = new org.apache.hadoop.fs.Path(growPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rm(d: String): Unit = {
-      fs.delete(new org.apache.hadoop.fs.Path(d), true); ()
-    }
-    def mv(from: String, to: String): Unit = {
-      val t = new org.apache.hadoop.fs.Path(to)
-      fs.mkdirs(t.getParent)
-      fs.rename(new org.apache.hadoop.fs.Path(from), t)
-    }
-    val cid = graft.api.Lsm.ConsolidatedBatchId
-    rm(extentBandsPath(growPath)); rm(extentSvPath(growPath))
-    rm(tombstonePath(growPath))
-    mv(staging + "/bands", s"${extentBandsPath(growPath)}/batch_id=$cid")
-    mv(staging + "/sv", s"${extentSvPath(growPath)}/batch_id=$cid")
-    if (remainingCnt > 0)
-      mv(staging + "/tombstones",
-        s"${tombstonePath(growPath)}/batch_id=$cid")
-    rm(staging)
+    graft.api.Lsm.swapConsolidated(spark, staging,
+      Seq(staging + "/bands" -> extentBandsPath(growPath),
+        staging + "/sv" -> extentSvPath(growPath)),
+      if (remainingCnt > 0) Some(staging + "/tombstones") else None,
+      tombstonePath(growPath))
   }
 }

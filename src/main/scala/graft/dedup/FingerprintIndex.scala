@@ -249,22 +249,9 @@ object FingerprintIndex {
         .write.mode("overwrite").parquet(staging + "/tombstones")
       spark.read.schema("id LONG").parquet(staging + "/tombstones").count()
     }.getOrElse(0L)
-    val fs = new org.apache.hadoop.fs.Path(growPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rm(d: String): Unit = {
-      fs.delete(new org.apache.hadoop.fs.Path(d), true); ()
-    }
-    def mv(from: String, to: String): Unit = {
-      val t = new org.apache.hadoop.fs.Path(to)
-      fs.mkdirs(t.getParent)
-      fs.rename(new org.apache.hadoop.fs.Path(from), t)
-    }
-    val cid = graft.api.Lsm.ConsolidatedBatchId
-    rm(extentPath(growPath)); rm(tombstonePath(growPath))
-    mv(staging + "/fbands", s"${extentPath(growPath)}/batch_id=$cid")
-    if (remainingCnt > 0)
-      mv(staging + "/tombstones",
-        s"${tombstonePath(growPath)}/batch_id=$cid")
-    rm(staging)
+    graft.api.Lsm.swapConsolidated(spark, staging,
+      Seq(staging + "/fbands" -> extentPath(growPath)),
+      if (remainingCnt > 0) Some(staging + "/tombstones") else None,
+      tombstonePath(growPath))
   }
 }

@@ -132,8 +132,13 @@ object MiningOps {
 
   /** Live-universe predicate for [[qBm25CompactTiered]]: the tiered
     * fixture's forget pass tombstones every indexed doc (base %10<8 ∪
-    * batch-1 %10==8) with doc_id%5==0. */
-  private val Bm25TieredForgetPred = "doc_id % 10 < 9 AND doc_id % 5 = 0"
+    * batch-1 %10==8) with doc_id%4==0 — %4, NOT %5, deliberately:
+    * x ≡ 8 (mod 10) forces x ≡ 3 (mod 5), so a %5 tombstone set could
+    * never intersect the extent batch and the tiered compactor's
+    * apply-tombstones-to-extents branch would be vacuously green
+    * (review r12 finding); %4 hits both base docs (surviving
+    * tombstones) and extent docs (applied physically). */
+  private val Bm25TieredForgetPred = "doc_id % 10 < 9 AND doc_id % 4 = 0"
 
   /** SIZE-TIERED compaction of the lexical index, e2e (VERDICT r11
     * #4): base = doc_id%10<8 (so the admitted batch, %10==8, is

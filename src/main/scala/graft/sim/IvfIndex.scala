@@ -237,7 +237,13 @@ object IvfIndex {
     * are final (frozen quantizer), so consolidation is a straight
     * rewrite. Same caller contract as compact. Spec-pinned in
     * IvfIndexSpec: base files byte-identical below threshold, search
-    * ≡ pre-compaction ≡ live brute force. */
+    * ≡ pre-compaction ≡ live brute force.
+    *
+    * Threshold sizing: the base-side `count()` is a parquet
+    * metadata/footer pass (vectorized count, no row data) — cheap but
+    * O(file count); an index that compacts at high frequency should
+    * maintain a 1-row stats sidecar instead (the PostingsIndex stats
+    * table is the template; documented trade, review r12 #9). */
   def compactTiered(spark: SparkSession, table: String, growPath: String,
       buckets: Int = 16, maxExtentFraction: Double = 0.2): Unit = {
     val hasExt = dirExists(spark, extentPath(growPath))
@@ -259,23 +265,10 @@ object IvfIndex {
       spark.read.schema("vec_id LONG")
         .parquet(staging + "/tombstones").count()
     }.getOrElse(0L)
-    val fs = new org.apache.hadoop.fs.Path(growPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rm(d: String): Unit = {
-      fs.delete(new org.apache.hadoop.fs.Path(d), true); ()
-    }
-    def mv(from: String, to: String): Unit = {
-      val t = new org.apache.hadoop.fs.Path(to)
-      fs.mkdirs(t.getParent)
-      fs.rename(new org.apache.hadoop.fs.Path(from), t)
-    }
-    val cid = graft.api.Lsm.ConsolidatedBatchId
-    rm(extentPath(growPath)); rm(tombstonePath(growPath))
-    mv(staging + "/cells", s"${extentPath(growPath)}/batch_id=$cid")
-    if (remainingCnt > 0)
-      mv(staging + "/tombstones",
-        s"${tombstonePath(growPath)}/batch_id=$cid")
-    rm(staging)
+    graft.api.Lsm.swapConsolidated(spark, staging,
+      Seq(staging + "/cells" -> extentPath(growPath)),
+      if (remainingCnt > 0) Some(staging + "/tombstones") else None,
+      tombstonePath(growPath))
   }
 
   /** Retrain the coarse quantizer on the LIVE corpus (base + extents

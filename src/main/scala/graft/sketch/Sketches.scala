@@ -406,6 +406,7 @@ object Sketches {
     * the percent join cost nothing, and the bound rides a plan-visible
     * limit (the broadcast-audit discipline). */
   def quantileEstimate(sketch: DataFrame, percents: Seq[Int]): DataFrame = {
+    requirePercents(percents)
     import org.apache.spark.sql.expressions.Window
     val spark = sketch.sparkSession
     import spark.implicits._
@@ -437,6 +438,7 @@ object Sketches {
     * sketch groupBy (map-side combined, |groups|·buckets rows). */
   def quantilePerGroup(df: DataFrame, groupCol: String, v: Column,
       percents: Seq[Int]): DataFrame = {
+    requirePercents(percents)
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
@@ -459,6 +461,15 @@ object Sketches {
           col("cnt"))).as("est"))
   }
 
+  /** Percent domain guard: p ≤ 0 would interpolate below the covering
+    * bucket's lower bound (target rank 0 makes the offset −1 ⇒ an
+    * impossible negative estimate on non-negative data) and p > 100
+    * would silently return no row — reject both up front, in the
+    * builders too so a bad oracle string can't even be formed. */
+  private def requirePercents(percents: Seq[Int]): Unit =
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be within [1, 100], got $percents")
+
   /** Shared lo/hi SQL fragments over a `bucket` column. */
   private def sqlQsLo(b: String): String = {
     val band = s"(($b - 1) // $QsGrid)"
@@ -479,7 +490,8 @@ object Sketches {
 
   /** Oracle twin of [[quantileSketchEstimate]] over a caller-supplied
     * `vals(v)` CTE: ends in (p, est). */
-  def sqlQuantileSketchEstimate(valsCte: String, percents: Seq[Int]): String =
+  def sqlQuantileSketchEstimate(valsCte: String, percents: Seq[Int]): String = {
+    requirePercents(percents)
     s"""WITH vals AS ($valsCte),
        sk AS MATERIALIZED (SELECT ${sqlQsBucket("v")} AS bucket,
            COUNT(1) AS cnt FROM vals GROUP BY 1),
@@ -499,10 +511,12 @@ object Sketches {
               * (${sqlQsHi("bucket")} - ${sqlQsLo("bucket")})) // cnt
            AS BIGINT) AS est
        FROM pick WHERE rn = 1"""
+  }
 
   /** Oracle twin of [[quantilePerGroup]] over a `vals(grp, v)` CTE:
     * ends in (grp, p, est). */
-  def sqlQuantilePerGroup(valsCte: String, percents: Seq[Int]): String =
+  def sqlQuantilePerGroup(valsCte: String, percents: Seq[Int]): String = {
+    requirePercents(percents)
     s"""WITH vals AS ($valsCte),
        sk AS MATERIALIZED (SELECT grp, ${sqlQsBucket("v")} AS bucket,
            COUNT(1) AS cnt FROM vals GROUP BY 1, 2),
@@ -521,4 +535,5 @@ object Sketches {
               * (${sqlQsHi("bucket")} - ${sqlQsLo("bucket")})) // cnt
            AS BIGINT) AS est
        FROM pick WHERE rn = 1"""
+  }
 }

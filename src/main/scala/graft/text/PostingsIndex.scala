@@ -464,39 +464,29 @@ object PostingsIndex {
     liveExt(extPostings).write.mode("overwrite")
       .parquet(staging + "/postings")
     liveExt(extDocs).write.mode("overwrite").parquet(staging + "/docs")
+    // consolidated stats delta recomputed exactly from the staged
+    // consolidated doc side (applied tombstones stop counting, as
+    // searchGrown's correction had them)
+    spark.read.schema("doc_id LONG, dl LONG").parquet(staging + "/docs")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+      .coalesce(1).write.mode("overwrite").parquet(staging + "/stats")
     // tombstones that did NOT hit an extent doc survive (base docs
     // and stray ids — strays stay benign: every correction joins by
     // id). DISTINCT: a twice-forgotten id must survive as one row.
-    val remaining = ts.map(_.distinct()
-      .join(extDocs, Seq("doc_id"), "left_anti"))
-    val remainingCnt = remaining.map { r =>
-      r.write.mode("overwrite").parquet(staging + "/tombstones")
+    val remainingCnt = ts.map { t =>
+      t.distinct().join(extDocs, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging + "/tombstones")
       spark.read.schema("doc_id LONG").parquet(staging + "/tombstones").count()
     }.getOrElse(0L)
-    val fs = new org.apache.hadoop.fs.Path(growPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rm(d: String): Boolean =
-      fs.delete(new org.apache.hadoop.fs.Path(d), true)
-    def mv(from: String, to: String): Unit = {
-      val t = new org.apache.hadoop.fs.Path(to)
-      fs.mkdirs(t.getParent)
-      fs.rename(new org.apache.hadoop.fs.Path(from), t)
-    }
-    rm(postingsPath(growPath)); rm(docsPath(growPath))
-    rm(statsPath(growPath)); rm(tombstonePath(growPath))
-    mv(staging + "/postings",
-      s"${postingsPath(growPath)}/batch_id=$ConsolidatedBatchId")
-    mv(staging + "/docs",
-      s"${docsPath(growPath)}/batch_id=$ConsolidatedBatchId")
-    if (remainingCnt > 0)
-      mv(staging + "/tombstones",
-        s"${tombstonePath(growPath)}/batch_id=$ConsolidatedBatchId")
-    spark.read.schema("doc_id LONG, dl LONG")
-      .parquet(s"${docsPath(growPath)}/batch_id=$ConsolidatedBatchId")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${statsPath(growPath)}/batch_id=$ConsolidatedBatchId")
-    rm(staging)
+    // crash-ordered checked swap — graft.api.Lsm.swapConsolidated
+    // (survivor mask lands additively first, extent dirs swap checked,
+    // old tombstone partitions leave last)
+    graft.api.Lsm.swapConsolidated(spark, staging,
+      Seq(staging + "/postings" -> postingsPath(growPath),
+        staging + "/docs" -> docsPath(growPath),
+        staging + "/stats" -> statsPath(growPath)),
+      if (remainingCnt > 0) Some(staging + "/tombstones") else None,
+      tombstonePath(growPath))
   }
 }

@@ -168,18 +168,6 @@ class DedupIndexSpec extends SparkSpec {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
-    def baseFiles(t: String): Seq[(String, Long, Long)] = {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      val bld = Seq.newBuilder[(String, Long, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        bld += ((f.getPath.toString, f.getModificationTime, f.getLen))
-      }
-      bld.result().sortBy(_._1)
-    }
     // twin setups (deterministic): base %8<7, admit %8==7 (~14% of
     // base), forget %9==0 of the raw %8<9... restricted to indexed
     // ids via the base predicate (extent survivors' forgetting is
@@ -198,14 +186,14 @@ class DedupIndexSpec extends SparkSpec {
     }
     val rootA = setup("dedup_tiered_a") // gets compactTiered
     val rootB = setup("dedup_tiered_b") // untouched twin
-    val basePre = (baseFiles(DedupIndex.bandsTable("dedup_tiered_a")),
-      baseFiles(DedupIndex.svTable("dedup_tiered_a")),
-      baseFiles(DedupIndex.hotTable("dedup_tiered_a")))
+    val basePre = (warehouseFiles(DedupIndex.bandsTable("dedup_tiered_a")),
+      warehouseFiles(DedupIndex.svTable("dedup_tiered_a")),
+      warehouseFiles(DedupIndex.hotTable("dedup_tiered_a")))
     DedupIndex.compactTiered(spark, "dedup_tiered_a", s"$rootA/ext", buckets = 4)
     // 1. base tables AND the hot sidecar byte-identical
-    assert((baseFiles(DedupIndex.bandsTable("dedup_tiered_a")),
-      baseFiles(DedupIndex.svTable("dedup_tiered_a")),
-      baseFiles(DedupIndex.hotTable("dedup_tiered_a"))) == basePre)
+    assert((warehouseFiles(DedupIndex.bandsTable("dedup_tiered_a")),
+      warehouseFiles(DedupIndex.svTable("dedup_tiered_a")),
+      warehouseFiles(DedupIndex.hotTable("dedup_tiered_a"))) == basePre)
     // 2. extents consolidated, base-hitting tombstones survive
     val fs = new org.apache.hadoop.fs.Path(rootA)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -152,22 +152,9 @@ class FingerprintIndexSpec extends SparkSpec {
       "media_id", "fp", Bits, 7, 0L, sink)
     // forget one BASE id (10) and one EXTENT id (30)
     FingerprintIndex.forget(spark, grow, Seq(10L, 30L).toDF("id"), 1L)
-    def baseFiles(): Seq[(String, Long, Long)] = {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(wh,
-        FingerprintIndex.bandsTable("fpidx_t").toLowerCase)
-      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fsys.listFiles(p, true)
-      val b = Seq.newBuilder[(String, Long, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        b += ((f.getPath.toString, f.getModificationTime, f.getLen))
-      }
-      b.result().sortBy(_._1)
-    }
-    val pre = baseFiles()
+    val pre = warehouseFiles(FingerprintIndex.bandsTable("fpidx_t"))
     FingerprintIndex.compactTiered(spark, "fpidx_t", grow, buckets = 4)
-    assert(baseFiles() == pre)
+    assert(warehouseFiles(FingerprintIndex.bandsTable("fpidx_t")) == pre)
     val fs = new org.apache.hadoop.fs.Path(grow)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partitions(dir: String): Seq[String] =

@@ -163,21 +163,9 @@ class IvfIndexSpec extends SparkSpec {
       emb.filter(col("vec_id") % 9 === 0).select(col("vec_id")), 2L)
     val before = IvfIndex.searchGrown(spark, table, grow, queries, 5)
       .orderBy("qid", "rk").collect().toSeq
-    def baseFiles(t: String): Seq[(String, Long, Long)] = {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      val b = Seq.newBuilder[(String, Long, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        b += ((f.getPath.toString, f.getModificationTime, f.getLen))
-      }
-      b.result().sortBy(_._1)
-    }
-    val basePre = (baseFiles(table), baseFiles(table + "_centroids"))
+    val basePre = (warehouseFiles(table), warehouseFiles(table + "_centroids"))
     IvfIndex.compactTiered(spark, table, grow)
-    assert((baseFiles(table), baseFiles(table + "_centroids")) == basePre)
+    assert((warehouseFiles(table), warehouseFiles(table + "_centroids")) == basePre)
     val fs = new org.apache.hadoop.fs.Path(grow)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partitions(dir: String): Seq[String] =

@@ -155,20 +155,6 @@ class PostingsIndexSpec extends SparkSpec {
     cleanup(table)
   }
 
-  /** (path, mtime, length) of every file under a table's warehouse
-    * dir — the "base untouched" fingerprint. */
-  private def baseFiles(table: String): Seq[(String, Long, Long)] = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    val b = Seq.newBuilder[(String, Long, Long)]
-    while (it.hasNext) {
-      val f = it.next()
-      b += ((f.getPath.toString, f.getModificationTime, f.getLen))
-    }
-    b.result().sortBy(_._1)
-  }
 
   test("compactTiered below threshold: base untouched, one consolidated extent, base tombstones survive") {
     val q = queries(docs)
@@ -179,16 +165,22 @@ class PostingsIndexSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("pidx_tiered").toString
     PostingsIndex.admit(spark, table, root,
       docs.filter(col("doc_id") % 10 === 8), 0L)
+    // %4, not %5: x === 8 (mod 10) forces x === 3 (mod 5), so a %5
+    // tombstone set could never hit the extent batch and assertion 3's
+    // "applied physically" branch would be vacuous (review r12)
     PostingsIndex.forget(spark, root,
-      docs.filter(col("doc_id") % 10 < 9 && col("doc_id") % 5 === 0)
+      docs.filter(col("doc_id") % 10 < 9 && col("doc_id") % 4 === 0)
         .select(col("doc_id")), 100L)
+    // the fixture must actually exercise BOTH tombstone classes
+    assert(docs.filter(col("doc_id") % 10 === 8 && col("doc_id") % 4 === 0)
+      .count() > 0, "no extent-hitting tombstones in the fixture")
     val before = rows(PostingsIndex.searchGrown(spark, table, root, q, 3))
-    val baseBefore = (baseFiles(table), baseFiles(PostingsIndex.docsTable(table)),
-      baseFiles(PostingsIndex.statsTable(table)))
+    val baseBefore = (warehouseFiles(table), warehouseFiles(PostingsIndex.docsTable(table)),
+      warehouseFiles(PostingsIndex.statsTable(table)))
     PostingsIndex.compactTiered(spark, table, root)
     // 1. the base tables' files are byte-for-byte the same objects
-    assert((baseFiles(table), baseFiles(PostingsIndex.docsTable(table)),
-      baseFiles(PostingsIndex.statsTable(table))) == baseBefore)
+    assert((warehouseFiles(table), warehouseFiles(PostingsIndex.docsTable(table)),
+      warehouseFiles(PostingsIndex.statsTable(table))) == baseBefore)
     // 2. extents consolidated into the single reserved partition
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -206,7 +198,7 @@ class PostingsIndexSpec extends SparkSpec {
       .parquet(PostingsIndex.tombstonePath(root))
       .select(col("doc_id")).as[Long].collect().sorted.toSeq
     val expected = docs
-      .filter(col("doc_id") % 10 < 8 && col("doc_id") % 5 === 0)
+      .filter(col("doc_id") % 10 < 8 && col("doc_id") % 4 === 0)
       .select(col("doc_id")).as[Long].collect().sorted.toSeq
     assert(remaining == expected)
     // 4. results invisible: tiered-compacted == pre-compact == brute
@@ -215,7 +207,7 @@ class PostingsIndexSpec extends SparkSpec {
     PostingsIndex.admit(spark, table, root,
       docs.filter(col("doc_id") % 10 === 9), 1L)
     val live = docs.filter(
-      (col("doc_id") % 10 < 9 && !(col("doc_id") % 5 === 0)) ||
+      (col("doc_id") % 10 < 9 && !(col("doc_id") % 4 === 0)) ||
         col("doc_id") % 10 === 9)
     assert(rows(PostingsIndex.searchGrown(spark, table, root, q, 3)) ==
       rows(Retrieval.bm25TopK(live, q, 3)))
