@@ -214,6 +214,35 @@ class PostingsIndexSpec extends SparkSpec {
     cleanup(table)
   }
 
+  test("compactTiered crash window: the additive survivor mask keeps search exact mid-swap") {
+    // pins Lsm.swapConsolidated's safety argument: after step 1
+    // (survivors landed ADDITIVELY, extents and old tombstones still
+    // in place) the mask is old ∪ survivors = old — a crash there
+    // must leave search EXACTLY correct, not merely conservative.
+    val q = queries(docs)
+    val table = "pidx_test_crashwin"
+    PostingsIndex.write(docs.filter(col("doc_id") % 10 < 8), table)
+    val root = java.nio.file.Files.createTempDirectory("pidx_crashwin").toString
+    PostingsIndex.admit(spark, table, root,
+      docs.filter(col("doc_id") % 10 === 8), 0L)
+    PostingsIndex.forget(spark, root,
+      docs.filter(col("doc_id") % 10 < 9 && col("doc_id") % 4 === 0)
+        .select(col("doc_id")), 100L)
+    val before = rows(PostingsIndex.searchGrown(spark, table, root, q, 3))
+    // simulate the post-step-1 state by hand: survivors (base-hitting
+    // ids) written as the consolidated tombstone partition ALONGSIDE
+    // the old one, nothing else touched
+    docs.filter(col("doc_id") % 10 < 8 && col("doc_id") % 4 === 0)
+      .select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"${PostingsIndex.tombstonePath(root)}/batch_id=" +
+        graft.api.Lsm.ConsolidatedBatchId)
+    assert(rows(PostingsIndex.searchGrown(spark, table, root, q, 3)) == before)
+    // and the interrupted compaction can simply run again to completion
+    PostingsIndex.compactTiered(spark, table, root)
+    assert(rows(PostingsIndex.searchGrown(spark, table, root, q, 3)) == before)
+    cleanup(table)
+  }
+
   test("compactTiered above threshold delegates to the full fold") {
     val q = queries(docs)
     val table = "pidx_test_tiered_full"
