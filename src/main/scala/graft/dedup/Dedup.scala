@@ -645,6 +645,106 @@ object Dedup {
     else pairs
   }
 
+  /** EXACT SUBSTRING deduplication (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" operator, span
+    * granularity): find every k-token window that appears VERBATIM in
+    * at least `minDocs` distinct documents, merge each doc's
+    * duplicated window starts into maximal covered spans (two windows
+    * merge when their [s, s+k) intervals overlap or touch), and
+    * report per doc (doc_id, n_dup_windows, n_spans, covered_tokens).
+    * This is the sub-document complement of the doc-level dedup
+    * family above: boilerplate headers, licence blocks and quoted
+    * passages that repeat inside otherwise-distinct documents.
+    *
+    * Semantics are defined by the STRING (exact substring match);
+    * the 8-byte [[graft.text.TextFunctions.fingerprint]] is only a
+    * shuffle-thinning prefilter — windows whose fingerprint isn't
+    * duplicated across `minDocs` docs drop before any string moves,
+    * and the surviving candidates are re-grouped BY THE STRING, so a
+    * fingerprint collision can never create a false duplicate.
+    *
+    * 100 TB posture: pass 1 shuffles (fp, doc_id) — 16 bytes per
+    * window, map-side combined; only the duplicated fraction (a few
+    * percent of a real crawl) carries its k-token string into pass
+    * 2's exact group. The span merge is one per-doc window over that
+    * duplicated fraction (gaps-and-islands: island starts where the
+    * interval clears the predecessor, island id = running sum) —
+    * never a corpus-wide sort. All arithmetic integer, all grouping
+    * by strings/longs: the DuckDB oracle (fingerprint-prefilter-free —
+    * the prefilter is semantics-free by construction) replays it
+    * bit-for-bit. */
+  def exactSubstringSpans(docs: DataFrame, k: Int,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - k),
+        i => array_join(slice(col("t"), i + 1, lit(k)), " ")))
+        .as(Seq("start", "kg")))
+    val withFp = wins
+      .withColumn("fp", graft.text.TextFunctions.fingerprint(col("kg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupFp = withFp.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("fp"))
+    val cand = withFp.join(dupFp, Seq("fp"), "left_semi")
+    val dupKg = cand.groupBy(col("kg"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("kg"))
+    val dupWins = cand.join(dupKg, Seq("kg"), "left_semi")
+      .select(col("doc_id"), col("start").cast("long").as("start"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val spans = dupWins
+      .withColumn("newIsland",
+        when(lag(col("start"), 1).over(w).isNull ||
+          col("start") > lag(col("start"), 1).over(w) + k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("newIsland")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("n_w"), min(col("start")).as("s0"),
+        (max(col("start")) + k).as("s1"))
+    graft.api.Materialize.releasing(
+      spans.groupBy(col("doc_id"))
+        .agg(sum(col("n_w")).as("n_dup_windows"),
+          count(lit(1)).as("n_spans"),
+          sum(col("s1") - col("s0")).as("covered_tokens")),
+      Seq(withFp))
+  }
+
+  /** Oracle twin of [[exactSubstringSpans]] (no prefilter — it is
+    * semantics-free): ends in (doc_id, n_dup_windows, n_spans,
+    * covered_tokens). */
+  def sqlExactSubstringSpans(table: String, k: Int,
+      minDocs: Int = 2): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM $table),
+       wins AS (SELECT doc_id, i - 1 AS start,
+           list_aggr(t[i:i+${k - 1}], 'string_agg', ' ') AS kg
+         FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - ${k - 1})) AS i
+               FROM toks WHERE len(t) >= $k)),
+       dup AS (SELECT kg FROM wins
+         GROUP BY kg HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+       dw AS (SELECT doc_id, CAST(start AS BIGINT) AS start
+         FROM wins JOIN dup USING (kg)),
+       isl AS (SELECT doc_id, start,
+           SUM(CASE WHEN prev IS NULL OR start > prev + $k
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS UNBOUNDED PRECEDING) AS island
+         FROM (SELECT doc_id, start,
+                 lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+               FROM dw)),
+       sp AS (SELECT doc_id, island, COUNT(1) AS n_w,
+           MIN(start) AS s0, MAX(start) + $k AS s1
+         FROM isl GROUP BY 1, 2)
+       SELECT doc_id, CAST(SUM(n_w) AS BIGINT) AS n_dup_windows,
+         COUNT(1) AS n_spans,
+         CAST(SUM(s1 - s0) AS BIGINT) AS covered_tokens
+       FROM sp GROUP BY 1"""
+
   /** One SNM candidate pass: (lang, key)-sorted window, lead()
     * neighbors, normalized (da < db) pairs. */
   private def snmCandidates(docs: DataFrame, window: Int,

@@ -28,6 +28,20 @@ object TextOps {
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDupHistogram(t(spark, dir, "documents"))
 
+  /** Window length for [[qDedupSubstring]] — long enough that shared
+    * windows mean real boilerplate, short enough that the gate corpus
+    * exercises the operator (45+ docs carry cross-doc 8-grams at both
+    * gate SFs, probed). */
+  val SubstringK = 8
+
+  /** EXACT SUBSTRING dedup spans ([[graft.dedup.Dedup
+    * .exactSubstringSpans]]): per doc, the merged coverage of k-token
+    * windows that appear verbatim in ≥2 distinct documents — the
+    * sub-document boilerplate detector (Lee et al. 2022 granularity)
+    * next to the doc-level dedup family. */
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringSpans(t(spark, dir, "documents"), SubstringK)
+
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardSimilarityJoin(t(spark, dir, "documents"), 0.8)
 
@@ -1169,6 +1183,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
@@ -1386,6 +1401,8 @@ object TextOps {
       """SELECT n_copies, COUNT(1) AS n_groups FROM (
            SELECT text, COUNT(1) AS n_copies FROM documents GROUP BY text)
          GROUP BY n_copies""",
+    "q_dedup_substring" ->
+      Dedup.sqlExactSubstringSpans("documents", SubstringK),
     "q_dedup_jaccard" ->
       s"""WITH $shinglesCte,
          pairs AS (

@@ -19,6 +19,44 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L))) // one unique text, one pair
   }
 
+  test("exact substring spans: planted shared windows merge into the right spans") {
+    // k=3 windows. doc 1 and 2 share "p q r s" (two overlapping
+    // 3-gram windows -> ONE merged span of 4 tokens in each); doc 3
+    // shares nothing cross-doc; docs 4/5 share "x y z" AND "u v w"
+    // separated by unique middles -> TWO spans each, 3 tokens apiece.
+    val d = docsDf(
+      (1L, "a1 a2 p q r s a3 a4"),
+      (2L, "b1 p q r s b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7"),
+      (4L, "x y z d1 d2 d3 d4 u v w"),
+      (5L, "x y z e1 e2 e3 e4 u v w"))
+    val got = Dedup.exactSubstringSpans(d, k = 3)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // (doc_id, n_dup_windows, n_spans, covered_tokens)
+    assert(got == Seq(
+      (1L, 2L, 1L, 4L), (2L, 2L, 1L, 4L),
+      (4L, 2L, 2L, 6L), (5L, 2L, 2L, 6L)), got.toString)
+    // WITHIN-doc repetition alone must not count: the window must
+    // appear in >= 2 DISTINCT docs
+    val solo = docsDf((7L, "m n o m n o m n o"), (8L, "z1 z2 z3"))
+    assert(Dedup.exactSubstringSpans(solo, k = 3).count() == 0)
+    // adjacent (touching, non-overlapping) duplicated regions merge:
+    // docs share 6 consecutive tokens = four 3-gram windows -> 1 span
+    val touch = docsDf((10L, "s1 s2 s3 s4 s5 s6 f1 f2"),
+      (11L, "g1 s1 s2 s3 s4 s5 s6 g2"))
+    val t = Dedup.exactSubstringSpans(touch, k = 3)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(t == Seq((10L, 4L, 1L, 6L), (11L, 4L, 1L, 6L)), t.toString)
+    // determinism under re-partitioning (suite discipline)
+    val big = docs.select(col("doc_id"), col("text"))
+    val a = Dedup.exactSubstringSpans(big, 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val b = Dedup.exactSubstringSpans(big.repartition(13), 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty, "gate corpus should carry cross-doc 8-grams")
+  }
+
   test("jaccard join finds planted near-duplicates, prefix filter is lossless") {
     // brute-force jaccard over all pairs computed locally as ground truth
     val local = docs.select(col("doc_id"), TextFunctions.shingles(col("text")).as("sh"))
