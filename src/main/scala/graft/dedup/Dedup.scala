@@ -673,9 +673,13 @@ object Dedup {
     * by strings/longs: the DuckDB oracle (fingerprint-prefilter-free —
     * the prefilter is semantics-free by construction) replays it
     * bit-for-bit. */
-  def exactSubstringSpans(docs: DataFrame, k: Int,
-      minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Duplicated k-token windows of the corpus: (doc_id, start, kg)
+    * for every window whose STRING appears in ≥ minDocs distinct docs
+    * (fingerprint prefilter first — see [[exactSubstringSpans]]).
+    * Returns the frame plus the cached projection the caller must
+    * release (the Materialize.releasing contract). */
+  private def substringDupWindows(docs: DataFrame, k: Int,
+      minDocs: Int): (DataFrame, DataFrame) = {
     val wins = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= k)
@@ -693,10 +697,19 @@ object Dedup {
     val dupKg = cand.groupBy(col("kg"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs).select(col("kg"))
-    val dupWins = cand.join(dupKg, Seq("kg"), "left_semi")
-      .select(col("doc_id"), col("start").cast("long").as("start"))
+    (cand.join(dupKg, Seq("kg"), "left_semi")
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        col("kg")),
+      withFp)
+  }
+
+  /** Gaps-and-islands merge of window starts into maximal covered
+    * [s0, s1) spans (two [s, s+k) intervals merge when they overlap
+    * or touch): (doc_id, island, n_w, s0, s1). */
+  private def mergeSpans(dupWins: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    val spans = dupWins
+    dupWins
       .withColumn("newIsland",
         when(lag(col("start"), 1).over(w).isNull ||
           col("start") > lag(col("start"), 1).over(w) + k, 1L).otherwise(0L))
@@ -705,13 +718,123 @@ object Dedup {
       .groupBy(col("doc_id"), col("island"))
       .agg(count(lit(1)).as("n_w"), min(col("start")).as("s0"),
         (max(col("start")) + k).as("s1"))
+  }
+
+  def exactSubstringSpans(docs: DataFrame, k: Int,
+      minDocs: Int = 2): DataFrame = {
+    val (dupWins, cached) = substringDupWindows(docs, k, minDocs)
     graft.api.Materialize.releasing(
-      spans.groupBy(col("doc_id"))
+      mergeSpans(dupWins.select(col("doc_id"), col("start")), k)
+        .groupBy(col("doc_id"))
         .agg(sum(col("n_w")).as("n_dup_windows"),
           count(lit(1)).as("n_spans"),
           sum(col("s1") - col("s0")).as("covered_tokens")),
-      Seq(withFp))
+      Seq(cached))
   }
+
+  /** EXACT SUBSTRING SCRUB — the REMOVAL half of the Lee et al.
+    * operator: of every duplicated k-token window string, the
+    * globally-FIRST occurrence (minimal (doc_id, start)) is kept and
+    * every other occurrence's window is cut; cut windows merge into
+    * spans ([[mergeSpans]]) and the covered token positions leave the
+    * text. Output per doc (ALL docs — unscrubbed docs pin their
+    * original content too): (doc_id, n_before, n_after, fp_after)
+    * with fp_after the rolling-hash fingerprint of the scrubbed,
+    * order-preserved text (0 for a fully-scrubbed doc) — a single
+    * wrong cut boundary anywhere breaks the hash.
+    *
+    * Single-pass by design (like the original): cutting can create
+    * new adjacencies whose windows were not duplicated before; a
+    * fixpoint iteration would re-run this operator.
+    *
+    * 100 TB posture: the candidate discipline of
+    * [[exactSubstringSpans]] (fingerprints shuffle, strings only for
+    * the duplicated fraction); the owner pick is one groupBy(kg) min
+    * over that fraction; the final cut joins the corpus token stream
+    * against the tiny per-doc span set on doc_id. The ordered rejoin
+    * groups each doc's surviving tokens once — O(corpus) but narrow,
+    * and the output is corpus-ROW-sized, not corpus-token-sized. */
+  def exactSubstringScrub(docs: DataFrame, k: Int,
+      minDocs: Int = 2): DataFrame = {
+    val (dupWins, cached) = substringDupWindows(docs, k, minDocs)
+    val owner = dupWins.groupBy(col("kg"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+    val cut = dupWins.join(owner, Seq("kg"))
+      .filter(!(col("doc_id") === col("o.doc_id") &&
+        col("start") === col("o.start")))
+      .select(col("doc_id"), col("start"))
+    val spans = mergeSpans(cut, k)
+      .select(col("doc_id"), col("s0"), col("s1"))
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val survivors = toksPos.join(spans,
+      toksPos("doc_id") === spans("doc_id") &&
+        col("pos") >= col("s0") && col("pos") < col("s1"),
+      "left_anti")
+    val agg = survivors.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("scrubbed"))
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_before"))
+    graft.api.Materialize.releasing(
+      base.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          when(coalesce(col("n_after"), lit(0L)) === 0L, lit(0L))
+            .otherwise(graft.text.TextFunctions.fingerprint(col("scrubbed")))
+            .as("fp_after")),
+      Seq(cached))
+  }
+
+  /** Oracle twin of [[exactSubstringScrub]]: ends in
+    * (doc_id, n_before, n_after, fp_after). */
+  def sqlExactSubstringScrub(table: String, k: Int,
+      minDocs: Int = 2): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM $table),
+       wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+           list_aggr(t[i:i+${k - 1}], 'string_agg', ' ') AS kg
+         FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - ${k - 1})) AS i
+               FROM toks WHERE len(t) >= $k)),
+       dup AS (SELECT kg FROM wins
+         GROUP BY kg HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+       dw AS (SELECT doc_id, start, kg FROM wins JOIN dup USING (kg)),
+       own AS (SELECT kg, doc_id AS od, start AS os FROM (
+           SELECT kg, doc_id, start, row_number()
+               OVER (PARTITION BY kg ORDER BY doc_id, start) AS rn
+           FROM dw) WHERE rn = 1),
+       cut AS (SELECT d.doc_id, d.start FROM dw d JOIN own o ON d.kg = o.kg
+         WHERE NOT (d.doc_id = o.od AND d.start = o.os)),
+       isl AS (SELECT doc_id, start,
+           SUM(CASE WHEN prev IS NULL OR start > prev + $k
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS UNBOUNDED PRECEDING) AS island
+         FROM (SELECT doc_id, start,
+                 lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+               FROM cut)),
+       sp AS (SELECT doc_id, MIN(start) AS s0, MAX(start) + $k AS s1
+         FROM isl GROUP BY doc_id, island),
+       tp AS (SELECT doc_id, tok, CAST(i - 1 AS BIGINT) AS pos
+         FROM (SELECT doc_id, unnest(t) AS tok,
+                 unnest(generate_series(1, len(t))) AS i FROM toks)),
+       surv AS (SELECT tp.doc_id, tp.tok, tp.pos FROM tp
+         WHERE NOT EXISTS (SELECT 1 FROM sp
+           WHERE sp.doc_id = tp.doc_id
+             AND tp.pos >= sp.s0 AND tp.pos < sp.s1)),
+       ag AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_after,
+           string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+         FROM surv GROUP BY 1)
+       SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_before,
+         COALESCE(ag.n_after, 0) AS n_after,
+         CASE WHEN COALESCE(ag.n_after, 0) = 0 THEN 0
+           ELSE ${graft.text.TextFunctions.sqlFingerprint("ag.scrubbed")}
+         END AS fp_after
+       FROM toks d LEFT JOIN ag USING (doc_id)"""
 
   /** Oracle twin of [[exactSubstringSpans]] (no prefilter — it is
     * semantics-free): ends in (doc_id, n_dup_windows, n_spans,

@@ -42,6 +42,13 @@ object TextOps {
   def qDedupSubstring(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactSubstringSpans(t(spark, dir, "documents"), SubstringK)
 
+  /** The REMOVAL half ([[graft.dedup.Dedup.exactSubstringScrub]]):
+    * duplicated windows cut (globally-first occurrence kept), every
+    * doc's scrubbed content pinned by token counts + a rolling-hash
+    * fingerprint of the order-preserved remaining text. */
+  def qSubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringScrub(t(spark, dir, "documents"), SubstringK)
+
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardSimilarityJoin(t(spark, dir, "documents"), 0.8)
 
@@ -1184,6 +1191,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_substring" -> (qDedupSubstring _),
+    "q_substring_scrub" -> (qSubstringScrub _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
@@ -1403,6 +1411,8 @@ object TextOps {
          GROUP BY n_copies""",
     "q_dedup_substring" ->
       Dedup.sqlExactSubstringSpans("documents", SubstringK),
+    "q_substring_scrub" ->
+      Dedup.sqlExactSubstringScrub("documents", SubstringK),
     "q_dedup_jaccard" ->
       s"""WITH $shinglesCte,
          pairs AS (

@@ -57,6 +57,46 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty, "gate corpus should carry cross-doc 8-grams")
   }
 
+  test("exact substring scrub: first occurrence kept, others cut; scrubbed text fingerprint-exact") {
+    import graft.text.TextFunctions
+    // doc 1 owns "p q r s" (lowest (doc_id, start)); docs 2 and 5
+    // lose their copies; doc 5 additionally shares "u v w" with doc 2
+    // — doc 2 owns that one (appears at (2, _) before (5, _))
+    val d = docsDf(
+      (1L, "a1 a2 p q r s a3 a4"),
+      (2L, "u v w b1 p q r s b2"),
+      (3L, "c1 c2 c3 c4 c5"),
+      (5L, "e1 u v w e2 p q r s"))
+    val got = Dedup.exactSubstringScrub(d, k = 3)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // expected scrubbed texts, hand-cut (merged spans of non-owned
+    // duplicated windows leave the token stream)
+    val expect = Map(
+      1L -> "a1 a2 p q r s a3 a4", // owner of "p q r s": untouched
+      2L -> "u v w b1 b2",         // "p q r s" cut, owns "u v w"
+      3L -> "c1 c2 c3 c4 c5",      // no dups: untouched
+      5L -> "e1 e2")               // both shared regions cut
+    val fp = expect.map { case (id, s) =>
+      id -> spark.range(1).select(
+        TextFunctions.fingerprint(lit(s))).as[Long].collect().head
+    }
+    assert(got == Seq(
+      (1L, 8L, 8L, fp(1L)), (2L, 9L, 5L, fp(2L)),
+      (3L, 5L, 5L, fp(3L)), (5L, 9L, 2L, fp(5L))), got.toString)
+    // corpus-level sanity + determinism under re-partitioning
+    val big = docs.select(col("doc_id"), col("text"))
+    val a = Dedup.exactSubstringScrub(big, 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val b = Dedup.exactSubstringScrub(big.repartition(13), 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    // every doc is reported, scrubbing only ever shrinks, and at
+    // least one doc actually shrank (the fixture probe)
+    assert(a.size == big.count())
+    assert(a.forall { case (_, nb, na, _) => na <= nb })
+    assert(a.exists { case (_, nb, na, _) => na < nb })
+  }
+
   test("jaccard join finds planted near-duplicates, prefix filter is lossless") {
     // brute-force jaccard over all pairs computed locally as ground truth
     val local = docs.select(col("doc_id"), TextFunctions.shingles(col("text")).as("sh"))
