@@ -25,6 +25,10 @@ object Materialize {
   def releasing(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
     val out = result.localCheckpoint(eager = true)
     caches.foreach(_.unpersist(blocking = true))
+    // same audit stash as withTempRoot: the checkpoint hides the real
+    // plan, and the plan audits want the pre-checkpoint shape
+    lastAuditPlan = Some(result.queryExecution.executedPlan.toString)
+    lastAuditAnalyzed = Some(result.queryExecution.analyzed)
     out
   }
 

@@ -323,6 +323,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_lsh" -> "broadcast probe-bucket set; corpus side keeps one bucket/vector",
     "q_knn_ivf" -> "broadcast probe-cell set against the bucketed corpus",
     "q_unigram_score" -> "1-row corpus-total frame broadcast into the weight projection",
+    "q_tfidf_terms" -> "1-row corpus-doc-count frame broadcast into the score projection (surfaced when the audit gained sight of Materialize.releasing queries' pre-checkpoint plans, r12)",
     "q_bm25_topk" -> "1-row corpus-length-stats frame broadcast into the score projection",
     "q_bm25_index" -> "1-row corpus-length-stats frame broadcast into the score projection (served-index path)",
     "q_bm25_grow" -> "1-row folded-stats frame broadcast into the score projection (served-index path)",
@@ -346,6 +347,24 @@ class PlanAuditSpec extends SparkSpec {
     "q22_idle_customers" -> "1-row positive-balance average broadcast as the threshold scalar",
     "q15_top_supplier" -> "1-row max-revenue frame broadcast as the selection scalar",
   )
+
+  test("substring dedup: window fingerprints aggregate map-side; no corpus-sized broadcast") {
+    // pass 1's groupBy(fp) must partial-aggregate before its exchange
+    // (the 16-bytes-per-window shuffle claim), and nothing in either
+    // substring query may broadcast a corpus-scaled frame
+    Seq("q_dedup_substring", "q_substring_scrub").foreach { q =>
+      graft.api.Materialize.lastAuditPlan = None
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString +
+        graft.api.Materialize.lastAuditPlan.getOrElse("")
+      spark.catalog.clearCache()
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: fingerprint count-distinct must partial-aggregate:\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p)
+      assert(!p.contains("BroadcastNestedLoop"), s"$q:\n" + p)
+    }
+  }
 
   test("importance select: winners reduce via TakeOrdered, never a global sort") {
     val p = executedPlan("q_importance_select")
