@@ -78,11 +78,19 @@ object Lsm {
     // 1. survivors in, additively (mask superset from here on). A
     // previous consolidation's partition renames ASIDE first (still
     // readable — any batch_id=* partition is), never deleted before
-    // the new survivors land; step 3's cleanup removes it.
+    // the new survivors land; step 3's cleanup removes it. The aside
+    // TARGET may itself survive from an interrupted earlier attempt
+    // (ADVICE r12) — renaming onto an existing dir would fail or nest;
+    // deleting the stale aside first is safe because its content is
+    // redundant with the still-present old batch partitions (the mask
+    // superset invariant never depends on the aside copy).
     survivors.foreach { s =>
       val cons = s"$tombstoneDir/batch_id=$ConsolidatedBatchId"
-      if (fs.exists(p(cons)))
-        mv(cons, s"$tombstoneDir/batch_id=${ConsolidatedBatchId - 1}")
+      if (fs.exists(p(cons))) {
+        val aside = s"$tombstoneDir/batch_id=${ConsolidatedBatchId - 1}"
+        rm(aside)
+        mv(cons, aside)
+      }
       mv(s, cons)
     }
     // 2. extent swaps, checked

@@ -144,7 +144,9 @@ object MiningOps {
     * #4): base = doc_id%10<8 (so the admitted batch, %10==8, is
     * ~12.5% of the base — UNDER [[graft.text.PostingsIndex
     * .compactTiered]]'s 20% threshold, forcing the tiered path: the
-    * base tables must not rewrite), forget (%5==0 of the indexed),
+    * base tables must not rewrite), forget ([[Bm25TieredForgetPred]]:
+    * %4==0 of the indexed — %4, not %5, so tombstones hit both base
+    * AND extent docs, see the predicate's scaladoc),
     * compactTiered (extents fold into ONE consolidated extent with
     * extent-hitting tombstones applied; base-hitting tombstones
     * survive and stay masked), then admit batch 2 (%10==9) and
@@ -459,6 +461,36 @@ object MiningOps {
     graft.sketch.Sketches.quantilePerGroup(
       t(spark, dir, "documents"), "lang", col("n_chars"), QsGroupPercents)
 
+  /** Percentiles [[qQuantileBoundary]] reads out — 1 and 100 on
+    * purpose (rank-1 and rank-n hit the first/last covering buckets,
+    * the interpolation extremes). */
+  val QsBoundaryPercents = Seq(1, 25, 50, 75, 99, 100)
+
+  /** Full-long-domain boundary sweep of the quantile sketch (VERDICT
+    * r12 #8 + ADVICE r12): doc_ids fold deterministically onto every
+    * octave band 0–62 × sub-bucket 0–15 — including the band-62 top
+    * sub-bucket whose exclusive bound both engines clamp to
+    * Long.MaxValue — plus literal edges (0, 1, 2^59, 2^62−1, 2^62,
+    * Long.MaxValue). Every fold and read-out product is overflow-free
+    * by construction (shift-first bucketing; Decimal·div / HUGEINT·//
+    * interpolation), and the oracle replays the identical integer
+    * arithmetic, so engine parity is pinned ACROSS the domain, not
+    * just at corpus-sized values. Output (p, est). */
+  def qQuantileBoundary(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val band = col("doc_id") % 63L
+    val base = call_function("shiftleft", lit(1L), band.cast("int"))
+    val off = col("doc_id") % 16L
+    val step = when(band >= 4L,
+        call_function("shiftleft", off, (band - 4L).cast("int")))
+      .otherwise(call_function("div", off * base, lit(16L)))
+    val spread = t(spark, dir, "documents").select((base + step).as("v"))
+    val edges = Seq(0L, 1L, 1L << 59, (1L << 62) - 1, 1L << 62,
+      Long.MaxValue).toDF("v")
+    graft.sketch.Sketches.quantileSketchEstimate(
+      spread.unionByName(edges), col("v"), QsBoundaryPercents)
+  }
+
   /** Bottom-k size for [[qKmvPerGroup]] — chosen so the gate SFs
     * exercise BOTH estimator branches: 15 distinct users/type at
     * sf0.001 (under-full → exact path), 150 at sf0.01 (full →
@@ -571,6 +603,7 @@ object MiningOps {
     "q_cms_topk" -> (qCmsTopk _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_quantile_per_group" -> (qQuantilePerGroup _),
+    "q_quantile_boundary" -> (qQuantileBoundary _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_hybrid_ivf" -> (qHybridIvf _),
@@ -713,6 +746,16 @@ object MiningOps {
     "q_quantile_per_group" -> graft.sketch.Sketches.sqlQuantilePerGroup(
       "SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v FROM documents",
       QsGroupPercents),
+    "q_quantile_boundary" -> graft.sketch.Sketches.sqlQuantileSketchEstimate(
+      """SELECT (1::BIGINT << (doc_id % 63))
+           + (CASE WHEN doc_id % 63 >= 4
+                   THEN (doc_id % 16) << ((doc_id % 63) - 4)
+                   ELSE ((doc_id % 16) * (1::BIGINT << (doc_id % 63))) // 16
+              END) AS v FROM documents
+         UNION ALL SELECT unnest([0::BIGINT, 1::BIGINT,
+           576460752303423488::BIGINT, 4611686018427387903::BIGINT,
+           4611686018427387904::BIGINT, 9223372036854775807::BIGINT]) AS v""",
+      QsBoundaryPercents),
     "q_decontaminate_bloom" -> graft.pipeline.Decontaminate.sqlFlagOverlap(
       s"${graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)} < $BloomProbeMills",
       minCommon = 3),

@@ -290,6 +290,98 @@ object TextOps {
       .withColumn("norm_chars", length(col("norm")).cast("long"))
   }
 
+  /** Deterministic HTML fixture for the crawl-front-end extraction
+    * queries (the qNormalize discipline: testdata text is clean
+    * prose, so the query synthesizes the markup that matters, by id
+    * band, IDENTICALLY in both engines): full page with head/style/
+    * nav/footer chrome (m=0), script-with-code + noscript (m=1 — the
+    * script body contains a bare '<', the classic stripper trap),
+    * list markup with indentation newlines + comment + aside (m=2),
+    * entities + <br> (m=3), and markup-free prose (m=4, the
+    * idempotence band: extraction must be the identity up to
+    * whitespace). */
+  private def htmlize(docId: Column, text: Column): Column = {
+    val idStr = docId.cast("string")
+    def rep(c: Column, f: String, t: String) =
+      call_function("replace", c, lit(f), lit(t))
+    when(docId % 5 === 0, concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), idStr,
+        lit("</title><style type=\"text/css\">p { color: #333; margin: 0; }</style></head>" +
+          "<body><nav><a href=\"/\">home</a> <a href=\"/about\">about</a></nav><h1>Doc "),
+        idStr, lit("</h1><p>"), rep(text, ". ", ".</p><p>"),
+        lit("</p><footer>&copy; 2026 corp</footer></body></html>")))
+      .when(docId % 5 === 1, concat(
+        lit("<div class=\"main\">"), rep(text, " and ", " &amp; "),
+        lit("</div><script type=\"text/javascript\">var n = 1; while (n < 9) { n = n + 1; }</script>" +
+          "<noscript>enable js</noscript>")))
+      .when(docId % 5 === 2, concat(
+        lit("<ul>\n  <li>"), rep(text, " the ", "</li>\n  <li>"),
+        lit("</li>\n</ul>\n<!-- render: ok --><aside>related links</aside>")))
+      .when(docId % 5 === 3, concat(
+        lit("<p>"), rep(text, ", ", ",&nbsp;"),
+        lit("<br/>fine print&#39;s &quot;terms&quot; &lt;here&gt;</p>")))
+      .otherwise(text)
+  }
+
+  /** SQL twin of [[htmlize]] — byte-for-byte the same synthesis. */
+  private def sqlHtmlize(idExpr: String, textExpr: String): String = {
+    val id = s"CAST($idExpr AS VARCHAR)"
+    s"""(CASE CAST($idExpr % 5 AS INT)
+      WHEN 0 THEN '<!DOCTYPE html><html><head><title>Doc ' || $id
+        || '</title><style type="text/css">p { color: #333; margin: 0; }</style></head><body><nav><a href="/">home</a> <a href="/about">about</a></nav><h1>Doc '
+        || $id || '</h1><p>' || replace($textExpr, '. ', '.</p><p>')
+        || '</p><footer>&copy; 2026 corp</footer></body></html>'
+      WHEN 1 THEN '<div class="main">' || replace($textExpr, ' and ', ' &amp; ')
+        || '</div><script type="text/javascript">var n = 1; while (n < 9) { n = n + 1; }</script><noscript>enable js</noscript>'
+      WHEN 2 THEN '<ul>' || chr(10) || '  <li>'
+        || replace($textExpr, ' the ', '</li>' || chr(10) || '  <li>')
+        || '</li>' || chr(10) || '</ul>' || chr(10)
+        || '<!-- render: ok --><aside>related links</aside>'
+      WHEN 3 THEN '<p>' || replace($textExpr, ', ', ',&nbsp;')
+        || '<br/>fine print&#39;s &quot;terms&quot; &lt;here&gt;</p>'
+      ELSE $textExpr END)"""
+  }
+
+  /** Crawl-front-end text extraction over the synthesized-markup
+    * corpus ([[graft.text.HtmlExtract]]): emits the cleaned prose
+    * ITSELF (the oracle hash-compares the string, pinning both
+    * engines' regex semantics against each other — the qNormalize
+    * discipline) plus the boilerplate-ppm and paragraph-count
+    * signals. Stateless narrow projection: no shuffle, no UDF,
+    * whole-stage codegen end to end; at 100 TB this is a pure
+    * map-side pass that fuses into the scan. */
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.HtmlExtract
+    val docs = t(spark, dir, "documents")
+    val raw = htmlize(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), raw.as("raw"))
+      .withColumn("clean_text", HtmlExtract.cleanText(col("raw")))
+      .select(col("doc_id"), col("clean_text"),
+        HtmlExtract.boilerplatePpm(col("raw"), col("clean_text"))
+          .as("boilerplate_ppm"),
+        HtmlExtract.nParas(col("clean_text")).as("n_paras"))
+  }
+
+  /** The extracted text fed straight into the existing quality
+    * filter (stage zero feeding stage one — composition, not
+    * restatement): paragraphs flatten to one line (the quality
+    * rule's tokenizer splits on single spaces), the shared
+    * [[TextFunctions.qualityOk]] predicate gates, and the output
+    * carries the signals a curation run would keep. */
+  def qHtmlQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.HtmlExtract
+    val docs = t(spark, dir, "documents")
+    val raw = htmlize(col("doc_id"), col("text"))
+    val flat = call_function("replace",
+      HtmlExtract.cleanText(raw), lit("\n"), lit(" "))
+    docs.select(col("doc_id"), raw.as("raw"), flat.as("flat"))
+      .filter(TextFunctions.qualityOk(col("flat")))
+      .select(col("doc_id"),
+        nTokens(col("flat")).cast("long").as("n_tokens"),
+        HtmlExtract.boilerplatePpm(col("raw"), col("flat"))
+          .as("boilerplate_ppm"))
+  }
+
   /** Banned 3-token phrases for [[qBlocklist]] — two that occur in
     * the fixture corpus, one that can occur at other SFs, one that
     * never matches (the empty-result leg). */
@@ -1213,6 +1305,8 @@ object TextOps {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_lang_id" -> (qLangId _),
     "q_normalize" -> (qNormalize _),
+    "q_html_extract" -> (qHtmlExtract _),
+    "q_html_quality" -> (qHtmlQuality _),
     "q_blocklist" -> (qBlocklist _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -1807,6 +1901,31 @@ object TextOps {
                WHEN 2 THEN chr(9) || text || chr(11) || chr(127)
                ELSE text END AS raw
              FROM documents))""",
+    // the HTML fixture + extraction pipeline are each generated from
+    // ONE shared table (sqlHtmlize / HtmlExtract.Steps) so the twins
+    // cannot drift; the clean STRING itself is hash-compared
+    "q_html_extract" -> {
+      val raw = sqlHtmlize("doc_id", "text")
+      s"""SELECT doc_id, clean_text,
+           ${graft.text.HtmlExtract.sqlBoilerplatePpm("raw", "clean_text")}
+             AS boilerplate_ppm,
+           ${graft.text.HtmlExtract.sqlNParas("clean_text")} AS n_paras
+         FROM (SELECT doc_id, raw,
+             ${graft.text.HtmlExtract.sqlCleanText("raw")} AS clean_text
+           FROM (SELECT doc_id, $raw AS raw FROM documents))"""
+    },
+    "q_html_quality" -> {
+      val raw = sqlHtmlize("doc_id", "text")
+      s"""SELECT doc_id,
+           CAST(len(string_split(flat, ' ')) AS BIGINT) AS n_tokens,
+           ${graft.text.HtmlExtract.sqlBoilerplatePpm("raw", "flat")}
+             AS boilerplate_ppm
+         FROM (SELECT doc_id, raw,
+             replace(${graft.text.HtmlExtract.sqlCleanText("raw")},
+               chr(10), ' ') AS flat
+           FROM (SELECT doc_id, $raw AS raw FROM documents))
+         WHERE ${TextFunctions.sqlQualityOk("flat")}"""
+    },
     "q_text_quality" ->
       s"""SELECT lang, COUNT(1) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -59,9 +59,15 @@ object IvfIndex {
   /** Top-k cosine search against a persisted index: queries probe
     * their `nprobe` nearest cells; the cell-equality join reads only
     * matching buckets of the corpus table. Same ranking contract as
-    * Similarity.ivfTopK (sim desc, cid tiebreak). */
+    * Similarity.ivfTopK (sim desc, cid tiebreak).
+    *
+    * `excludeSelf` (default true — the kNN-graph contract, where qid
+    * IS a corpus vec_id) drops qid == cid candidates; SERVING paths
+    * whose qids come from a separate id space must pass false, or a
+    * corpus vector whose vec_id collides with a query id silently
+    * vanishes from that query's candidates (ADVICE r12). */
   def search(spark: SparkSession, table: String, queries: DataFrame,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     import graft.sim.Similarity.simRounded
     val cells = loadCentroids(spark, table)
     val cb = spark.table(table)
@@ -69,7 +75,8 @@ object IvfIndex {
     val qb = broadcast(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
-    val cand = qb.join(cb, Seq("cell")).filter(col("qid") =!= col("cid"))
+    val cand = qb.join(cb, Seq("cell"))
+      .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -326,8 +326,19 @@ object Sketches {
   // al. 2019, is the relative-error generalization).
   //
   // PRECONDITION: values non-negative (v < 1 folds to bucket 0 = the
-  // [0,1) bucket) and < 2^59 (the sub-bucket multiply (v−2^band)·QsGrid
-  // must stay < 2^63 — same guard style as the hash pre-fold).
+  // [0,1) bucket). The full non-negative long range is supported
+  // (VERDICT r12 #8 / ADVICE r12): the sub-bucket fold is SHIFT-based
+  // ((v−2^band) >> (band−4) for band ≥ 4 — QsGrid = 2^4 divides every
+  // power-of-two bucket base exactly, so the shift IS the former
+  // ·QsGrid-then-divide without the overflowing multiply), and the
+  // read-out interpolation product rides exact wide arithmetic
+  // (Decimal(38,0) + integral `div` on the Spark side, HUGEINT + `//`
+  // on the DuckDB side — both exact integer floor-division, bit-equal).
+  // One documented clamp remains: the topmost sub-bucket of band 62
+  // ([2^62·31/16, 2^63)) has a true exclusive upper bound of 2^63,
+  // unrepresentable in a signed long; both engines clamp its hi to
+  // 2^63−1 (Long.MaxValue), an error of 1 ULP on the interpolation
+  // width for values ≥ 8.9e18 — replayed identically by the oracle.
 
   /** Linear sub-buckets per octave: error knob (1/QsGrid worst-case
     * relative error) and state knob (≤ 63·QsGrid+1 counters). */
@@ -347,41 +358,73 @@ object Sketches {
     ((a - pmod(a, b)) / b).cast("long")
 
   /** Bucket id of a value: 0 for v < 1, else
-    * 1 + band·QsGrid + ((v − 2^band)·QsGrid) div 2^band. */
+    * 1 + band·QsGrid + ((v − 2^band)·QsGrid) div 2^band — computed
+    * SHIFT-first so the full long range folds without overflow:
+    * QsGrid = 2^4, so for band ≥ 4 the multiply-then-divide is
+    * exactly (v − 2^band) >> (band − 4); for band < 4 the residue is
+    * < 16 and the direct multiply is trivially safe. */
   def qsBucket(v: Column): Column = {
     val vv = v.cast("long")
     val band = qsBand(vv)
     val base = call_function("shiftleft", lit(1L), band.cast("int"))
+    val sub = when(band >= 4L,
+        call_function("shiftright", vv - base, (band - 4L).cast("int")))
+      .otherwise(idiv((vv - base) * lit(QsGrid.toLong), base))
     when(vv < 1L, lit(0L))
-      .otherwise(lit(1L) + band * lit(QsGrid.toLong) +
-        idiv((vv - base) * lit(QsGrid.toLong), base))
+      .otherwise(lit(1L) + band * lit(QsGrid.toLong) + sub)
   }
 
   def sqlQsBucket(vExpr: String): String = {
     val band = s"(length(bin(CAST($vExpr AS BIGINT))) - 1)"
     val base = s"(1::BIGINT << $band)"
     s"""(CASE WHEN CAST($vExpr AS BIGINT) < 1 THEN 0
+         WHEN $band >= 4 THEN 1 + $band * $QsGrid
+           + ((CAST($vExpr AS BIGINT) - $base) >> ($band - 4))
          ELSE 1 + $band * $QsGrid
            + ((CAST($vExpr AS BIGINT) - $base) * $QsGrid) // $base END)"""
   }
 
-  /** Bucket lower bound (bucket 0 = [0,1)). */
+  /** Bucket lower bound (bucket 0 = [0,1)); shift-first like
+    * [[qsBucket]] so band-60+ bounds don't overflow the off·base
+    * product. */
   private def qsLo(b: Column): Column = {
     val band = idiv(b - 1, lit(QsGrid.toLong))
     val off = pmod(b - 1, lit(QsGrid.toLong))
     val base = call_function("shiftleft", lit(1L), band.cast("int"))
-    when(b === 0L, lit(0L)).otherwise(base + idiv(off * base, lit(QsGrid.toLong)))
+    val step = when(band >= 4L,
+        call_function("shiftleft", off, (band - 4L).cast("int")))
+      .otherwise(idiv(off * base, lit(QsGrid.toLong)))
+    when(b === 0L, lit(0L)).otherwise(base + step)
   }
 
-  /** Bucket upper bound (exclusive). */
+  /** Bucket upper bound (exclusive); the band-62 top sub-bucket's
+    * true bound 2^63 clamps to Long.MaxValue (documented 1-ULP
+    * trade, mirrored in the SQL twin). */
   private def qsHi(b: Column): Column = {
     val band = idiv(b - 1, lit(QsGrid.toLong))
     val off = pmod(b - 1, lit(QsGrid.toLong))
     val base = call_function("shiftleft", lit(1L), band.cast("int"))
+    val step = when(band >= 4L,
+        call_function("shiftleft", off + 1L, (band - 4L).cast("int")))
+      .otherwise(idiv((off + 1) * base, lit(QsGrid.toLong)))
     when(b === 0L, lit(1L))
-      .otherwise(when(off === (QsGrid - 1).toLong, base * 2)
-        .otherwise(base + idiv((off + 1) * base, lit(QsGrid.toLong))))
+      .otherwise(when(off === (QsGrid - 1).toLong,
+          when(band === 62L, lit(Long.MaxValue)).otherwise(base * 2))
+        .otherwise(base + step))
   }
+
+  /** Exact interpolated offset floor(num·width / cnt) via
+    * Decimal(38,0) + integral `div` (ADVICE r12): num < cnt ≤ 2^63
+    * and width < 2^63 keep the exact decimal product < 2^126 ≪
+    * 10^38, so the former Long·Long overflow (≥ 2^63 inside the
+    * documented domain) is gone for EVERY input; `div` truncates the
+    * exact product toward zero (non-negative ⇒ floor), bit-equal to
+    * the oracle twin's HUGEINT `//`. Runs only on the ≤ |percents|
+    * read-out rows — never a hot path. */
+  private def qsInterp(num: Column, width: Column, cnt: Column): Column =
+    call_function("div",
+      num.cast("decimal(38,0)") * width.cast("decimal(38,0)"),
+      cnt.cast("decimal(38,0)"))
 
   /** The sketch STATE of a value column: (bucket, cnt), ≤ QsMaxBuckets
     * rows regardless of input size (map-side combined). Merge law:
@@ -421,9 +464,9 @@ object Sketches {
     tgt.join(broadcast(bounded), col("cum") >= col("target"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("p"),
-        (qsLo(col("bucket")) + idiv(
-          (col("target") - (col("cum") - col("cnt")) - 1) *
-            (qsHi(col("bucket")) - qsLo(col("bucket"))),
+        (qsLo(col("bucket")) + qsInterp(
+          col("target") - (col("cum") - col("cnt")) - 1,
+          qsHi(col("bucket")) - qsLo(col("bucket")),
           col("cnt"))).as("est"))
   }
 
@@ -455,9 +498,9 @@ object Sketches {
     tgt.join(sk, Seq("grp")).filter(col("cum") >= col("target"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("grp"), col("p"),
-        (qsLo(col("bucket")) + idiv(
-          (col("target") - (col("cum") - col("cnt")) - 1) *
-            (qsHi(col("bucket")) - qsLo(col("bucket"))),
+        (qsLo(col("bucket")) + qsInterp(
+          col("target") - (col("cum") - col("cnt")) - 1,
+          qsHi(col("bucket")) - qsLo(col("bucket")),
           col("cnt"))).as("est"))
   }
 
@@ -470,11 +513,14 @@ object Sketches {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be within [1, 100], got $percents")
 
-  /** Shared lo/hi SQL fragments over a `bucket` column. */
+  /** Shared lo/hi SQL fragments over a `bucket` column — shift-first
+    * like the Column twins so band-60+ bounds don't overflow (DuckDB
+    * checks BIGINT multiplies and would error loudly). */
   private def sqlQsLo(b: String): String = {
     val band = s"(($b - 1) // $QsGrid)"
     val off = s"(($b - 1) % $QsGrid)"
     s"""(CASE WHEN $b = 0 THEN 0
+         WHEN $band >= 4 THEN (1::BIGINT << $band) + ($off << ($band - 4))
          ELSE (1::BIGINT << $band) + ($off * (1::BIGINT << $band)) // $QsGrid
        END)"""
   }
@@ -482,7 +528,10 @@ object Sketches {
     val band = s"(($b - 1) // $QsGrid)"
     val off = s"(($b - 1) % $QsGrid)"
     s"""(CASE WHEN $b = 0 THEN 1
+         WHEN $off = ${QsGrid - 1} AND $band = 62 THEN 9223372036854775807
          WHEN $off = ${QsGrid - 1} THEN (1::BIGINT << $band) * 2
+         WHEN $band >= 4 THEN (1::BIGINT << $band)
+           + (($off + 1) << ($band - 4))
          ELSE (1::BIGINT << $band)
            + (($off + 1) * (1::BIGINT << $band)) // $QsGrid
        END)"""
@@ -507,7 +556,7 @@ object Sketches {
          FROM tgt JOIN cum ON cum >= target)
        SELECT CAST(p AS INT) AS p,
          CAST(${sqlQsLo("bucket")}
-           + ((target - (cum - cnt) - 1)
+           + (CAST(target - (cum - cnt) - 1 AS HUGEINT)
               * (${sqlQsHi("bucket")} - ${sqlQsLo("bucket")})) // cnt
            AS BIGINT) AS est
        FROM pick WHERE rn = 1"""
@@ -531,7 +580,7 @@ object Sketches {
          FROM tgt JOIN cum USING (grp) WHERE cum >= target)
        SELECT grp, CAST(p AS INT) AS p,
          CAST(${sqlQsLo("bucket")}
-           + ((target - (cum - cnt) - 1)
+           + (CAST(target - (cum - cnt) - 1 AS HUGEINT)
               * (${sqlQsHi("bucket")} - ${sqlQsLo("bucket")})) // cnt
            AS BIGINT) AS est
        FROM pick WHERE rn = 1"""

@@ -446,10 +446,19 @@ object StreamOps {
     * through the bucket-pruned literal-IN scan and the dense leg
     * probes nprobe cells of the bucketed vector table — NOTHING
     * corpus-sized moves per query batch, which is the entire reason
-    * the serving path exists. */
+    * the serving path exists.
+    *
+    * `excludeSelf` applies to BOTH legs symmetrically (ADVICE r12).
+    * Default true — the hybrid-family contract, where qids ARE
+    * corpus doc/vec ids (the batch twins q_hybrid_index/q_hybrid_ivf
+    * and their oracle all self-exclude). A deployment whose query
+    * ids come from a SEPARATE id space must pass false, or a corpus
+    * vector whose id happens to collide with a qid silently vanishes
+    * from that query's candidates. */
   def hybridServeStream(spark: SparkSession, lexTable: String,
       ivfTable: String, queries: DataFrame, sinkPath: String,
-      checkpoint: String, qTerms: Int, kEach: Int, k: Int): StreamingQuery = {
+      checkpoint: String, qTerms: Int, kEach: Int, k: Int,
+      excludeSelf: Boolean = true): StreamingQuery = {
     val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) => {
         val b = batch.toDF()
@@ -460,9 +469,10 @@ object StreamOps {
               slice(graft.text.TextFunctions.tokens(col("text")),
                 1, qTerms))).as("tok"))
             val lex = graft.text.PostingsIndex.lexRanked(
-              spark, lexTable, qset, kEach)
+              spark, lexTable, qset, kEach, excludeSelf)
             val sem = graft.sim.IvfIndex.search(spark, ivfTable,
-              b.select(col("qid").as("vec_id"), col("embedding")), kEach)
+              b.select(col("qid").as("vec_id"), col("embedding")), kEach,
+              excludeSelf = excludeSelf)
               .select(col("qid"), col("cid").as("id"), col("rk"))
             graft.text.Retrieval.hybridFuse(lex, sem, k)
               .write.mode("overwrite").parquet(s"$sinkPath/batch_id=$batchId")

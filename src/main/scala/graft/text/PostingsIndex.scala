@@ -217,8 +217,8 @@ object PostingsIndex {
     * served index without touching the fusion (the same leg contract
     * the dense side's IVF swap uses). */
   def lexRanked(spark: SparkSession, table: String, queries: DataFrame,
-      kEach: Int): DataFrame =
-    search(spark, table, queries, kEach, excludeSelf = true)
+      kEach: Int, excludeSelf: Boolean = true): DataFrame =
+    search(spark, table, queries, kEach, excludeSelf)
       .select(col("qid"), col("doc_id").as("id"), col("rk"))
 
   /** BM25 top-k against base + every admitted extent, minus

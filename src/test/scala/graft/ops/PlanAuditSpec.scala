@@ -337,6 +337,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_distinct_sketch" -> "1-row exact-count frame crossed with the 1-row estimate (gate-scale comparison readout)",
     "q_quantile_sketch" -> "1-row total-count frame crossed with the 3-row percent set, then the range join against the <=1009-row cumulative sketch (all sketch-sized, plan-visible limits)",
     "q_quantile_per_group" -> "per-group count frame crossed with the literal 2-row percent set (|groups|x2 rows; the sketch join itself is the grp equi-join)",
+    "q_quantile_boundary" -> "q_quantile_sketch's exact read-out shape (1-row total x 6-row percent set x <=1009-row sketch) over the boundary-sweep value fold",
     "q_kmv_distinct" -> "1-row exact-count frame crossed with the 1-row estimate (gate-scale comparison readout)",
     "q_token_drift" -> "1-row slice-totals frame broadcast into the ppm rate projection",
     "q_join_size_sketch" -> "1-row exact-size frame crossed with the 1-row sketch estimate (comparison readout)",

@@ -215,6 +215,64 @@ class SketchesSpec extends SparkSpec {
     assert(c == a)
   }
 
+  test("quantile sketch boundary fixtures: full long domain folds without overflow (VERDICT r12 #8)") {
+    // BigInt model of the documented arithmetic — including the
+    // band-62 top sub-bucket hi clamp to Long.MaxValue
+    def model(v: Long): (Long, Long, Long) = {
+      if (v < 1) (0L, 0L, 1L)
+      else {
+        val band = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        val base = BigInt(1) << band
+        val off = ((BigInt(v) - base) * Sketches.QsGrid / base).toLong
+        val b = 1 + band * Sketches.QsGrid + off
+        val lo = (base + BigInt(off) * base / Sketches.QsGrid).toLong
+        val hi =
+          if (off == Sketches.QsGrid - 1 && band == 62) Long.MaxValue
+          else if (off == Sketches.QsGrid - 1) (base * 2).toLong
+          else (base + BigInt(off + 1) * base / Sketches.QsGrid).toLong
+        (b.toLong, lo, hi)
+      }
+    }
+    val edges = Seq(0L, 1L, 15L, 16L, 17L,
+      (1L << 59) - 1, 1L << 59,               // the OLD precondition edge
+      (1L << 62) - 1, 1L << 62,                // band 61/62 boundary
+      (31L << 58) - 1, 31L << 58,              // band-62 top sub-bucket lo
+      Long.MaxValue)
+    val got = edges.toDF("v")
+      .select(col("v"), Sketches.qsBucket(col("v")).as("b"))
+      .as[(Long, Long)].collect().toMap
+    edges.foreach { v =>
+      val (mb, lo, hi) = model(v)
+      assert(got(v) == mb, s"bucket($v): got ${got(v)}, model $mb")
+      // membership under the clamps: hi is exclusive except (a) the
+      // band-62 top bucket where hi == Long.MaxValue is inclusive and
+      // (b) band < 4's degenerate sub-buckets (base < QsGrid ⇒ some
+      // widths floor to 0: every member equals lo, and a 0 width
+      // zeroes the interpolation term — est = lo, still exact)
+      assert(lo <= v && (v < hi || v == lo || (hi == Long.MaxValue && v <= hi)),
+        s"v=$v outside [$lo,$hi]")
+    }
+    // single-value sketches: P100 read-out must equal the bucket lo
+    // (target rank 1 → offset 0) — exercises qsLo at every edge
+    edges.foreach { v =>
+      val est = Sketches.quantileSketchEstimate(
+        Seq(v).toDF("v"), col("v"), Seq(100)).as[(Int, Long)].collect()
+      assert(est.head._2 == model(v)._2, s"P100($v): ${est.toSeq}")
+    }
+    // huge-count interpolation: a hand-built state with cnt > 2^31 in
+    // one band-62 bucket — num·width ≈ 2^90, the exact product the
+    // old Long·Long multiply wrapped on; expected value via BigInt
+    val cnt = 5000000000L // 5e9 > 2^32
+    val state = Seq((model(1L << 62)._1, cnt)).toDF("bucket", "cnt")
+    val est50 = Sketches.quantileEstimate(state, Seq(50))
+      .as[(Int, Long)].collect().head._2
+    val (_, lo, hi) = model(1L << 62)
+    val target = (BigInt(cnt) * 50 + 99) / 100
+    val expected = (BigInt(lo) + (target - 1) * (BigInt(hi) - BigInt(lo)) / cnt).toLong
+    assert(est50 == expected, s"P50 huge-count: got $est50, expected $expected")
+    assert(est50 >= lo && est50 < hi)
+  }
+
   test("tokVal agrees between engines' arithmetic (reference fold)") {
     def ref(w: String): Long =
       w.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)

@@ -1063,6 +1063,38 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows(got) == rows(expect), s"batch $i diverged")
       assert(rows(got).nonEmpty, s"batch $i empty")
     }
+
+    // excludeSelf = false (the external-id-space serving mode, ADVICE
+    // r12): a qid that collides with a corpus id must KEEP that corpus
+    // doc as a candidate on both legs — here qids are corpus ids, so
+    // the identical doc is each query's best hit on both legs and must
+    // surface instead of being silently dropped
+    val (src2, ckpt2, sink2) = (s"$root/src2", s"$root/ckpt2", s"$root/sink2")
+    allQueries.filter(col("qid") < 14).write.mode("append").parquet(src2)
+    val qOpen = StreamOps.hybridServeStream(spark, "hybrid_serve_lex",
+      "hybrid_serve_ivf",
+      spark.readStream.schema(schema).parquet(src2),
+      sink2, ckpt2, qTerms, kEach, k, excludeSelf = false)
+    qOpen.processAllAvailable(); qOpen.stop()
+    val gotOpen = spark.read
+      .schema("qid LONG, doc_id LONG, rrf LONG, rk INT")
+      .parquet(s"$sink2/batch_id=0")
+    val batchQ0 = allQueries.filter(col("qid") < 14)
+    val qset0 = batchQ0.select(col("qid"), explode(array_distinct(
+      slice(TextFunctions.tokens(col("text")), 1, qTerms))).as("tok"))
+    val expectOpen = Retrieval.hybridFuse(
+      PostingsIndex.lexRanked(spark, "hybrid_serve_lex", qset0, kEach,
+        excludeSelf = false),
+      graft.sim.IvfIndex.search(spark, "hybrid_serve_ivf",
+        batchQ0.select(col("qid").as("vec_id"), col("embedding")), kEach,
+        excludeSelf = false)
+        .select(col("qid"), col("cid").as("id"), col("rk")),
+      k)
+    assert(rows(gotOpen) == rows(expectOpen), "open-mode batch diverged")
+    val selfHits = rows(gotOpen).filter(r => r._1 == r._2)
+    assert(selfHits.size == 14,
+      s"every query must keep its identical corpus doc: $selfHits")
+
     PostingsIndex.drop(spark, "hybrid_serve_lex")
     graft.api.Bucketing.resetManaged(spark, "hybrid_serve_ivf")
     graft.api.Bucketing.resetManaged(spark, "hybrid_serve_ivf_centroids")

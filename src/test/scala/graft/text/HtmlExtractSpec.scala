@@ -1,0 +1,90 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HtmlExtractSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def clean(html: String): String =
+    Seq(html).toDF("h").select(HtmlExtract.cleanText(col("h")).as("c"))
+      .as[String].collect().head
+
+  test("tags strip, dropped blocks vanish whole, block closers segment paragraphs") {
+    val html =
+      """<!DOCTYPE html><html><head><title>T</title>
+        |<style>p { color: red; }</style></head><body>
+        |<nav><a href="/">home</a></nav>
+        |<h1>Title</h1>
+        |<p>First para.</p>
+        |<div>Second <b>bold</b> para.</div>
+        |<script>var x = 1; if (x < 2) { x = 3; }</script>
+        |<footer>copyright</footer></body></html>""".stripMargin
+    val got = clean(html)
+    assert(got == "Title\nFirst para.\nSecond bold para.",
+      s"got: ${got.replace("\n", "\\n")}")
+    // boilerplate content must be GONE, not just de-tagged
+    assert(!got.contains("color") && !got.contains("var x") &&
+      !got.contains("home") && !got.contains("copyright"))
+  }
+
+  test("entities decode in the anti-double-decode order; &amp; last") {
+    assert(clean("a &lt;b&gt; &quot;c&quot; &#39;d&apos; e&nbsp;f &amp;amp;") ==
+      "a <b> \"c\" 'd' e f &amp;")
+    // a de-entified tag must NOT become a strippable tag
+    assert(clean("&lt;script&gt;alert(1)&lt;/script&gt;") ==
+      "<script>alert(1)</script>")
+  }
+
+  test("markup-free prose is (whitespace-normalized) identity — extraction is idempotent") {
+    val prose = "plain text with  spacing and a < b comparisons"
+    val once = clean(prose)
+    assert(once == "plain text with spacing and a < b comparisons")
+    val twice = Seq(once).toDF("h")
+      .select(HtmlExtract.cleanText(col("h")).as("c")).as[String].collect().head
+    assert(twice == once, "cleanText must be idempotent on its own output")
+    // idempotence on full extraction output too
+    val full = clean("<p>one.</p><p>two &amp; three.</p>")
+    val again = Seq(full).toDF("h")
+      .select(HtmlExtract.cleanText(col("h")).as("c")).as[String].collect().head
+    assert(full == "one.\ntwo & three." && again == full)
+  }
+
+  test("nesting: inner DIVs segment, self-nested dropped block cuts at first closer (documented single-pass semantics)") {
+    assert(clean("<div>outer <div>inner</div> tail</div>") == "outer inner\ntail")
+    // self-nested <aside>: single-pass drops up to the FIRST closer;
+    // the orphaned tail closer strips as a tag — content 'tail' stays
+    val got = clean("<aside>chrome <aside>deep</aside> tail</aside>keep")
+    assert(got == "tail keep", s"got: ${got.replace("\n", "\\n")}")
+    // unclosed dropped block: content survives de-tagged (documented)
+    assert(clean("<p>body</p><script>orphan") == "body\norphan")
+  }
+
+  test("paragraph counting and boilerplate ppm are exact and bounded") {
+    val df = Seq(
+      ("<p>a.</p><p>b.</p><p>c.</p>", 3L),
+      ("no markup", 1L),
+      ("<style>all chrome</style>", 0L),
+      ("", 0L)).toDF("h", "want")
+      .withColumn("clean", HtmlExtract.cleanText(col("h")))
+      .select(col("h"), col("want"),
+        HtmlExtract.nParas(col("clean")).as("got"),
+        HtmlExtract.boilerplatePpm(col("h"), col("clean")).as("ppm"))
+    df.as[(String, Long, Long, Long)].collect().foreach {
+      case (h, want, got, ppm) =>
+        assert(got == want, s"nParas($h): $got != $want")
+        assert(ppm >= 0L && ppm <= 1000000L, s"ppm($h) out of range: $ppm")
+    }
+    // all-chrome doc: 100% boilerplate
+    val allChrome = df.filter(col("h").startsWith("<style")).select("ppm")
+      .as[Long].collect().head
+    assert(allChrome == 1000000L)
+  }
+
+  test("br and whitespace chaos collapse; blank paragraphs drop") {
+    assert(clean("a<br>b<br/>c<br />d") == "a\nb\nc\nd")
+    assert(clean("<p></p>\n\n<p>  x  </p>\t<p> </p>") == "x")
+    assert(clean("  \t \n ") == "")
+  }
+}
