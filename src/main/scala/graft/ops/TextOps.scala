@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.text.TextFunctions
@@ -300,7 +300,7 @@ object TextOps {
     * entities + <br> (m=3), and markup-free prose (m=4, the
     * idempotence band: extraction must be the identity up to
     * whitespace). */
-  private def htmlize(docId: Column, text: Column): Column = {
+  private[graft] def htmlize(docId: Column, text: Column): Column = {
     val idStr = docId.cast("string")
     def rep(c: Column, f: String, t: String) =
       call_function("replace", c, lit(f), lit(t))
