@@ -657,50 +657,70 @@ object Dedup {
     * passages that repeat inside otherwise-distinct documents.
     *
     * Semantics are defined by the STRING (exact substring match);
-    * the 8-byte [[graft.text.TextFunctions.fingerprint]] is only a
-    * shuffle-thinning prefilter — windows whose fingerprint isn't
-    * duplicated across `minDocs` docs drop before any string moves,
+    * the 8-byte window hash (xxhash64 over the token-array slice —
+    * no window string is ever built pre-filter, r13) is only a
+    * shuffle-thinning prefilter — windows whose hash isn't
+    * duplicated across `minDocs` docs drop before any string exists,
     * and the surviving candidates are re-grouped BY THE STRING, so a
-    * fingerprint collision can never create a false duplicate.
+    * hash collision can never create a false duplicate.
     *
     * 100 TB posture: pass 1 shuffles (fp, doc_id) — 16 bytes per
     * window, map-side combined; only the duplicated fraction (a few
-    * percent of a real crawl) carries its k-token string into pass
-    * 2's exact group. The span merge is one per-doc window over that
-    * duplicated fraction (gaps-and-islands: island starts where the
-    * interval clears the predecessor, island id = running sum) —
-    * never a corpus-wide sort. All arithmetic integer, all grouping
-    * by strings/longs: the DuckDB oracle (fingerprint-prefilter-free —
-    * the prefilter is semantics-free by construction) replays it
-    * bit-for-bit. */
+    * percent of a real crawl) builds and carries its k-token string
+    * into pass 2's exact group (candidate strings are sliced from
+    * the cached token side by one doc_id join — the duplicated
+    * fraction of DOCS, not the corpus). The span merge is one
+    * per-doc window over that duplicated fraction
+    * (gaps-and-islands: island starts where the interval clears the
+    * predecessor, island id = running sum) — never a corpus-wide
+    * sort. All arithmetic integer, all grouping by strings/longs:
+    * the DuckDB oracle (prefilter-free — the prefilter is
+    * semantics-free by construction) replays it bit-for-bit. */
   /** Duplicated k-token windows of the corpus: (doc_id, start, kg)
-    * for every window whose STRING appears in ≥ minDocs distinct docs
-    * (fingerprint prefilter first — see [[exactSubstringSpans]]).
-    * Returns the frame plus the cached projection the caller must
-    * release (the Materialize.releasing contract). */
+    * for every window whose STRING appears in ≥ minDocs distinct
+    * docs. Returns the frame plus the cached projection the caller
+    * must release (the Materialize.releasing contract).
+    *
+    * Restructured r13 so NO window string exists before the
+    * prefilter: pass 1 hashes the token-array slice directly
+    * (xxhash64 — 64-bit, collision false-positives only ever ADD a
+    * candidate, never a result; the hash is semantics-free exactly
+    * like the old string fingerprint), shuffling (doc_id, start, fp)
+    * triples only; the k-token `kg` string is then built ONLY for
+    * candidate windows, by slicing the token arrays of candidate
+    * DOCS (one doc_id join against the cached token side — the
+    * duplicated fraction of docs, not the corpus). At the published
+    * k≈50 operating point this removes an O(corpus_tokens · k)
+    * string-construction pass that dominated the old layout
+    * (measured in DevScaleSubstring: see SCALE.md). Pass 2 still
+    * re-groups candidates BY THE STRING, so a hash collision can
+    * never create a false duplicate. */
   private def substringDupWindows(docs: DataFrame, k: Int,
       minDocs: Int): (DataFrame, DataFrame) = {
-    val wins = docs
+    val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winsFp = toks
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("t")) - k),
-        i => array_join(slice(col("t"), i + 1, lit(k)), " ")))
-        .as(Seq("start", "kg")))
-    val withFp = wins
-      .withColumn("fp", graft.text.TextFunctions.fingerprint(col("kg")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupFp = withFp.groupBy(col("fp"))
+        i => xxhash64(slice(col("t"), i + 1, lit(k)))))
+        .as(Seq("start", "fp")))
+    val dupFp = winsFp.groupBy(col("fp"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs).select(col("fp"))
-    val cand = withFp.join(dupFp, Seq("fp"), "left_semi")
+    val candPos = winsFp.join(dupFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("start").cast("long").as("start"))
+    val cand = candPos.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("start"),
+        array_join(slice(col("t"), (col("start") + 1).cast("int"), lit(k)), " ")
+          .as("kg"))
     val dupKg = cand.groupBy(col("kg"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs).select(col("kg"))
     (cand.join(dupKg, Seq("kg"), "left_semi")
-      .select(col("doc_id"), col("start").cast("long").as("start"),
-        col("kg")),
-      withFp)
+      .select(col("doc_id"), col("start"), col("kg")),
+      toks)
   }
 
   /** Gaps-and-islands merge of window starts into maximal covered
@@ -787,6 +807,148 @@ object Dedup {
             .otherwise(graft.text.TextFunctions.fingerprint(col("scrubbed")))
             .as("fp_after")),
       Seq(cached))
+  }
+
+  /** One text-to-text scrub pass (the [[exactSubstringScrub]] cut
+    * applied to the text itself): (doc_id, text) → (doc_id, text)
+    * with every non-first duplicated window's tokens removed, ""
+    * for a fully-cut doc. Returns the frame plus the cached
+    * projection to release. */
+  private def scrubPassText(docs: DataFrame, k: Int,
+      minDocs: Int): (DataFrame, DataFrame) = {
+    val (dupWins, cached) = substringDupWindows(docs, k, minDocs)
+    val owner = dupWins.groupBy(col("kg"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+    val cut = dupWins.join(owner, Seq("kg"))
+      .filter(!(col("doc_id") === col("o.doc_id") &&
+        col("start") === col("o.start")))
+      .select(col("doc_id"), col("start"))
+    val spans = mergeSpans(cut, k)
+      .select(col("doc_id"), col("s0"), col("s1"))
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val survivors = toksPos.join(spans,
+      toksPos("doc_id") === spans("doc_id") &&
+        col("pos") >= col("s0") && col("pos") < col("s1"),
+      "left_anti")
+    val agg = survivors.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("scrubbed"))
+    (docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("scrubbed"), lit("")).as("text")),
+      cached)
+  }
+
+  /** FIXPOINT exact substring scrub (VERDICT r12 #5 — the
+    * completeness complement of the single-pass operator): cutting a
+    * span can create NEW adjacencies whose k-windows were not
+    * duplicated before, so the published single-pass operator can
+    * leave second-order duplication behind; this variant re-runs the
+    * scrub until a pass removes nothing or `maxPasses` is reached.
+    * Convergence check is EXACT and cheap: a pass only ever REMOVES
+    * tokens, so text changed ⟺ total token count decreased — one
+    * tiny aggregate per pass, never a corpus diff. Output shape ≡
+    * [[exactSubstringScrub]]; the oracle is the pass UNROLLED
+    * `maxPasses` times (an extra pass on a fixed point is the
+    * identity, so early exit never diverges from the unrolled twin).
+    *
+    * 100 TB posture: each pass is the single-pass operator's plan
+    * (fingerprint-prefiltered candidates, per-doc islands, narrow
+    * rejoin), and the pass count is a small constant — in practice
+    * pass 2's candidate mass is the second-order duplication only,
+    * a tiny fraction of pass 1's (measured in DevScaleSubstring).
+    * Assumes the corpus normalization contract (non-empty,
+    * single-spaced text), like the single-pass operator. */
+  def exactSubstringScrubFixpoint(docs: DataFrame, k: Int,
+      minDocs: Int = 2, maxPasses: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_before"))
+    var cur = docs.select(col("doc_id"), col("text"))
+    var curPersisted: Option[DataFrame] = None
+    var curToks = -1L // unknown yet; first pass always runs
+    var pass = 0
+    var converged = false
+    while (pass < maxPasses && !converged) {
+      val (next, cached) = scrubPassText(cur, k, minDocs)
+      val nextP = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val nextToks = nextP
+        .agg(coalesce(sum(when(length(col("text")) === 0, 0L)
+          .otherwise(size(tokens(col("text"))).cast("long"))), lit(0L)))
+        .head().getLong(0)
+      cached.unpersist()
+      curPersisted.foreach(_.unpersist())
+      curPersisted = Some(nextP)
+      converged = nextToks == curToks
+      curToks = nextToks
+      cur = nextP
+      pass += 1
+    }
+    val out = base.join(cur, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        when(length(col("text")) === 0, 0L)
+          .otherwise(size(tokens(col("text"))).cast("long")).as("n_after"),
+        when(length(col("text")) === 0, 0L)
+          .otherwise(graft.text.TextFunctions.fingerprint(col("text")))
+          .as("fp_after"))
+    graft.api.Materialize.releasing(out, curPersisted.toSeq)
+  }
+
+  /** Oracle twin of [[exactSubstringScrubFixpoint]]: the scrub pass
+    * unrolled `passes` times over token LISTS (a fully-cut doc is the
+    * empty list, which the next pass ignores — mirroring the Spark
+    * side's "" text). Ends in (doc_id, n_before, n_after, fp_after). */
+  def sqlExactSubstringScrubFixpoint(table: String, k: Int,
+      minDocs: Int = 2, passes: Int = 3): String = {
+    def passCtes(i: Int, in: String, out: String): String =
+      s"""wins$i AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+           list_aggr(t[i:i+${k - 1}], 'string_agg', ' ') AS kg
+         FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - ${k - 1})) AS i
+               FROM $in WHERE len(t) >= $k)),
+       dup$i AS (SELECT kg FROM wins$i
+         GROUP BY kg HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+       dw$i AS (SELECT doc_id, start, kg FROM wins$i JOIN dup$i USING (kg)),
+       own$i AS (SELECT kg, doc_id AS od, start AS os FROM (
+           SELECT kg, doc_id, start, row_number()
+               OVER (PARTITION BY kg ORDER BY doc_id, start) AS rn
+           FROM dw$i) WHERE rn = 1),
+       cut$i AS (SELECT d.doc_id, d.start FROM dw$i d JOIN own$i o ON d.kg = o.kg
+         WHERE NOT (d.doc_id = o.od AND d.start = o.os)),
+       isl$i AS (SELECT doc_id, start,
+           SUM(CASE WHEN prev IS NULL OR start > prev + $k
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS UNBOUNDED PRECEDING) AS island
+         FROM (SELECT doc_id, start,
+                 lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+               FROM cut$i)),
+       sp$i AS (SELECT doc_id, MIN(start) AS s0, MAX(start) + $k AS s1
+         FROM isl$i GROUP BY doc_id, island),
+       tp$i AS (SELECT doc_id, tok, CAST(i - 1 AS BIGINT) AS pos
+         FROM (SELECT doc_id, unnest(t) AS tok,
+                 unnest(generate_series(1, len(t))) AS i FROM $in)),
+       surv$i AS (SELECT tp.doc_id, tp.tok, tp.pos FROM tp$i tp
+         WHERE NOT EXISTS (SELECT 1 FROM sp$i sp
+           WHERE sp.doc_id = tp.doc_id
+             AND tp.pos >= sp.s0 AND tp.pos < sp.s1)),
+       $out AS (SELECT t0.doc_id, COALESCE(ag.t, []) AS t FROM $in t0
+         LEFT JOIN (SELECT doc_id, list(tok ORDER BY pos) AS t
+                    FROM surv$i GROUP BY 1) ag USING (doc_id))"""
+    val chain = (1 to passes)
+      .map(i => passCtes(i, s"pass${i - 1}", s"pass$i")).mkString(",\n       ")
+    s"""WITH pass0 AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM $table),
+       $chain
+       SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_before,
+         CAST(len(f.t) AS BIGINT) AS n_after,
+         CASE WHEN len(f.t) = 0 THEN 0
+           ELSE ${graft.text.TextFunctions.sqlFingerprint(
+             s"list_aggr(f.t, 'string_agg', ' ')")}
+         END AS fp_after
+       FROM pass0 b JOIN pass$passes f USING (doc_id)"""
   }
 
   /** Oracle twin of [[exactSubstringScrub]]: ends in

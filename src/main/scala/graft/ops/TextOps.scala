@@ -49,6 +49,24 @@ object TextOps {
   def qSubstringScrub(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactSubstringScrub(t(spark, dir, "documents"), SubstringK)
 
+  /** Fixpoint passes for [[qSubstringFixpoint]] — 3 is enough for the
+    * gate corpus to reach the fixed point (second-order duplication
+    * created by pass-1 cuts is scrubbed by pass 2; pass 3 verifies),
+    * and the oracle unrolls exactly this many. */
+  val SubstringFixpointPasses = 3
+
+  /** FIXPOINT substring scrub ([[graft.dedup.Dedup
+    * .exactSubstringScrubFixpoint]], VERDICT r12 #5): the scrub
+    * re-run until no pass removes a token (bounded by
+    * [[SubstringFixpointPasses]]) — catches the second-order
+    * duplication that pass-1 cuts can CREATE (new adjacencies whose
+    * windows were not duplicated before). Oracle = the pass unrolled
+    * the same number of times; early convergence is invisible to it
+    * because an extra pass on a fixed point is the identity. */
+  def qSubstringFixpoint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringScrubFixpoint(t(spark, dir, "documents"),
+      SubstringK, maxPasses = SubstringFixpointPasses)
+
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardSimilarityJoin(t(spark, dir, "documents"), 0.8)
 
@@ -1284,6 +1302,7 @@ object TextOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_substring_scrub" -> (qSubstringScrub _),
+    "q_substring_fixpoint" -> (qSubstringFixpoint _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
@@ -1507,6 +1526,9 @@ object TextOps {
       Dedup.sqlExactSubstringSpans("documents", SubstringK),
     "q_substring_scrub" ->
       Dedup.sqlExactSubstringScrub("documents", SubstringK),
+    "q_substring_fixpoint" ->
+      Dedup.sqlExactSubstringScrubFixpoint("documents", SubstringK,
+        passes = SubstringFixpointPasses),
     "q_dedup_jaccard" ->
       s"""WITH $shinglesCte,
          pairs AS (

@@ -46,7 +46,8 @@ object DevScaleSubstring {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    Seq(100000L, 1000000L).foreach { n =>
+    val kOnly = args.contains("konly")
+    (if (kOnly) Seq.empty[Long] else Seq(100000L, 1000000L)).foreach { n =>
       val docs = corpus(n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       docs.count()
@@ -55,9 +56,49 @@ object DevScaleSubstring {
       val (_, tScrub) = timed(
         graft.dedup.Dedup.exactSubstringScrub(docs, 8)
           .filter(col("n_after") < col("n_before")).count())
+      val (_, tFix) = timed(
+        graft.dedup.Dedup.exactSubstringScrubFixpoint(docs, 8)
+          .filter(col("n_after") < col("n_before")).count())
       docs.unpersist(blocking = true)
       println(f"SUBSTRSCALE n=$n (${n * docLen} tokens) " +
-        f"spans=$tSpans%.1f s ($spans carrier docs) scrub=$tScrub%.1f s")
+        f"spans=$tSpans%.1f s ($spans carrier docs) scrub=$tScrub%.1f s " +
+        f"fixpoint=$tFix%.1f s")
+    }
+
+    // ---- published-k leg (VERDICT r12 #5): the Lee et al. operating
+    // point k≈50 on crawl-length docs. The claim to measure: candidate
+    // mass COLLAPSES as k grows — a 50-token verbatim match is a far
+    // rarer event than an 8-token one, so the duplicated fraction
+    // (the only part that ever carries strings) shrinks, and with it
+    // pass-2 cost. Long-doc corpus: 200-token docs, 5% carriers with
+    // a 60-token planted block (11 duplicated k=50 windows/carrier vs
+    // 53 at k=8).
+    val longLen = 200
+    val longBlock = 60
+    def longCorpus(n: Long) = spark.range(n)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 20 === 0,
+          concat_ws(" ",
+            array_join(transform(sequence(lit(0), lit(longLen - longBlock - 1)),
+              j => concat(lit("u"), col("id") * 1000 + j)), " "),
+            array_join(transform(sequence(lit(0), lit(longBlock - 1)),
+              j => concat(lit("B"), (col("id") % 7) * 1000 + j)), " ")))
+          .otherwise(
+            array_join(transform(sequence(lit(0), lit(longLen - 1)),
+              j => concat(lit("u"), col("id") * 1000 + j)), " "))
+          .as("text"))
+    Seq(100000L).foreach { n =>
+      val docs = longCorpus(n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      Seq(8, 50).foreach { k =>
+        val (mass, tK) = timed(
+          graft.dedup.Dedup.exactSubstringSpans(docs, k)
+            .agg(coalesce(sum(col("n_dup_windows")), lit(0L)))
+            .head().getLong(0))
+        println(f"SUBSTRK n=$n k=$k%-3d wall=$tK%.1f s dup_window_mass=$mass")
+      }
+      docs.unpersist(blocking = true)
     }
     spark.stop()
   }

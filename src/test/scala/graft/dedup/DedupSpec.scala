@@ -57,6 +57,47 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty, "gate corpus should carry cross-doc 8-grams")
   }
 
+  test("fixpoint substring scrub: second-order duplication created by a cut is scrubbed in pass 2; converged result is pass-count invariant") {
+    import graft.text.TextFunctions
+    // k=2. Pass 1: "M N" duplicated (docs 1, 2) -> owner doc 1, cut
+    // from doc 2, leaving "p q r s" — which CREATES the adjacency
+    // "q r", a window that did not exist in doc 2 before the cut.
+    // Pass 2: "q r" duplicated (docs 0, 2) -> owner doc 0, cut from
+    // doc 2, leaving "p s". Pass 3: no duplicated windows remain.
+    // The single-pass operator must stop at "p q r s" (its published
+    // semantics); the fixpoint must reach "p s".
+    val d = docsDf(
+      (0L, "z q r w"),
+      (1L, "M N"),
+      (2L, "p q M N r s"))
+    def fpOf(s: String): Long = spark.range(1).select(
+      TextFunctions.fingerprint(lit(s))).as[Long].collect().head
+    val single = Dedup.exactSubstringScrub(d, k = 2)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(single == Seq(
+      (0L, 4L, 4L, fpOf("z q r w")),
+      (1L, 2L, 2L, fpOf("M N")),
+      (2L, 6L, 4L, fpOf("p q r s"))), single.toString)
+    val fixed = Dedup.exactSubstringScrubFixpoint(d, k = 2, maxPasses = 3)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(fixed == Seq(
+      (0L, 4L, 4L, fpOf("z q r w")),
+      (1L, 2L, 2L, fpOf("M N")),
+      (2L, 6L, 2L, fpOf("p s"))), fixed.toString)
+    // pass-count invariance past convergence (the oracle-parity
+    // argument: extra passes on a fixed point are the identity)
+    val more = Dedup.exactSubstringScrubFixpoint(d, k = 2, maxPasses = 5)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(more == fixed)
+    // corpus determinism under re-partitioning (suite discipline)
+    val big = docs.select(col("doc_id"), col("text"))
+    val a = Dedup.exactSubstringScrubFixpoint(big, 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val b = Dedup.exactSubstringScrubFixpoint(big.repartition(13), 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("exact substring scrub: first occurrence kept, others cut; scrubbed text fingerprint-exact") {
     import graft.text.TextFunctions
     // doc 1 owns "p q r s" (lowest (doc_id, start)); docs 2 and 5
