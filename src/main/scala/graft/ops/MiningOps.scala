@@ -86,6 +86,37 @@ object MiningOps {
     }
   }
 
+  /** Forget predicate for [[qBm25Merge]]'s shard A — hits BOTH the
+    * shard's base (%4==0 ∩ %3==0) and its extent (%4==2 ∩ %3==0), so
+    * the merge provably applies tombstones from each storage class. */
+  private val Bm25MergeForgetPred = "doc_id % 2 = 0 AND doc_id % 3 = 0"
+
+  /** SHARD-MERGE of independently built lexical indexes (VERDICT r12
+    * #6 — build shards in parallel, then serve ONE index): shard A =
+    * evens with its own grow lifecycle (base %4==0, admitted extent
+    * %4==2, forget [[Bm25MergeForgetPred]]), shard B = odds (plain
+    * base). [[graft.text.PostingsIndex.merge]] folds live rows +
+    * stats and applies A's tombstones; the merged index serves the
+    * union. Live universe = all docs minus the forgotten evens
+    * (doc_id % 6 != 0) — the oracle replays brute-force BM25 over
+    * exactly that set, proving merged ≡ monolithic. */
+  def qBm25Merge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (a, b, out) = ("graft_q_bm25_merge_a", "graft_q_bm25_merge_b",
+      "graft_q_bm25_merge_out")
+    graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 4 === 0), a)
+    graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 2 === 1), b)
+    graft.api.Materialize.withTempRoot("graft_q_bm25_merge") { root =>
+      graft.text.PostingsIndex.admit(spark, a, root,
+        docs.filter(col("doc_id") % 4 === 2), 0L)
+      graft.text.PostingsIndex.forget(spark, root,
+        docs.filter(expr(Bm25MergeForgetPred)).select(col("doc_id")), 100L)
+      graft.text.PostingsIndex.merge(spark,
+        Seq(a -> Some(root), b -> None), out)
+      graft.text.PostingsIndex.search(spark, out, bm25QuerySet(docs), Bm25K)
+    }
+  }
+
   /** Right-to-be-forgotten on the lexical index: base (%3==0) +
     * batch 1 (%3==1) admitted, then every indexed doc with
     * doc_id%5==0 is forgotten (tombstones only — no rewrite), then
@@ -587,6 +618,7 @@ object MiningOps {
     "q_bm25_index" -> (qBm25Index _),
     "q_bm25_grow" -> (qBm25Grow _),
     "q_bm25_forget" -> (qBm25Forget _),
+    "q_bm25_merge" -> (qBm25Merge _),
     "q_bm25_compact" -> (qBm25Compact _),
     "q_bm25_compact_tiered" -> (qBm25CompactTiered _),
     "q_bm25_phrase" -> (qBm25Phrase _),
@@ -647,6 +679,9 @@ object MiningOps {
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
     "q_bm25_forget" -> Retrieval.sqlBm25TopKLive(
       s"doc_id % 3 < 2 AND NOT ($Bm25ForgetPred)",
+      s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
+    "q_bm25_merge" -> Retrieval.sqlBm25TopKLive(
+      "doc_id % 6 <> 0",
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
     "q_bm25_compact" -> Retrieval.sqlBm25TopKLive(
       s"(doc_id % 3 < 2 AND NOT ($Bm25ForgetPred)) OR doc_id % 3 = 2",

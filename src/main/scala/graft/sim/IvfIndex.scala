@@ -154,6 +154,59 @@ object IvfIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** MERGE independently-built IVF shards into one served index
+    * (VERDICT r12 #6 — build shards in parallel, serve one). The
+    * merged index adopts the FIRST shard's trained quantizer: cell
+    * geometry is serving state and two geometries cannot both
+    * survive — this is the frozen-quantizer admission contract
+    * extended across shards. Every other shard's LIVE vectors
+    * (base + extents, tombstone-masked) re-assign to the primary
+    * cells — the same narrow pass [[admit]] runs per batch — and the
+    * union re-buckets once; the primary's centroid table copies
+    * over. Grow state is CONSUMED (applied physically, like
+    * [[compact]]); [[retrain]] on the merged index re-learns
+    * geometry from the union when drift warrants it.
+    *
+    * Equivalence contract (IvfIndexSpec): search(merged) ≡
+    * searchGrown(primary shard with every other shard's live vectors
+    * admitted as extents) — identical candidates and ranking,
+    * because both sides quantize with the primary geometry.
+    *
+    * 100 TB posture: one narrow assignment projection over the
+    * non-primary shards + one bucketed shuffle over the union — the
+    * cost of [[write]] minus the k-means training pass, which is
+    * what sharding parallelized. */
+  def merge(spark: SparkSession, shards: Seq[(String, Option[String])],
+      outTable: String, buckets: Int = 16): Unit = {
+    require(shards.nonEmpty, "merge needs at least one shard")
+    require(!shards.exists(_._1 == outTable),
+      "merge target must not be one of the shards")
+    val cells = loadCentroids(spark, shards.head._1)
+    def live(tbl: String, grow: Option[String]): DataFrame = {
+      val ts = grow.flatMap(g => tombstones(spark, g))
+      val parts = Seq(spark.table(tbl)) ++ grow.toSeq.collect {
+        case g if dirExists(spark, extentPath(g)) =>
+          spark.read.schema(extSchema(spark, tbl))
+            .parquet(extentPath(g)).drop("batch_id")
+      }
+      val all = parts.reduce(_ unionByName _)
+      ts.fold(all)(t => all.join(t, Seq("vec_id"), "left_anti"))
+    }
+    val primary = live(shards.head._1, shards.head._2)
+    val reassigned = shards.tail.map { case (tbl, grow) =>
+      live(tbl, grow).drop("cell")
+        .select(col("*"), NearestCell.nearestCell(col("embedding"), cells).as("cell"))
+    }
+    Seq(outTable, s"${outTable}_centroids")
+      .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
+    spark.table(s"${shards.head._1}_centroids")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${outTable}_centroids")
+    graft.api.Bucketing.writeBucketed(
+      (Seq(primary) ++ reassigned).reduce(_ unionByName _),
+      outTable, Seq("cell"), buckets)
+  }
+
   /** Top-k cosine search against base + every admitted extent. Same
     * ranking contract as [[search]]; with no extents the two are
     * plan-identical.

@@ -122,6 +122,64 @@ object PostingsIndex {
     Seq(table, docsTable(table), statsTable(table))
       .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
 
+  /** MERGE independently-built shards into ONE served index (VERDICT
+    * r12 #6 — the distributed build story: shard the corpus, build
+    * each shard's index in parallel with its own write/admit/forget
+    * lifecycle, then fold the shards into a single serving index).
+    * Each shard contributes its LIVE rows — base + extents,
+    * tombstone-masked — and the merged base re-buckets once; stats
+    * recompute exactly from the merged doc side. Grow state is
+    * CONSUMED by the merge (applied physically, like [[compact]]):
+    * the merged index starts with no grow dirs, and per-shard
+    * batch-id replay contracts reset with it.
+    *
+    * Equivalence contract (q_bm25_merge oracle + PostingsIndexSpec):
+    * search(merged) ≡ search(monolithic [[write]] over the union of
+    * the shards' live corpora) — exact, because the whole BM25 state
+    * is (postings, doc lengths, corpus stats) and all three fold
+    * losslessly. Caller contract: doc_ids unique ACROSS shards (the
+    * corpus-wide id discipline the index already requires).
+    *
+    * 100 TB posture: one bucketed shuffle over the union of the
+    * postings sides and one over the doc sides — the cost of
+    * [[write]] WITHOUT the tokenize pass, which is exactly the pass
+    * that sharding parallelized away. */
+  def merge(spark: SparkSession, shards: Seq[(String, Option[String])],
+      outTable: String, buckets: Int = 16): Unit = {
+    require(shards.nonEmpty, "merge needs at least one shard")
+    require(!shards.exists(_._1 == outTable),
+      "merge target must not be one of the shards")
+    def live(tbl: String, grow: Option[String]): (DataFrame, DataFrame) = {
+      val ts = grow.flatMap(g => tombstones(spark, g))
+      val post = Seq(spark.table(tbl)) ++ grow.toSeq.collect {
+        case g if dirExists(spark, postingsPath(g)) =>
+          spark.read.schema(PostingsExtSchema)
+            .parquet(postingsPath(g)).drop("batch_id")
+      }
+      val docsSide = Seq(spark.table(docsTable(tbl))) ++ grow.toSeq.collect {
+        case g if dirExists(spark, docsPath(g)) =>
+          spark.read.schema(DocsExtSchema)
+            .parquet(docsPath(g)).drop("batch_id")
+      }
+      def mask(df: DataFrame) =
+        ts.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+      (mask(post.reduce(_ unionByName _)), mask(docsSide.reduce(_ unionByName _)))
+    }
+    val parts = shards.map { case (tbl, grow) => live(tbl, grow) }
+    Seq(outTable, docsTable(outTable), statsTable(outTable))
+      .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
+    graft.api.Bucketing.writeBucketed(
+      parts.map(_._1).reduce(_ unionByName _), outTable, Seq("tok"), buckets)
+    graft.api.Bucketing.writeBucketed(
+      parts.map(_._2).reduce(_ unionByName _),
+      docsTable(outTable), Seq("doc_id"), buckets)
+    spark.table(docsTable(outTable))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(statsTable(outTable))
+  }
+
   private def dirExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -315,4 +315,61 @@ class IvfIndexSpec extends SparkSpec {
       "ivf_rt_fresh_centroids").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("merge: shards adopt the primary quantizer; == searchGrown over primary + others admitted; lifecycle composes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    // shard A (PRIMARY): evens base + %4==1 extent + deletes %10==0
+    // (hits A's base); shard B: %4==3, plain, its own quantizer
+    IvfIndex.write(emb.filter(col("vec_id") % 2 === 0), "ivf_mrg_a",
+      nlist = 16, iterations = 3)
+    IvfIndex.write(emb.filter(col("vec_id") % 4 === 3), "ivf_mrg_b",
+      nlist = 8, iterations = 2)
+    val growA = java.nio.file.Files.createTempDirectory("ivf_mrg_a").toString
+    IvfIndex.admit(spark, "ivf_mrg_a", growA,
+      emb.filter(col("vec_id") % 4 === 1), 0L)
+    IvfIndex.delete(spark, growA,
+      emb.filter(col("vec_id") % 10 === 0).select(col("vec_id")), 1L)
+    IvfIndex.merge(spark,
+      Seq("ivf_mrg_a" -> Some(growA), "ivf_mrg_b" -> None), "ivf_mrg_out")
+    // reference: the SAME geometry serving the same live union — B's
+    // live vectors admitted onto shard A (frozen-quantizer admission)
+    val growRef = java.nio.file.Files.createTempDirectory("ivf_mrg_ref").toString
+    IvfIndex.admit(spark, "ivf_mrg_a", growRef,
+      emb.filter(col("vec_id") % 4 === 1), 0L)
+    IvfIndex.admit(spark, "ivf_mrg_a", growRef,
+      emb.filter(col("vec_id") % 4 === 3), 1L)
+    IvfIndex.delete(spark, growRef,
+      emb.filter(col("vec_id") % 10 === 0).select(col("vec_id")), 2L)
+    val merged = IvfIndex.search(spark, "ivf_mrg_out", queries, 5)
+      .orderBy("qid", "rk").collect().toSeq
+    val reference = IvfIndex.searchGrown(spark, "ivf_mrg_a", growRef,
+      queries, 5).orderBy("qid", "rk").collect().toSeq
+    assert(merged == reference)
+    assert(merged.nonEmpty)
+    // the merged index holds exactly the live union, the primary's
+    // centroids, and no deleted ids
+    import spark.implicits._
+    val held = spark.table("ivf_mrg_out").select("vec_id")
+      .as[Long].collect().toSet
+    val wantLive = emb.filter(
+      (col("vec_id") % 2 === 0 || col("vec_id") % 4 === 1 ||
+        col("vec_id") % 4 === 3) && col("vec_id") % 10 =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(held == wantLive)
+    assert(spark.table("ivf_mrg_out_centroids").orderBy("cid").collect().toSeq ==
+      spark.table("ivf_mrg_a_centroids").orderBy("cid").collect().toSeq)
+    // lifecycle on the merged index: a later admission composes
+    val growM = java.nio.file.Files.createTempDirectory("ivf_mrg_m").toString
+    val extra = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"),
+        col("label"))
+    IvfIndex.admit(spark, "ivf_mrg_out", growM, extra, 0L)
+    val grownAfter = IvfIndex.searchGrown(spark, "ivf_mrg_out", growM,
+      queries, 5).orderBy("qid", "rk").collect().toSeq
+    assert(grownAfter.nonEmpty)
+    Seq("ivf_mrg_a", "ivf_mrg_a_centroids", "ivf_mrg_b",
+      "ivf_mrg_b_centroids", "ivf_mrg_out", "ivf_mrg_out_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

@@ -361,4 +361,51 @@ class PostingsIndexSpec extends SparkSpec {
     assert(rows(PostingsIndex.searchGrown(spark, table, root, q, 3)) == first)
     cleanup(table)
   }
+
+  test("merge: shards (incl. grow state) fold into one index == monolithic write over the live union; lifecycle composes (merge -> admit -> forget -> compactTiered)") {
+    val q = queries(docs)
+    // shard A: base %4==0, extent %4==2, forget evens with %3==0
+    // (hits both A's base and A's extent); shard B: odds, plain
+    PostingsIndex.write(docs.filter(col("doc_id") % 4 === 0), "pidx_mrg_a")
+    PostingsIndex.write(docs.filter(col("doc_id") % 2 === 1), "pidx_mrg_b")
+    val rootA = java.nio.file.Files.createTempDirectory("pidx_mrg_a").toString
+    PostingsIndex.admit(spark, "pidx_mrg_a", rootA,
+      docs.filter(col("doc_id") % 4 === 2), 0L)
+    PostingsIndex.forget(spark, rootA,
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0)
+        .select(col("doc_id")), 100L)
+    PostingsIndex.merge(spark,
+      Seq("pidx_mrg_a" -> Some(rootA), "pidx_mrg_b" -> None), "pidx_mrg_out")
+    // == a monolithic index built from the live union in one shot
+    val live = docs.filter(col("doc_id") % 6 =!= 0)
+    PostingsIndex.write(live, "pidx_mrg_mono")
+    val merged = rows(PostingsIndex.search(spark, "pidx_mrg_out", q, 3))
+    assert(merged == rows(PostingsIndex.search(spark, "pidx_mrg_mono", q, 3)))
+    assert(merged == rows(Retrieval.bm25TopK(live, q, 3)))
+    assert(merged.nonEmpty)
+    // the merged stats folded exactly (n_docs + total_toks)
+    import spark.implicits._
+    val gotStats = spark.table(PostingsIndex.statsTable("pidx_mrg_out"))
+      .as[(Long, Long)].collect().head
+    val wantStats = spark.table(PostingsIndex.statsTable("pidx_mrg_mono"))
+      .as[(Long, Long)].collect().head
+    assert(gotStats == wantStats)
+    // lifecycle on the MERGED index: admit a small batch (under the
+    // tiered threshold), forget a few, tiered-compact, search — must
+    // equal brute force over the final live set
+    val rootM = java.nio.file.Files.createTempDirectory("pidx_mrg_m").toString
+    PostingsIndex.admit(spark, "pidx_mrg_out", rootM,
+      docs.filter(col("doc_id") % 12 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")), 0L)
+    PostingsIndex.forget(spark, rootM,
+      live.filter(col("doc_id") % 7 === 1).select(col("doc_id")), 101L)
+    PostingsIndex.compactTiered(spark, "pidx_mrg_out", rootM)
+    val finalLive = live.filter(col("doc_id") % 7 =!= 1).unionByName(
+      docs.filter(col("doc_id") % 12 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    assert(rows(PostingsIndex.searchGrown(spark, "pidx_mrg_out", rootM, q, 3)) ==
+      rows(Retrieval.bm25TopK(finalLive, q, 3)))
+    Seq("pidx_mrg_a", "pidx_mrg_b", "pidx_mrg_out", "pidx_mrg_mono")
+      .foreach(cleanup)
+  }
 }
