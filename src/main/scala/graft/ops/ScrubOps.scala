@@ -47,6 +47,46 @@ object ScrubOps {
         sum(col("m")).as("n_nums"), sum(col("fp")).as("fp_sum"))
   }
 
+  /** PII families beyond email (VERDICT r12 #7): phone-shaped,
+    * IPv4-shaped, and Luhn-checked card-like spans over a
+    * deterministically planted fixture (corpus text carries ZERO
+    * digits — probed — so the plant fully controls the candidates,
+    * ≤1 card per doc, which the single-candidate oracle replays
+    * exactly; the multi-candidate fold is ScrubSpec-pinned). Bands:
+    * phone (m=0), IPv4 (m=1), Luhn-VALID card from a fixed literal
+    * set (m=2), Luhn-INVALID card-shaped run that must NOT redact
+    * (m=3), and negatives — date / version / short id — that no
+    * family may touch (m=4). fp_sum pins replacement placement. */
+  def qPiiFamilies(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 5
+    val planted = concat(col("text"), when(m === 0,
+        concat(lit(" call +1 "),
+          lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+          lit(" 555 "),
+          lpad((col("doc_id") % 9000 + 1000).cast("string"), 4, "0")))
+      .when(m === 1,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."),
+          (call_function("div", col("doc_id"), lit(7L)) % 256).cast("string")))
+      .when(m === 2,
+        concat(lit(" card "),
+          when(col("doc_id") % 3 === 0, lit("4111111111111111"))
+            .when(col("doc_id") % 3 === 1, lit("4539 1488 0343 6467"))
+            .otherwise(lit("5500 0055 5555 5559"))))
+      .when(m === 3, lit(" acct 4111111111111112"))
+      .otherwise(lit(" on 2026-08-15 v1.2.3 build 12345")))
+    val (phones, ips, shaped, valid) = Scrub.piiFamilyCounts(planted)
+    t(spark, dir, "documents")
+      .select(col("lang"), phones.cast("long").as("p"),
+        ips.cast("long").as("i"), shaped.cast("long").as("cs"),
+        valid.cast("long").as("cv"),
+        fingerprint(Scrub.redactPiiFamilies(planted)).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_phones"),
+        sum(col("i")).as("n_ipv4"), sum(col("cs")).as("n_cards_shaped"),
+        sum(col("cv")).as("n_cards_valid"), sum(col("fp")).as("fp_sum"))
+  }
+
   /** Token-budget subsetting: cap every source at 1000 tokens,
     * admitting docs in deterministic hash order. */
   def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
@@ -93,6 +133,7 @@ object ScrubOps {
     "q_span_scrub" -> (qSpanScrub _),
     "q_self_scrub" -> (qSelfScrub _),
     "q_pii_redact" -> (qPiiRedact _),
+    "q_pii_families" -> (qPiiFamilies _),
     "q_token_budget" -> (qTokenBudget _),
     "q_pca_power" -> (qPcaPower _),
     "q_pca_second" -> (qPcaSecond _),
@@ -109,6 +150,30 @@ object ScrubOps {
            CAST(SUM(${Scrub.sqlEmailCount("pt")}) AS BIGINT) AS n_emails,
            CAST(SUM(${Scrub.sqlNumberCount("pt")}) AS BIGINT) AS n_nums,
            CAST(SUM(${sqlFingerprint(Scrub.sqlRedactPii("pt"))}) AS BIGINT) AS fp_sum
+         FROM p GROUP BY lang"""
+    },
+    "q_pii_families" -> {
+      val pt =
+        """text || (CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN ' call +1 '
+              || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+              || ' 555 '
+              || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+            WHEN 1 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+            WHEN 2 THEN ' card ' || (CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN '4111111111111111'
+              WHEN 1 THEN '4539 1488 0343 6467'
+              ELSE '5500 0055 5555 5559' END)
+            WHEN 3 THEN ' acct 4111111111111112'
+            ELSE ' on 2026-08-15 v1.2.3 build 12345' END)"""
+      s"""WITH p AS (SELECT lang, $pt AS pt FROM documents)
+         SELECT lang, COUNT(1) AS n_docs,
+           CAST(SUM(${Scrub.sqlPhoneCount("pt")}) AS BIGINT) AS n_phones,
+           CAST(SUM(${Scrub.sqlIpv4Count("pt")}) AS BIGINT) AS n_ipv4,
+           CAST(SUM(${Scrub.sqlCardShapedCount("pt")}) AS BIGINT) AS n_cards_shaped,
+           CAST(SUM(${Scrub.sqlCardValidCount("pt")}) AS BIGINT) AS n_cards_valid,
+           CAST(SUM(${sqlFingerprint(Scrub.sqlRedactPiiFamiliesOne("pt"))}) AS BIGINT) AS fp_sum
          FROM p GROUP BY lang"""
     },
     "q_token_budget" ->

@@ -213,6 +213,107 @@ object Scrub {
     s"""len(regexp_extract_all(
         regexp_replace($textExpr, '$EmailPattern', '<email>', 'g'), '$NumberPattern'))"""
 
+  /** PII families beyond email (VERDICT r12 #7): phone-shaped,
+    * IPv4-shaped, and Luhn-CHECKED card-like spans. Patterns stay in
+    * the Java/RE2 common subset (char classes, bounded repetition,
+    * alternation, \b — no backrefs, no lookaround), so both engines
+    * match identical spans; the Luhn verdict is integer arithmetic
+    * over the candidate's digits (per-position fold), replayed
+    * bit-for-bit by the oracle. SHAPED ≠ SENSITIVE is the point:
+    * a card-shaped run that fails Luhn is NOT redacted (dates,
+    * build ids, version strings never match the shapes at all —
+    * ScrubSpec pins the negative cases).
+    *
+    * Scope (documented, not silent): phone = international
+    * "+C[C] NNN NNN NNNN" or US "(NNN) NNN-NNNN" — the two
+    * delimiter-anchored shapes that do not collide with dates/ids;
+    * IPv4 = four 1-3 digit octets (shape only, no 0-255 range
+    * check); card = 4-4-4-4 groups (space/dash) or a bare 13-19
+    * digit run, redacted only when the Luhn checksum passes. */
+  val PhonePattern =
+    "\\+[0-9]{1,2} [0-9]{3} [0-9]{3} [0-9]{4}|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val CardPattern =
+    "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b|\\b[0-9]{13,19}\\b"
+
+  /** Luhn checksum verdict for one card-shaped candidate (separators
+    * stripped first): sum from the right, every 2nd digit doubled
+    * (−9 when >9), valid ⟺ total % 10 == 0. Pure integer fold —
+    * engine-exact. */
+  def luhnValid(cand: Column): Column = {
+    val s = regexp_replace(cand, "[- ]", "")
+    val n = length(s)
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      val d = (ascii(s.substr(n - i + 1, lit(1))) - lit(48)).cast("long")
+      val dd = when(pmod(i, lit(2)) === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + dd
+    })
+    pmod(total, lit(10L)) === 0
+  }
+
+  /** SQL twin of [[luhnValid]] over a digits-only expression. */
+  private def sqlLuhnValidDigits(dExpr: String): String = {
+    val dig = s"(ascii(substr($dExpr, length($dExpr) - i + 1, 1)) - 48)"
+    s"""(list_aggregate(list_transform(range(1, length($dExpr) + 1),
+         i -> CASE WHEN i % 2 = 0 THEN
+                CASE WHEN 2 * $dig > 9 THEN 2 * $dig - 9 ELSE 2 * $dig END
+              ELSE $dig END), 'sum') % 10 = 0)"""
+  }
+  def sqlLuhnValid(candExpr: String): String =
+    sqlLuhnValidDigits(s"regexp_replace($candExpr, '[- ]', '', 'g')")
+
+  /** Family counts on the raw text (the shapes are mutually
+    * non-overlapping by construction: phone digit groups are ≤4
+    * long, IPv4 octets ≤3, cards ≥13 or 4-grouped):
+    * (phones, ipv4, cards_shaped, cards_luhn_valid). */
+  def piiFamilyCounts(text: Column): (Column, Column, Column, Column) = {
+    val cands = regexp_extract_all(text, lit(CardPattern), lit(0))
+    (regexp_count(text, lit(PhonePattern)),
+      regexp_count(text, lit(Ipv4Pattern)),
+      size(cands),
+      size(filter(cands, luhnValid _)))
+  }
+
+  /** Redact the families: Luhn-VALID cards first (literal fold —
+    * replacing a longer span before the phone/IP passes can touch
+    * it), then phone and IPv4 shapes. A shaped-but-invalid card is
+    * left intact by design. */
+  def redactPiiFamilies(text: Column): Column = {
+    val validCards = filter(
+      regexp_extract_all(text, lit(CardPattern), lit(0)), luhnValid _)
+    val cardsDone = aggregate(validCards, text,
+      (acc, c) => call_function("replace", acc, c, lit("<card>")))
+    regexp_replace(
+      regexp_replace(cardsDone, PhonePattern, "<phone>"),
+      Ipv4Pattern, "<ip>")
+  }
+
+  def sqlPhoneCount(textExpr: String): String =
+    s"len(regexp_extract_all($textExpr, '$PhonePattern'))"
+  def sqlIpv4Count(textExpr: String): String =
+    s"len(regexp_extract_all($textExpr, '$Ipv4Pattern'))"
+  def sqlCardShapedCount(textExpr: String): String =
+    s"len(regexp_extract_all($textExpr, '$CardPattern'))"
+  def sqlCardValidCount(textExpr: String): String =
+    s"""len(list_filter(regexp_extract_all($textExpr, '$CardPattern'),
+        c -> ${sqlLuhnValid("c")}))"""
+
+  /** Oracle twin of [[redactPiiFamilies]] for texts carrying AT MOST
+    * ONE card candidate (the gate fixture's case — corpus text holds
+    * zero digits, probed; the general multi-candidate fold is
+    * spec-pinned in ScrubSpec): conditionally literal-replace the
+    * first candidate, then the regex families. */
+  def sqlRedactPiiFamiliesOne(textExpr: String): String = {
+    val cand = s"regexp_extract($textExpr, '$CardPattern')"
+    s"""regexp_replace(regexp_replace(
+         (CASE WHEN $cand <> '' AND ${sqlLuhnValid(cand)}
+           THEN replace($textExpr, $cand, '<card>') ELSE $textExpr END),
+         '$PhonePattern', '<phone>', 'g'),
+         '$Ipv4Pattern', '<ip>', 'g')"""
+  }
+
   /** Token-budget subsetting: admit documents per group (source) in
     * deterministic hash order until the group's token budget is
     * reached — how a training mix caps an over-represented domain at

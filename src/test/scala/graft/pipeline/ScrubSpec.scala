@@ -92,6 +92,34 @@ class ScrubSpec extends SparkSpec {
     assert(row.getAs[Int]("m") == 1)
   }
 
+  test("PII families: phone/IPv4/card shapes match, Luhn gates card redaction, negatives stay intact") {
+    def run(s: String): (String, Int, Int, Int, Int) = {
+      val d = Seq(s).toDF("text")
+      val (p, i, cs, cv) = Scrub.piiFamilyCounts(col("text"))
+      val row = d.select(Scrub.redactPiiFamilies(col("text")).as("r"),
+        p.as("p"), i.as("i"), cs.as("cs"), cv.as("cv")).head
+      (row.getAs[String]("r"), row.getAs[Int]("p"), row.getAs[Int]("i"),
+        row.getAs[Int]("cs"), row.getAs[Int]("cv"))
+    }
+    // each family redacts its shape
+    assert(run("call +1 415 555 0134 now") == ("call <phone> now", 1, 0, 0, 0))
+    assert(run("or (415) 555-0134 x") == ("or <phone> x", 1, 0, 0, 0))
+    assert(run("host 192.168.10.1 up") == ("host <ip> up", 0, 1, 0, 0))
+    // Luhn-valid cards redact, in both grouped and bare layouts
+    assert(run("pay 4111111111111111 ok") == ("pay <card> ok", 0, 0, 1, 1))
+    assert(run("pay 4539 1488 0343 6467 ok") == ("pay <card> ok", 0, 0, 1, 1))
+    // shaped but Luhn-INVALID: counted as shaped, NOT redacted
+    assert(run("acct 4111111111111112 ok") ==
+      ("acct 4111111111111112 ok", 0, 0, 1, 0))
+    // multi-candidate fold: two valid cards + one invalid in ONE text
+    assert(run("a 4111111111111111 b 6011111111111117 c 4111111111111112 d") ==
+      ("a <card> b <card> c 4111111111111112 d", 0, 0, 3, 2))
+    // negatives: dates, versions, short ids, 5-digit zips, sub-13
+    // digit runs — no family may touch them
+    val neg = "on 2026-08-15 v1.2.3 build 12345 zip 94110 id 123456789012"
+    assert(run(neg) == (neg, 0, 0, 0, 0))
+  }
+
   test("selfScrub and redactPii run unchanged on an unbounded frame") {
     // both are pure per-row expressions; the scaladoc claims they
     // stream — prove it end-to-end on a MemoryStream
