@@ -69,6 +69,10 @@ object Lsm {
     * readers ignore it if a listing ever sweeps the staging root). */
   val PlanFile = "_swap_plan.txt"
 
+  /** Canonical staging root of a grow path — shared by every
+    * family's compactTiered and by [[recover]] callers. */
+  def stagingRoot(growPath: String): String = growPath + "/_tiered_staging"
+
   /** Test-only fault injection: called with a label after each
     * sub-step of the swap; a throwing failpoint simulates a crash in
     * exactly that window (LsmRecoverySpec). Production no-op. */

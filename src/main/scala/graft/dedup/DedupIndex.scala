@@ -438,6 +438,12 @@ object DedupIndex {
     * batches lose their replay partitions). */
   def compactTiered(spark: SparkSession, table: String, growPath: String,
       buckets: Int = 16, maxExtentFraction: Double = 0.2): Unit = {
+    // AUTO-RECOVER first (r13): re-running compactTiered is the
+    // natural operator response to a crash, but staging over a
+    // HALF-SWAPPED index would consolidate inconsistent state — an
+    // interrupted generation must finish before a new one stages
+    // (no-op when there is nothing to recover)
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     val hasExt = dirExists(spark, extentBandsPath(growPath))
     if (!hasExt) return compact(spark, table, growPath, buckets)
     val extSv = spark.read.schema(extSvSchema)
@@ -446,7 +452,7 @@ object DedupIndex {
     val extN = extSv.count()
     if (baseN <= 0 || extN.toDouble / baseN >= maxExtentFraction)
       return compact(spark, table, growPath, buckets)
-    val staging = growPath + "/_tiered_staging"
+    val staging = graft.api.Lsm.stagingRoot(growPath)
     val ts = tombstonesFor(spark, growPath)
     val extBands = spark.read.schema(extBandsSchema)
       .parquet(extentBandsPath(growPath)).drop("batch_id")

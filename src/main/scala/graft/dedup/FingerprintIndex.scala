@@ -231,6 +231,12 @@ object FingerprintIndex {
     * threshold delegates to [[compact]]. Same caller contract. */
   def compactTiered(spark: SparkSession, table: String, growPath: String,
       buckets: Int = 16, maxExtentFraction: Double = 0.2): Unit = {
+    // AUTO-RECOVER first (r13): re-running compactTiered is the
+    // natural operator response to a crash, but staging over a
+    // HALF-SWAPPED index would consolidate inconsistent state — an
+    // interrupted generation must finish before a new one stages
+    // (no-op when there is nothing to recover)
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     val hasExt = dirExists(spark, extentPath(growPath))
     if (!hasExt) return compact(spark, table, growPath, buckets)
     val ext = spark.read.schema(extSchema)
@@ -239,7 +245,7 @@ object FingerprintIndex {
     val extN = ext.count()
     if (baseN <= 0 || extN.toDouble / baseN >= maxExtentFraction)
       return compact(spark, table, growPath, buckets)
-    val staging = growPath + "/_tiered_staging"
+    val staging = graft.api.Lsm.stagingRoot(growPath)
     val ts = tombstonesFor(spark, growPath)
     ts.fold(ext)(t => ext.join(t, Seq("id"), "left_anti"))
       .write.mode("overwrite").parquet(staging + "/fbands")

@@ -306,6 +306,12 @@ object IvfIndex {
     * table is the template; documented trade, review r12 #9). */
   def compactTiered(spark: SparkSession, table: String, growPath: String,
       buckets: Int = 16, maxExtentFraction: Double = 0.2): Unit = {
+    // AUTO-RECOVER first (r13): re-running compactTiered is the
+    // natural operator response to a crash, but staging over a
+    // HALF-SWAPPED index would consolidate inconsistent state — an
+    // interrupted generation must finish before a new one stages
+    // (no-op when there is nothing to recover)
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     val hasExt = dirExists(spark, extentPath(growPath))
     if (!hasExt) return compact(spark, table, growPath, buckets)
     val ext = spark.read.schema(extSchema(spark, table))
@@ -314,7 +320,7 @@ object IvfIndex {
     val extN = ext.count()
     if (baseN <= 0 || extN.toDouble / baseN >= maxExtentFraction)
       return compact(spark, table, growPath, buckets)
-    val staging = growPath + "/_tiered_staging"
+    val staging = graft.api.Lsm.stagingRoot(growPath)
     val ts = tombstones(spark, growPath)
     ts.fold(ext)(t => ext.join(t, Seq("vec_id"), "left_anti"))
       .write.mode("overwrite").parquet(staging + "/cells")

@@ -492,6 +492,12 @@ object PostingsIndex {
     * with admissions/forgets. */
   def compactTiered(spark: SparkSession, table: String, growPath: String,
       buckets: Int = 16, maxExtentFraction: Double = 0.2): Unit = {
+    // AUTO-RECOVER first (r13): re-running compactTiered is the
+    // natural operator response to a crash, but staging over a
+    // HALF-SWAPPED index would consolidate inconsistent state — an
+    // interrupted generation must finish before a new one stages
+    // (no-op when there is nothing to recover)
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     val hasExt = dirExists(spark, postingsPath(growPath))
     if (!hasExt) {
       // no extents: nothing to consolidate; any tombstones touch only
@@ -507,7 +513,7 @@ object PostingsIndex {
     if (baseDocs <= 0 || extDeltas.toDouble / baseDocs >= maxExtentFraction)
       return compact(spark, table, growPath, buckets)
 
-    val staging = growPath + "/_tiered_staging"
+    val staging = graft.api.Lsm.stagingRoot(growPath)
     val ts = tombstones(spark, growPath)
     val extPostings = spark.read.schema(PostingsExtSchema)
       .parquet(postingsPath(growPath)).drop("batch_id")

@@ -143,4 +143,37 @@ class LsmRecoverySpec extends SparkSpec {
     assert(!Lsm.recover(spark,
       java.nio.file.Files.createTempDirectory("lsmrec_empty").toString + "/nope"))
   }
+
+  test("re-running compactTiered after a crash AUTO-recovers before staging (the natural operator response is safe)") {
+    // without the entry-point recover, a re-run would stage a new
+    // generation from HALF-SWAPPED state (e.g. postings already
+    // consolidated, docs extents still per-batch) and consolidate
+    // inconsistent stats
+    def setup(table: String): String = {
+      PostingsIndex.write(docs.filter(col("doc_id") % 10 < 8), table)
+      val root = java.nio.file.Files.createTempDirectory(table).toString
+      PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 10 === 8), 0L)
+      PostingsIndex.forget(spark, root,
+        docs.filter(col("doc_id") % 10 < 9 && col("doc_id") % 4 === 0)
+          .select(col("doc_id")), 100L)
+      root
+    }
+    val q = queries(docs)
+    val rootA = setup("lsmrec_auto_a")
+    PostingsIndex.compactTiered(spark, "lsmrec_auto_a", rootA)
+    val rootB = setup("lsmrec_auto_b")
+    armCrash("extent_deleted:", nth = 2)
+    try {
+      intercept[InjectedCrash] {
+        PostingsIndex.compactTiered(spark, "lsmrec_auto_b", rootB)
+      }
+    } finally disarm()
+    // no explicit recover: just run the compaction again
+    PostingsIndex.compactTiered(spark, "lsmrec_auto_b", rootB)
+    assert(rows(PostingsIndex.searchGrown(spark, "lsmrec_auto_b", rootB, q, 3)) ==
+      rows(PostingsIndex.searchGrown(spark, "lsmrec_auto_a", rootA, q, 3)))
+    PostingsIndex.drop(spark, "lsmrec_auto_a")
+    PostingsIndex.drop(spark, "lsmrec_auto_b")
+  }
 }
