@@ -329,6 +329,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_grow" -> "1-row folded-stats frame broadcast into the score projection (served-index path)",
     "q_bm25_forget" -> "1-row folded-stats frame broadcast into the score projection (served-index path)",
     "q_bm25_compact" -> "1-row folded-stats frame broadcast into the score projection (served-index path)",
+    "q_bm25_merge" -> "1-row folded-stats frame broadcast into the score projection (served-index path over the merged shards)",
     "q_bm25_compact_tiered" -> "1-row folded-stats frame broadcast into the score projection (served-index path)",
     "q_hybrid_retrieval" -> "inherits both legs' bounded shapes: the q_knn_brute query-set broadcast and the q_bm25_topk 1-row stats frame",
     "q_hybrid_ivf" -> "inherits the q_bm25_topk 1-row stats frame (the dense leg is the keyed IVF probe)",
