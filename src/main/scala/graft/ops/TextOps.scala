@@ -330,7 +330,8 @@ object TextOps {
         lit("</p><footer>&copy; 2026 corp</footer></body></html>")))
       .when(docId % 5 === 1, concat(
         lit("<div class=\"main\">"), rep(text, " and ", " &amp; "),
-        lit("</div><script type=\"text/javascript\">var n = 1; while (n < 9) { n = n + 1; }</script>" +
+        lit(" <a href=\"/more\">read more here</a></div>" +
+          "<script type=\"text/javascript\">var n = 1; while (n < 9) { n = n + 1; }</script>" +
           "<noscript>enable js</noscript>")))
       .when(docId % 5 === 2, concat(
         lit("<ul>\n  <li>"), rep(text, " the ", "</li>\n  <li>"),
@@ -350,7 +351,7 @@ object TextOps {
         || $id || '</h1><p>' || replace($textExpr, '. ', '.</p><p>')
         || '</p><footer>&copy; 2026 corp</footer></body></html>'
       WHEN 1 THEN '<div class="main">' || replace($textExpr, ' and ', ' &amp; ')
-        || '</div><script type="text/javascript">var n = 1; while (n < 9) { n = n + 1; }</script><noscript>enable js</noscript>'
+        || ' <a href="/more">read more here</a></div><script type="text/javascript">var n = 1; while (n < 9) { n = n + 1; }</script><noscript>enable js</noscript>'
       WHEN 2 THEN '<ul>' || chr(10) || '  <li>'
         || replace($textExpr, ' the ', '</li>' || chr(10) || '  <li>')
         || '</li>' || chr(10) || '</ul>' || chr(10)
@@ -397,7 +398,9 @@ object TextOps {
       .select(col("doc_id"),
         nTokens(col("flat")).cast("long").as("n_tokens"),
         HtmlExtract.boilerplatePpm(col("raw"), col("flat"))
-          .as("boilerplate_ppm"))
+          .as("boilerplate_ppm"),
+        HtmlExtract.linkDensityPpm(col("raw"), col("flat"))
+          .as("link_density_ppm"))
   }
 
   /** Banned 3-token phrases for [[qBlocklist]] — two that occur in
@@ -1941,7 +1944,9 @@ object TextOps {
       s"""SELECT doc_id,
            CAST(len(string_split(flat, ' ')) AS BIGINT) AS n_tokens,
            ${graft.text.HtmlExtract.sqlBoilerplatePpm("raw", "flat")}
-             AS boilerplate_ppm
+             AS boilerplate_ppm,
+           ${graft.text.HtmlExtract.sqlLinkDensityPpm("raw", "flat")}
+             AS link_density_ppm
          FROM (SELECT doc_id, raw,
              replace(${graft.text.HtmlExtract.sqlCleanText("raw")},
                chr(10), ' ') AS flat

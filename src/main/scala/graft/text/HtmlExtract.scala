@@ -70,10 +70,17 @@ object HtmlExtract {
     * out script must not drop live text), whole blocks before tag
     * stripping, entities after tag stripping (so `&lt;p&gt;` in text
     * never becomes a strippable tag — the anti-double-decode order),
-    * `&amp;` LAST (the standard rule), whitespace last of all. */
-  val Steps: Seq[Step] =
+    * `&amp;` LAST (the standard rule), whitespace last of all.
+    * Split in two on purpose: [[PreSteps]] (comments + dropped
+    * blocks) is also the stage the LINK-DENSITY signal reads — an
+    * anchor inside chrome (nav/footer) must not count toward a
+    * document's link mass, it is already boilerplate. */
+  val PreSteps: Seq[Step] =
     Seq(Rx("(?s)<!--.*?-->", " ")) ++
-    DroppedBlocks.map(t => Rx(s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", " ")) ++
+    DroppedBlocks.map(t => Rx(s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", " "))
+
+  val Steps: Seq[Step] =
+    PreSteps ++
     Seq(
       Rx("(?i)<br\\s*/?\\s*>", "\n"),
       Rx(s"(?is)</(?:${BlockTags.mkString("|")})\\s*>", "\n"),
@@ -133,6 +140,42 @@ object HtmlExtract {
     s"""(CASE WHEN length($rawExpr) = 0 THEN 0
          ELSE CAST((length($rawExpr) - length($cleanExpr)) AS BIGINT)
            * 1000000 // length($rawExpr) END)"""
+
+  /** Link density (the classic boilerpipe signal): anchor-TEXT mass
+    * as ppm of the cleaned prose mass. Anchors are read AFTER the
+    * [[PreSteps]] stage — chrome anchors (nav/footer menus) are
+    * already gone and must not count — and each anchor's inner
+    * markup strips with two light passes (tags → space, whitespace
+    * collapse + trim); entities count as written (documented measure
+    * — the density is a ratio signal, not a byte-exact transform,
+    * but both engines compute the IDENTICAL integer ppm). A page of
+    * prose scores near 0; a link farm approaches 1e6. */
+  def linkDensityPpm(html: Column, clean: Column): Column = {
+    val body = PreSteps.foldLeft(html) {
+      case (c, Rx(p, r))  => regexp_replace(c, p, r)
+      case (c, Lit(f, t)) => call_function("replace", c, lit(f), lit(t))
+    }
+    val anchors = regexp_extract_all(body,
+      lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1))
+    val mass = aggregate(anchors, lit(0L), (acc, a) =>
+      acc + length(trim(regexp_replace(regexp_replace(a,
+        "(?s)<[!/]?[a-zA-Z][^>]*>", " "), "\\s+", " "))).cast("long"))
+    call_function("div", mass * lit(1000000L),
+      greatest(length(clean).cast("long"), lit(1L)))
+  }
+
+  def sqlLinkDensityPpm(htmlExpr: String, cleanExpr: String): String = {
+    val body = PreSteps.foldLeft(htmlExpr) {
+      case (e, Rx(p, r))  => s"regexp_replace($e, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
+      case (e, Lit(f, t)) => s"replace($e, ${sqlLit(f)}, ${sqlLit(t)})"
+    }
+    val strip = "trim(regexp_replace(regexp_replace(a, " +
+      "'(?s)<[!/]?[a-zA-Z][^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"""CAST(coalesce(list_aggregate(list_transform(
+          regexp_extract_all($body, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
+          a -> CAST(length($strip) AS BIGINT)), 'sum'), 0) * 1000000
+        // greatest(CAST(length($cleanExpr) AS BIGINT), 1) AS BIGINT)"""
+  }
 
   /** Paragraph count of a cleaned string: newline count + 1, 0 when
     * empty (blank paragraphs were already dropped by the fold). */

@@ -82,6 +82,29 @@ class HtmlExtractSpec extends SparkSpec {
     assert(allChrome == 1000000L)
   }
 
+  test("link density: chrome anchors don't count, body anchors do, link farms max out") {
+    def ld(html: String): Long = {
+      val df = Seq(html).toDF("h")
+        .withColumn("c", HtmlExtract.cleanText(col("h")))
+      df.select(HtmlExtract.linkDensityPpm(col("h"), col("c")).as("d"))
+        .as[Long].collect().head
+    }
+    // pure prose: zero
+    assert(ld("<p>ten tokens of plain prose with no links at all</p>") == 0L)
+    // nav/footer anchors are chrome — already dropped, zero density
+    assert(ld("<nav><a href=\"/\">home</a><a href=\"/a\">about</a></nav><p>prose body here</p>") == 0L)
+    // a body anchor counts: clean = "read the docs now" (17 chars),
+    // anchor text = "read the docs" (13) -> 13e6 div 17
+    assert(ld("<p><a href=\"/d\">read the docs</a> now</p>") == 13000000L / 17)
+    // link farm: everything inside anchors -> density ~1e6 (anchor
+    // mass == clean mass up to the separator space)
+    val farm = "<p><a href=\"/1\">aaa</a> <a href=\"/2\">bbb</a></p>"
+    assert(ld(farm) == 6000000L / 7)
+    // nested markup inside the anchor strips before measuring
+    assert(ld("<p><a href=\"/x\"><b>bold</b> link</a> tail</p>") ==
+      9000000L / 14)
+  }
+
   test("br and whitespace chaos collapse; blank paragraphs drop") {
     assert(clean("a<br>b<br/>c<br />d") == "a\nb\nc\nd")
     assert(clean("<p></p>\n\n<p>  x  </p>\t<p> </p>") == "x")
