@@ -36,24 +36,29 @@ object Lsm {
     *      extent rows were already applied is a no-op: every masking
     *      anti-join and the DISTINCT'd stats corrections are
     *      duplicate- and stray-tolerant).
-    *   2. Each extent directory swaps: old batch partitions deleted,
-    *      consolidated partition renamed in — every delete/rename
-    *      CHECKED (`require`), so a filesystem refusal fails loudly
-    *      instead of leaving a silent half-swap.
-    *   3. Old tombstone partitions are removed LAST, only after every
-    *      extent swap committed — forgotten ids stay masked while any
-    *      pre-consolidation extent rows can still exist.
+    *   2. Each extent directory swaps: the batch partitions the plan
+    *      RECORDED at stage time deleted, consolidated partition
+    *      renamed in — every delete/rename CHECKED (`require`), so a
+    *      filesystem refusal fails loudly instead of leaving a
+    *      silent half-swap.
+    *   3. The recorded old tombstone partitions are removed LAST,
+    *      only after every extent swap committed — forgotten ids
+    *      stay masked while any pre-consolidation extent rows can
+    *      still exist.
     *
-    * CRASH RECOVERY (VERDICT r12 #4 — the residual window is now
-    * closed by machinery, not a comment): before the first move, the
-    * full swap plan (extent moves, survivors, tombstone dir) is
-    * persisted as `_swap_plan.txt` INSIDE `stagingRoot`; every move
-    * below is guarded by staged-side existence, so the sequence is
-    * idempotent; and [[recover]] replays it from the plan file. A
-    * crash in ANY window therefore has a mechanical finisher:
-    * `recover(spark, growPath + "/_tiered_staging")` completes the
-    * interrupted generation (or no-ops if the swap never started or
-    * already finished — the plan file lives and dies with the
+    * CRASH RECOVERY (VERDICT r12 #4): before the first move, the
+    * full swap plan — including, PER DIRECTORY, the exact batch
+    * partitions this generation consumed (review r13: a replay must
+    * never delete a batch that was admitted or forgotten AFTER the
+    * crash; the recorded sets make deletion precise instead of
+    * delete-everything) — is persisted ATOMICALLY (temp file +
+    * rename, `end` terminator) as `_swap_plan.txt` INSIDE
+    * `stagingRoot`; every move below is guarded by staged-side
+    * existence, so the sequence is idempotent; and [[recover]]
+    * replays it. A crash in ANY window therefore has a mechanical
+    * finisher: `recover(spark, Lsm.stagingRoot(growPath))` completes
+    * the interrupted generation (or no-ops if the swap never started
+    * or already finished — the plan file lives and dies with the
     * staging root, which is deleted only after the whole swap
     * succeeds). Tombstone masking is never lost in any window. */
   def swapConsolidated(spark: SparkSession, stagingRoot: String,
@@ -61,8 +66,19 @@ object Lsm {
       tombstoneDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(stagingRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    writePlan(fs, stagingRoot, extentMoves, survivors, tombstoneDir)
-    performSwap(fs, stagingRoot, extentMoves, survivors, tombstoneDir)
+    // record, per directory, the partitions that exist NOW — the
+    // generation being consolidated. Replay deletes exactly these.
+    def recorded(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("batch_id=") &&
+          n != s"batch_id=$ConsolidatedBatchId").toSeq.sorted
+    }
+    val moves = extentMoves.map { case (s, f) => (s, f, recorded(f)) }
+    val tombRecorded = recorded(tombstoneDir)
+    writePlan(fs, stagingRoot, moves, survivors, tombstoneDir, tombRecorded)
+    performSwap(fs, stagingRoot, moves, survivors, tombstoneDir, tombRecorded)
   }
 
   /** Name of the persisted swap plan (underscore-prefixed: Spark's
@@ -78,27 +94,42 @@ object Lsm {
     * exactly that window (LsmRecoverySpec). Production no-op. */
   private[graft] var failpoint: String => Unit = _ => ()
 
+  /** Plan persistence is ATOMIC (review r13): written to a temp
+    * name, fsync'd on close, then renamed over the final name, with
+    * an `end` terminator line — a crash mid-write can never leave a
+    * half-plan under [[PlanFile]], so [[recover]] either sees a
+    * complete plan or (plan absent ⇒ no move ever ran) nothing. */
   private def writePlan(fs: org.apache.hadoop.fs.FileSystem,
-      stagingRoot: String, extentMoves: Seq[(String, String)],
-      survivors: Option[String], tombstoneDir: String): Unit = {
-    val body = (Seq("v1", tombstoneDir, survivors.getOrElse("-")) ++
-      extentMoves.map { case (s, f) => s"$s\t$f" }).mkString("\n")
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(stagingRoot, PlanFile), true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+      stagingRoot: String, moves: Seq[(String, String, Seq[String])],
+      survivors: Option[String], tombstoneDir: String,
+      tombRecorded: Seq[String]): Unit = {
+    val body = (Seq("v2", tombstoneDir, survivors.getOrElse("-"),
+      "T:" + tombRecorded.mkString(",")) ++
+      moves.map { case (s, f, rec) => s"E:$s\t$f\t${rec.mkString(",")}" } ++
+      Seq("end")).mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(stagingRoot, PlanFile + ".tmp")
+    val fin = new org.apache.hadoop.fs.Path(stagingRoot, PlanFile)
+    fs.delete(tmp, false); fs.delete(fin, false)
+    val out = fs.create(tmp, true)
+    try { out.write(body.getBytes("UTF-8")); out.hsync() }
+    finally out.close()
+    require(fs.rename(tmp, fin), s"could not commit swap plan $fin")
   }
 
   /** Replay an interrupted swap from the persisted plan. Returns
     * true if a plan was found and completed, false if there was
-    * nothing to recover (no staging root / no plan — either the
-    * compaction never reached the swap, in which case re-running
-    * compactTiered restages from scratch, or the swap already
-    * finished and removed the root). Idempotent: safe to call again
-    * after a crash DURING recovery. */
+    * nothing to recover: no staging root / no committed plan —
+    * either the compaction never reached the swap (a leftover
+    * `.tmp` from a crash mid-plan-write is deleted here: the plan
+    * commit precedes every move, so no move can have run), in which
+    * case re-running compactTiered restages from scratch, or the
+    * swap already finished and removed the root. Idempotent: safe
+    * to call again after a crash DURING recovery. */
   def recover(spark: SparkSession, stagingRoot: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(stagingRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val plan = new org.apache.hadoop.fs.Path(stagingRoot, PlanFile)
+    fs.delete(new org.apache.hadoop.fs.Path(stagingRoot, PlanFile + ".tmp"), false)
     if (!fs.exists(plan)) return false
     val in = fs.open(plan)
     val body = try {
@@ -109,25 +140,37 @@ object Lsm {
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
     val lines = body.split("\n").toSeq
-    require(lines.headOption.contains("v1"),
-      s"unrecognized swap plan version in $stagingRoot: ${lines.headOption}")
+    require(lines.headOption.contains("v2") && lines.lastOption.contains("end"),
+      s"unrecognized or torn swap plan in $stagingRoot " +
+        s"(header=${lines.headOption}, terminator=${lines.lastOption}) — " +
+        "plans are committed atomically, so this file was written by " +
+        "something else; refusing to replay it")
     val tombstoneDir = lines(1)
     val survivors = Option(lines(2)).filter(_ != "-")
-    val extentMoves = lines.drop(3).filter(_.nonEmpty).map { l =>
-      val Array(s, f) = l.split("\t"); (s, f)
+    def names(csv: String): Seq[String] =
+      csv.split(",").toSeq.filter(_.nonEmpty)
+    val tombRecorded = names(lines(3).stripPrefix("T:"))
+    val moves = lines.drop(4).dropRight(1).filter(_.nonEmpty).map { l =>
+      l.stripPrefix("E:").split("\t", -1) match {
+        case Array(s, f, rec) => (s, f, names(rec))
+        case Array(s, f)      => (s, f, Seq.empty[String])
+      }
     }
-    performSwap(fs, stagingRoot, extentMoves, survivors, tombstoneDir)
+    performSwap(fs, stagingRoot, moves, survivors, tombstoneDir, tombRecorded)
     true
   }
 
   /** The guarded, idempotent move sequence — shared by the live swap
     * and [[recover]]'s replay. Every step keys on the STAGED side's
     * existence: a step whose staged input is gone already completed
-    * in a previous attempt and is skipped; steps 3/4 are naturally
-    * re-runnable. */
+    * in a previous attempt and is skipped; deletions touch ONLY the
+    * partitions the plan recorded (+ swap-internal names), so
+    * batches admitted or forgotten between a crash and its recovery
+    * survive the replay untouched (review r13). */
   private def performSwap(fs: org.apache.hadoop.fs.FileSystem,
-      stagingRoot: String, extentMoves: Seq[(String, String)],
-      survivors: Option[String], tombstoneDir: String): Unit = {
+      stagingRoot: String, moves: Seq[(String, String, Seq[String])],
+      survivors: Option[String], tombstoneDir: String,
+      tombRecorded: Seq[String]): Unit = {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     def rm(d: String): Unit =
       require(!fs.exists(p(d)) || fs.delete(p(d), true),
@@ -137,15 +180,8 @@ object Lsm {
       require(fs.rename(p(from), p(to)),
         s"tiered compaction: could not rename $from -> $to")
     }
-    def rmOldPartitions(dir: String): Unit =
-      if (fs.exists(p(dir)))
-        fs.listStatus(p(dir)).map(_.getPath)
-          .filter { c =>
-            c.getName.startsWith("batch_id=") &&
-              c.getName != s"batch_id=$ConsolidatedBatchId"
-          }
-          .foreach(c => require(fs.delete(c, true),
-            s"tiered compaction: could not delete $c"))
+    def rmRecorded(dir: String, rec: Seq[String]): Unit =
+      rec.foreach(n => rm(s"$dir/$n"))
     // 1. survivors in, additively (mask superset from here on). A
     // previous consolidation's partition renames ASIDE first (still
     // readable — any batch_id=* partition is), never deleted before
@@ -157,10 +193,10 @@ object Lsm {
     // superset invariant never depends on the aside copy). On replay,
     // a missing staged-survivors dir means this step already
     // committed (the mv is the step's atom) — skip.
+    val aside = s"$tombstoneDir/batch_id=${ConsolidatedBatchId - 1}"
     survivors.filter(s => fs.exists(p(s))).foreach { s =>
       val cons = s"$tombstoneDir/batch_id=$ConsolidatedBatchId"
       if (fs.exists(p(cons))) {
-        val aside = s"$tombstoneDir/batch_id=${ConsolidatedBatchId - 1}"
         rm(aside)
         mv(cons, aside)
         failpoint("survivors_aside")
@@ -169,19 +205,27 @@ object Lsm {
       failpoint("survivors_moved")
     }
     // 2. extent swaps, checked; staged-gone means this extent's swap
-    // already committed in a previous attempt (the mv is last)
-    extentMoves.filter { case (staged, _) => fs.exists(p(staged)) }
-      .foreach { case (staged, finalDir) =>
-        rmOldPartitions(finalDir)
+    // already committed in a previous attempt (the mv is last).
+    // Deletions are the RECORDED partitions only — a batch admitted
+    // after a crash is not part of this generation and must survive.
+    moves.filter { case (staged, _, _) => fs.exists(p(staged)) }
+      .foreach { case (staged, finalDir, rec) =>
+        rmRecorded(finalDir, rec)
         rm(s"$finalDir/batch_id=$ConsolidatedBatchId")
         failpoint(s"extent_deleted:$finalDir")
         mv(staged, s"$finalDir/batch_id=$ConsolidatedBatchId")
         failpoint(s"extent_moved:$finalDir")
       }
-    // 3. old tombstone partitions out, LAST; if nothing survived the
-    // whole directory goes
-    if (survivors.isDefined) rmOldPartitions(tombstoneDir)
-    else rm(tombstoneDir)
+    // 3. the recorded old tombstone partitions (and the swap-internal
+    // aside) out, LAST; tombstones forgotten after a crash are not in
+    // the recorded set and stay. If the directory is now empty —
+    // nothing survived and nothing new arrived — it goes entirely
+    // (the fresh-swap "no survivors" semantics).
+    rmRecorded(tombstoneDir, tombRecorded)
+    rm(aside)
+    if (fs.exists(p(tombstoneDir)) &&
+        fs.listStatus(p(tombstoneDir)).isEmpty)
+      rm(tombstoneDir)
     failpoint("tombstones_cleaned")
     // 4. staging root (and the plan file with it) gone = swap done
     rm(stagingRoot)

@@ -696,16 +696,22 @@ object Dedup {
     * re-groups candidates BY THE STRING, so a hash collision can
     * never create a false duplicate. */
   private def substringDupWindows(docs: DataFrame, k: Int,
-      minDocs: Int): (DataFrame, DataFrame) = {
+      minDocs: Int): (DataFrame, Seq[DataFrame]) = {
     val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted too (review r13): winsFp feeds BOTH the dup-hash
+    // aggregate and the candidate semi-join probe side — without the
+    // cache the O(corpus_windows) explode + per-window hash would
+    // run twice. 24 B/row (doc_id, start, fp), far smaller than the
+    // old per-window kg strings this layout replaced.
     val winsFp = toks
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("t")) - k),
         i => xxhash64(slice(col("t"), i + 1, lit(k)))))
         .as(Seq("start", "fp")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupFp = winsFp.groupBy(col("fp"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs).select(col("fp"))
@@ -720,7 +726,7 @@ object Dedup {
       .filter(col("nd") >= minDocs).select(col("kg"))
     (cand.join(dupKg, Seq("kg"), "left_semi")
       .select(col("doc_id"), col("start"), col("kg")),
-      toks)
+      Seq(winsFp, toks))
   }
 
   /** Gaps-and-islands merge of window starts into maximal covered
@@ -749,7 +755,7 @@ object Dedup {
         .agg(sum(col("n_w")).as("n_dup_windows"),
           count(lit(1)).as("n_spans"),
           sum(col("s1") - col("s0")).as("covered_tokens")),
-      Seq(cached))
+      cached)
   }
 
   /** EXACT SUBSTRING SCRUB — the REMOVAL half of the Lee et al.
@@ -806,7 +812,7 @@ object Dedup {
           when(coalesce(col("n_after"), lit(0L)) === 0L, lit(0L))
             .otherwise(graft.text.TextFunctions.fingerprint(col("scrubbed")))
             .as("fp_after")),
-      Seq(cached))
+      cached)
   }
 
   /** One text-to-text scrub pass (the [[exactSubstringScrub]] cut
@@ -815,7 +821,7 @@ object Dedup {
     * for a fully-cut doc. Returns the frame plus the cached
     * projection to release. */
   private def scrubPassText(docs: DataFrame, k: Int,
-      minDocs: Int): (DataFrame, DataFrame) = {
+      minDocs: Int): (DataFrame, Seq[DataFrame]) = {
     val (dupWins, cached) = substringDupWindows(docs, k, minDocs)
     val owner = dupWins.groupBy(col("kg"))
       .agg(min(struct(col("doc_id"), col("start"))).as("o"))
@@ -878,7 +884,7 @@ object Dedup {
         .agg(coalesce(sum(when(length(col("text")) === 0, 0L)
           .otherwise(size(tokens(col("text"))).cast("long"))), lit(0L)))
         .head().getLong(0)
-      cached.unpersist()
+      cached.foreach(_.unpersist())
       curPersisted.foreach(_.unpersist())
       curPersisted = Some(nextP)
       converged = nextToks == curToks

@@ -220,10 +220,14 @@ object DedupIndex {
     * to a FIXED tombstone state; extents (guarded by batch_id) are
     * bit-identical on replay regardless. */
   def forget(spark: SparkSession, growPath: String, ids: DataFrame,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // finish any interrupted tiered swap FIRST (review r13) — see
+    // the admit-side comment
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     ids.select(col("doc_id").cast("long").as("doc_id"))
       .write.mode("overwrite")
       .parquet(s"${tombstonePath(growPath)}/batch_id=$batchId")
+  }
 
   private def tombstonesFor(spark: SparkSession,
       growPath: String): Option[DataFrame] =
@@ -291,6 +295,11 @@ object DedupIndex {
   def flagAndAdmit(spark: SparkSession, table: String, growPath: String,
       batch: DataFrame, batchId: Long, sinkPath: String,
       threshold: Double = 0.5): Unit = {
+    // finish any interrupted tiered swap FIRST (review r13): a
+    // mutation landing between a crash and its recovery must not be
+    // built on half-swapped state, and — with the plan's recorded
+    // partition sets — can never be deleted by a later replay
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     // normalize the id type so extents always union cleanly with the
     // base tables (and the explicit extent read schemas)
     val signed = Dedup.signedBands(

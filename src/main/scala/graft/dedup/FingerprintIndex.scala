@@ -64,10 +64,14 @@ object FingerprintIndex {
     * retroactively on sink replay (privacy erasure must not resurrect
     * forgotten pairs). */
   def forget(spark: SparkSession, growPath: String, ids: DataFrame,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // finish any interrupted tiered swap FIRST (review r13) — see
+    // the flagAndAdmit-side comment
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     ids.select(col("id").cast("long").as("id"))
       .write.mode("overwrite")
       .parquet(s"${tombstonePath(growPath)}/batch_id=$batchId")
+  }
 
   private def tombstonesFor(spark: SparkSession,
       growPath: String): Option[DataFrame] =
@@ -139,6 +143,11 @@ object FingerprintIndex {
   def flagAndAdmit(spark: SparkSession, table: String, growPath: String,
       batchFps: DataFrame, idCol: String, fpCol: String, bits: Int,
       maxHamming: Int, batchId: Long, sinkPath: String): Unit = {
+    // finish any interrupted tiered swap FIRST (review r13): a
+    // mutation landing between a crash and its recovery must not be
+    // built on half-swapped state, and — with the plan's recorded
+    // partition sets — can never be deleted by a later replay
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     val delta = bandRows(batchFps, idCol, fpCol, bits, maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

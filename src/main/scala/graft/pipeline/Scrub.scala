@@ -276,15 +276,32 @@ object Scrub {
       size(filter(cands, luhnValid _)))
   }
 
-  /** Redact the families: Luhn-VALID cards first (literal fold —
-    * replacing a longer span before the phone/IP passes can touch
-    * it), then phone and IPv4 shapes. A shaped-but-invalid card is
-    * left intact by design. */
+  /** Redact the families: Luhn-VALID cards first (before the
+    * phone/IP passes can touch their digits), then phone and IPv4
+    * shapes. A shaped-but-invalid card is left intact by design.
+    *
+    * Card replacement is BOUNDARY-GUARDED (review r13): a bare
+    * literal replace of a valid candidate would also rewrite that
+    * digit string where it appears INSIDE a longer, Luhn-invalid run
+    * elsewhere in the text — corrupting a span the contract says
+    * must stay intact. Each candidate replaces via the regex
+    * `(^|[^0-9])cand([^0-9]|$)` (candidates contain only digits,
+    * spaces and dashes — regex-literal characters), keeping the
+    * boundary characters. Because the trailing boundary character is
+    * CONSUMED by a match (no lookaround in the RE2/Java common
+    * subset), back-to-back candidates separated by one character can
+    * leave every second occurrence unreplaced in one sweep — so the
+    * fold runs TWICE: after pass one, every leftover is adjacent to
+    * a replacement token (a non-digit), and pass two catches it.
+    * Both engines apply the identical two passes. */
   def redactPiiFamilies(text: Column): Column = {
     val validCards = filter(
       regexp_extract_all(text, lit(CardPattern), lit(0)), luhnValid _)
-    val cardsDone = aggregate(validCards, text,
-      (acc, c) => call_function("replace", acc, c, lit("<card>")))
+    def guardedPass(t: Column): Column = aggregate(validCards, t,
+      (acc, c) => regexp_replace(acc,
+        concat(lit("(^|[^0-9])"), c, lit("([^0-9]|$)")),
+        lit("$1<card>$2")))
+    val cardsDone = guardedPass(guardedPass(text))
     regexp_replace(
       regexp_replace(cardsDone, PhonePattern, "<phone>"),
       Ipv4Pattern, "<ip>")
@@ -307,9 +324,18 @@ object Scrub {
     * first candidate, then the regex families. */
   def sqlRedactPiiFamiliesOne(textExpr: String): String = {
     val cand = s"regexp_extract($textExpr, '$CardPattern')"
+    // the same boundary-guarded, twice-applied replacement as the
+    // Spark side (one candidate here, so one application suffices —
+    // the second is the identity — but the GUARD semantics must
+    // match: a candidate nested inside a longer digit run elsewhere
+    // stays intact)
+    def pass(e: String): String =
+      s"""(CASE WHEN $cand <> '' AND ${sqlLuhnValid(cand)}
+           THEN regexp_replace($e, '(^|[^0-9])' || $cand || '([^0-9]|${"$"})',
+                '\\1<card>\\2', 'g')
+           ELSE $e END)"""
     s"""regexp_replace(regexp_replace(
-         (CASE WHEN $cand <> '' AND ${sqlLuhnValid(cand)}
-           THEN replace($textExpr, $cand, '<card>') ELSE $textExpr END),
+         ${pass(pass(textExpr))},
          '$PhonePattern', '<phone>', 'g'),
          '$Ipv4Pattern', '<ip>', 'g')"""
   }

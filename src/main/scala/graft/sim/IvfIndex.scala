@@ -114,10 +114,14 @@ object IvfIndex {
     * (never corpus-sized), so the anti-join side stays small and AQE
     * broadcasts it from runtime stats; no hard hint. */
   def delete(spark: SparkSession, growPath: String, ids: DataFrame,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // finish any interrupted tiered swap FIRST (review r13) — see
+    // the admit-side comment
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     ids.select(col("vec_id").cast("long").as("vec_id"))
       .write.mode("overwrite")
       .parquet(s"${tombstonePath(growPath)}/batch_id=$batchId")
+  }
 
   private def tombstones(spark: SparkSession, growPath: String): Option[DataFrame] =
     if (dirExists(spark, tombstonePath(growPath)))
@@ -141,6 +145,11 @@ object IvfIndex {
     * metadata...); the cell column is computed here. */
   def admit(spark: SparkSession, table: String, growPath: String,
       batch: DataFrame, batchId: Long): Unit = {
+    // finish any interrupted tiered swap FIRST (review r13): a
+    // mutation landing between a crash and its recovery must not be
+    // built on half-swapped state, and — with the plan's recorded
+    // partition sets — can never be deleted by a later replay
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     val cells = loadCentroids(spark, table)
     batch.select(col("*"),
         NearestCell.nearestCell(col("embedding"), cells).as("cell"))
@@ -514,6 +523,11 @@ object IvfIndex {
     * (the tombstone dir is shared across both index kinds). */
   def admitInt8(spark: SparkSession, table: String, growPath: String,
       batch: DataFrame, batchId: Long): Unit = {
+    // finish any interrupted tiered swap FIRST (review r13): a
+    // mutation landing between a crash and its recovery must not be
+    // built on half-swapped state, and — with the plan's recorded
+    // partition sets — can never be deleted by a later replay
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     val cells = loadCentroids(spark, table)
     val coded = graft.sim.Quantize.withInt8Codes(batch)
       .withColumn("normq",

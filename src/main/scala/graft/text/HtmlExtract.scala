@@ -79,6 +79,11 @@ object HtmlExtract {
     Seq(Rx("(?s)<!--.*?-->", " ")) ++
     DroppedBlocks.map(t => Rx(s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", " "))
 
+  /** The generic well-formed-tag pattern — shared by the step table
+    * and the link-density anchor strip (one constant, review r13:
+    * the file's whole discipline is that the twins cannot drift). */
+  val TagStrip = "(?s)<[!/]?[a-zA-Z][^>]*>"
+
   val Steps: Seq[Step] =
     PreSteps ++
     Seq(
@@ -87,7 +92,7 @@ object HtmlExtract {
       // every remaining well-formed tag (open, close, DOCTYPE) → a
       // space; a bare '<' in prose (e.g. "a < b") survives because
       // the pattern requires a letter or !// after it
-      Rx("(?s)<[!/]?[a-zA-Z][^>]*>", " "),
+      Rx(TagStrip, " "),
       Lit("&nbsp;", " "),
       Lit("&lt;", "<"),
       Lit("&gt;", ">"),
@@ -159,7 +164,7 @@ object HtmlExtract {
       lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1))
     val mass = aggregate(anchors, lit(0L), (acc, a) =>
       acc + length(trim(regexp_replace(regexp_replace(a,
-        "(?s)<[!/]?[a-zA-Z][^>]*>", " "), "\\s+", " "))).cast("long"))
+        TagStrip, " "), "\\s+", " "))).cast("long"))
     call_function("div", mass * lit(1000000L),
       greatest(length(clean).cast("long"), lit(1L)))
   }
@@ -170,7 +175,7 @@ object HtmlExtract {
       case (e, Lit(f, t)) => s"replace($e, ${sqlLit(f)}, ${sqlLit(t)})"
     }
     val strip = "trim(regexp_replace(regexp_replace(a, " +
-      "'(?s)<[!/]?[a-zA-Z][^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+      s"'$TagStrip', ' ', 'g'), '\\s+', ' ', 'g'))"
     s"""CAST(coalesce(list_aggregate(list_transform(
           regexp_extract_all($body, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
           a -> CAST(length($strip) AS BIGINT)), 'sum'), 0) * 1000000

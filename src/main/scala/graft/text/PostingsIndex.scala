@@ -212,6 +212,11 @@ object PostingsIndex {
     * batch's own partitions is a rebirth and is rejected. */
   def admit(spark: SparkSession, table: String, growPath: String,
       batch: DataFrame, batchId: Long): Unit = {
+    // finish any interrupted tiered swap FIRST (review r13): a
+    // mutation landing between a crash and its recovery must not be
+    // built on half-swapped state, and — with the plan's recorded
+    // partition sets — can never be deleted by a later replay
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     tombstones(spark, growPath).foreach { ts =>
       val ownParts = Seq(
         (s"${docsPath(growPath)}/batch_id=$batchId", "doc_id LONG, dl LONG"),
@@ -253,10 +258,14 @@ object PostingsIndex {
     * indexed documents — a stray id is benign (every correction joins
     * against the index by id, so it contributes nothing). */
   def forget(spark: SparkSession, growPath: String, ids: DataFrame,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // finish any interrupted tiered swap FIRST (review r13) — see
+    // the admit-side comment
+    graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(growPath))
     ids.select(col("doc_id").cast("long").as("doc_id"))
       .write.mode("overwrite")
       .parquet(s"${tombstonePath(growPath)}/batch_id=$batchId")
+  }
 
   /** BM25 top-k against the base index only (no growth dirs). Same
     * contract as [[Retrieval.bm25TopK]] over the indexed corpus:

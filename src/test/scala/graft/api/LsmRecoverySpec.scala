@@ -144,6 +144,53 @@ class LsmRecoverySpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("lsmrec_empty").toString + "/nope"))
   }
 
+  test("replay precision: a tombstone batch landing between crash and recovery survives the replay (recorded-set deletion)") {
+    // review r13: the plan records WHICH partitions the generation
+    // consumed; replay deletes exactly those — a forget that lands
+    // after the crash (here written directly, bypassing the mutators'
+    // own auto-recover) must stay masked after recovery
+    def setup(table: String): String = {
+      PostingsIndex.write(docs.filter(col("doc_id") % 10 < 8), table)
+      val root = java.nio.file.Files.createTempDirectory(table).toString
+      PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 10 === 8), 0L)
+      PostingsIndex.forget(spark, root,
+        docs.filter(col("doc_id") % 10 < 9 && col("doc_id") % 4 === 0)
+          .select(col("doc_id")), 100L)
+      root
+    }
+    val q = queries(docs)
+    val lateForget = docs
+      .filter(col("doc_id") % 10 < 9 && col("doc_id") % 4 =!= 0 &&
+        col("doc_id") % 7 === 1)
+      .select(col("doc_id"))
+    // twin A: clean compaction, then the same late forget via the API
+    val rootA = setup("lsmrec_prec_a")
+    PostingsIndex.compactTiered(spark, "lsmrec_prec_a", rootA)
+    PostingsIndex.forget(spark, rootA, lateForget, 999L)
+    // twin B: crash mid-swap, tombstone batch lands RAW (no recover),
+    // then mechanical recovery
+    val rootB = setup("lsmrec_prec_b")
+    armCrash("extent_deleted:", nth = 2)
+    try {
+      intercept[InjectedCrash] {
+        PostingsIndex.compactTiered(spark, "lsmrec_prec_b", rootB)
+      }
+    } finally disarm()
+    lateForget.write.mode("overwrite")
+      .parquet(s"${PostingsIndex.tombstonePath(rootB)}/batch_id=999")
+    assert(Lsm.recover(spark, Lsm.stagingRoot(rootB)))
+    val a = rows(PostingsIndex.searchGrown(spark, "lsmrec_prec_a", rootA, q, 3))
+    val b = rows(PostingsIndex.searchGrown(spark, "lsmrec_prec_b", rootB, q, 3))
+    assert(b == a, "post-crash tombstones must survive the replay")
+    // and the late-forgotten ids really are masked (non-vacuous)
+    import spark.implicits._
+    val lateIds = lateForget.as[Long].collect().toSet
+    assert(lateIds.nonEmpty && b.forall(r => !lateIds.contains(r._2)))
+    PostingsIndex.drop(spark, "lsmrec_prec_a")
+    PostingsIndex.drop(spark, "lsmrec_prec_b")
+  }
+
   test("re-running compactTiered after a crash AUTO-recovers before staging (the natural operator response is safe)") {
     // without the entry-point recover, a re-run would stage a new
     // generation from HALF-SWAPPED state (e.g. postings already

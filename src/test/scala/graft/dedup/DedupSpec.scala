@@ -158,16 +158,23 @@ class DedupSpec extends SparkSpec {
     val expected = Dedup.minhashLshPairs(docs, 0.5)
       .select("da", "db").as[(Long, Long)].collect().toSet
     spark.catalog.clearCache()
-    val base = spark.sparkContext.getPersistentRDDs.size
+    // SET-difference, not size arithmetic (r13): getPersistentRDDs is
+    // weak-valued — checkpointed results left by earlier tests vanish
+    // on GC between the baseline and the assertion, so absolute
+    // counts flake; only the NEWLY-added entries are this test's
+    val base = spark.sparkContext.getPersistentRDDs.keySet
     val out = Dedup.minhashLshPairs(docs, 0.5, materialize = true)
     // synchronous release: only the checkpointed RESULT remains — the
     // withSig shingle cache is gone before the call even returns
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 1,
+    val added1 = spark.sparkContext.getPersistentRDDs.keySet -- base
+    assert(added1.size == 1,
       spark.sparkContext.getPersistentRDDs.values.map(_.name).toSeq.toString)
     assert(out.select("da", "db").as[(Long, Long)].collect().toSet == expected)
     // same contract on the jaccard + triangle + unigram paths
     val j = Dedup.jaccardSimilarityJoin(docs, 0.8, materialize = true)
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
+    val added2 = spark.sparkContext.getPersistentRDDs.keySet -- base -- added1
+    assert(added2.size == 1,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).toSeq.toString)
     assert(j.count() > 0)
   }
 

@@ -118,6 +118,15 @@ class ScrubSpec extends SparkSpec {
     // digit runs — no family may touch them
     val neg = "on 2026-08-15 v1.2.3 build 12345 zip 94110 id 123456789012"
     assert(run(neg) == (neg, 0, 0, 0, 0))
+    // review r13: a valid candidate appearing as a SUBSTRING of a
+    // longer Luhn-invalid run elsewhere must not corrupt that run —
+    // the boundary-guarded replace leaves the 17-digit run intact
+    assert(run("ref 74111111111111111 pay 4111111111111111") ==
+      ("ref 74111111111111111 pay <card>", 0, 0, 2, 1))
+    // back-to-back identical valid cards (the consumed-boundary
+    // hazard): the two-pass fold replaces ALL of them
+    assert(run("4111111111111111 4111111111111111 4111111111111111") ==
+      ("<card> <card> <card>", 0, 0, 3, 3))
   }
 
   test("selfScrub and redactPii run unchanged on an unbounded frame") {
