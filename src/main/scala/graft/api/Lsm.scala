@@ -109,7 +109,15 @@ object Lsm {
       Seq("end")).mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(stagingRoot, PlanFile + ".tmp")
     val fin = new org.apache.hadoop.fs.Path(stagingRoot, PlanFile)
-    fs.delete(tmp, false); fs.delete(fin, false)
+    // A committed plan still present here is the ONLY replay record of
+    // an interrupted earlier swap — silently deleting it would leave
+    // that generation unfinishable (ADVICE r13). The family
+    // compactTiered entry points recover() before restaging, so this
+    // only trips a direct swapConsolidated caller that skipped
+    // recovery; fail loudly instead of destroying the record.
+    require(!fs.exists(fin),
+      s"unreplayed swap plan present at $fin — run Lsm.recover($stagingRoot) first")
+    fs.delete(tmp, false)
     val out = fs.create(tmp, true)
     try { out.write(body.getBytes("UTF-8")); out.hsync() }
     finally out.close()

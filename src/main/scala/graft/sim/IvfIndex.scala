@@ -190,6 +190,12 @@ object IvfIndex {
     require(shards.nonEmpty, "merge needs at least one shard")
     require(!shards.exists(_._1 == outTable),
       "merge target must not be one of the shards")
+    // Finish any interrupted tiered swap before consuming a shard's
+    // grow state — same hardening as admit/forget/compactTiered
+    // (ADVICE r13; see PostingsIndex.merge).
+    shards.foreach { case (_, grow) =>
+      grow.foreach(g => graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(g)))
+    }
     val cells = loadCentroids(spark, shards.head._1)
     def live(tbl: String, grow: Option[String]): DataFrame = {
       val ts = grow.flatMap(g => tombstones(spark, g))

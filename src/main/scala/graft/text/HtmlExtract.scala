@@ -60,6 +60,15 @@ object HtmlExtract {
     "head", "script", "style", "noscript", "template", "nav", "header",
     "footer", "aside", "iframe", "form", "svg")
 
+  /** Explicit whitespace class shared by both engines in place of
+    * `\s` (ADVICE r13): Java regex `\s` includes `\x0B` (vertical
+    * tab) while RE2/DuckDB `\s` does not, so raw input containing
+    * `\x0B` would clean differently between the twins. Both engines
+    * support the `\xhh` escape, so the explicit class — Java's exact
+    * `\s` set — keeps the folds byte-identical on ALL input.
+    * (Declared before [[PreSteps]]: object vals initialize in order.) */
+  val Ws = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Tags whose closer ends a paragraph. */
   val BlockTags: Seq[String] = Seq(
     "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "tr",
@@ -77,7 +86,7 @@ object HtmlExtract {
     * document's link mass, it is already boilerplate. */
   val PreSteps: Seq[Step] =
     Seq(Rx("(?s)<!--.*?-->", " ")) ++
-    DroppedBlocks.map(t => Rx(s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", " "))
+    DroppedBlocks.map(t => Rx(s"(?is)<$t\\b[^>]*>.*?</$t$Ws*>", " "))
 
   /** The generic well-formed-tag pattern — shared by the step table
     * and the link-density anchor strip (one constant, review r13:
@@ -87,8 +96,8 @@ object HtmlExtract {
   val Steps: Seq[Step] =
     PreSteps ++
     Seq(
-      Rx("(?i)<br\\s*/?\\s*>", "\n"),
-      Rx(s"(?is)</(?:${BlockTags.mkString("|")})\\s*>", "\n"),
+      Rx(s"(?i)<br$Ws*/?$Ws*>", "\n"),
+      Rx(s"(?is)</(?:${BlockTags.mkString("|")})$Ws*>", "\n"),
       // every remaining well-formed tag (open, close, DOCTYPE) → a
       // space; a bare '<' in prose (e.g. "a < b") survives because
       // the pattern requires a letter or !// after it
@@ -105,8 +114,8 @@ object HtmlExtract {
       Rx("[ \\t\\r]+", " "),
       Rx(" *\\n *", "\n"),
       Rx("\\n+", "\n"),
-      Rx("^\\s+", ""),
-      Rx("\\s+$", ""))
+      Rx(s"^$Ws+", ""),
+      Rx(s"$Ws+$$", ""))
 
   /** Clean prose with '\n' as the paragraph separator. */
   def cleanText(html: Column): Column =
@@ -161,10 +170,10 @@ object HtmlExtract {
       case (c, Lit(f, t)) => call_function("replace", c, lit(f), lit(t))
     }
     val anchors = regexp_extract_all(body,
-      lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1))
+      lit(s"(?is)<a\\b[^>]*>(.*?)</a$Ws*>"), lit(1))
     val mass = aggregate(anchors, lit(0L), (acc, a) =>
       acc + length(trim(regexp_replace(regexp_replace(a,
-        TagStrip, " "), "\\s+", " "))).cast("long"))
+        TagStrip, " "), s"$Ws+", " "))).cast("long"))
     call_function("div", mass * lit(1000000L),
       greatest(length(clean).cast("long"), lit(1L)))
   }
@@ -175,9 +184,9 @@ object HtmlExtract {
       case (e, Lit(f, t)) => s"replace($e, ${sqlLit(f)}, ${sqlLit(t)})"
     }
     val strip = "trim(regexp_replace(regexp_replace(a, " +
-      s"'$TagStrip', ' ', 'g'), '\\s+', ' ', 'g'))"
+      s"'$TagStrip', ' ', 'g'), '$Ws+', ' ', 'g'))"
     s"""CAST(coalesce(list_aggregate(list_transform(
-          regexp_extract_all($body, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
+          regexp_extract_all($body, '(?is)<a\\b[^>]*>(.*?)</a$Ws*>', 1),
           a -> CAST(length($strip) AS BIGINT)), 'sum'), 0) * 1000000
         // greatest(CAST(length($cleanExpr) AS BIGINT), 1) AS BIGINT)"""
   }

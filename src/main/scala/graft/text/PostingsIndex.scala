@@ -149,6 +149,14 @@ object PostingsIndex {
     require(shards.nonEmpty, "merge needs at least one shard")
     require(!shards.exists(_._1 == outTable),
       "merge target must not be one of the shards")
+    // Like every other grow-state entry point (admit/forget/
+    // compactTiered), finish any interrupted tiered swap BEFORE
+    // reading a shard's extents/tombstones — merging a shard that
+    // crashed mid-swap would bake half-swapped state permanently
+    // into the output index (ADVICE r13).
+    shards.foreach { case (_, grow) =>
+      grow.foreach(g => graft.api.Lsm.recover(spark, graft.api.Lsm.stagingRoot(g)))
+    }
     def live(tbl: String, grow: Option[String]): (DataFrame, DataFrame) = {
       val ts = grow.flatMap(g => tombstones(spark, g))
       val post = Seq(spark.table(tbl)) ++ grow.toSeq.collect {

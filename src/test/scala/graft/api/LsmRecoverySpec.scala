@@ -223,4 +223,78 @@ class LsmRecoverySpec extends SparkSpec {
     PostingsIndex.drop(spark, "lsmrec_auto_a")
     PostingsIndex.drop(spark, "lsmrec_auto_b")
   }
+
+  test("merge AUTO-recovers a shard that crashed mid-swap before consuming its grow state (ADVICE r13)") {
+    // without the entry-point recover, merging a half-swapped shard
+    // (postings consolidated, docs extents deleted-not-renamed) bakes
+    // the inconsistency permanently into the output index
+    def shard(table: String, residue: Int): String = {
+      PostingsIndex.write(
+        docs.filter(col("doc_id") % 2 === residue && col("doc_id") % 10 < 8), table)
+      val root = java.nio.file.Files.createTempDirectory(table).toString
+      PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 2 === residue && col("doc_id") % 10 === 8), 0L)
+      PostingsIndex.forget(spark, root,
+        docs.filter(col("doc_id") % 2 === residue && col("doc_id") % 4 === 0)
+          .select(col("doc_id")), 100L)
+      root
+    }
+    val q = queries(docs)
+    val rootA0 = shard("lsmrec_mrg_a0", 0); val rootA1 = shard("lsmrec_mrg_a1", 1)
+    val rootB0 = shard("lsmrec_mrg_b0", 0); val rootB1 = shard("lsmrec_mrg_b1", 1)
+    // twin A: crash shard a1 mid-swap, recover EXPLICITLY, then merge
+    armCrash("extent_deleted:", nth = 2)
+    try {
+      intercept[InjectedCrash] {
+        PostingsIndex.compactTiered(spark, "lsmrec_mrg_a1", rootA1)
+      }
+    } finally disarm()
+    assert(Lsm.recover(spark, Lsm.stagingRoot(rootA1)))
+    PostingsIndex.merge(spark,
+      Seq("lsmrec_mrg_a0" -> Some(rootA0), "lsmrec_mrg_a1" -> Some(rootA1)),
+      "lsmrec_mrg_a", buckets = 4)
+    // twin B: identical crash on shard b1, NO explicit recover — merge
+    // itself must replay the interrupted swap before reading the shard
+    armCrash("extent_deleted:", nth = 2)
+    try {
+      intercept[InjectedCrash] {
+        PostingsIndex.compactTiered(spark, "lsmrec_mrg_b1", rootB1)
+      }
+    } finally disarm()
+    PostingsIndex.merge(spark,
+      Seq("lsmrec_mrg_b0" -> Some(rootB0), "lsmrec_mrg_b1" -> Some(rootB1)),
+      "lsmrec_mrg_b", buckets = 4)
+    assert(rows(PostingsIndex.search(spark, "lsmrec_mrg_b", q, 3)) ==
+      rows(PostingsIndex.search(spark, "lsmrec_mrg_a", q, 3)))
+    Seq("lsmrec_mrg_a0", "lsmrec_mrg_a1", "lsmrec_mrg_b0", "lsmrec_mrg_b1",
+      "lsmrec_mrg_a", "lsmrec_mrg_b").foreach(t => PostingsIndex.drop(spark, t))
+  }
+
+  test("writePlan refuses to destroy an unreplayed committed plan (ADVICE r13)") {
+    // a direct swapConsolidated on a root whose previous swap crashed
+    // must fail loudly instead of silently deleting the only replay
+    // record of the interrupted generation
+    def setup(table: String): String = {
+      PostingsIndex.write(docs.filter(col("doc_id") % 10 < 8), table)
+      val root = java.nio.file.Files.createTempDirectory(table).toString
+      PostingsIndex.admit(spark, table, root,
+        docs.filter(col("doc_id") % 10 === 8), 0L)
+      root
+    }
+    val root = setup("lsmrec_guard")
+    armCrash("extent_deleted:", nth = 1)
+    try {
+      intercept[InjectedCrash] {
+        PostingsIndex.compactTiered(spark, "lsmrec_guard", root)
+      }
+    } finally disarm()
+    val staging = Lsm.stagingRoot(root)
+    val ex = intercept[IllegalArgumentException] {
+      Lsm.swapConsolidated(spark, staging, Seq.empty, None, root + "/nope")
+    }
+    assert(ex.getMessage.contains("unreplayed swap plan"))
+    // the plan survived the refusal and is still mechanically finishable
+    assert(Lsm.recover(spark, staging))
+    PostingsIndex.drop(spark, "lsmrec_guard")
+  }
 }

@@ -110,4 +110,19 @@ class HtmlExtractSpec extends SparkSpec {
     assert(clean("<p></p>\n\n<p>  x  </p>\t<p> </p>") == "x")
     assert(clean("  \t \n ") == "")
   }
+
+  test("\\x0B input cleans via the explicit shared whitespace class (ADVICE r13)") {
+    // Java \s includes \x0B, RE2 \s does not — the step table now uses
+    // the explicit [[HtmlExtract.Ws]] class so both engine folds see the
+    // SAME whitespace set. Spark-side behavior pinned here; the DuckDB
+    // twin is hash-compared at the gate over the same generated fold.
+    assert(HtmlExtract.Ws.contains("\\x0B"))
+    // \x0B inside a closing dropped-block tag still matches the closer
+    assert(clean("<script\u000B>x</script\u000B>keep") == "keep")
+    // leading/trailing \x0B trims; an interior one is NOT in the
+    // horizontal-collapse class ([ \t\r]) so it survives mid-paragraph —
+    // identical in both engines because no step uses bare \s anymore
+    val got = clean("\u000Ba\u000Bb\u000B")
+    assert(got == "a\u000Bb", s"got: ${got.map(_.toInt).mkString(",")}")
+  }
 }
