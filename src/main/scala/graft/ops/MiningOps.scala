@@ -233,34 +233,39 @@ object MiningOps {
 
   /** BPE tokenizer training ([[graft.text.Bpe]]): the 12-merge table
     * learned from the corpus — one corpus scan to the word-count
-    * dictionary, then vocab-sized merge epochs. */
+    * dictionary, then driver-local incremental merge training over
+    * the vocab-bounded histogram (the production path; the oracle
+    * replays the same trajectory as unrolled epoch CTEs, and BpeSpec
+    * pins it bit-identical to the fully-distributed trainer). */
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.train(spark, t(spark, dir, "documents"), BpeMerges)
+    graft.text.Bpe.trainFast(spark, t(spark, dir, "documents"), BpeMerges)
 
-  /** BPE encoding ([[graft.text.Bpe.encodeVocab]]): the learned
+  /** BPE encoding ([[graft.text.Bpe.encodeVocabFast]]): the learned
     * merges applied corpus-wide — the subword vocabulary histogram
     * after 12 merges (each word's final segmentation weighted by its
     * corpus count; the corpus itself is scanned once). */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.encodeVocab(spark, t(spark, dir, "documents"), BpeMerges)
+    graft.text.Bpe.encodeVocabFast(spark, t(spark, dir, "documents"),
+      BpeMerges)
 
-  /** Per-doc subword counts ([[graft.text.Bpe.docTokenCounts]]):
+  /** Per-doc subword counts ([[graft.text.Bpe.docTokenCountsFast]]):
     * tokenizer-aware document lengths under the learned 12-merge
     * vocabulary — the budget/packing input. */
   def qBpeTokens(spark: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.docTokenCounts(spark, t(spark, dir, "documents"), BpeMerges)
+    graft.text.Bpe.docTokenCountsFast(spark, t(spark, dir, "documents"),
+      BpeMerges)
 
   /** Context budget for [[qBpePack]] packs. */
   val BpePackBudget = 512L
 
   /** Tokenizer-aware sequence packing: q_pack's concat-and-chunk
     * assignment driven by REAL learned subword lengths
-    * ([[graft.text.Bpe.docTokenCounts]]) instead of the
+    * ([[graft.text.Bpe.docTokenCountsFast]]) instead of the
     * (n_chars+3)/4 proxy — what a production pipeline packs with
     * once the tokenizer exists. Same sharded window-cumsum shape. */
   def qBpePack(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.Packing.packGreedy(
-        graft.text.Bpe.docTokenCounts(spark, t(spark, dir, "documents"),
+        graft.text.Bpe.docTokenCountsFast(spark, t(spark, dir, "documents"),
           BpeMerges),
         "doc_id", "n_subwords", budget = BpePackBudget, shards = 64)
       .groupBy(col("shard"), col("pack"))

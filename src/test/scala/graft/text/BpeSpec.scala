@@ -97,6 +97,48 @@ class BpeSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("local heap trainer replays the distributed trajectory bit-identically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = Bpe.train(spark, docs, 12)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val fast = Bpe.trainFast(spark, docs, 12)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(fast == dist)
+    val ev = Bpe.encodeVocab(spark, docs, 12)
+      .as[(String, Long)].collect().toMap
+    val evF = Bpe.encodeVocabFast(spark, docs, 12)
+      .as[(String, Long)].collect().toMap
+    assert(evF == ev)
+    val dt = Bpe.docTokenCounts(spark, docs, 12)
+      .as[(Long, Long)].collect().toMap
+    val dtF = Bpe.docTokenCountsFast(spark, docs, 12)
+      .as[(Long, Long)].collect().toMap
+    assert(dtF == dt)
+  }
+
+  test("local heap trainer matches naive on a deep trajectory (m=200)") {
+    // deterministic synthetic vocabulary with enough pair entropy to
+    // sustain 200 merges — exercises the lazy-deletion heap's stale
+    // and re-attained-count paths far beyond the oracle's m=12
+    val words: Map[String, Long] = (0 until 800).map { i =>
+      val len = 3 + (i % 6)
+      val w = (0 until len)
+        .map(j => ('a' + ((i * 31 + j * 7 + i / 5) % 5)).toChar).mkString
+      (w, (i % 13).toLong + 1L)
+    }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }
+    val (merges, dict) = Bpe.trainLocalMerges(words.toSeq, 200)
+    assert(merges == naiveBpe(words, 200))
+    // and the final segmentation agrees with a naive replay
+    var w: Map[Vector[String], Long] =
+      words.map { case (k, c) => (k.map(_.toString).toVector :+ "_", c) }
+    merges.foreach { case (_, l, r, _) => w = NaiveBpe.apply(w, l, r) }
+    val expected = w.toSeq.flatMap { case (syms, c) => syms.map((_, c)) }
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+    val got = dict.toSeq.flatMap { case (_, syms, c) => syms.map((_, c)) }
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+    assert(got == expected)
+  }
+
   test("matches the naive reference on the real corpus (sf0.001)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = docs.select("text").as[String].collect()
