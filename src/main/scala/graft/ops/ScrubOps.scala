@@ -129,7 +129,28 @@ object ScrubOps {
       .filter(col("rk") <= 10)
   }
 
+  /** Domain-reputation rollup ([[graft.pipeline.DomainReputation]]):
+    * per-source quality/dup/PII rates and the blocked/review/clean
+    * verdict — the CCNet/RefinedWeb domain-curation stage. */
+  def qDomainRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.DomainReputation.rollup(t(spark, dir, "documents"))
+
+  /** The reputation feedback filter: docs joined with their domain's
+    * verdict (AQE broadcasts the domain-bounded rollup at gate SF —
+    * PlanAuditSpec pins it), kept iff domain not blocked AND the doc
+    * passes the per-doc quality conjunction; reputation × kept
+    * histogram with doc and token mass. */
+  def qDomainFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val rep = graft.pipeline.DomainReputation.rollup(docs)
+    graft.pipeline.DomainReputation.filterWith(docs, rep)
+      .groupBy(col("reputation"), col("kept"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_rollup" -> (qDomainRollup _),
+    "q_domain_filter" -> (qDomainFilter _),
     "q_span_scrub" -> (qSpanScrub _),
     "q_self_scrub" -> (qSelfScrub _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -140,6 +161,8 @@ object ScrubOps {
     "q_quality_rank" -> (qQualityRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_domain_rollup" -> graft.pipeline.DomainReputation.sqlRollup,
+    "q_domain_filter" -> graft.pipeline.DomainReputation.sqlFilterHistogram,
     "q_span_scrub" -> Scrub.sqlSpanScrub(k = 3, minDocs = 2),
     "q_self_scrub" -> Scrub.sqlSelfScrub(k = 3),
     "q_pii_redact" -> {

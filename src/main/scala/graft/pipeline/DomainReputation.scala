@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Host/domain-level curation rollup (VERDICT r13 missing #4) — the
+  * CCNet/RefinedWeb "domain reputation" stage: per-document signals
+  * the pipeline already computes (quality verdicts, exact-duplicate
+  * fingerprints, PII family hits) aggregated BY SOURCE DOMAIN and fed
+  * back as a document-level keep signal. A domain whose documents are
+  * mostly boilerplate, templates, or PII is dropped wholesale —
+  * catching documents that look individually fine but come from a
+  * farm the per-doc filters can't see.
+  *
+  * Signals per domain (all integer-exact, engine-shared):
+  *   - n_quality_bad: docs failing [[TextFunctions.qualityOk]] (the
+  *     q_quality_filter conjunction).
+  *   - n_dup_extra: documents over distinct text fingerprints — the
+  *     domain's INTERNAL template redundancy (cross-domain dup is the
+  *     global dedup pass's job; reputation wants the domain's own).
+  *   - n_pii_docs: docs with any PII family hit (email, phone, IPv4,
+  *     Luhn-valid card — the [[Scrub]] detectors).
+  *
+  * Verdict tiers on the combined risk count (signals may overlap on
+  * a doc — risk is a signal rate, not a doc partition), thresholds
+  * cross-multiplied so the comparison is integer-exact:
+  *   blocked: risk/n_docs > 2/5    review: risk/n_docs > 1/3
+  *
+  * 100 TB posture: the rollup is ONE grouped aggregate over per-row
+  * projections (count_distinct of the 8-byte fingerprint is the only
+  * shuffle, keyed (source, fp) with partial aggregation — metadata
+  * width, never text). The feedback join keys on source; the rollup
+  * frame is DOMAIN-cardinality, so no hard broadcast hint (the r8
+  * rule: a crawl has tens of millions of domains — AQE broadcasts it
+  * while it fits, and degrades to a keyed shuffle join when it
+  * doesn't; a hard hint would OOM executors at exactly the scale the
+  * stage exists for). PlanAuditSpec pins the gate-SF broadcast.
+  */
+object DomainReputation {
+
+  /** blocked when risk * BlockDen > n_docs * BlockNum (rate > 2/5). */
+  val BlockNum = 2
+  val BlockDen = 5
+
+  /** review when risk * ReviewDen > n_docs * ReviewNum (rate > 1/3). */
+  val ReviewNum = 1
+  val ReviewDen = 3
+
+  /** Any-PII-hit indicator (0/1 long) over a text column. */
+  private def piiHit(text: Column): Column = {
+    val (emails, _) = Scrub.piiCounts(text)
+    val (phones, ips, _, valid) = Scrub.piiFamilyCounts(text)
+    when(emails + phones + ips + valid > 0, 1L).otherwise(0L)
+  }
+
+  /** The per-domain rollup:
+    * (source, n_docs, n_quality_bad, n_dup_extra, n_pii_docs, risk,
+    * reputation). */
+  def rollup(docs: DataFrame): DataFrame = {
+    val bad = when(!TextFunctions.qualityOk(col("text")), 1L).otherwise(0L)
+    docs
+      .select(col("source"), bad.as("bad"), piiHit(col("text")).as("pii"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bad")).as("n_quality_bad"),
+        (count(lit(1)) - count_distinct(col("fp"))).as("n_dup_extra"),
+        sum(col("pii")).as("n_pii_docs"))
+      .withColumn("risk",
+        col("n_quality_bad") + col("n_dup_extra") + col("n_pii_docs"))
+      .withColumn("reputation",
+        when(col("risk") * BlockDen > col("n_docs") * BlockNum, "blocked")
+          .when(col("risk") * ReviewDen > col("n_docs") * ReviewNum, "review")
+          .otherwise("clean"))
+  }
+
+  /** The feedback filter: every document joined with its domain's
+    * reputation; kept (1/0) iff the domain is not blocked AND the
+    * document itself passes the per-doc quality conjunction. Returns
+    * the doc-level frame (doc_id, source, reputation, kept, nt) —
+    * compose downstream or aggregate for the gate. */
+  def filterWith(docs: DataFrame, rep: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        TextFunctions.nTokens(col("text")).cast("long").as("nt"),
+        when(TextFunctions.qualityOk(col("text")), 1L).otherwise(0L)
+          .as("doc_ok"))
+      .join(rep.select(col("source"), col("reputation")), Seq("source"))
+      .select(col("doc_id"), col("source"), col("reputation"),
+        when(col("reputation") =!= "blocked" && col("doc_ok") === 1L, 1L)
+          .otherwise(0L).as("kept"),
+        col("nt"))
+
+  // ---- oracle twins ----------------------------------------------------
+
+  /** Shared rollup CTE (ends in `rep`). */
+  def sqlRollupCte: String = {
+    val pii =
+      s"""CASE WHEN ${Scrub.sqlEmailCount("text")}
+            + ${Scrub.sqlPhoneCount("text")}
+            + ${Scrub.sqlIpv4Count("text")}
+            + ${Scrub.sqlCardValidCount("text")} > 0 THEN 1 ELSE 0 END"""
+    s"""d AS (SELECT source,
+           CASE WHEN NOT ${TextFunctions.sqlQualityOk("text")}
+                THEN 1 ELSE 0 END AS bad,
+           $pii AS pii,
+           ${TextFunctions.sqlFingerprint("text")} AS fp
+         FROM documents),
+       r AS (SELECT source, COUNT(1) AS n_docs,
+           CAST(SUM(bad) AS BIGINT) AS n_quality_bad,
+           COUNT(1) - COUNT(DISTINCT fp) AS n_dup_extra,
+           CAST(SUM(pii) AS BIGINT) AS n_pii_docs
+         FROM d GROUP BY source),
+       rep AS (SELECT *,
+           n_quality_bad + n_dup_extra + n_pii_docs AS risk,
+           CASE WHEN (n_quality_bad + n_dup_extra + n_pii_docs) * $BlockDen
+                     > n_docs * $BlockNum THEN 'blocked'
+                WHEN (n_quality_bad + n_dup_extra + n_pii_docs) * $ReviewDen
+                     > n_docs * $ReviewNum THEN 'review'
+                ELSE 'clean' END AS reputation
+         FROM r)"""
+  }
+
+  /** SQL twin of [[rollup]]. */
+  def sqlRollup: String =
+    s"""WITH $sqlRollupCte
+       SELECT source, n_docs, n_quality_bad, n_dup_extra, n_pii_docs,
+         risk, reputation
+       FROM rep"""
+
+  /** SQL twin of the [[filterWith]] gate aggregate (reputation ×
+    * kept histogram with doc and token mass). */
+  def sqlFilterHistogram: String =
+    s"""WITH $sqlRollupCte
+       SELECT rep.reputation AS reputation,
+         CAST(CASE WHEN rep.reputation <> 'blocked'
+                   AND ${TextFunctions.sqlQualityOk("doc.text")}
+              THEN 1 ELSE 0 END AS BIGINT) AS kept,
+         COUNT(1) AS n_docs,
+         CAST(SUM(len(string_split(doc.text, ' '))) AS BIGINT) AS n_tokens
+       FROM documents doc JOIN rep USING (source)
+       GROUP BY 1, 2"""
+}

@@ -368,6 +368,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("domain reputation: rollup partial-aggregates; feedback join broadcasts via AQE, no hard hint") {
+    // the rollup frame is DOMAIN-cardinality (tens of millions at
+    // crawl scale), so the r8 rule applies: no hard broadcast() hint
+    // — AQE picks BroadcastHashJoin at gate SF from runtime stats and
+    // degrades to a keyed shuffle join when the domain table outgrows
+    // the threshold. The per-domain aggregate must partial-aggregate
+    // (its shuffle is (source, fp) metadata width, never text).
+    val df = graft.SparkEntry.queries("q_domain_filter")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE should broadcast the 20-domain rollup at gate SF:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "rollup + histogram must partial-aggregate:\n" + p)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hinted = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hinted.isEmpty, "no hard hints in the reputation feedback join")
+  }
+
   test("importance select: winners reduce via TakeOrdered, never a global sort") {
     val p = executedPlan("q_importance_select")
     assert(p.contains("TakeOrderedAndProject"), p)

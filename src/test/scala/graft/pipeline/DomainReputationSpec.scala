@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DomainReputationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 tokens, all stopwords, short words — passes every qualityOk rule
+  private val goodText =
+    Seq.fill(2)("the a of to and in is it that for").mkString(" ")
+
+  private def repOf(rows: Seq[(Long, String, String)]): Map[String, String] =
+    DomainReputation.rollup(rows.toDF("doc_id", "source", "text"))
+      .select("source", "reputation").as[(String, String)].collect().toMap
+
+  test("dup farm: internal template redundancy blocks the domain") {
+    // 6 identical good docs -> n_dup_extra=5; 5*5 > 6*2 -> blocked,
+    // even though every doc passes the per-doc quality filter
+    val docs = (0L until 6L).map(i => (i, "dupfarm", goodText)) ++
+      (10L until 16L).map(i => (i, "varied", goodText + s" x$i extra y$i"))
+    val rep = repOf(docs)
+    assert(rep("dupfarm") == "blocked")
+    assert(rep("varied") == "clean")
+  }
+
+  test("pii hub: any-family hits block the domain; signals count docs once") {
+    val docs = (0L until 6L).map(i =>
+      (i, "piihub", goodText + s" mail user$i@mail.example")) ++
+      (10L until 16L).map(i => (i, "phoney", goodText + " call +1 415 555 0101"))
+    val r = DomainReputation.rollup(docs.toDF("doc_id", "source", "text"))
+      .select("source", "n_pii_docs", "reputation")
+      .as[(String, Long, String)].collect()
+      .map { case (s, n, r) => (s, (n, r)) }.toMap
+    assert(r("piihub") == (6L, "blocked"))
+    assert(r("phoney") == (6L, "blocked"))
+  }
+
+  test("threshold boundaries are strict (rate exactly 1/3 and 2/5 stay below)") {
+    val bad = "zz" // 1 token < QualityMinTokens
+    // riskfive: 5 docs, 2 bad -> 2*5 = 5*2 NOT > -> not blocked;
+    //           2*3 > 5*1 -> review
+    val riskfive = (0L until 3L).map(i => (i, "riskfive", goodText + s" u$i")) ++
+      Seq((3L, "riskfive", bad), (4L, "riskfive", bad + " q"))
+    // third: 3 docs, 1 bad -> 1*5 < 3*2; 1*3 = 3*1 NOT > -> clean
+    val third = Seq((10L, "third", bad)) ++
+      (11L until 13L).map(i => (i, "third", goodText + s" u$i"))
+    // hot: 3 docs, 2 bad -> 2*5 > 3*2 -> blocked
+    val hot = Seq((20L, "hot", bad), (21L, "hot", bad + " q"),
+      (22L, "hot", goodText))
+    val rep = repOf(riskfive ++ third ++ hot)
+    assert(rep == Map("riskfive" -> "review", "third" -> "clean",
+      "hot" -> "blocked"))
+  }
+
+  test("filterWith: blocked domains drop wholesale; review keeps only quality-ok docs") {
+    val docs = Seq(
+      (0L, "okdom", goodText), (1L, "okdom", goodText + " u1"),
+      (2L, "okdom", goodText + " u2"),
+      (10L, "revdom", "zz"), (13L, "revdom", "zz q"),
+      (11L, "revdom", goodText + " a1"), (12L, "revdom", goodText + " a2"),
+      (14L, "revdom", goodText + " a3"), // 2 bad of 5: review
+
+      (20L, "blockdom", "zz"), (21L, "blockdom", "zz q"),
+      (22L, "blockdom", goodText)).toDF("doc_id", "source", "text")
+    val rep = DomainReputation.rollup(docs)
+    val out = DomainReputation.filterWith(docs, rep)
+      .select("doc_id", "reputation", "kept")
+      .as[(Long, String, Long)].collect()
+      .map { case (d, r, k) => (d, (r, k)) }.toMap
+    assert(out(0L) == (("clean", 1L)))
+    assert(out(10L) == (("review", 0L))) // fails per-doc quality
+    assert(out(11L) == (("review", 1L)))
+    assert(out(20L) == (("blocked", 0L)))
+    assert(out(22L) == (("blocked", 0L))) // quality-ok doc, blocked domain
+  }
+}
