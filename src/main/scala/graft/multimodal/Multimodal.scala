@@ -41,6 +41,24 @@ object Multimodal {
       .toDF("media_id", "payload", "format", "n_bytes")
   }
 
+  /** PNG leg of the media fixture (r14): every doc encoded as an
+    * 8-bit truecolor PNG of the SAME raster the ppm leg uses (text
+    * bytes cycled, same dims arithmetic), row filters cycling
+    * None/Sub/Up/Average/Paeth — so q_png_decode's closed-form pixel
+    * checksums make the inflate + five-filter reconstruction itself
+    * oracle-checkable. */
+  def asPngTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val (fmt, payload) = MediaCodec.encodeDocPng(id, text.getBytes("UTF-8"))
+          (id, payload, fmt, payload.length.toLong)
+        }
+      }
+      .toDF("media_id", "payload", "format", "n_bytes")
+  }
+
   /** Wrap a per-partition decode stream so `close` fires when the
     * iterator drains — the one subtle pattern (close inside hasNext)
     * shared by every batched-codec operator here. */

@@ -1220,6 +1220,21 @@ object TextOps {
         sum(col("px_sum")).as("sum_px"),
         sum(col("px_wsum")).as("wsum_px"))
 
+  /** PNG decode (r14): every doc as an 8-bit truecolor PNG of the
+    * ppm leg's raster, row filters cycling None/Sub/Up/Average/Paeth;
+    * decoded through the real chunk-walk + inflate + five-filter
+    * reconstruction. The closed-form pixel checksums pin the
+    * reconstruction byte-exactly — a single wrong Paeth predictor or
+    * filter offset shifts sum_px/wsum_px. (n_bytes deliberately NOT
+    * pinned: deflate output is JDK-version-dependent; pixels aren't.) */
+  def qPngDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelChecksums(
+        Multimodal.asPngTable(t(spark, dir, "documents")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("px_sum")).as("sum_px"),
+        sum(col("px_wsum")).as("wsum_px"))
+
   /** Perceptual-hash image near-dup (VERDICT r10 #2): the media table
     * plus deterministically perturbed re-encodes of every 20th doc,
     * 56-bit dHash over each DECODED raster (real PPM/BMP/PGM decode —
@@ -1356,6 +1371,7 @@ object TextOps {
     "q_centroids" -> (qCentroids _),
     "q_embed_gram" -> (qEmbedGram _),
     "q_multimodal" -> (qMultimodal _),
+    "q_png_decode" -> (qPngDecode _),
     "q_multimodal_pixels" -> (qMultimodalPixels _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -2336,6 +2352,29 @@ object TextOps {
            CAST(SUM(h) AS BIGINT) AS sum_height,
            CAST(MAX(w) AS INT) AS max_width
          FROM m GROUP BY 1""",
+    // PNG leg: all docs are truecolor (n = w*h*3, weights (1,1,1)),
+    // so the q_multimodal_pixels closed form specializes to the rgb
+    // case — if the inflate or any of the five filter reconstructions
+    // were wrong, the decoded sums would not match this replay of the
+    // pre-compression raster
+    "q_png_decode" ->
+      """WITH m AS (
+           SELECT doc_id, text, strlen(text) AS len,
+             (8 + strlen(text) % 57) * (8 + (strlen(text) * 31) % 43) * 3 AS n
+           FROM documents),
+         x AS (
+           SELECT doc_id,
+             ascii(substr(text, CAST(j + 1 AS INT), 1)) AS b,
+             j, len, n, (n - 1 - j) // len + 1 AS cj
+           FROM m, unnest(range(0, least(len, n))) AS t(j)),
+         d AS (
+           SELECT doc_id, SUM(b * cj) AS px_sum,
+             SUM(b * (cj * j + len * (cj * (cj - 1) // 2) + cj)) AS px_wsum
+           FROM x GROUP BY doc_id)
+         SELECT 'png' AS format, COUNT(1) AS n_media,
+           CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
+           CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
+         FROM m LEFT JOIN d ON m.doc_id = d.doc_id""",
     // encoder-replay oracle for the decoded RASTER (not just headers):
     // the fixture's pixels are text bytes cycled to fill n raster
     // positions (n = w*h*3 rgb for ppm/bmp; w*h gray for pgm, which

@@ -48,6 +48,91 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("png codec: round-trip through every filter type, gray leg, golden pixels") {
+    // tall enough that rows hit all five filter types (encode cycles
+    // y % 5), wide enough that left/upper-left predictors see real
+    // neighbors; adversarial content (ramps + constants + noise-ish)
+    val w = 7; val h = 11
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + (i * i) % 251) % 256).toByte)
+    val png = MediaCodec.encodePng(w, h, rgb)
+    // container really is PNG: signature + IHDR first
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+      new String(png, 12, 4, "US-ASCII") == "IHDR")
+    val img = MediaCodec.decode(png)
+    assert(img.width == w && img.height == h && img.rgb.sameElements(rgb))
+    // grayscale color type 0 decodes with replication (hand-built:
+    // single None-filtered row so the fixture is independent of our
+    // encoder)
+    val grayRaw = Array[Byte](0, 5, 9) // filter None, two gray pixels
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(grayRaw); defl.finish()
+    val zb = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!defl.finished()) zb.write(tmp, 0, defl.deflate(tmp))
+    val crc = new java.util.zip.CRC32
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      crc.reset()
+      val td = typ.getBytes("US-ASCII") ++ data
+      crc.update(td)
+      val v = crc.getValue.toInt
+      Array[Byte]((data.length >>> 24).toByte, (data.length >>> 16).toByte,
+        (data.length >>> 8).toByte, data.length.toByte) ++ td ++
+        Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    }
+    val grayPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      chunk("IHDR", Array[Byte](0, 0, 0, 2, 0, 0, 0, 1, 8, 0, 0, 0, 0)) ++
+      chunk("IDAT", zb.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+    val g = MediaCodec.decode(grayPng)
+    assert(g.width == 2 && g.height == 1 &&
+      g.rgb.sameElements(Array[Byte](5, 5, 5, 9, 9, 9)))
+    // corrupted CRC must throw, not decode garbage
+    val broken = png.clone()
+    broken(png.length - 5) = (broken(png.length - 5) ^ 0x40).toByte
+    intercept[IllegalArgumentException] { MediaCodec.decode(broken) }
+  }
+
+  test("png decodes identically under javax.imageio (independent decoder parity)") {
+    // our encoder must emit a CONFORMANT png, and our decoder must
+    // agree with an implementation we didn't write — rules out a
+    // self-consistent encode/decode bug pair
+    val w = 9; val h = 13
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 131 + 17) % 256).toByte)
+    val png = MediaCodec.encodePng(w, h, rgb)
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(bi != null, "javax.imageio could not parse our PNG")
+    assert(bi.getWidth == w && bi.getHeight == h)
+    val ours = MediaCodec.decode(png)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = bi.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff) == (ours.rgb(o) & 0xff) &&
+        ((argb >> 8) & 0xff) == (ours.rgb(o + 1) & 0xff) &&
+        (argb & 0xff) == (ours.rgb(o + 2) & 0xff),
+        s"pixel ($x,$y) disagrees with ImageIO")
+    }
+  }
+
+  test("png table: dHash parity with the BMP twin of the same raster") {
+    // the perceptual-dedup family must run unchanged over PNG-decoded
+    // rasters: same raster in a different container => identical fp
+    val pngFp = Multimodal.imageFingerprints(
+        Multimodal.asPngTable(docs.limit(40)))
+      .select("media_id", "fp").as[(Long, Long)].collect().toMap
+    val bmpRows = docs.limit(40).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.map { case (id, text) =>
+        val b = text.getBytes("UTF-8")
+        val (w, h) = MediaCodec.dims(b.length)
+        val raster = Array.tabulate(w * h * 3)(i =>
+          if (b.isEmpty) 0.toByte else b(i % b.length))
+        (id, MediaCodec.encodeBmp(w, h, raster), "bmp", 0L)
+      }
+    val bmpFp = Multimodal.imageFingerprints(
+        bmpRows.toDF("media_id", "payload", "format", "n_bytes"))
+      .select("media_id", "fp").as[(Long, Long)].collect().toMap
+    assert(pngFp.size == 40 && pngFp == bmpFp,
+      "png fps must equal bmp fps of the same rasters")
+  }
+
   test("wav codec: golden samples, chunk walk skips unknown chunks, round-trip") {
     val samples = Array[Short](0, 1000, -1000, 32767, -32768)
     val wav = AudioCodec.encodeWav(16000, samples)
