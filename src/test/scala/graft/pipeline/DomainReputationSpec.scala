@@ -53,6 +53,34 @@ class DomainReputationSpec extends SparkSpec {
       "hot" -> "blocked"))
   }
 
+  test("streaming twin: frozen-rollup stream-static join equals the batch filter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = DomainReputation.rollup(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = DomainReputation.filterWith(docs, rep)
+      .select("doc_id", "reputation", "kept")
+      .as[(Long, String, Long)].collect().toSet
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamOps.domainFilterStream(
+        in.toDF().toDF("doc_id", "source", "text"), rep)
+      .writeStream.format("memory").queryName("domain_filter")
+      .outputMode("append").start()
+    // two arrival batches — the static side re-resolves per batch
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (a, b) = rows.splitAt(rows.length / 2)
+    in.addData(a); q.processAllAvailable()
+    in.addData(b); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("domain_filter")
+      .select("doc_id", "reputation", "kept")
+      .as[(Long, String, Long)].collect().toSet
+    rep.unpersist(blocking = true)
+    assert(got == batch)
+  }
+
   test("filterWith: blocked domains drop wholesale; review keeps only quality-ok docs") {
     val docs = Seq(
       (0L, "okdom", goodText), (1L, "okdom", goodText + " u1"),
