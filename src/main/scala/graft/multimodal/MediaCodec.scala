@@ -309,11 +309,16 @@ object MediaCodec {
     var stalled = false
     while (got < raw.length && !infl.finished() && !stalled) {
       val n = infl.inflate(raw, got, raw.length - got)
-      if (n == 0 && infl.needsInput()) stalled = true
+      // ANY zero-progress round is a hard stop, not just input
+      // exhaustion: a crafted zlib stream with the FDICT bit set
+      // makes inflate() return 0 with needsDictionary()==true
+      // forever — without this, one hostile payload hangs the task
+      // (review r14 #1, reproduced)
+      if (n == 0) stalled = true
       got += n
     }
     infl.end()
-    require(got == raw.length, "truncated PNG pixel data")
+    require(got == raw.length, "truncated or unsupported PNG pixel data")
     val pix = new Array[Byte](h * stride)
     var y = 0
     while (y < h) {

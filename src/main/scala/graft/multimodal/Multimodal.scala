@@ -29,12 +29,21 @@ object Multimodal {
     * encoded as an actual PPM/BMP/PGM image (format cycles by id,
     * pixels are the doc's bytes cycled to fill the raster). Encoding
     * runs batched per partition like the decode path. */
-  def asMediaTable(docs: DataFrame): DataFrame = {
+  def asMediaTable(docs: DataFrame): DataFrame =
+    mediaTableVia(docs, MediaCodec.encodeDoc)
+
+  /** Shared encode-table builder (review r14 #5): one batched
+    * per-partition encoding shape for every image-container leg, so
+    * column names / n_bytes convention / batching can't drift
+    * between them ([[variantsVia]] is its perturbed-variant
+    * sibling). */
+  private def mediaTableVia(docs: DataFrame,
+      encode: (Long, Array[Byte]) => (String, Array[Byte])): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val (fmt, payload) = MediaCodec.encodeDoc(id, text.getBytes("UTF-8"))
+          val (fmt, payload) = encode(id, text.getBytes("UTF-8"))
           (id, payload, fmt, payload.length.toLong)
         }
       }
@@ -47,17 +56,8 @@ object Multimodal {
     * None/Sub/Up/Average/Paeth — so q_png_decode's closed-form pixel
     * checksums make the inflate + five-filter reconstruction itself
     * oracle-checkable. */
-  def asPngTable(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val (fmt, payload) = MediaCodec.encodeDocPng(id, text.getBytes("UTF-8"))
-          (id, payload, fmt, payload.length.toLong)
-        }
-      }
-      .toDF("media_id", "payload", "format", "n_bytes")
-  }
+  def asPngTable(docs: DataFrame): DataFrame =
+    mediaTableVia(docs, MediaCodec.encodeDocPng)
 
   /** Wrap a per-partition decode stream so `close` fires when the
     * iterator drains — the one subtle pattern (close inside hasNext)

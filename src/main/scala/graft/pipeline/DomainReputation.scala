@@ -77,19 +77,26 @@ object DomainReputation {
 
   /** The feedback filter: every document joined with its domain's
     * reputation; kept (1/0) iff the domain is not blocked AND the
-    * document itself passes the per-doc quality conjunction. Returns
-    * the doc-level frame (doc_id, source, reputation, kept, nt) —
-    * compose downstream or aggregate for the gate. */
+    * document itself passes the per-doc quality conjunction. LEFT
+    * join (review r14 #2): in the frozen-rollup serving twin a doc
+    * whose domain was first crawled AFTER the rollup refresh has no
+    * reputation row yet — it must surface as `unknown` (not blocked;
+    * per-doc rules still apply) rather than silently vanish from the
+    * output until the next refresh. Returns the doc-level frame
+    * (doc_id, source, reputation, kept, nt) — compose downstream or
+    * aggregate for the gate. */
   def filterWith(docs: DataFrame, rep: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"),
         TextFunctions.nTokens(col("text")).cast("long").as("nt"),
         when(TextFunctions.qualityOk(col("text")), 1L).otherwise(0L)
           .as("doc_ok"))
-      .join(rep.select(col("source"), col("reputation")), Seq("source"))
-      .select(col("doc_id"), col("source"), col("reputation"),
-        when(col("reputation") =!= "blocked" && col("doc_ok") === 1L, 1L)
-          .otherwise(0L).as("kept"),
+      .join(rep.select(col("source"), col("reputation")), Seq("source"),
+        "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("reputation"), lit("unknown")).as("reputation"),
+        when(coalesce(col("reputation"), lit("unknown")) =!= "blocked" &&
+          col("doc_ok") === 1L, 1L).otherwise(0L).as("kept"),
         col("nt"))
 
   // ---- oracle twins ----------------------------------------------------
@@ -133,12 +140,12 @@ object DomainReputation {
     * kept histogram with doc and token mass). */
   def sqlFilterHistogram: String =
     s"""WITH $sqlRollupCte
-       SELECT rep.reputation AS reputation,
-         CAST(CASE WHEN rep.reputation <> 'blocked'
+       SELECT COALESCE(rep.reputation, 'unknown') AS reputation,
+         CAST(CASE WHEN COALESCE(rep.reputation, 'unknown') <> 'blocked'
                    AND ${TextFunctions.sqlQualityOk("doc.text")}
               THEN 1 ELSE 0 END AS BIGINT) AS kept,
          COUNT(1) AS n_docs,
          CAST(SUM(len(string_split(doc.text, ' '))) AS BIGINT) AS n_tokens
-       FROM documents doc JOIN rep USING (source)
+       FROM documents doc LEFT JOIN rep USING (source)
        GROUP BY 1, 2"""
 }

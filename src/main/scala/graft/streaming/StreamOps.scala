@@ -485,6 +485,22 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming twin of the domain-reputation feedback filter
+    * ([[graft.pipeline.DomainReputation.filterWith]]): the FROZEN
+    * reputation table — the persisted rollup a nightly batch job
+    * refreshes — stream-static equi-joined onto an unbounded doc
+    * stream. Stateless per micro-batch: no watermark, no state
+    * store, the static side re-resolved per batch (so swapping the
+    * persisted rollup under the stream picks up the new verdicts on
+    * the next batch — the CCNet serving shape). The join itself is
+    * the same code as the batch twin, so the two can never drift
+    * (left join: a domain unseen at rollup time surfaces as
+    * `unknown`, not-blocked); DomainReputationSpec pins per-row
+    * equality e2e. */
+  def domainFilterStream(docStream: DataFrame, frozenRep: DataFrame)
+      : DataFrame =
+    graft.pipeline.DomainReputation.filterWith(docStream, frozenRep)
+
   case class FunnelStage(user_id: Long, stage: Long)
 
   /** Unbounded form of ops.Events.funnelStages: the same ordered,
@@ -515,20 +531,6 @@ object StreamOps {
     * Spark drops input rows older than it BEFORE this operator, so
     * the delay must cover the pipeline's real cross-batch disorder —
     * the default mirrors the default funnel bound. */
-  /** Streaming twin of the domain-reputation feedback filter
-    * ([[graft.pipeline.DomainReputation.filterWith]]): the FROZEN
-    * reputation table — the persisted rollup a nightly batch job
-    * refreshes — stream-static equi-joined onto an unbounded doc
-    * stream. Stateless per micro-batch: no watermark, no state
-    * store, the static side re-resolved per batch (so swapping the
-    * persisted rollup under the stream picks up the new verdicts on
-    * the next batch — the CCNet serving shape). The join itself is
-    * the same code as the batch twin, so the two can never drift;
-    * DomainReputationSpec pins per-row equality e2e. */
-  def domainFilterStream(docStream: DataFrame, frozenRep: DataFrame)
-      : DataFrame =
-    graft.pipeline.DomainReputation.filterWith(docStream, frozenRep)
-
   def funnelStream(events: Dataset[Event], boundSec: Long = 1800L,
       watermark: String = "30 minutes"): Dataset[FunnelStage] = {
     import events.sparkSession.implicits._

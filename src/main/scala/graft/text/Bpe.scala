@@ -151,6 +151,18 @@ object Bpe {
     import scala.collection.mutable
     val toks = vocab.iterator.map(_._1).toArray
     val cnts = vocab.iterator.map(_._2).toArray
+    // enforce the module precondition HERE, loudly (review r14 #3):
+    // the local trainer segments code points correctly even for the
+    // three reserved characters, but the distributed twin's paren
+    // encoding (and the oracle CTEs that mirror it) garbles them —
+    // accepting such a vocabulary would let the two paths silently
+    // diverge instead of failing the documented contract. Cheap:
+    // the vocabulary is already driver-local.
+    toks.foreach { t =>
+      require(t.indexOf('(') < 0 && t.indexOf(')') < 0 && t.indexOf('_') < 0,
+        s"token '$t' contains a reserved character ( ) _ — " +
+          "strip/escape in normalization first (Bpe module precondition)")
+    }
     // symbols interned to int ids: pair keys become a single Long
     // ((l << 32) | r) in a LongMap — no tuple allocation or string
     // hashing in the hot update loop

@@ -89,6 +89,19 @@ class MultimodalSpec extends SparkSpec {
     val broken = png.clone()
     broken(png.length - 5) = (broken(png.length - 5) ^ 0x40).toByte
     intercept[IllegalArgumentException] { MediaCodec.decode(broken) }
+    // hostile FDICT stream must THROW, not hang (review r14 #1): a
+    // zlib stream deflated with a preset dictionary makes inflate()
+    // return 0 with needsDictionary()==true forever unless the
+    // decoder treats zero progress as a hard stop
+    val fd = new java.util.zip.Deflater()
+    fd.setDictionary(Array[Byte](1, 2, 3, 4))
+    fd.setInput(Array[Byte](0, 5, 9)); fd.finish()
+    val fz = new java.io.ByteArrayOutputStream()
+    while (!fd.finished()) fz.write(tmp, 0, fd.deflate(tmp))
+    val fdictPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      chunk("IHDR", Array[Byte](0, 0, 0, 2, 0, 0, 0, 1, 8, 0, 0, 0, 0)) ++
+      chunk("IDAT", fz.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+    intercept[IllegalArgumentException] { MediaCodec.decode(fdictPng) }
   }
 
   test("png decodes identically under javax.imageio (independent decoder parity)") {

@@ -102,4 +102,26 @@ class DomainReputationSpec extends SparkSpec {
     assert(out(20L) == (("blocked", 0L)))
     assert(out(22L) == (("blocked", 0L))) // quality-ok doc, blocked domain
   }
+
+  test("unknown domain (absent from the frozen rollup) surfaces, not-blocked") {
+    // review r14 #2: a domain first crawled AFTER the rollup refresh
+    // has no reputation row — its docs must flow through as `unknown`
+    // with per-doc rules still applied, never silently vanish
+    val trained = Seq((0L, "olddom", goodText), (1L, "olddom", goodText + " u"))
+      .toDF("doc_id", "source", "text")
+    val rep = DomainReputation.rollup(trained)
+    val arriving = Seq(
+      (10L, "olddom", goodText),
+      (11L, "newdom", goodText), // quality-ok, unknown domain
+      (12L, "newdom", "zz")      // quality-bad, unknown domain
+    ).toDF("doc_id", "source", "text")
+    val out = DomainReputation.filterWith(arriving, rep)
+      .select("doc_id", "reputation", "kept")
+      .as[(Long, String, Long)].collect()
+      .map { case (d, r, k) => (d, (r, k)) }.toMap
+    assert(out.size == 3)
+    assert(out(10L) == (("clean", 1L)))
+    assert(out(11L) == (("unknown", 1L)))
+    assert(out(12L) == (("unknown", 0L)))
+  }
 }

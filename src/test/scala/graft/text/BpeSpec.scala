@@ -139,6 +139,17 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("local trainer rejects reserved characters loudly (module precondition)") {
+    // review r14 #3: the local trainer could segment ( ) _ correctly
+    // while the distributed paren encoding garbles them — it must
+    // FAIL the documented contract instead of silently diverging
+    Seq("a(b", "a)b", "a_b").foreach { tok =>
+      intercept[IllegalArgumentException] {
+        Bpe.trainLocalMerges(Seq((tok, 1L)), 2)
+      }
+    }
+  }
+
   test("matches the naive reference on the real corpus (sf0.001)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = docs.select("text").as[String].collect()
