@@ -70,6 +70,14 @@ object DevScaleMedia {
           f"pairs=$pairs pairJoin=${tPairs}%.1f s candVolume=$cand%,d")
       }
       fps.unpersist()
+      // PNG leg (r14): the same corpus through the COMPRESSED
+      // container — encode (deflate + filters) and decode (inflate +
+      // five-filter reconstruction) are the marginal cost vs the raw
+      // PNM/BMP walk above
+      val t2 = System.nanoTime()
+      val nPng = graft.multimodal.Multimodal.imageFingerprints(
+        graft.multimodal.Multimodal.asPngTable(docs)).count()
+      println(f"MEDIASCALE n=$n png=$nPng encode+decode+hash=${(System.nanoTime() - t2) / 1e9}%.1f s")
     }
     spark.stop()
   }

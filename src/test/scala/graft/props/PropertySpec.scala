@@ -210,6 +210,12 @@ class PropertySpec extends SparkSpec {
       val viaBmp = MediaCodec.decode(MediaCodec.encodeBmp(w, h, rgb))
       assert(viaBmp.width == w && viaBmp.height == h && viaBmp.rgb.sameElements(rgb),
         s"round $round bmp ${w}x$h")
+      // PNG (r14): random rasters through deflate + all five row
+      // filters and back — inflate/defilter must be bit-exact on
+      // arbitrary bytes, not just the cycled-ASCII fixture content
+      val viaPng = MediaCodec.decode(MediaCodec.encodePng(w, h, rgb))
+      assert(viaPng.width == w && viaPng.height == h && viaPng.rgb.sameElements(rgb),
+        s"round $round png ${w}x$h")
       val n = sample(Gen.chooseNum(1, 500), 600L + round)
       val rate = sample(Gen.oneOf(AudioCodec.Rates.toSeq), 650L + round)
       val pcm = sample(Gen.listOfN(n,
