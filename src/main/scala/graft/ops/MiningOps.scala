@@ -589,10 +589,18 @@ object MiningOps {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = t(spark, dir, "documents")
-    // each surviving stage is persisted so the five stage counts run
+    // each surviving stage is persisted so the stage counts run
     // each stage ONCE (not re-derived per downstream count) — the
     // same discipline a real pipeline run uses
-    val ok = docs.filter(graft.text.TextFunctions.qualityOk(col("text")))
+    // stage 2 (r14): domain reputation — drop blocked domains
+    // WHOLESALE before any per-doc rule (the CCNet stage order)
+    val rep = graft.pipeline.DomainReputation.rollup(docs)
+    val domainKept = docs.join(
+        rep.filter(col("reputation") =!= "blocked").select(col("source")),
+        Seq("source"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    val ok = domainKept
+      .filter(graft.text.TextFunctions.qualityOk(col("text")))
       .persist(MEMORY_AND_DISK)
     val keepW = Window.partitionBy(col("text")).orderBy(col("doc_id"))
     val deduped = ok.withColumn("rn", row_number().over(keepW))
@@ -607,12 +615,14 @@ object MiningOps {
       "doc_id", "est_tokens", budget = 2048, shards = 64)
     import spark.implicits._
     val out = Seq(
-      (1, "raw", docs.count()), (2, "quality_ok", ok.count()),
-      (3, "dedup_keep", deduped.count()), (4, "train_split", train.count()),
-      (5, "packs",
+      (1, "raw", docs.count()), (2, "domain_keep", domainKept.count()),
+      (3, "quality_ok", ok.count()),
+      (4, "dedup_keep", deduped.count()), (5, "train_split", train.count()),
+      (6, "packs",
         packed.select(col("shard"), col("pack")).distinct().count()))
       .toDF("pos", "stage", "n")
-    Seq(ok, deduped, train).foreach(_.unpersist(blocking = false))
+    Seq(domainKept, ok, deduped, train)
+      .foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -654,7 +664,10 @@ object MiningOps {
     "q_pipeline_e2e" -> {
       import graft.text.TextFunctions
       val band = graft.pipeline.Sampling.sqlIdBucket("doc_id", 1000)
-      s"""WITH ok AS (SELECT doc_id, text, n_chars FROM documents
+      s"""WITH ${graft.pipeline.DomainReputation.sqlRollupCte},
+         dk AS (SELECT doc_id, text, n_chars FROM documents
+           JOIN rep USING (source) WHERE rep.reputation <> 'blocked'),
+         ok AS (SELECT doc_id, text, n_chars FROM dk
            WHERE ${TextFunctions.sqlQualityOk("text")}),
          ded AS (SELECT doc_id, n_chars FROM (
              SELECT doc_id, n_chars, row_number() OVER (PARTITION BY text
@@ -667,10 +680,11 @@ object MiningOps {
               "doc_id", "est_tokens", 2048, 64)}))
          SELECT 1 AS pos, 'raw' AS stage,
            (SELECT COUNT(1) FROM documents) AS n
-         UNION ALL SELECT 2, 'quality_ok', (SELECT COUNT(1) FROM ok)
-         UNION ALL SELECT 3, 'dedup_keep', (SELECT COUNT(1) FROM ded)
-         UNION ALL SELECT 4, 'train_split', (SELECT COUNT(1) FROM tr)
-         UNION ALL SELECT 5, 'packs', (SELECT COUNT(1) FROM pk)"""
+         UNION ALL SELECT 2, 'domain_keep', (SELECT COUNT(1) FROM dk)
+         UNION ALL SELECT 3, 'quality_ok', (SELECT COUNT(1) FROM ok)
+         UNION ALL SELECT 4, 'dedup_keep', (SELECT COUNT(1) FROM ded)
+         UNION ALL SELECT 5, 'train_split', (SELECT COUNT(1) FROM tr)
+         UNION ALL SELECT 6, 'packs', (SELECT COUNT(1) FROM pk)"""
     },
     "q_bm25_topk" -> Retrieval.sqlBm25TopK(
       s"doc_id < $Bm25Queries", Bm25Terms, Bm25K),
