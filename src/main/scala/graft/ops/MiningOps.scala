@@ -255,6 +255,21 @@ object MiningOps {
     graft.text.Bpe.docTokenCountsFast(spark, t(spark, dir, "documents"),
       BpeMerges)
 
+  /** WordPiece tokenizer training ([[graft.text.Wordpiece]]): the
+    * BERT-lineage sibling of qBpeTrain — merges chosen by the
+    * quantized likelihood-gain score floor(c(ab)·10¹²/(c(a)·c(b)))
+    * instead of raw pair frequency; driver-local production trainer,
+    * oracle replays the scored trajectory as CTEs. */
+  def qWordpieceTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Wordpiece.trainFast(spark, t(spark, dir, "documents"),
+      BpeMerges)
+
+  /** Per-doc subword counts under the learned wordpiece dictionary
+    * ([[graft.text.Wordpiece.docTokenCountsFast]]). */
+  def qWordpieceTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Wordpiece.docTokenCountsFast(spark,
+      t(spark, dir, "documents"), BpeMerges)
+
   /** Context budget for [[qBpePack]] packs. */
   val BpePackBudget = 512L
 
@@ -638,6 +653,8 @@ object MiningOps {
     "q_bm25_compact_tiered" -> (qBm25CompactTiered _),
     "q_bm25_phrase" -> (qBm25Phrase _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_wordpiece_train" -> (qWordpieceTrain _),
+    "q_wordpiece_tokens" -> (qWordpieceTokens _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_bpe_pack" -> (qBpePack _),
@@ -733,6 +750,9 @@ object MiningOps {
          WHERE h.k = plen.m
          GROUP BY 1, 2""",
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
+    "q_wordpiece_train" -> graft.text.Wordpiece.sqlTrain(BpeMerges),
+    "q_wordpiece_tokens" ->
+      graft.text.Wordpiece.sqlDocTokenCounts(BpeMerges),
     "q_bpe_encode" -> graft.text.Bpe.sqlEncodeVocab(BpeMerges),
     "q_bpe_tokens" -> graft.text.Bpe.sqlDocTokenCounts(BpeMerges),
     "q_bpe_pack" ->

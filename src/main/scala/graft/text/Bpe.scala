@@ -81,7 +81,7 @@ object Bpe {
     * (apostrophes survive the module precondition, which only
     * reserves `(`, `)`, `_`) must not be parsed as SQL
     * ([[tokenCountWith]] already does it this way). */
-  private def applyMerge(w: DataFrame, l: String, r: String): DataFrame =
+  private[text] def applyMerge(w: DataFrame, l: String, r: String): DataFrame =
     w.withColumn("s", replace(col("s"), lit(s"($l)($r)"), lit(s"($l$r)")))
 
   /** The epoch loop over a (persisted) dictionary: at most `m`
@@ -116,7 +116,7 @@ object Bpe {
     * production BPE trainer holds in memory). A deployment trimming
     * pathological vocabularies (random-byte spam) applies a count
     * floor in the same aggregate before the collect. */
-  private def collectHistogram(docs: DataFrame): Seq[(String, Long)] =
+  private[text] def collectHistogram(docs: DataFrame): Seq[(String, Long)] =
     docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .collect().iterator.map(r => (r.getString(0), r.getLong(1))).toVector
@@ -452,15 +452,19 @@ object Bpe {
     * Spark side's early stop — so the trajectory stays
     * oracle-consistent even if the dictionary fully merges before
     * epoch m. */
+  /** The shared word-frame CTE (w0) — also the seed of the
+    * [[Wordpiece]] trajectory. */
+  private[text] val sqlWordFrameCte: String =
+    s"""w0 AS MATERIALIZED (
+         SELECT tok,
+                '(' || list_aggr(string_split(tok, ''), 'string_agg', ')(')
+                || ')(_)' AS s,
+                COUNT(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY 1, 2)"""
+
   private def sqlTrainCtes(m: Int): String = {
-    val w0 =
-      s"""w0 AS MATERIALIZED (
-           SELECT tok,
-                  '(' || list_aggr(string_split(tok, ''), 'string_agg', ')(')
-                  || ')(_)' AS s,
-                  COUNT(*) AS cnt
-           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-           GROUP BY 1, 2)"""
+    val w0 = sqlWordFrameCte
     val epochs = (1 to m).map { e =>
       val p = e - 1
       s"""p$e AS (SELECT ss[i] AS l, ss[i+1] AS r,
