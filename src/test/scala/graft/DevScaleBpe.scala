@@ -79,6 +79,19 @@ object DevScaleBpe {
       }
     }
 
+    // leg 2b: the WordPiece sibling (r14) — per-merge argmax is a
+    // vocab-bounded SCAN (denominator drift; no lazy heap), so this
+    // pins the O(m·P) claim at crawl-vocab scale
+    Seq(50000, 200000).foreach { n =>
+      val v = synthVocab(n)
+      Seq(1000, 8000).foreach { m =>
+        val t = System.nanoTime()
+        val got = graft.text.Wordpiece.trainLocalMerges(v, m)._1.length
+        println(f"local train  WORDPIECE synth-vocab(${v.size}%d) m=$m%-5d merges=$got%-5d " +
+          f"wall=${(System.nanoTime() - t) / 1e9}%7.3f s")
+      }
+    }
+
     // leg 3: the distributed trajectory at m=12 for contrast (the
     // per-merge Spark-job cost the local path eliminates)
     val t1 = System.nanoTime()
