@@ -403,6 +403,37 @@ object TextOps {
           .as("link_density_ppm"))
   }
 
+  /** WARC record framing + the full wire-to-clean-text chain (r14,
+    * stage MINUS-ONE of curation): each doc is wrapped as a real
+    * WARC/1.0 response record around its htmlized payload (four
+    * header-layout variants by id band — [[graft.text.Warc]]), then
+    * the parser under test extracts the URI header and slices the
+    * body by DECLARED Content-Length (the only valid WARC framing),
+    * and the recovered body flows through the r13 HTML extraction to
+    * clean text. Per-variant: record count, framed-length mass,
+    * body_ok conformance count, and fingerprint sums over both the
+    * URIs and the END-OF-CHAIN cleaned text — a wrong header regex,
+    * a one-off in the body slice, or an extraction drift all break
+    * the hash. */
+  def qWarcExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Warc
+    val rec = Warc.warcify(col("doc_id"), htmlize(col("doc_id"), col("text")))
+    t(spark, dir, "documents")
+      .select((col("doc_id") % 4).as("variant"), rec.as("rec"))
+      .select(col("variant"),
+        Warc.contentLength(col("rec")).as("clen"),
+        when(Warc.bodyOk(col("rec")), 1L).otherwise(0L).as("ok"),
+        fingerprint(Warc.targetUri(col("rec"))).as("fp_uri"),
+        fingerprint(graft.text.HtmlExtract.cleanText(Warc.bodyOf(col("rec"))))
+          .as("fp_clean"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("clen")).as("total_octets"),
+        sum(col("ok")).as("n_body_ok"),
+        sum(col("fp_uri")).as("fp_uri_sum"),
+        sum(col("fp_clean")).as("fp_clean_sum"))
+  }
+
   /** Banned 3-token phrases for [[qBlocklist]] — two that occur in
     * the fixture corpus, one that can occur at other SFs, one that
     * never matches (the empty-result leg). */
@@ -1343,6 +1374,7 @@ object TextOps {
     "q_lang_id" -> (qLangId _),
     "q_normalize" -> (qNormalize _),
     "q_html_extract" -> (qHtmlExtract _),
+    "q_warc_extract" -> (qWarcExtract _),
     "q_html_quality" -> (qHtmlQuality _),
     "q_blocklist" -> (qBlocklist _),
     "q_text_quality" -> (qTextQuality _),
@@ -1942,6 +1974,33 @@ object TextOps {
                WHEN 2 THEN chr(9) || text || chr(11) || chr(127)
                ELSE text END AS raw
              FROM documents))""",
+    // WARC framing + end-of-chain extraction: the synthesis is the
+    // shared sqlWarcify/warcify pair, the parse is the
+    // Content-Length slice, and fp_clean pins the WHOLE
+    // wire-to-clean-text chain per header-layout variant
+    "q_warc_extract" -> {
+      import graft.text.Warc
+      val rec = Warc.sqlWarcify("doc_id", sqlHtmlize("doc_id", "text"))
+      s"""WITH r AS (SELECT CAST(doc_id % 4 AS BIGINT) AS variant,
+             $rec AS rec
+           FROM documents),
+         p AS (SELECT variant,
+             ${Warc.sqlContentLength("rec")} AS clen,
+             CASE WHEN length(${Warc.sqlBody("rec")})
+                  = ${Warc.sqlContentLength("rec")}
+                  THEN 1 ELSE 0 END AS ok,
+             ${sqlFingerprint(Warc.sqlTargetUri("rec"))} AS fp_uri,
+             ${sqlFingerprint(
+               graft.text.HtmlExtract.sqlCleanText(Warc.sqlBody("rec")))}
+               AS fp_clean
+           FROM r)
+         SELECT variant, COUNT(1) AS n_records,
+           CAST(SUM(clen) AS BIGINT) AS total_octets,
+           CAST(SUM(ok) AS BIGINT) AS n_body_ok,
+           CAST(SUM(fp_uri) AS BIGINT) AS fp_uri_sum,
+           CAST(SUM(fp_clean) AS BIGINT) AS fp_clean_sum
+         FROM p GROUP BY variant"""
+    },
     // the HTML fixture + extraction pipeline are each generated from
     // ONE shared table (sqlHtmlize / HtmlExtract.Steps) so the twins
     // cannot drift; the clean STRING itself is hash-compared

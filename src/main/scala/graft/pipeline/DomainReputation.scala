@@ -54,26 +54,56 @@ object DomainReputation {
     when(emails + phones + ips + valid > 0, 1L).otherwise(0L)
   }
 
-  /** The per-domain rollup:
-    * (source, n_docs, n_quality_bad, n_dup_extra, n_pii_docs, risk,
-    * reputation). */
-  def rollup(docs: DataFrame): DataFrame = {
+  /** The per-row signal projection shared by the batch and stream
+    * rollups: (source, bad, pii, fp). */
+  private def signals(docs: DataFrame): DataFrame = {
     val bad = when(!TextFunctions.qualityOk(col("text")), 1L).otherwise(0L)
-    docs
-      .select(col("source"), bad.as("bad"), piiHit(col("text")).as("pii"),
-        TextFunctions.fingerprint(col("text")).as("fp"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("bad")).as("n_quality_bad"),
-        (count(lit(1)) - count_distinct(col("fp"))).as("n_dup_extra"),
-        sum(col("pii")).as("n_pii_docs"))
+    docs.select(col("source"), bad.as("bad"), piiHit(col("text")).as("pii"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+  }
+
+  /** The shared verdict fold over an aggregated signal frame. */
+  private def verdicts(agg: DataFrame): DataFrame =
+    agg
       .withColumn("risk",
         col("n_quality_bad") + col("n_dup_extra") + col("n_pii_docs"))
       .withColumn("reputation",
         when(col("risk") * BlockDen > col("n_docs") * BlockNum, "blocked")
           .when(col("risk") * ReviewDen > col("n_docs") * ReviewNum, "review")
           .otherwise("clean"))
-  }
+
+  /** The per-domain rollup:
+    * (source, n_docs, n_quality_bad, n_dup_extra, n_pii_docs, risk,
+    * reputation). */
+  def rollup(docs: DataFrame): DataFrame =
+    verdicts(signals(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bad")).as("n_quality_bad"),
+        (count(lit(1)) - count_distinct(col("fp"))).as("n_dup_extra"),
+        sum(col("pii")).as("n_pii_docs")))
+
+  /** Streaming twin of [[rollup]]: the same signals and verdict fold
+    * over an UNBOUNDED doc stream, run in Complete output mode so
+    * every micro-batch re-emits the current per-domain verdicts (the
+    * frame a nightly refresh would persist for [[filterWith]]'s
+    * frozen side). The one mechanical difference: streaming
+    * aggregation does not support exact count_distinct, so the dup
+    * signal folds as `n_docs − size(collect_set(fp))` — the same
+    * number, with the distinct-fp set carried in the aggregation
+    * state. State is per-domain distinct-doc bounded; a deployment
+    * whose single domains outgrow executor state swaps the set for
+    * the KMV estimator ([[graft.sketch.Sketches]]) at a documented
+    * dup-rate tolerance. DomainReputationSpec pins final emission ≡
+    * the batch rollup over the same rows. */
+  def rollupStream(docStream: DataFrame): DataFrame =
+    verdicts(signals(docStream)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bad")).as("n_quality_bad"),
+        (count(lit(1)) - size(collect_set(col("fp"))).cast("long"))
+          .as("n_dup_extra"),
+        sum(col("pii")).as("n_pii_docs")))
 
   /** The feedback filter: every document joined with its domain's
     * reputation; kept (1/0) iff the domain is not blocked AND the

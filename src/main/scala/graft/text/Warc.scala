@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** WARC record framing (r14) — stage MINUS-ONE of the crawl
+  * pipeline: real crawls arrive as WARC/1.0 response records
+  * (CommonCrawl's container), and the first thing a curation
+  * pipeline does is parse the record envelope — named headers plus
+  * CONTENT-LENGTH-BASED body framing — before any HTML cleaning can
+  * start. This module gives the engine that stage with the
+  * HtmlExtract discipline: the fixture synthesizes byte-identical
+  * records in BOTH engines ([[warcify]] / [[sqlWarcify]] — four
+  * header-layout variants by id band so the parser can never cheat
+  * with fixed offsets), and the parser under test ([[targetUri]] /
+  * [[contentLength]] / [[body]]) extracts the URI header and slices
+  * the body by the declared octet count, exactly as a WARC reader
+  * must (bodies are ARBITRARY bytes in real crawls — only
+  * Content-Length framing is valid; scanning for a terminator is
+  * not). `body_ok` pins that the declared length matches the framed
+  * payload.
+  *
+  * Everything is per-row string projections in the Java/RE2-common
+  * regex subset — one codegen'd pass fused into the scan, no
+  * shuffle, no UDF; composes with [[HtmlExtract]] for the full
+  * wire-to-clean-text chain (q_warc_extract).
+  *
+  * Fixture note: corpus text is ASCII, so char length == octet
+  * length and both engines compute the same Content-Length; a
+  * deployment parsing real multi-byte payloads does the same slicing
+  * on the BINARY payload column (the framing logic is identical). */
+object Warc {
+
+  private val Crlf = "\r\n"
+
+  /** Synthesize a WARC/1.0 response record around a payload. Four
+    * layout variants by id band: canonical order, an extra
+    * WARC-IP-Address header, Content-Length BEFORE the URI header,
+    * and an extra WARC-Concurrent-To header. */
+  private[graft] def warcify(docId: Column, payload: Column): Column = {
+    val idStr = docId.cast("string")
+    val uri = concat(lit("http://src"), (docId % 20).cast("string"),
+      lit(".example/doc/"), idStr)
+    val clen = length(payload).cast("string")
+    val head = concat(lit("WARC/1.0" + Crlf +
+      "WARC-Type: response" + Crlf +
+      "WARC-Record-ID: <urn:uuid:rec-"), idStr, lit(">" + Crlf))
+    val m = docId % 4
+    val mid = when(m === 0, concat(
+        lit("WARC-Target-URI: "), uri, lit(Crlf),
+        lit("Content-Type: text/html" + Crlf),
+        lit("Content-Length: "), clen, lit(Crlf)))
+      .when(m === 1, concat(
+        lit("WARC-IP-Address: 10.0.0."), (docId % 256).cast("string"),
+        lit(Crlf),
+        lit("WARC-Target-URI: "), uri, lit(Crlf),
+        lit("Content-Type: text/html" + Crlf),
+        lit("Content-Length: "), clen, lit(Crlf)))
+      .when(m === 2, concat(
+        lit("Content-Length: "), clen, lit(Crlf),
+        lit("Content-Type: text/html" + Crlf),
+        lit("WARC-Target-URI: "), uri, lit(Crlf)))
+      .otherwise(concat(
+        lit("WARC-Target-URI: "), uri, lit(Crlf),
+        lit("WARC-Concurrent-To: <urn:uuid:req-"), idStr, lit(">" + Crlf),
+        lit("Content-Type: text/html" + Crlf),
+        lit("Content-Length: "), clen, lit(Crlf)))
+    concat(head, mid, lit(Crlf), payload, lit(Crlf + Crlf))
+  }
+
+  /** SQL twin of [[warcify]] — byte-for-byte the same synthesis. */
+  private[graft] def sqlWarcify(idExpr: String, payloadExpr: String): String = {
+    val id = s"CAST($idExpr AS VARCHAR)"
+    val uri = s"'http://src' || CAST($idExpr % 20 AS VARCHAR) || '.example/doc/' || $id"
+    val clen = s"CAST(length($payloadExpr) AS VARCHAR)"
+    val crlf = "chr(13) || chr(10)"
+    val head = s"'WARC/1.0' || $crlf || 'WARC-Type: response' || $crlf || " +
+      s"'WARC-Record-ID: <urn:uuid:rec-' || $id || '>' || $crlf"
+    s"""($head ||
+      (CASE CAST($idExpr % 4 AS INT)
+        WHEN 0 THEN 'WARC-Target-URI: ' || $uri || $crlf
+          || 'Content-Type: text/html' || $crlf
+          || 'Content-Length: ' || $clen || $crlf
+        WHEN 1 THEN 'WARC-IP-Address: 10.0.0.' || CAST($idExpr % 256 AS VARCHAR) || $crlf
+          || 'WARC-Target-URI: ' || $uri || $crlf
+          || 'Content-Type: text/html' || $crlf
+          || 'Content-Length: ' || $clen || $crlf
+        WHEN 2 THEN 'Content-Length: ' || $clen || $crlf
+          || 'Content-Type: text/html' || $crlf
+          || 'WARC-Target-URI: ' || $uri || $crlf
+        ELSE 'WARC-Target-URI: ' || $uri || $crlf
+          || 'WARC-Concurrent-To: <urn:uuid:req-' || $id || '>' || $crlf
+          || 'Content-Type: text/html' || $crlf
+          || 'Content-Length: ' || $clen || $crlf
+       END) || $crlf || $payloadExpr || $crlf || $crlf)"""
+  }
+
+  // ---- the parser under test -------------------------------------------
+
+  /** WARC-Target-URI header value (position-independent). */
+  def targetUri(rec: Column): Column =
+    regexp_extract(rec, "WARC-Target-URI: ([^\r\n]+)", 1)
+
+  /** Declared Content-Length (octets). */
+  def contentLength(rec: Column): Column =
+    regexp_extract(rec, "Content-Length: ([0-9]+)", 1).cast("long")
+
+  /** The record body, framed BY THE DECLARED LENGTH from the first
+    * blank line — never by scanning for a terminator (real bodies
+    * are arbitrary bytes). */
+  def bodyOf(rec: Column): Column =
+    rec.substr(locate("\r\n\r\n", rec) + 4, contentLength(rec).cast("int"))
+
+  /** Does the framed body really have the declared length (a
+    * truncated record fails this). */
+  def bodyOk(rec: Column): Column =
+    length(bodyOf(rec)) === contentLength(rec)
+
+  /** SQL twins of the parser. */
+  def sqlTargetUri(recExpr: String): String =
+    s"regexp_extract($recExpr, 'WARC-Target-URI: ([^\\r\\n]+)', 1)"
+  def sqlContentLength(recExpr: String): String =
+    s"CAST(regexp_extract($recExpr, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+  def sqlBody(recExpr: String): String =
+    s"""substring($recExpr,
+        position((chr(13)||chr(10)||chr(13)||chr(10)) IN $recExpr) + 4,
+        CAST(${sqlContentLength(recExpr)} AS INT))"""
+}

@@ -81,6 +81,29 @@ class DomainReputationSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming rollup (Complete mode) converges to the batch rollup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = DomainReputation.rollup(docs)
+      .as[(String, Long, Long, Long, Long, Long, String)].collect().toSet
+    val in = MemoryStream[(Long, String, String)]
+    val q = DomainReputation.rollupStream(
+        in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("domain_rollup_stream")
+      .outputMode(OutputMode.Complete()).start()
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (a, b) = rows.splitAt(rows.length / 3)
+    in.addData(a); q.processAllAvailable()
+    in.addData(b); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("domain_rollup_stream")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(got == batch)
+  }
+
   test("filterWith: blocked domains drop wholesale; review keeps only quality-ok docs") {
     val docs = Seq(
       (0L, "okdom", goodText), (1L, "okdom", goodText + " u1"),

@@ -1,0 +1,63 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def recOf(id: Long, payload: String): String =
+    Seq((id, payload)).toDF("doc_id", "payload")
+      .select(Warc.warcify(col("doc_id"), col("payload")).as("rec"))
+      .as[String].head()
+
+  test("synthesized records are structurally conformant WARC/1.0") {
+    (0L to 7L).foreach { id =>
+      val rec = recOf(id, s"<p>payload $id</p>")
+      assert(rec.startsWith("WARC/1.0\r\n"), s"id=$id bad version line")
+      assert(rec.contains("\r\nWARC-Type: response\r\n"))
+      val blank = rec.indexOf("\r\n\r\n")
+      assert(blank > 0, s"id=$id missing header terminator")
+      // every header line before the blank is Name: value
+      rec.substring(0, blank).split("\r\n").drop(1).foreach { l =>
+        assert(l.matches("[A-Za-z-]+: .+"), s"id=$id bad header line '$l'")
+      }
+      assert(rec.endsWith("\r\n\r\n"), s"id=$id missing record terminator")
+    }
+  }
+
+  test("parser recovers uri and body by declared length across all layouts") {
+    val payloads = (0L to 7L).map(id => (id, s"<p>pay load $id &amp; more</p>"))
+    val got = payloads.toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        Warc.warcify(col("doc_id"), col("payload")).as("rec"))
+      .select(col("doc_id"), col("payload"),
+        Warc.targetUri(col("rec")).as("uri"),
+        Warc.bodyOf(col("rec")).as("body"),
+        Warc.bodyOk(col("rec")).as("ok"))
+      .as[(Long, String, String, String, Boolean)].collect()
+    got.foreach { case (id, payload, uri, body, ok) =>
+      assert(uri == s"http://src${id % 20}.example/doc/$id")
+      assert(body == payload, s"id=$id body slice diverged")
+      assert(ok, s"id=$id body_ok false")
+    }
+  }
+
+  test("body framing is length-based: a body containing CRLFCRLF survives") {
+    // terminator-scanning parsers truncate here; length framing must not
+    val payload = "first part\r\n\r\nsecond part"
+    val rec = recOf(3L, payload)
+    val out = Seq(rec).toDF("rec")
+      .select(Warc.bodyOf(col("rec")).as("b"), Warc.bodyOk(col("rec")).as("ok"))
+      .as[(String, Boolean)].head()
+    assert(out._1 == payload && out._2)
+  }
+
+  test("a truncated record fails body_ok instead of passing silently") {
+    val rec = recOf(5L, "<p>full payload body</p>")
+    val truncated = rec.substring(0, rec.length - 12)
+    val ok = Seq(truncated).toDF("rec")
+      .select(Warc.bodyOk(col("rec"))).as[Boolean].head()
+    assert(!ok)
+  }
+}

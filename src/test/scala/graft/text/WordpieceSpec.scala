@@ -80,6 +80,22 @@ class WordpieceSpec extends SparkSpec {
     assert(wp != bpe, "wordpiece and bpe picked identical merges")
   }
 
+  test("frozen-merge serving: Bpe.tokenCountWith replays the wordpiece table (OOV-safe)") {
+    // wordpiece-by-merges shares BPE's artifact shape, so the
+    // stateless replace-chain serving path works verbatim with the
+    // wordpiece merge table — including on words never seen at
+    // training (the dict join can't do that); batch parity pinned
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Wordpiece.trainFast(spark, docs, 12)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      .map(t => (t._2, t._3))
+    val viaChain = Bpe.tokenCountWith(docs, merges)
+      .as[(Long, Long)].collect().toMap
+    val viaDict = Wordpiece.docTokenCountsFast(spark, docs, 12)
+      .as[(Long, Long)].collect().toMap
+    assert(viaChain == viaDict)
+  }
+
   test("subword mass conservation under the wordpiece dictionary") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // every doc's subword count >= its whitespace token count (each
