@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer training over the corpus — the merge
@@ -62,9 +62,36 @@ object Bpe {
         concat(regexp_replace(col("tok"), "(?s)(.)", "($1)"), lit("(_)")).as("s"),
         col("cnt"))
 
+  /** The paren-encoded symbol array of a dictionary frame's `s`
+    * column — ONE definition for every consumer in this module and
+    * [[Wordpiece]] (review r14 #3). */
+  private[text] def symbolsOf: Column =
+    split(expr("substring(s, 2, char_length(s) - 2)"), "\\)\\(")
+
+  /** Per-doc subword counts from a TRAINED dictionary frame
+    * (tok, s, cnt): per-word segmentation lengths joined to the
+    * corpus explode with the skew-safe hybrid weight join — shared
+    * by the BPE and WordPiece token-count paths (review r14 #3). */
+  private[text] def docTokenCountsOf(docs: DataFrame, merged: DataFrame)
+      : DataFrame =
+    docTokenCountsFromLens(docs, merged.select(col("tok"),
+      size(symbolsOf).cast("long").as("n_sub"), col("cnt")))
+
+  /** The corpus half of the token-count join, from any
+    * (tok, n_sub, cnt) length frame (distributed dict or the local
+    * trainers' collected one). */
+  private[text] def docTokenCountsFromLens(docs: DataFrame,
+      wordLens: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    CorpusScoring.hybridWeightJoin(toks, wordLens,
+        Seq("tok"), "cnt", hotN = 64, joinType = "inner")
+      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_subwords"))
+  }
+
   /** Adjacent-pair counts of a word frame: (l, r, c). */
   def pairCounts(words: DataFrame): DataFrame = {
-    val ss = split(expr("substring(s, 2, char_length(s) - 2)"), "\\)\\(")
+    val ss = symbolsOf
     words
       .select(col("cnt"), ss.as("ss"))
       .select(col("cnt"), explode(zip_with(
@@ -320,14 +347,9 @@ object Bpe {
       : DataFrame = {
     import spark.implicits._
     val (_, dict) = trainLocalMerges(collectHistogram(docs), m)
-    val wordLens = dict.toSeq
+    docTokenCountsFromLens(docs, dict.toSeq
       .map { case (tok, syms, c) => (tok, syms.length.toLong, c) }
-      .toDF("tok", "n_sub", "cnt")
-    val toksCol = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("tok"))
-    CorpusScoring.hybridWeightJoin(toksCol, wordLens,
-        Seq("tok"), "cnt", hotN = 64, joinType = "inner")
-      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_subwords"))
+      .toDF("tok", "n_sub", "cnt"))
   }
 
   /** Train `m` merges; returns the merge table
@@ -359,9 +381,8 @@ object Bpe {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dict = wordFrame(docs).persist(MEMORY_AND_DISK)
     val (_, merged) = trainLoop(dict, m)
-    val ss = split(expr("substring(s, 2, char_length(s) - 2)"), "\\)\\(")
     graft.api.Materialize.releasing(
-      merged.select(explode(ss).as("sym"), col("cnt"))
+      merged.select(explode(symbolsOf).as("sym"), col("cnt"))
         .groupBy(col("sym")).agg(sum(col("cnt")).as("cnt")),
       Seq(dict))
   }
@@ -379,15 +400,8 @@ object Bpe {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dict = wordFrame(docs).persist(MEMORY_AND_DISK)
     val (_, merged) = trainLoop(dict, m)
-    val ss = split(expr("substring(s, 2, char_length(s) - 2)"), "\\)\\(")
-    val wordLens = merged.select(col("tok"),
-      size(ss).cast("long").as("n_sub"), col("cnt"))
-    val toks = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("tok"))
-    val perDoc = CorpusScoring.hybridWeightJoin(toks, wordLens,
-        Seq("tok"), "cnt", hotN = 64, joinType = "inner")
-      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_subwords"))
-    graft.api.Materialize.releasing(perDoc, Seq(dict))
+    graft.api.Materialize.releasing(
+      docTokenCountsOf(docs, merged), Seq(dict))
   }
 
   /** Frozen-tokenizer subword counting as a STATELESS projection:

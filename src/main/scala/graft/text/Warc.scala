@@ -96,33 +96,69 @@ object Warc {
   }
 
   // ---- the parser under test -------------------------------------------
+  //
+  // Headers are parsed ONLY inside the header block (everything
+  // before the first CRLFCRLF), each anchored at a CRLF line start
+  // (review r14 #2): a WARC response body is itself an HTTP message
+  // that can contain 'Content-Length:' lines, and an unanchored
+  // whole-record scan would frame with the body's value when the
+  // envelope header is missing or garbled. A record with NO header
+  // terminator parses to null uri/length/body and bodyOk=false
+  // (review r14 #1) — malformed records fail loudly, never slice
+  // garbage.
 
-  /** WARC-Target-URI header value (position-independent). */
-  def targetUri(rec: Column): Column =
-    regexp_extract(rec, "WARC-Target-URI: ([^\r\n]+)", 1)
+  /** The header block: record start up to (excluding) the first
+    * blank line; empty when no terminator exists. */
+  private def headerBlock(rec: Column): Column = {
+    val p = locate("\r\n\r\n", rec)
+    when(p > 0, rec.substr(lit(1), p - 1)).otherwise(lit(""))
+  }
 
-  /** Declared Content-Length (octets). */
+  /** WARC-Target-URI header value (null when absent/malformed). */
+  def targetUri(rec: Column): Column = {
+    val v = regexp_extract(headerBlock(rec),
+      "\r\nWARC-Target-URI: ([^\r\n]+)", 1)
+    when(v =!= "", v)
+  }
+
+  /** Declared Content-Length in octets (null when absent/malformed —
+    * the empty extract casts to null, never to a number). */
   def contentLength(rec: Column): Column =
-    regexp_extract(rec, "Content-Length: ([0-9]+)", 1).cast("long")
+    regexp_extract(headerBlock(rec), "\r\nContent-Length: ([0-9]+)", 1)
+      .cast("long")
 
   /** The record body, framed BY THE DECLARED LENGTH from the first
     * blank line — never by scanning for a terminator (real bodies
-    * are arbitrary bytes). */
-  def bodyOf(rec: Column): Column =
-    rec.substr(locate("\r\n\r\n", rec) + 4, contentLength(rec).cast("int"))
+    * are arbitrary bytes). Null when the record has no header
+    * terminator or no parseable Content-Length. */
+  def bodyOf(rec: Column): Column = {
+    val p = locate("\r\n\r\n", rec)
+    when(p > 0, rec.substr(p + 4, contentLength(rec).cast("int")))
+  }
 
   /** Does the framed body really have the declared length (a
-    * truncated record fails this). */
+    * truncated or malformed record fails this, never null). */
   def bodyOk(rec: Column): Column =
-    length(bodyOf(rec)) === contentLength(rec)
+    coalesce(length(bodyOf(rec)) === contentLength(rec), lit(false))
 
-  /** SQL twins of the parser. */
+  /** SQL twins of the parser (same header-block scoping). */
+  private def sqlHeaderBlock(recExpr: String): String = {
+    val crlf2 = "(chr(13)||chr(10)||chr(13)||chr(10))"
+    s"""(CASE WHEN position($crlf2 IN $recExpr) > 0
+         THEN substring($recExpr, 1, position($crlf2 IN $recExpr) - 1)
+         ELSE '' END)"""
+  }
   def sqlTargetUri(recExpr: String): String =
-    s"regexp_extract($recExpr, 'WARC-Target-URI: ([^\\r\\n]+)', 1)"
+    s"""nullif(regexp_extract(${sqlHeaderBlock(recExpr)},
+        '\\r\\nWARC-Target-URI: ([^\\r\\n]+)', 1), '')"""
   def sqlContentLength(recExpr: String): String =
-    s"CAST(regexp_extract($recExpr, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
-  def sqlBody(recExpr: String): String =
-    s"""substring($recExpr,
-        position((chr(13)||chr(10)||chr(13)||chr(10)) IN $recExpr) + 4,
-        CAST(${sqlContentLength(recExpr)} AS INT))"""
+    s"""TRY_CAST(regexp_extract(${sqlHeaderBlock(recExpr)},
+        '\\r\\nContent-Length: ([0-9]+)', 1) AS BIGINT)"""
+  def sqlBody(recExpr: String): String = {
+    val crlf2 = "(chr(13)||chr(10)||chr(13)||chr(10))"
+    s"""(CASE WHEN position($crlf2 IN $recExpr) > 0
+         THEN substring($recExpr, position($crlf2 IN $recExpr) + 4,
+           CAST(${sqlContentLength(recExpr)} AS INT))
+         ELSE NULL END)"""
+  }
 }

@@ -43,11 +43,9 @@ object Wordpiece {
   val Scale = 1000000000000L // 1e12
 
   /** Per-symbol occurrence counts of a word frame: (sym, c). */
-  private def symCounts(words: DataFrame): DataFrame = {
-    val ss = split(expr("substring(s, 2, char_length(s) - 2)"), "\\)\\(")
-    words.select(col("cnt"), explode(ss).as("sym"))
+  private def symCounts(words: DataFrame): DataFrame =
+    words.select(col("cnt"), explode(Bpe.symbolsOf).as("sym"))
       .groupBy(col("sym")).agg(sum(col("cnt")).as("c"))
-  }
 
   /** Exact quantized likelihood score (the qsInterp Decimal
     * pattern): floor(c·Scale/(ca·cb)) with every operand exact. */
@@ -105,15 +103,8 @@ object Wordpiece {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dict = Bpe.wordFrame(docs).persist(MEMORY_AND_DISK)
     val (_, merged) = trainLoop(dict, m)
-    val ss = split(expr("substring(s, 2, char_length(s) - 2)"), "\\)\\(")
-    val wordLens = merged.select(col("tok"),
-      size(ss).cast("long").as("n_sub"), col("cnt"))
-    val toks = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("tok"))
-    val perDoc = CorpusScoring.hybridWeightJoin(toks, wordLens,
-        Seq("tok"), "cnt", hotN = 64, joinType = "inner")
-      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_subwords"))
-    graft.api.Materialize.releasing(perDoc, Seq(dict))
+    graft.api.Materialize.releasing(
+      Bpe.docTokenCountsOf(docs, merged), Seq(dict))
   }
 
   // ---- driver-local production trainer ---------------------------------
@@ -265,14 +256,9 @@ object Wordpiece {
       : DataFrame = {
     import spark.implicits._
     val (_, dict) = trainLocalMerges(Bpe.collectHistogram(docs), m)
-    val wordLens = dict.toSeq
+    Bpe.docTokenCountsFromLens(docs, dict.toSeq
       .map { case (tok, syms, c) => (tok, syms.length.toLong, c) }
-      .toDF("tok", "n_sub", "cnt")
-    val toksCol = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("tok"))
-    CorpusScoring.hybridWeightJoin(toksCol, wordLens,
-        Seq("tok"), "cnt", hotN = 64, joinType = "inner")
-      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_subwords"))
+      .toDF("tok", "n_sub", "cnt"))
   }
 
   // ---- oracle twins ----------------------------------------------------

@@ -60,4 +60,35 @@ class WarcSpec extends SparkSpec {
       .select(Warc.bodyOk(col("rec"))).as[Boolean].head()
     assert(!ok)
   }
+
+  test("a record cut before the header terminator parses to null, never a garbage slice") {
+    // review r14 #1: with no CRLFCRLF, a naive locate()+4 slice reads
+    // bytes of the version line and can even satisfy a small declared
+    // length — the parser must return null body and bodyOk=false
+    val rec = recOf(1L, "x") // declared Content-Length: 1
+    val headless = rec.substring(0, rec.indexOf("\r\n\r\n"))
+    val out = Seq(headless).toDF("rec")
+      .select(Warc.bodyOf(col("rec")).as("b"), Warc.bodyOk(col("rec")).as("ok"),
+        Warc.targetUri(col("rec")).as("u"))
+      .as[(Option[String], Boolean, Option[String])].head()
+    assert(out._1.isEmpty && !out._2)
+    // with no terminator there is no header BLOCK — every field of a
+    // malformed record is null, nothing parses on a guess
+    assert(out._3.isEmpty)
+  }
+
+  test("header values inside the BODY never reach the parser (block scoping)") {
+    // review r14 #2: a WARC response body is an HTTP message that can
+    // carry its own Content-Length — with the envelope header intact
+    // the parse must use the envelope's value, and with header-block
+    // scoping the body line can never be consulted at all
+    val payload = "HTTP/1.1 200 OK\r\nContent-Length: 3\r\n\r\nabcdef"
+    val rec = recOf(2L, payload)
+    val out = Seq(rec).toDF("rec")
+      .select(Warc.contentLength(col("rec")).as("n"),
+        Warc.bodyOf(col("rec")).as("b"), Warc.bodyOk(col("rec")).as("ok"))
+      .as[(Long, String, Boolean)].head()
+    assert(out._1 == payload.length.toLong, "must frame with the ENVELOPE length")
+    assert(out._2 == payload && out._3)
+  }
 }
