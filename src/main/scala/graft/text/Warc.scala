@@ -141,6 +141,88 @@ object Warc {
   def bodyOk(rec: Column): Column =
     coalesce(length(bodyOf(rec)) === contentLength(rec), lit(false))
 
+  /** Read a directory of `.warc.gz` files — the CommonCrawl layout:
+    * each file is a CONCATENATION of per-record gzip members, so a
+    * reader inflates members sequentially and emits one record
+    * string per member. Parallelism is ACROSS files (the real
+    * pattern: crawls ship thousands of ~1 GB segments; a member
+    * stream is inherently sequential), via Spark's binaryFile
+    * source — one task per file, records streamed out of one
+    * counting InputStream per task, never the whole file decoded
+    * into a single buffer. Member boundaries come from the gzip
+    * framing itself (GZIPInputStream stops at each member's
+    * trailer), not from scanning record text — the only correct
+    * split for arbitrary bodies. */
+  def readWarcGz(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        splitGzipMembers(bytes).zipWithIndex.map { case (rec, i) =>
+          (path, i.toLong, rec)
+        }
+      }
+      .toDF("path", "member", "rec")
+  }
+
+  /** Split a byte array of CONCATENATED gzip members into one
+    * decoded string per member. Java's GZIPInputStream silently
+    * auto-chains concatenated members into one stream, so member
+    * framing is done by hand: parse each member's gzip header
+    * (RFC 1952 — magic, CM=8, FLG-driven optional fields), inflate
+    * the deflate body with a raw `Inflater(nowrap)`, and advance by
+    * `getBytesRead` + the 8-byte CRC32/ISIZE trailer. Malformed
+    * input throws — a crawl reader must fail the file, not emit a
+    * silent partial split. */
+  private[graft] def splitGzipMembers(bytes: Array[Byte]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 10 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
+        s"bad gzip member magic at offset $pos")
+      require(bytes(pos + 2) == 8, "unsupported gzip compression method")
+      val flg = bytes(pos + 3) & 0xff
+      var i = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        val xlen = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+        i += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (bytes(i) != 0) i += 1; i += 1 } // FNAME
+      if ((flg & 16) != 0) { while (bytes(i) != 0) i += 1; i += 1 } // FCOMMENT
+      if ((flg & 2) != 0) i += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, i, bytes.length - i)
+      val body = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        require(n > 0 || inf.finished(), s"truncated gzip member at $pos")
+        body.write(buf, 0, n)
+      }
+      val consumed = inf.getBytesRead.toInt
+      inf.end()
+      // CRC32 + ISIZE trailer verification (RFC 1952)
+      require(i + consumed + 8 <= bytes.length,
+        s"truncated gzip trailer at offset ${i + consumed}")
+      val data = body.toByteArray
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      def le32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      require(le32(i + consumed) == crc.getValue,
+        s"gzip member CRC mismatch at offset $pos")
+      require(le32(i + consumed + 4) == (data.length & 0xffffffffL),
+        s"gzip member ISIZE mismatch at offset $pos")
+      out += new String(data, "UTF-8")
+      pos = i + consumed + 8
+    }
+    out.result()
+  }
+
   /** SQL twins of the parser (same header-block scoping). */
   private def sqlHeaderBlock(recExpr: String): String = {
     val crlf2 = "(chr(13)||chr(10)||chr(13)||chr(10))"

@@ -53,6 +53,65 @@ class WarcSpec extends SparkSpec {
     assert(out._1 == payload && out._2)
   }
 
+  test("warc.gz source: per-record gzip members split and parse back exactly") {
+    // the CommonCrawl file layout — one gzip member per record,
+    // members concatenated; Java's GZIPInputStream silently
+    // auto-chains members, so the splitter's hand framing is the
+    // thing under test
+    val payloads = (0L until 9L).map(id => (id, s"<p>record $id body</p>"))
+    val recs = payloads.map { case (id, p) => recOf(id, p) }
+    val dir = java.nio.file.Files.createTempDirectory("warcgz")
+    try {
+      val f = dir.resolve("segment-00000.warc.gz")
+      val fos = new java.io.FileOutputStream(f.toFile)
+      recs.foreach { r =>
+        val gz = new java.util.zip.GZIPOutputStream(fos)
+        gz.write(r.getBytes("UTF-8")); gz.finish() // member per record
+      }
+      fos.close()
+      val got = Warc.readWarcGz(spark, dir.toString)
+        .select(col("member"), col("rec"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(got.length == 9)
+      got.foreach { case (i, rec) => assert(rec == recs(i.toInt)) }
+      // and the members flow through the parser end-to-end
+      val bodies = Warc.readWarcGz(spark, dir.toString)
+        .select(Warc.bodyOf(col("rec")).as("b"), Warc.bodyOk(col("rec")).as("ok"))
+        .as[(String, Boolean)].collect()
+      assert(bodies.forall(_._2) &&
+        bodies.map(_._1).sorted.sameElements(payloads.map(_._2).sorted))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("gzip member splitter handles FNAME-flagged headers and rejects corruption") {
+    // hand-built member with FNAME (GZIPOutputStream never emits one)
+    val body = "WARC/1.0\r\ncustom\r\n\r\nx\r\n\r\n".getBytes("UTF-8")
+    val defl = new java.util.zip.Deflater(-1, true)
+    defl.setInput(body); defl.finish()
+    val zb = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!defl.finished()) zb.write(tmp, 0, defl.deflate(tmp))
+    val crc = new java.util.zip.CRC32; crc.update(body)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val member = Array[Byte](0x1f, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0, 0) ++
+      "seg.warc".getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+      zb.toByteArray ++
+      le32(crc.getValue) ++ le32(body.length.toLong)
+    val got = Warc.splitGzipMembers(member ++ member)
+    assert(got == Seq(new String(body, "UTF-8"), new String(body, "UTF-8")))
+    // flipped CRC byte must throw, not emit a wrong record
+    val bad = (member ++ member).clone()
+    bad(member.length - 6) = (bad(member.length - 6) ^ 0x1).toByte
+    intercept[IllegalArgumentException] { Warc.splitGzipMembers(bad) }
+  }
+
   test("a truncated record fails body_ok instead of passing silently") {
     val rec = recOf(5L, "<p>full payload body</p>")
     val truncated = rec.substring(0, rec.length - 12)
