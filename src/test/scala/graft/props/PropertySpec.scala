@@ -227,6 +227,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: WARC framing round-trips arbitrary printable payloads") {
+    import graft.text.Warc
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // payloads draw from printable ASCII *plus* CR/LF so bodies can
+    // contain header-terminator look-alikes and HTTP-header-shaped
+    // lines — only declared-length framing survives that
+    val chGen = Gen.frequency(
+      (20, Gen.chooseNum(32, 126).map(_.toChar)),
+      (1, Gen.const('\r')), (1, Gen.const('\n')))
+    for (round <- 1 to 10) {
+      val n = sample(Gen.chooseNum(1, 400), 800L + round)
+      val payload = sample(Gen.listOfN(n, chGen), 900L + round).mkString
+      val id = sample(Gen.chooseNum(0L, 1000L), 1000L + round)
+      val out = Seq((id, payload)).toDF("doc_id", "payload")
+        .select(Warc.warcify(col("doc_id"), col("payload")).as("rec"))
+        .select(Warc.bodyOf(col("rec")).as("b"),
+          Warc.bodyOk(col("rec")).as("ok"),
+          Warc.targetUri(col("rec")).as("u"))
+        .as[(String, Boolean, String)].head()
+      assert(out._1 == payload && out._2, s"round $round body diverged")
+      assert(out._3 == s"http://src${id % 20}.example/doc/$id")
+    }
+  }
+
   test("property: asof join equals the local latest-at-or-before model") {
     val rowGen = for {
       k <- Gen.chooseNum(0L, 4L)
