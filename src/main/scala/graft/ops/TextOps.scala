@@ -434,6 +434,89 @@ object TextOps {
         sum(col("fp_clean")).as("fp_clean_sum"))
   }
 
+  /** HTTP response-envelope strip between WARC body and HTML (r15,
+    * VERDICT r14 missing #1): real `response` bodies are full HTTP
+    * messages, so each doc's payload is wrapped in an HTTP envelope
+    * (three variants by id band — 200-with-charset, 404-without-
+    * Content-Length, and NO envelope) before the WARC framing, and
+    * the chain under test is bodyOf → httpStatus/ContentType/Charset
+    * columns → httpPayload → HTML extraction. The envelope-less band
+    * pins the pass-through contract: null status/content-type, the
+    * body reaching the extractor unchanged. fp_clean is
+    * variant-independent by construction (every band wraps the SAME
+    * page), so a band leaking envelope text into the extractor
+    * breaks its own hash against the others' oracle rows. All
+    * per-row codegen'd projections fused into the scan. */
+  def qHttpExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Warc
+    val rec = Warc.warcify(col("doc_id"),
+      Warc.httpWrap(col("doc_id"), htmlize(col("doc_id"), col("text"))))
+    t(spark, dir, "documents")
+      .select((col("doc_id") % 3).as("variant"), rec.as("rec"))
+      .select(col("variant"), Warc.bodyOf(col("rec")).as("body"))
+      .select(col("variant"),
+        Warc.httpStatus(col("body")).as("status"),
+        Warc.httpContentType(col("body")).as("ct"),
+        Warc.httpCharset(col("body")).as("cs"),
+        fingerprint(graft.text.HtmlExtract.cleanText(
+          Warc.httpPayload(col("body")))).as("fp_clean"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_records"),
+        count(col("status")).as("n_with_status"),
+        coalesce(sum(col("status")), lit(0L)).as("status_sum"),
+        count(when(col("ct") === "text/html", 1)).as("n_html"),
+        count(col("cs")).as("n_charset"),
+        sum(col("fp_clean")).as("fp_clean_sum"))
+  }
+
+  /** The `.warc.gz` source end-to-end (r15, promoting the streaming
+    * source to a declared query): write the fixture corpus as REAL
+    * crawl segment files — HTTP-wrapped, WARC-framed records, one
+    * gzip member per record, hash-partitioned across 4 segment
+    * files — then read them back through [[graft.text.Warc.readWarcGz]]
+    * (binaryFiles + the streaming member walker) and run the full
+    * envelope→payload→clean-text chain, grouped by HTTP status. The
+    * oracle computes the same aggregate straight from the documents
+    * table: only a byte-faithful gzip-member round trip (framing,
+    * CRC/ISIZE, charset decode) reproduces the fingerprint sums.
+    * Aggregates are order-independent, so segment-internal record
+    * order (a partition-iteration detail) cannot affect the result.
+    * Temp-root lifecycle and plan-audit stash via withTempRoot, like
+    * every lifecycle fixture. */
+  def qWarcgzExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Materialize.withTempRoot("warcgz") { root =>
+      import graft.text.Warc
+      val rec = Warc.warcify(col("doc_id"),
+        Warc.httpWrap(col("doc_id"), htmlize(col("doc_id"), col("text"))))
+      t(spark, dir, "documents")
+        .select(col("doc_id"), rec.as("rec"))
+        .repartition(4, col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.File(root, f"segment-$pid%05d.warc.gz")
+          val fos = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f))
+          try it.foreach { row =>
+            val gz = new java.util.zip.GZIPOutputStream(fos)
+            gz.write(row.getString(1).getBytes("UTF-8"))
+            gz.finish() // one member per record, CommonCrawl layout
+          } finally fos.close()
+        }
+      Warc.readWarcGz(spark, root)
+        .select(Warc.bodyOf(col("rec")).as("body"),
+          when(Warc.bodyOk(col("rec")), 1L).otherwise(0L).as("ok"),
+          fingerprint(Warc.targetUri(col("rec"))).as("fp_uri"))
+        .select(Warc.httpStatus(col("body")).as("status"),
+          col("ok"), col("fp_uri"),
+          fingerprint(graft.text.HtmlExtract.cleanText(
+            Warc.httpPayload(col("body")))).as("fp_clean"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("ok")).as("n_body_ok"),
+          sum(col("fp_uri")).as("fp_uri_sum"),
+          sum(col("fp_clean")).as("fp_clean_sum"))
+    }
+
   /** Banned 3-token phrases for [[qBlocklist]] — two that occur in
     * the fixture corpus, one that can occur at other SFs, one that
     * never matches (the empty-result leg). */
@@ -1375,6 +1458,8 @@ object TextOps {
     "q_normalize" -> (qNormalize _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_warc_extract" -> (qWarcExtract _),
+    "q_http_extract" -> (qHttpExtract _),
+    "q_warcgz_extract" -> (qWarcgzExtract _),
     "q_html_quality" -> (qHtmlQuality _),
     "q_blocklist" -> (qBlocklist _),
     "q_text_quality" -> (qTextQuality _),
@@ -2000,6 +2085,60 @@ object TextOps {
            CAST(SUM(fp_uri) AS BIGINT) AS fp_uri_sum,
            CAST(SUM(fp_clean) AS BIGINT) AS fp_clean_sum
          FROM p GROUP BY variant"""
+    },
+    // the HTTP envelope chain: shared sqlHttpWrap/httpWrap synthesis
+    // inside the WARC framing, then status/content-type/charset
+    // columns + the envelope strip before extraction; the no-envelope
+    // band (variant 2) must surface null status and pass the body
+    // through unchanged
+    "q_http_extract" -> {
+      import graft.text.Warc
+      val rec = Warc.sqlWarcify("doc_id",
+        Warc.sqlHttpWrap("doc_id", sqlHtmlize("doc_id", "text")))
+      s"""WITH r AS (SELECT CAST(doc_id % 3 AS BIGINT) AS variant,
+             $rec AS rec
+           FROM documents),
+         p AS (SELECT variant, ${Warc.sqlBody("rec")} AS body FROM r),
+         q AS (SELECT variant,
+             ${Warc.sqlHttpStatus("body")} AS status,
+             ${Warc.sqlHttpContentType("body")} AS ct,
+             ${Warc.sqlHttpCharset("body")} AS cs,
+             ${sqlFingerprint(
+               graft.text.HtmlExtract.sqlCleanText(Warc.sqlHttpPayload("body")))}
+               AS fp_clean
+           FROM p)
+         SELECT variant, COUNT(1) AS n_records,
+           COUNT(status) AS n_with_status,
+           CAST(COALESCE(SUM(status), 0) AS BIGINT) AS status_sum,
+           COUNT(CASE WHEN ct = 'text/html' THEN 1 END) AS n_html,
+           COUNT(cs) AS n_charset,
+           CAST(SUM(fp_clean) AS BIGINT) AS fp_clean_sum
+         FROM q GROUP BY variant"""
+    },
+    // the gz layer is transparent to the oracle: same synthesis +
+    // parse as q_http_extract, grouped by recovered status — only a
+    // byte-faithful member round trip on the Spark side reproduces it
+    "q_warcgz_extract" -> {
+      import graft.text.Warc
+      val rec = Warc.sqlWarcify("doc_id",
+        Warc.sqlHttpWrap("doc_id", sqlHtmlize("doc_id", "text")))
+      s"""WITH r AS (SELECT $rec AS rec FROM documents),
+         p AS (SELECT ${Warc.sqlBody("rec")} AS body,
+             CASE WHEN length(${Warc.sqlBody("rec")})
+                  = ${Warc.sqlContentLength("rec")}
+                  THEN 1 ELSE 0 END AS ok,
+             ${sqlFingerprint(Warc.sqlTargetUri("rec"))} AS fp_uri
+           FROM r),
+         q AS (SELECT ${Warc.sqlHttpStatus("body")} AS status, ok, fp_uri,
+             ${sqlFingerprint(
+               graft.text.HtmlExtract.sqlCleanText(Warc.sqlHttpPayload("body")))}
+               AS fp_clean
+           FROM p)
+         SELECT status, COUNT(1) AS n_records,
+           CAST(SUM(ok) AS BIGINT) AS n_body_ok,
+           CAST(SUM(fp_uri) AS BIGINT) AS fp_uri_sum,
+           CAST(SUM(fp_clean) AS BIGINT) AS fp_clean_sum
+         FROM q GROUP BY status"""
     },
     // the HTML fixture + extraction pipeline are each generated from
     // ONE shared table (sqlHtmlize / HtmlExtract.Steps) so the twins

@@ -146,82 +146,193 @@ object Warc {
     * reader inflates members sequentially and emits one record
     * string per member. Parallelism is ACROSS files (the real
     * pattern: crawls ship thousands of ~1 GB segments; a member
-    * stream is inherently sequential), via Spark's binaryFile
-    * source — one task per file, records streamed out of one
-    * counting InputStream per task, never the whole file decoded
-    * into a single buffer. Member boundaries come from the gzip
-    * framing itself (GZIPInputStream stops at each member's
-    * trailer), not from scanning record text — the only correct
-    * split for arbitrary bodies. */
+    * stream is inherently sequential), via `sparkContext.binaryFiles`
+    * — one task per file holding a lazily-opened PortableDataStream
+    * (no whole-file buffer, no binaryFile 2 GB cap). The task walks
+    * members off the open stream through a fixed 256 KiB read buffer
+    * ([[gzipMemberIterator]]) and emits each record as soon as its
+    * trailer verifies: peak task heap = the buffer + ONE record +
+    * inflater state, independent of segment size (measured bounded
+    * on a multi-hundred-MB synthetic segment — DevScaleWarc).
+    * Member boundaries come from the gzip framing itself, not from
+    * scanning record text — the only correct split for arbitrary
+    * bodies. Records decode per the HTTP Content-Type charset when
+    * the body declares one, UTF-8 fallback ([[decodeRecord]]). */
   def readWarcGz(spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        splitGzipMembers(bytes).zipWithIndex.map { case (rec, i) =>
-          (path, i.toLong, rec)
+    spark.sparkContext.binaryFiles(dir)
+      .flatMap { case (path, pds) =>
+        val in = pds.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        gzipMemberIterator(in).zipWithIndex.map { case (bytes, i) =>
+          (path, i.toLong, decodeRecord(bytes))
         }
       }
       .toDF("path", "member", "rec")
   }
 
-  /** Split a byte array of CONCATENATED gzip members into one
-    * decoded string per member. Java's GZIPInputStream silently
-    * auto-chains concatenated members into one stream, so member
-    * framing is done by hand: parse each member's gzip header
-    * (RFC 1952 — magic, CM=8, FLG-driven optional fields), inflate
-    * the deflate body with a raw `Inflater(nowrap)`, and advance by
-    * `getBytesRead` + the 8-byte CRC32/ISIZE trailer. Malformed
-    * input throws — a crawl reader must fail the file, not emit a
-    * silent partial split. */
-  private[graft] def splitGzipMembers(bytes: Array[Byte]): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var pos = 0
-    while (pos < bytes.length) {
-      require(pos + 10 <= bytes.length &&
-        (bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
-        s"bad gzip member magic at offset $pos")
-      require(bytes(pos + 2) == 8, "unsupported gzip compression method")
-      val flg = bytes(pos + 3) & 0xff
-      var i = pos + 10
-      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
-        val xlen = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
-        i += 2 + xlen
+  /** Walk the CONCATENATED gzip members of an open stream, emitting
+    * one decoded byte array per member AS PARSED — nothing beyond
+    * the 256 KiB read buffer and the current member's inflated bytes
+    * is ever resident. Java's GZIPInputStream silently auto-chains
+    * concatenated members into one stream, so member framing is done
+    * by hand: parse each member's gzip header (RFC 1952 — magic,
+    * CM=8, FLG-driven optional fields, each read bounds-checked so a
+    * member truncated inside FEXTRA/FNAME/FCOMMENT throws the
+    * module's IllegalArgumentException, never an index error —
+    * ADVICE r14 #3), inflate the deflate body with a raw
+    * `Inflater(nowrap)` fed from the buffer, then read and verify
+    * the 8-byte CRC32/ISIZE trailer. Offsets are tracked as Long
+    * (multi-GB segments never wrap). Malformed input throws — a
+    * crawl reader must fail the file, not emit a silent partial
+    * split. The caller owns closing `in`. */
+  private[graft] def gzipMemberIterator(in: java.io.InputStream)
+      : Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+    private val buf = new Array[Byte](256 * 1024)
+    private var start = 0
+    private var end = 0
+    private var eof = false
+    private var filePos = 0L // absolute offset of buf(start), for errors
+
+    private def fill(): Boolean = {
+      if (start < end) true
+      else if (eof) false
+      else {
+        start = 0
+        end = math.max(in.read(buf), 0)
+        if (end == 0) { eof = true; false } else true
       }
-      if ((flg & 8) != 0) { while (bytes(i) != 0) i += 1; i += 1 } // FNAME
-      if ((flg & 16) != 0) { while (bytes(i) != 0) i += 1; i += 1 } // FCOMMENT
-      if ((flg & 2) != 0) i += 2 // FHCRC
-      val inf = new java.util.zip.Inflater(true)
-      inf.setInput(bytes, i, bytes.length - i)
-      val body = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        require(n > 0 || inf.finished(), s"truncated gzip member at $pos")
-        body.write(buf, 0, n)
-      }
-      val consumed = inf.getBytesRead.toInt
-      inf.end()
-      // CRC32 + ISIZE trailer verification (RFC 1952)
-      require(i + consumed + 8 <= bytes.length,
-        s"truncated gzip trailer at offset ${i + consumed}")
-      val data = body.toByteArray
-      val crc = new java.util.zip.CRC32
-      crc.update(data)
-      def le32(off: Int): Long =
-        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
-          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
-      require(le32(i + consumed) == crc.getValue,
-        s"gzip member CRC mismatch at offset $pos")
-      require(le32(i + consumed + 4) == (data.length & 0xffffffffL),
-        s"gzip member ISIZE mismatch at offset $pos")
-      out += new String(data, "UTF-8")
-      pos = i + consumed + 8
     }
-    out.result()
+    private def readByte(): Int = {
+      require(fill(), s"truncated gzip member at offset $filePos")
+      val b = buf(start) & 0xff
+      start += 1; filePos += 1
+      b
+    }
+
+    def hasNext: Boolean = fill()
+
+    def next(): Array[Byte] = {
+      val memberPos = filePos
+      require(readByte() == 0x1f && readByte() == 0x8b,
+        s"bad gzip member magic at offset $memberPos")
+      require(readByte() == 8, "unsupported gzip compression method")
+      val flg = readByte()
+      var k = 0
+      while (k < 6) { readByte(); k += 1 } // MTIME, XFL, OS
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        val xlen = readByte() | (readByte() << 8)
+        k = 0
+        while (k < xlen) { readByte(); k += 1 }
+      }
+      if ((flg & 8) != 0) { while (readByte() != 0) () }  // FNAME
+      if ((flg & 16) != 0) { while (readByte() != 0) () } // FCOMMENT
+      if ((flg & 2) != 0) { readByte(); readByte() }      // FHCRC
+      // deflate body: feed buffer chunks to a raw inflater; on finish
+      // the unconsumed remainder of the last chunk is handed back
+      val inf = new java.util.zip.Inflater(true)
+      val body = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](64 * 1024)
+      val crc = new java.util.zip.CRC32
+      try {
+        while (!inf.finished()) {
+          if (inf.needsInput()) {
+            require(fill(), s"truncated gzip member at offset $memberPos")
+            inf.setInput(buf, start, end - start)
+            filePos += end - start
+            start = end
+          }
+          val n = inf.inflate(tmp)
+          // zero progress with input still queued = corrupt stream
+          // (raw deflate cannot need a dictionary) — hard stop, the
+          // MediaCodec inflate-stall discipline
+          require(n > 0 || inf.finished() || inf.needsInput(),
+            s"corrupt deflate stream in gzip member at offset $memberPos")
+          crc.update(tmp, 0, n)
+          body.write(tmp, 0, n)
+        }
+        val rem = inf.getRemaining
+        start -= rem
+        filePos -= rem
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"corrupt deflate stream in gzip member at offset $memberPos: " +
+              e.getMessage)
+      } finally inf.end()
+      // CRC32 + ISIZE trailer verification (RFC 1952)
+      def le32(): Long = {
+        val a = readByte(); val b = readByte(); val c = readByte()
+        val d = readByte()
+        (a & 0xffL) | ((b & 0xffL) << 8) | ((c & 0xffL) << 16) |
+          ((d & 0xffL) << 24)
+      }
+      val data = body.toByteArray
+      require(le32() == crc.getValue,
+        s"gzip member CRC mismatch at offset $memberPos")
+      require(le32() == (data.length & 0xffffffffL),
+        s"gzip member ISIZE mismatch at offset $memberPos")
+      data
+    }
   }
+
+  /** Decode one WARC record's bytes to the parser's string domain,
+    * honoring the HTTP payload's DECLARED charset (What's missing
+    * r14 #3 — real crawls are ~10-20% legacy charsets): the WARC
+    * header block and any HTTP response envelope are decoded UTF-8
+    * (they are ASCII in practice and UTF-8 by WARC spec), and the
+    * HTTP payload decodes per the envelope's `Content-Type ...
+    * charset=` parameter when present and supported, UTF-8 fallback
+    * otherwise (documented contract; unsupported/absent charset
+    * never throws — decode is best-effort, conformance is the
+    * parser's body_ok job). Records without an HTTP envelope decode
+    * UTF-8 whole. */
+  private[graft] def decodeRecord(bytes: Array[Byte]): String = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val warcEnd = indexOfCrlfCrlf(bytes, 0)
+    if (warcEnd < 0) return new String(bytes, utf8)
+    val bodyStart = warcEnd + 4
+    val isHttp = bytes.length >= bodyStart + 5 &&
+      bytes(bodyStart) == 'H' && bytes(bodyStart + 1) == 'T' &&
+      bytes(bodyStart + 2) == 'T' && bytes(bodyStart + 3) == 'P' &&
+      bytes(bodyStart + 4) == '/'
+    val httpEnd = if (isHttp) indexOfCrlfCrlf(bytes, bodyStart) else -1
+    if (httpEnd < 0) return new String(bytes, utf8)
+    val payloadStart = httpEnd + 4
+    val head = new String(bytes, 0, payloadStart, utf8)
+    // charset match runs on the HTTP envelope region decoded from its
+    // own byte range (not a char-offset substring of `head` — WARC
+    // headers may legally carry multi-byte UTF-8, shifting offsets)
+    val m = CharsetParam.matcher(
+      new String(bytes, bodyStart, payloadStart - bodyStart, utf8))
+    val cs =
+      if (m.find() && java.nio.charset.Charset.isSupported(m.group(1)))
+        java.nio.charset.Charset.forName(m.group(1))
+      else utf8
+    head + new String(bytes, payloadStart, bytes.length - payloadStart, cs)
+  }
+
+  private val CharsetParam =
+    java.util.regex.Pattern.compile("(?i)\r\ncontent-type:[^\r\n]*;\\s*charset=\"?([A-Za-z0-9_.:\\-]+)")
+
+  private def indexOfCrlfCrlf(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < bytes.length) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' && bytes(i + 2) == '\r' &&
+        bytes(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a byte array of concatenated gzip members into one decoded
+    * string per member — [[gzipMemberIterator]] over the materialized
+    * bytes (the in-memory entry point; the source path streams). */
+  private[graft] def splitGzipMembers(bytes: Array[Byte]): Seq[String] =
+    gzipMemberIterator(new java.io.ByteArrayInputStream(bytes))
+      .map(decodeRecord).toVector
 
   /** SQL twins of the parser (same header-block scoping). */
   private def sqlHeaderBlock(recExpr: String): String = {
@@ -242,5 +353,123 @@ object Warc {
          THEN substring($recExpr, position($crlf2 IN $recExpr) + 4,
            CAST(${sqlContentLength(recExpr)} AS INT))
          ELSE NULL END)"""
+  }
+
+  // ---- the HTTP response envelope inside the WARC body -----------------
+  //
+  // A real `response` record's body is a full HTTP message — status
+  // line + headers + CRLFCRLF + payload (What's missing r14 #1) —
+  // and the extraction chain must strip that envelope BEFORE any
+  // HTML cleaning, surfacing status and Content-Type as columns
+  // (they are the curation signals: non-200s and non-HTML drop at
+  // stage zero). Same discipline as the WARC layer: headers parse
+  // ONLY inside the HTTP header block (status line through the first
+  // blank line), header names match case-insensitively (HTTP is, the
+  // WARC fixture convention above is not), and an envelope-less body
+  // passes through [[httpPayload]] unchanged with null status /
+  // content-type — old crawls and `resource` records carry bare
+  // payloads, which must not be dropped or mis-sliced.
+
+  /** The HTTP header block: status line up to (excluding) the first
+    * blank line; empty when the body is not an HTTP message. */
+  private def httpHeaderBlock(body: Column): Column = {
+    val p = locate("\r\n\r\n", body)
+    when(body.startsWith("HTTP/") && p > 0, body.substr(lit(1), p - 1))
+      .otherwise(lit(""))
+  }
+
+  /** HTTP status code from the response status line (null when the
+    * body carries no envelope or the status line is malformed — the
+    * empty extract is null-guarded BEFORE the cast: the session runs
+    * ANSI mode, where casting '' would throw, not null). */
+  def httpStatus(body: Column): Column = {
+    val v = regexp_extract(httpHeaderBlock(body), "^HTTP/1\\.[01] ([0-9]{3})", 1)
+    when(v =!= "", v).cast("int")
+  }
+
+  /** Media type from the Content-Type header, parameters stripped
+    * (null when absent). */
+  def httpContentType(body: Column): Column = {
+    val v = regexp_extract(httpHeaderBlock(body),
+      "(?i)\r\ncontent-type: *([^\r\n;]+)", 1)
+    when(v =!= "", v)
+  }
+
+  /** Declared charset parameter of the Content-Type header (null
+    * when undeclared) — the signal [[decodeRecord]] decodes by. */
+  def httpCharset(body: Column): Column = {
+    val v = regexp_extract(httpHeaderBlock(body),
+      "(?i)\r\ncontent-type:[^\r\n]*;\\s*charset=\"?([A-Za-z0-9_.:\\-]+)", 1)
+    when(v =!= "", v)
+  }
+
+  /** The HTTP payload: everything after the envelope's blank line —
+    * or the body unchanged when it carries no envelope. */
+  def httpPayload(body: Column): Column = {
+    val p = locate("\r\n\r\n", body)
+    when(body.startsWith("HTTP/") && p > 0,
+        body.substr(p + 4, length(body) - p - 3))
+      .otherwise(body)
+  }
+
+  /** Synthesize an HTTP response envelope around a payload — the
+    * fixture's HTTP layer, composed INSIDE [[warcify]] so gate
+    * records look like real `response` records. Three variants by id
+    * band: a 200 with charset-parameterized Content-Type and
+    * Content-Length, a 404 WITHOUT Content-Length (HTTP framing must
+    * split on the blank line, never depend on that header), and NO
+    * envelope at all (the bare-payload records a parser must pass
+    * through). */
+  private[graft] def httpWrap(docId: Column, payload: Column): Column = {
+    val m = docId % 3
+    when(m === 0, concat(
+        lit("HTTP/1.1 200 OK" + Crlf +
+          "Server: crawler-fixture/1.0" + Crlf +
+          "Content-Type: text/html; charset=utf-8" + Crlf +
+          "Content-Length: "), length(payload).cast("string"),
+        lit(Crlf + Crlf), payload))
+      .when(m === 1, concat(
+        lit("HTTP/1.0 404 Not Found" + Crlf +
+          "Content-Type: text/html" + Crlf + Crlf), payload))
+      .otherwise(payload)
+  }
+
+  /** SQL twin of [[httpWrap]] — byte-for-byte the same synthesis. */
+  private[graft] def sqlHttpWrap(idExpr: String, payloadExpr: String): String = {
+    val crlf = "chr(13) || chr(10)"
+    s"""(CASE CAST($idExpr % 3 AS INT)
+      WHEN 0 THEN 'HTTP/1.1 200 OK' || $crlf
+        || 'Server: crawler-fixture/1.0' || $crlf
+        || 'Content-Type: text/html; charset=utf-8' || $crlf
+        || 'Content-Length: ' || CAST(length($payloadExpr) AS VARCHAR)
+        || $crlf || $crlf || $payloadExpr
+      WHEN 1 THEN 'HTTP/1.0 404 Not Found' || $crlf
+        || 'Content-Type: text/html' || $crlf || $crlf || $payloadExpr
+      ELSE $payloadExpr END)"""
+  }
+
+  /** SQL twins of the HTTP envelope parser. */
+  private def sqlHttpHeaderBlock(bodyExpr: String): String = {
+    val crlf2 = "(chr(13)||chr(10)||chr(13)||chr(10))"
+    s"""(CASE WHEN starts_with($bodyExpr, 'HTTP/')
+           AND position($crlf2 IN $bodyExpr) > 0
+         THEN substring($bodyExpr, 1, position($crlf2 IN $bodyExpr) - 1)
+         ELSE '' END)"""
+  }
+  def sqlHttpStatus(bodyExpr: String): String =
+    s"""TRY_CAST(regexp_extract(${sqlHttpHeaderBlock(bodyExpr)},
+        '^HTTP/1\\.[01] ([0-9]{3})', 1) AS INT)"""
+  def sqlHttpContentType(bodyExpr: String): String =
+    s"""nullif(regexp_extract(${sqlHttpHeaderBlock(bodyExpr)},
+        '(?i)\\r\\ncontent-type: *([^\\r\\n;]+)', 1), '')"""
+  def sqlHttpCharset(bodyExpr: String): String =
+    s"""nullif(regexp_extract(${sqlHttpHeaderBlock(bodyExpr)},
+        '(?i)\\r\\ncontent-type:[^\\r\\n]*;\\s*charset="?([A-Za-z0-9_.:\\-]+)', 1), '')"""
+  def sqlHttpPayload(bodyExpr: String): String = {
+    val crlf2 = "(chr(13)||chr(10)||chr(13)||chr(10))"
+    s"""(CASE WHEN starts_with($bodyExpr, 'HTTP/')
+           AND position($crlf2 IN $bodyExpr) > 0
+         THEN substring($bodyExpr, position($crlf2 IN $bodyExpr) + 4)
+         ELSE $bodyExpr END)"""
   }
 }

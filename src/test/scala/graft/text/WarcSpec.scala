@@ -112,6 +112,159 @@ class WarcSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Warc.splitGzipMembers(bad) }
   }
 
+  test("a member truncated inside an optional header field throws the module contract") {
+    // ADVICE r14 #3: the old array walker indexed FNAME/FCOMMENT
+    // without bounds checks — a member cut mid-field must raise
+    // IllegalArgumentException, never ArrayIndexOutOfBounds
+    val header = Array[Byte](0x1f, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0, 0) ++
+      "seg".getBytes("ISO-8859-1") // FNAME flagged, no NUL terminator, then EOF
+    val e = intercept[IllegalArgumentException] {
+      Warc.splitGzipMembers(header)
+    }
+    assert(e.getMessage.contains("truncated gzip member"))
+    // and truncation inside FEXTRA's declared length likewise
+    val fextra = Array[Byte](0x1f, 0x8b.toByte, 8, 4, 0, 0, 0, 0, 0, 0,
+      20, 0, 1, 2) // XLEN=20 but only 2 payload bytes present
+    val e2 = intercept[IllegalArgumentException] {
+      Warc.splitGzipMembers(fextra)
+    }
+    assert(e2.getMessage.contains("truncated gzip member"))
+  }
+
+  test("the streaming walker emits records lazily, not after a whole-file scan") {
+    // the scale contract of readWarcGz: the first record must be
+    // available BEFORE the stream has been read past (roughly) its
+    // own member — proven with a counting stream over many members
+    // members carry an incompressible (LCG) filler so the file is
+    // MUCH larger than the walker's 256 KiB buffer — a whole-file
+    // pre-read would be visible in the counter
+    var seed = 12345L
+    val filler = Array.fill(200 * 1024) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (33 + ((seed >>> 33) % 94)).toByte // printable ASCII
+    }
+    val rec = recOf(0L, "<p>lazy body</p>") + new String(filler, "US-ASCII")
+    val one = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec.getBytes("UTF-8")); gz.finish(); gz.close()
+      bos.toByteArray
+    }
+    assert(one.length > 128 * 1024, "filler must defeat deflate")
+    val file = Array.fill(16)(one).flatten.toArray
+    var readUpTo = 0L
+    val counting = new java.io.InputStream {
+      private var i = 0
+      override def read(): Int =
+        if (i >= file.length) -1 else { readUpTo = i + 1; i += 1; file(i - 1) & 0xff }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (i >= file.length) return -1
+        val n = math.min(len, file.length - i)
+        System.arraycopy(file, i, b, off, n)
+        i += n; readUpTo = i
+        n
+      }
+    }
+    val it = Warc.gzipMemberIterator(counting)
+    val first = it.next()
+    assert(new String(first, "UTF-8") == rec)
+    // emitting record 1 of 16 must not have consumed more than that
+    // member plus one read buffer of lookahead
+    assert(readUpTo <= one.length + 256L * 1024,
+      s"walker read $readUpTo of ${file.length} bytes before the first record")
+    assert(it.size == 15) // and the rest still stream out complete
+  }
+
+  test("payload decodes per the declared HTTP charset, UTF-8 fallback (r15)") {
+    // an ISO-8859-1 body: 0xE9 is é in latin-1 and an ILLEGAL UTF-8
+    // byte — only charset-aware decode recovers it
+    val payload = "café crème".getBytes("ISO-8859-1")
+    def warcRecord(http: Array[Byte]): Array[Byte] = {
+      val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://src0.example/doc/0\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII")
+      head ++ http ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val declared = warcRecord(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n\r\n")
+        .getBytes("US-ASCII") ++ payload)
+    val undeclared = warcRecord(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".getBytes("US-ASCII") ++
+        "café".getBytes("UTF-8")) // UTF-8 bytes, no charset param
+    val dir = java.nio.file.Files.createTempDirectory("warccs")
+    try {
+      val fos = new java.io.FileOutputStream(
+        dir.resolve("seg.warc.gz").toFile)
+      Seq(declared, undeclared).foreach { r =>
+        val gz = new java.util.zip.GZIPOutputStream(fos)
+        gz.write(r); gz.finish()
+      }
+      fos.close()
+      val got = Warc.readWarcGz(spark, dir.toString)
+        .select(col("member"),
+          Warc.httpCharset(Warc.bodyOf(col("rec"))).as("cs"),
+          Warc.httpPayload(Warc.bodyOf(col("rec"))).as("p"),
+          Warc.bodyOk(col("rec")).as("ok"))
+        .as[(Long, Option[String], String, Boolean)].collect().sortBy(_._1)
+      assert(got(0)._2.contains("iso-8859-1"))
+      assert(got(0)._3 == "café crème", "declared charset must decode")
+      assert(got(0)._4, "octet Content-Length == char length for latin-1")
+      // UTF-8 fallback decodes the é; the char-domain body slice runs
+      // one char long because the WARC Content-Length counts OCTETS
+      // (the module's documented multi-byte framing note — a binary
+      // deployment slices bytes and doesn't see this)
+      assert(got(1)._2.isEmpty && got(1)._3.startsWith("café"),
+        "UTF-8 fallback")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("HTTP envelope strip: status/content-type/charset columns + payload (r15)") {
+    val ids = (0L to 5L)
+    val rows = ids.map(id => (id, s"<p>page $id</p>")).toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        Warc.warcify(col("doc_id"),
+          Warc.httpWrap(col("doc_id"), col("payload"))).as("rec"))
+      .select(col("doc_id"), Warc.bodyOf(col("rec")).as("body"))
+      .select(col("doc_id"),
+        Warc.httpStatus(col("body")).as("status"),
+        Warc.httpContentType(col("body")).as("ct"),
+        Warc.httpCharset(col("body")).as("cs"),
+        Warc.httpPayload(col("body")).as("p"))
+      .as[(Long, Option[Int], Option[String], Option[String], String)]
+      .collect().sortBy(_._1)
+    rows.foreach { case (id, status, ct, cs, p) =>
+      (id % 3) match {
+        case 0 =>
+          assert(status.contains(200) && ct.contains("text/html") &&
+            cs.contains("utf-8"), s"id=$id")
+        case 1 =>
+          assert(status.contains(404) && ct.contains("text/html") &&
+            cs.isEmpty, s"id=$id — no Content-Length, framing is the blank line")
+        case _ =>
+          assert(status.isEmpty && ct.isEmpty && cs.isEmpty,
+            s"id=$id — envelope-less record must surface nulls")
+      }
+      assert(p == s"<p>page $id</p>", s"id=$id payload strip diverged")
+    }
+  }
+
+  test("HTTP payload containing CRLFCRLF survives the envelope split") {
+    // the strip splits at the FIRST blank line only — a payload that
+    // itself contains one must stay intact
+    val payload = "before\r\n\r\nafter"
+    val body = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$payload"
+    val out = Seq(body).toDF("body")
+      .select(Warc.httpStatus(col("body")).as("s"),
+        Warc.httpPayload(col("body")).as("p"))
+      .as[(Int, String)].head()
+    assert(out._1 == 200 && out._2 == payload)
+  }
+
   test("a truncated record fails body_ok instead of passing silently") {
     val rec = recOf(5L, "<p>full payload body</p>")
     val truncated = rec.substring(0, rec.length - 12)
