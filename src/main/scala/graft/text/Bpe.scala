@@ -165,150 +165,62 @@ object Bpe {
     * sf0.1) on the distributed trajectory.
     *
     * Trajectory-identical to [[trainLoop]] by construction, pinned
-    * by BpeSpec: same argmax tie-break (count desc, l asc, r asc —
-    * `String.compareTo` and Spark's UTF8String ordering agree on the
-    * module's ASCII-symbol precondition), same left-to-right
-    * non-overlapping merge application as the `(l)(r)`→`(lr)` string
-    * replace, same early stop when the dictionary is fully merged.
+    * by BpeSpec: same argmax tie-break (count desc, l asc, r asc in
+    * CODE-POINT order — [[MergeMachine.cpCompare]], the unsigned
+    * UTF-8-byte collation Spark's UTF8String and DuckDB share, so
+    * the agreement holds beyond ASCII — ADVICE r14 #2), same
+    * left-to-right non-overlapping merge application as the
+    * `(l)(r)`→`(lr)` string replace, same early stop when the
+    * dictionary is fully merged. The interning/rewrite machinery is
+    * [[MergeMachine]], shared with the WordPiece twin (ADVICE r14
+    * #4); only the lazy-deletion max-heap argmax lives here.
     *
     * Returns the merge trajectory and the final per-word
     * segmentation (tok, symbols, cnt). */
   def trainLocalMerges(vocab: Seq[(String, Long)], m: Int)
       : (Seq[(Int, String, String, Long)], Array[(String, Array[String], Long)]) = {
     import scala.collection.mutable
-    val toks = vocab.iterator.map(_._1).toArray
-    val cnts = vocab.iterator.map(_._2).toArray
-    // enforce the module precondition HERE, loudly (review r14 #3):
-    // the local trainer segments code points correctly even for the
-    // three reserved characters, but the distributed twin's paren
-    // encoding (and the oracle CTEs that mirror it) garbles them —
-    // accepting such a vocabulary would let the two paths silently
-    // diverge instead of failing the documented contract. Cheap:
-    // the vocabulary is already driver-local.
-    toks.foreach { t =>
-      require(t.indexOf('(') < 0 && t.indexOf(')') < 0 && t.indexOf('_') < 0,
-        s"token '$t' contains a reserved character ( ) _ — " +
-          "strip/escape in normalization first (Bpe module precondition)")
-    }
-    // symbols interned to int ids: pair keys become a single Long
-    // ((l << 32) | r) in a LongMap — no tuple allocation or string
-    // hashing in the hot update loop
-    val symbols = mutable.ArrayBuffer.empty[String]
-    val symId = mutable.HashMap.empty[String, Int]
-    def intern(s: String): Int = symId.getOrElseUpdate(s,
-      { symbols += s; symbols.length - 1 })
-    def key(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
-    // initial segmentation: one symbol per code point + the `_` end
-    // marker (the `(?s)(.)` split of wordFrame works on code points)
-    val words: Array[Array[Int]] = toks.map { t =>
-      val cps = t.codePoints().toArray
-      val a = new Array[Int](cps.length + 1)
-      var i = 0
-      while (i < cps.length) {
-        a(i) = intern(new String(Character.toChars(cps(i)))); i += 1
-      }
-      a(cps.length) = intern("_")
-      a
-    }
-    val pairCount = mutable.LongMap.empty[Long]
-    val pairWords = mutable.LongMap.empty[mutable.HashSet[Int]]
-    var wi = 0
-    while (wi < words.length) {
-      val s = words(wi); val c = cnts(wi)
-      var i = 0
-      while (i + 1 < s.length) {
-        val p = key(s(i), s(i + 1))
-        pairCount.update(p, pairCount.getOrElse(p, 0L) + c)
-        pairWords.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += wi
-        i += 1
-      }
-      wi += 1
-    }
+    val mm = new MergeMachine(vocab)
     // max-heap ordered exactly like the distributed argmax:
-    // count desc, then l asc, r asc (string order of the symbols)
+    // count desc, then l asc, r asc (code-point order of the symbols)
     val ord = new Ordering[(Long, Long)] { // (count, pairKey)
       def compare(a: (Long, Long), b: (Long, Long)): Int = {
         val c = java.lang.Long.compare(a._1, b._1)
         if (c != 0) c
         else {
-          val cl = symbols((b._2 >>> 32).toInt)
-            .compareTo(symbols((a._2 >>> 32).toInt))
+          val cl = mm.symCompare(mm.left(b._2), mm.left(a._2))
           if (cl != 0) cl
-          else symbols(b._2.toInt).compareTo(symbols(a._2.toInt))
+          else mm.symCompare(mm.right(b._2), mm.right(a._2))
         }
       }
     }
     val heap = mutable.PriorityQueue.empty[(Long, Long)](ord)
-    pairCount.foreach { case (p, c) => heap.enqueue((c, p)) }
-    def bumpDown(p: Long, by: Long): Unit = {
-      val n = pairCount(p) - by
-      if (n <= 0L) pairCount.remove(p)
-      else { pairCount.update(p, n); heap.enqueue((n, p)) }
-    }
+    mm.pairCount.foreach { case (p, c) => heap.enqueue((c, p)) }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var e = 1
     var done = false
     while (e <= m && !done) {
       // lazy deletion: pop until the entry's count matches the live
       // map (a re-attained count is equally valid — same key, same
-      // count, same ordering position)
+      // count, same ordering position). Sound for THIS objective
+      // because a stale frequency only ever goes stale DOWNWARD.
       var topC = -1L; var topP = -1L
       while (topC < 0L && heap.nonEmpty) {
         val t = heap.dequeue()
-        if (pairCount.get(t._2).contains(t._1)) { topC = t._1; topP = t._2 }
+        if (mm.pairCount.get(t._2).contains(t._1)) { topC = t._1; topP = t._2 }
       }
       if (topC < 0L) done = true
       else {
-        val l = (topP >>> 32).toInt; val r = topP.toInt
-        merges += ((e, symbols(l), symbols(r), topC))
-        val lr = intern(symbols(l) + symbols(r))
-        // pairWords members are a lazy superset of the live
-        // containers (never removed on rewrite) — verify each
-        val affected = pairWords.remove(topP)
-          .getOrElse(mutable.HashSet.empty[Int])
-        affected.foreach { w =>
-          val s = words(w)
-          var has = false
-          var i = 0
-          while (!has && i + 1 < s.length) {
-            if (s(i) == l && s(i + 1) == r) has = true
-            i += 1
-          }
-          if (has) {
-            val c0 = cnts(w)
-            i = 0
-            while (i + 1 < s.length) {
-              bumpDown(key(s(i), s(i + 1)), c0); i += 1
-            }
-            // left-to-right non-overlapping — the string-replace
-            // order — rewritten in place into a fresh array
-            val b = new Array[Int](s.length)
-            var o = 0
-            i = 0
-            while (i < s.length) {
-              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
-                b(o) = lr; o += 1; i += 2
-              } else { b(o) = s(i); o += 1; i += 1 }
-            }
-            val ns = java.util.Arrays.copyOf(b, o)
-            words(w) = ns
-            i = 0
-            while (i + 1 < ns.length) {
-              val p = key(ns(i), ns(i + 1))
-              val n = pairCount.getOrElse(p, 0L) + c0
-              pairCount.update(p, n)
-              pairWords.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += w
-              heap.enqueue((n, p))
-              i += 1
-            }
-          }
-        }
+        val l = mm.left(topP); val r = mm.right(topP)
+        merges += ((e, mm.symbol(l), mm.symbol(r), topC))
+        val lr = mm.intern(mm.symbol(l) + mm.symbol(r))
+        mm.applyMerge(l, r, lr,
+          onPair = (p, n) => heap.enqueue((n, p)),
+          onWordRewrite = (_, _, _) => ())
         e += 1
       }
     }
-    (merges.result(),
-      Array.tabulate(toks.length)(i =>
-        (toks(i), words(i).map(symbols(_)), cnts(i))))
+    (merges.result(), mm.segmentation)
   }
 
   /** [[train]] on the production path: one corpus scan collects the

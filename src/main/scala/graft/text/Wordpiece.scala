@@ -125,122 +125,67 @@ object Wordpiece {
   def trainLocalMerges(vocab: Seq[(String, Long)], m: Int)
       : (Seq[(Int, String, String, Long)], Array[(String, Array[String], Long)]) = {
     import scala.collection.mutable
-    val toks = vocab.iterator.map(_._1).toArray
-    val cnts = vocab.iterator.map(_._2).toArray
-    toks.foreach { t =>
-      require(t.indexOf('(') < 0 && t.indexOf(')') < 0 && t.indexOf('_') < 0,
-        s"token '$t' contains a reserved character ( ) _ — " +
-          "strip/escape in normalization first (Bpe module precondition)")
-    }
-    val symbols = mutable.ArrayBuffer.empty[String]
-    val symId = mutable.HashMap.empty[String, Int]
-    def intern(s: String): Int = symId.getOrElseUpdate(s,
-      { symbols += s; symbols.length - 1 })
-    def key(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
-    val words: Array[Array[Int]] = toks.map { t =>
-      val cps = t.codePoints().toArray
-      val a = new Array[Int](cps.length + 1)
-      var i = 0
-      while (i < cps.length) {
-        a(i) = intern(new String(Character.toChars(cps(i)))); i += 1
-      }
-      a(cps.length) = intern("_")
-      a
-    }
-    val pairCount = mutable.LongMap.empty[Long]
-    val symCount = mutable.LongMap.empty[Long] // symId -> occurrences
-    val pairWords = mutable.LongMap.empty[mutable.HashSet[Int]]
-    var wi = 0
-    while (wi < words.length) {
-      val s = words(wi); val c = cnts(wi)
-      var i = 0
-      while (i < s.length) {
-        symCount.update(s(i), symCount.getOrElse(s(i).toLong, 0L) + c)
-        if (i + 1 < s.length) {
-          val p = key(s(i), s(i + 1))
-          pairCount.update(p, pairCount.getOrElse(p, 0L) + c)
-          pairWords.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += wi
+    val mm = new MergeMachine(vocab)
+    // symbol occurrence counts (the score denominators), re-folded on
+    // every word rewrite via the applyMerge hook — the interning/
+    // rewrite machinery itself is MergeMachine, shared with the BPE
+    // twin (ADVICE r14 #4)
+    val symCount: mutable.LongMap[Long] = mutable.LongMap.empty[Long]
+    locally {
+      var wi = 0
+      while (wi < mm.words.length) {
+        val s = mm.words(wi); val c = mm.cnts(wi)
+        var i = 0
+        while (i < s.length) {
+          symCount.update(s(i), symCount.getOrElse(s(i).toLong, 0L) + c)
+          i += 1
         }
-        i += 1
+        wi += 1
       }
-      wi += 1
     }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var e = 1
     var done = false
     while (e <= m && !done) {
-      // argmax scan: score desc, then (l, r) string order asc
-      var bestP = -1L; var bestS = -1L; var bestL: String = null
-      var bestR: String = null
-      pairCount.foreach { case (p, c) =>
-        val li = (p >>> 32).toInt; val ri = p.toInt
+      // argmax scan: score desc, then (l, r) CODE-POINT order asc —
+      // the UTF-8-binary collation of the distributed twins
+      // (ADVICE r14 #2, via MergeMachine.symCompare)
+      var bestP = -1L; var bestS = -1L
+      mm.pairCount.foreach { case (p, c) =>
+        val li = mm.left(p); val ri = mm.right(p)
         val s = qscore(c, symCount(li), symCount(ri))
-        if (s > bestS) {
-          bestS = s; bestP = p; bestL = symbols(li); bestR = symbols(ri)
-        } else if (s == bestS && bestP >= 0L) {
-          val l = symbols(li); val r = symbols(ri)
-          val cl = l.compareTo(bestL)
-          if (cl < 0 || (cl == 0 && r.compareTo(bestR) < 0)) {
-            bestP = p; bestL = l; bestR = r
-          }
+        if (s > bestS) { bestS = s; bestP = p }
+        else if (s == bestS && bestP >= 0L) {
+          val cl = mm.symCompare(li, mm.left(bestP))
+          if (cl < 0 || (cl == 0 && mm.symCompare(ri, mm.right(bestP)) < 0))
+            bestP = p
         }
       }
       if (bestP < 0L) done = true
       else {
-        val l = (bestP >>> 32).toInt; val r = bestP.toInt
-        merges += ((e, symbols(l), symbols(r), bestS))
-        val lr = intern(symbols(l) + symbols(r))
-        val affected = pairWords.remove(bestP)
-          .getOrElse(mutable.HashSet.empty[Int])
-        affected.foreach { w =>
-          val s = words(w)
-          var has = false
-          var i = 0
-          while (!has && i + 1 < s.length) {
-            if (s(i) == l && s(i + 1) == r) has = true
-            i += 1
-          }
-          if (has) {
-            val c0 = cnts(w)
-            i = 0
-            while (i < s.length) {
-              val n = symCount(s(i)) - c0
-              if (n <= 0L) symCount.remove(s(i)) else symCount.update(s(i), n)
-              if (i + 1 < s.length) {
-                val q = key(s(i), s(i + 1))
-                val pn = pairCount(q) - c0
-                if (pn <= 0L) pairCount.remove(q) else pairCount.update(q, pn)
-              }
+        val l = mm.left(bestP); val r = mm.right(bestP)
+        merges += ((e, mm.symbol(l), mm.symbol(r), bestS))
+        val lr = mm.intern(mm.symbol(l) + mm.symbol(r))
+        mm.applyMerge(l, r, lr,
+          onPair = (_, _) => (),
+          onWordRewrite = (old, ns, c0) => {
+            var i = 0
+            while (i < old.length) {
+              val n = symCount(old(i)) - c0
+              if (n <= 0L) symCount.remove(old(i))
+              else symCount.update(old(i), n)
               i += 1
             }
-            val b = new Array[Int](s.length)
-            var o = 0
-            i = 0
-            while (i < s.length) {
-              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
-                b(o) = lr; o += 1; i += 2
-              } else { b(o) = s(i); o += 1; i += 1 }
-            }
-            val ns = java.util.Arrays.copyOf(b, o)
-            words(w) = ns
             i = 0
             while (i < ns.length) {
               symCount.update(ns(i), symCount.getOrElse(ns(i).toLong, 0L) + c0)
-              if (i + 1 < ns.length) {
-                val q = key(ns(i), ns(i + 1))
-                pairCount.update(q, pairCount.getOrElse(q, 0L) + c0)
-                pairWords.getOrElseUpdate(q, mutable.HashSet.empty[Int]) += w
-              }
               i += 1
             }
-          }
-        }
+          })
         e += 1
       }
     }
-    (merges.result(),
-      Array.tabulate(toks.length)(i =>
-        (toks(i), words(i).map(symbols(_)), cnts(i))))
+    (merges.result(), mm.segmentation)
   }
 
   /** [[train]] on the production path (histogram collect + local

@@ -139,6 +139,36 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("supplementary-plane tie-break is code-point order, matching the distributed argmax") {
+    // ADVICE r14 #2: String.compareTo is UTF-16 code-unit order, where
+    // a surrogate (0xD800+) sorts BELOW U+E000..U+FFFF — the opposite
+    // of the UTF-8-binary (code-point) collation the distributed twins
+    // and DuckDB sort by. Fixture: every pair count ties at 5, so the
+    // argmax is decided purely by the symbol order of U+FFFD vs
+    // U+10000 — the two orders disagree on exactly this comparison.
+    val repl = "�"              // U+FFFD, 3 UTF-8 bytes
+    val supp = new String(Character.toChars(0x10000)) // U+10000, surrogate pair
+    assert(repl.compareTo(supp) > 0, "UTF-16 order must misorder the fixture")
+    assert(MergeMachine.cpCompare(repl, supp) < 0)
+    val docs = Seq((1L, (s"a$repl a$supp " * 5).trim)).toDF("doc_id", "text")
+    val dist = Bpe.train(spark, docs, 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val local = Bpe.trainLocalMerges(
+      Seq((s"a$repl", 5L), (s"a$supp", 5L)), 1)._1
+    assert(dist == Seq((1, "a", repl, 5L)),
+      "distributed argmax must pick the code-point-smaller right symbol")
+    assert(local.map(t => (t._1, t._2, t._3, t._4)) == dist,
+      "local heap trainer must agree beyond the ASCII plane")
+    // and the WordPiece scan path (all four pairs tie on score too:
+    // every candidate scores 5*Scale/50)
+    val wpLocal = Wordpiece.trainLocalMerges(
+      Seq((s"a$repl", 5L), (s"a$supp", 5L)), 1)._1
+    val wpDist = Wordpiece.train(spark, docs, 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(wpDist.map(t => (t._2, t._3)) == Seq(("a", repl)))
+    assert(wpLocal.map(t => (t._1, t._2, t._3, t._4)) == wpDist)
+  }
+
   test("local trainer rejects reserved characters loudly (module precondition)") {
     // review r14 #3: the local trainer could segment ( ) _ correctly
     // while the distributed paren encoding garbles them — it must
