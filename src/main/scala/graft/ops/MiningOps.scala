@@ -270,6 +270,20 @@ object MiningOps {
     graft.text.Wordpiece.docTokenCountsFast(spark,
       t(spark, dir, "documents"), BpeMerges)
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training (r15) — the
+    * third production family, completing the triad: a substring seed
+    * pruned by hard-EM Viterbi rounds under engine-exact integer
+    * quantized log costs ([[graft.text.Unigram]]). The oracle replays
+    * the ENTIRE trajectory — qlog shift-and-square steps, the Viterbi
+    * DP as a recursive CTE, pruning, the top-K cut — in SQL. */
+  def qUnigramTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Unigram.trainFast(spark, t(spark, dir, "documents"))
+
+  /** Per-doc token counts under the trained unigram vocabulary —
+    * the shared skew-safe dictionary join. */
+  def qUnigramTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Unigram.docTokenCountsFast(spark, t(spark, dir, "documents"))
+
   /** Context budget for [[qBpePack]] packs. */
   val BpePackBudget = 512L
 
@@ -654,6 +668,8 @@ object MiningOps {
     "q_bm25_phrase" -> (qBm25Phrase _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_wordpiece_train" -> (qWordpieceTrain _),
+    "q_unigram_train" -> (qUnigramTrain _),
+    "q_unigram_tokens" -> (qUnigramTokens _),
     "q_wordpiece_tokens" -> (qWordpieceTokens _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_tokens" -> (qBpeTokens _),
@@ -751,6 +767,8 @@ object MiningOps {
          GROUP BY 1, 2""",
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
     "q_wordpiece_train" -> graft.text.Wordpiece.sqlTrain(BpeMerges),
+    "q_unigram_train" -> graft.text.Unigram.sqlTrain,
+    "q_unigram_tokens" -> graft.text.Unigram.sqlDocTokenCounts,
     "q_wordpiece_tokens" ->
       graft.text.Wordpiece.sqlDocTokenCounts(BpeMerges),
     "q_bpe_encode" -> graft.text.Bpe.sqlEncodeVocab(BpeMerges),

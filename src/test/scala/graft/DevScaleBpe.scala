@@ -92,6 +92,19 @@ object DevScaleBpe {
       }
     }
 
+    // leg 2c: the Unigram sibling (r15) — seed-substring histogram +
+    // Rounds hard-EM Viterbi passes + the final tokenization pass;
+    // cost is O(rounds × Σ|w|·MaxPieceLen) hash-map work, so the
+    // grade is near-linear in total word length, corpus-independent
+    Seq(50000, 200000).foreach { n =>
+      val v = synthVocab(n)
+      val t = System.nanoTime()
+      val (pieces, lens) = graft.text.Unigram.trainLocal(v)
+      println(f"local train  UNIGRAM synth-vocab(${v.size}%d) " +
+        f"pieces=${pieces.length}%-5d words=${lens.length}%-7d " +
+        f"wall=${(System.nanoTime() - t) / 1e9}%7.3f s")
+    }
+
     // leg 3: the distributed trajectory at m=12 for contrast (the
     // per-merge Spark-job cost the local path eliminates)
     val t1 = System.nanoTime()
