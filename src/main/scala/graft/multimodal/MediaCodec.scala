@@ -167,7 +167,8 @@ object MediaCodec {
   final case class Image(width: Int, height: Int, rgb: Array[Byte])
 
   /** Sniffs the container by magic bytes; throws on anything that is
-    * not binary PNM, 24-bit BI_RGB BMP, or 8-bit gray/truecolor PNG. */
+    * not binary PNM, 24-bit BI_RGB BMP, 8-bit gray/truecolor PNG, or
+    * baseline JPEG (r15 — [[JpegCodec]]). */
   def decode(payload: Array[Byte]): Image = {
     require(payload.length >= 2, "truncated payload: no magic")
     val m0 = payload(0).toChar; val m1 = payload(1).toChar
@@ -175,6 +176,8 @@ object MediaCodec {
     else if (m0 == 'P' && m1 == '5') decodePnm(payload, channels = 1)
     else if (m0 == 'B' && m1 == 'M') decodeBmp(payload)
     else if ((payload(0) & 0xff) == 0x89 && m1 == 'P') decodePng(payload)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      JpegCodec.decode(payload)
     else throw new IllegalArgumentException(s"unknown image magic '$m0$m1'")
   }
 

@@ -59,6 +59,14 @@ object Multimodal {
   def asPngTable(docs: DataFrame): DataFrame =
     mediaTableVia(docs, MediaCodec.encodeDocPng)
 
+  /** JPEG leg of the media fixture (r15): every doc encoded as a
+    * REAL baseline grayscale JPEG of flat 8×8 blocks (values = text
+    * bytes cycled; odd ids carry restart intervals), the one regime
+    * where JPEG decode is bit-exact and therefore oracle-checkable in
+    * closed form — see [[JpegCodec]]. */
+  def asJpegTable(docs: DataFrame): DataFrame =
+    mediaTableVia(docs, JpegCodec.encodeDocJpeg)
+
   /** Wrap a per-partition decode stream so `close` fires when the
     * iterator drains — the one subtle pattern (close inside hasNext)
     * shared by every batched-codec operator here. */

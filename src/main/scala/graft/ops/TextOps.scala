@@ -1349,6 +1349,22 @@ object TextOps {
         sum(col("px_sum")).as("sum_px"),
         sum(col("px_wsum")).as("wsum_px"))
 
+  /** Baseline JPEG decode (r15): every doc as a REAL grayscale JPEG
+    * of flat 8×8 blocks (the one regime where JPEG decode is
+    * bit-exact — [[graft.multimodal.JpegCodec]]), odd ids with
+    * restart intervals; the decoded-raster checksums have a closed
+    * form the oracle replays. Exercises markers, Huffman DC decode
+    * across categories, byte unstuffing, restart resync with DC
+    * prediction reset, dequantization and the IDCT's DC path; the AC
+    * paths are spec-pinned against javax.imageio (JpegSpec). */
+  def qJpegDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelChecksums(
+        Multimodal.asJpegTable(t(spark, dir, "documents")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("px_sum")).as("sum_px"),
+        sum(col("px_wsum")).as("wsum_px"))
+
   /** Perceptual-hash image near-dup (VERDICT r10 #2): the media table
     * plus deterministically perturbed re-encodes of every 20th doc,
     * 56-bit dHash over each DECODED raster (real PPM/BMP/PGM decode —
@@ -1489,6 +1505,7 @@ object TextOps {
     "q_embed_gram" -> (qEmbedGram _),
     "q_multimodal" -> (qMultimodal _),
     "q_png_decode" -> (qPngDecode _),
+    "q_jpeg_decode" -> (qJpegDecode _),
     "q_multimodal_pixels" -> (qMultimodalPixels _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -2570,6 +2587,34 @@ object TextOps {
              SUM(b * (cj * j + len * (cj * (cj - 1) // 2) + cj)) AS px_wsum
            FROM x GROUP BY doc_id)
          SELECT 'png' AS format, COUNT(1) AS n_media,
+           CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
+           CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
+         FROM m LEFT JOIN d ON m.doc_id = d.doc_id""",
+    // JPEG leg: flat 8x8 blocks (block b's 64 pixels all equal text
+    // byte b mod len; gray replicates to rgb). Per block at (bx,by)
+    // with w = 8*wb: sum over the rgb indices i of (i+1) weights is
+    // 9*q+6 per pixel q=y*w+x, and sum of q over the block is
+    // 512*w*by + 224*w + 512*bx + 224 — so a wrong block placement
+    // (restart resync, DC prediction, MCU order) or a wrong decoded
+    // value (dequant, IDCT, level shift) breaks the weighted sum
+    "q_jpeg_decode" ->
+      """WITH m AS (
+           SELECT doc_id, text, strlen(text) AS len,
+             1 + strlen(text) % 7 AS wb,
+             1 + (strlen(text) * 31) % 6 AS hb
+           FROM documents),
+         x AS (
+           SELECT doc_id,
+             ascii(substr(text, CAST(b % len + 1 AS INT), 1)) AS v,
+             b // wb AS by, b % wb AS bx, wb * 8 AS w
+           FROM m, unnest(range(0, wb * hb)) AS t(b)
+           WHERE len > 0),
+         d AS (
+           SELECT doc_id, SUM(192 * v) AS px_sum,
+             SUM(v * (9 * (512 * w * by + 224 * w + 512 * bx + 224) + 384))
+               AS px_wsum
+           FROM x GROUP BY doc_id)
+         SELECT 'jpeg' AS format, COUNT(1) AS n_media,
            CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
            CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
          FROM m LEFT JOIN d ON m.doc_id = d.doc_id""",

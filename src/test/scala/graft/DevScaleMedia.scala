@@ -78,6 +78,12 @@ object DevScaleMedia {
       val nPng = graft.multimodal.Multimodal.imageFingerprints(
         graft.multimodal.Multimodal.asPngTable(docs)).count()
       println(f"MEDIASCALE n=$n png=$nPng encode+decode+hash=${(System.nanoTime() - t2) / 1e9}%.1f s")
+      // JPEG leg (r15): entropy coding + the per-block double IDCT —
+      // the heaviest per-pixel codec in the family
+      val t3 = System.nanoTime()
+      val nJpeg = graft.multimodal.Multimodal.pixelChecksums(
+        graft.multimodal.Multimodal.asJpegTable(docs)).count()
+      println(f"MEDIASCALE n=$n jpeg=$nJpeg encode+decode+sum=${(System.nanoTime() - t3) / 1e9}%.1f s")
     }
     spark.stop()
   }
