@@ -395,6 +395,10 @@ object JpegCodec {
         case 0xc4 => // DHT: one or more tables
           var o = seg
           while (o < pos + 2 + len) {
+            // every fixed-size field bounds-checked against the
+            // DECLARED segment length (review r15 #2: a truncated
+            // segment must raise the module contract, not AIOOBE)
+            require(o + 17 <= pos + 2 + len, "truncated DHT")
             val tc = (p(o) & 0xff) >> 4; val th = p(o) & 0x0f
             require(tc <= 1 && th < 4, s"bad Huffman table class/id $tc/$th")
             val bits = Array.tabulate(16)(i => p(o + 1 + i) & 0xff)
@@ -406,10 +410,12 @@ object JpegCodec {
             o += 17 + total
           }
         case 0xc0 => // SOF0 baseline
+          require(len >= 8, "truncated SOF0")
           require(p(seg) == 8, "only 8-bit JPEG precision supported")
           hImg = be16(seg + 1); w = be16(seg + 3)
           val nc = p(seg + 5) & 0xff
           require(nc == 1 || nc == 3, s"unsupported JPEG component count $nc")
+          require(len >= 8 + 3 * nc, "truncated SOF0 component specs")
           comps = Array.tabulate(nc) { i =>
             val o = seg + 6 + i * 3
             Component(p(o) & 0xff, (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f,
@@ -424,11 +430,14 @@ object JpegCodec {
           throw new IllegalArgumentException(
             f"unsupported JPEG mode (SOF marker 0xff$m%02x — baseline only)")
         case 0xdd =>
+          require(len >= 4, "truncated DRI")
           restartInterval = be16(seg)
         case 0xda =>
           require(comps != null, "JPEG SOS before SOF0")
+          require(len >= 3, "truncated SOS")
           val ns = p(seg) & 0xff
           require(ns == comps.length, "partial-scan JPEG not supported")
+          require(len >= 6 + 2 * ns, "truncated SOS component specs")
           (0 until ns).foreach { i =>
             val cid = p(seg + 1 + i * 2) & 0xff
             val c = comps.find(_.id == cid).getOrElse(

@@ -496,11 +496,11 @@ object TextOps {
           val f = new java.io.File(root, f"segment-$pid%05d.warc.gz")
           val fos = new java.io.BufferedOutputStream(
             new java.io.FileOutputStream(f))
-          try it.foreach { row =>
-            val gz = new java.util.zip.GZIPOutputStream(fos)
-            gz.write(row.getString(1).getBytes("UTF-8"))
-            gz.finish() // one member per record, CommonCrawl layout
-          } finally fos.close()
+          // one member per record (CommonCrawl layout), one reused
+          // Deflater for the whole segment
+          try graft.text.Warc.writeGzMembers(fos,
+            it.map(_.getString(1).getBytes("UTF-8")))
+          finally fos.close()
         }
       Warc.readWarcGz(spark, root)
         .select(Warc.bodyOf(col("rec")).as("body"),

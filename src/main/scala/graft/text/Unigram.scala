@@ -286,7 +286,13 @@ object Unigram {
   private[text] def sqlTrajectoryCtes: String = {
     val seed =
       s"""uw AS MATERIALIZED (
-           SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           -- the same <1024 guard the Scala viterbi enforces (review
+           -- r15 #4): past it the packed tie key's j field would bleed
+           -- into the cost field and the twins would diverge silently
+           SELECT CASE WHEN length(tok) >= 1024
+                  THEN error('word too long for the Viterbi tie key')
+                  ELSE tok END AS tok,
+             CAST(COUNT(*) AS BIGINT) AS cnt
            FROM (SELECT unnest(string_split(text, ' ')) AS tok
                  FROM documents)
            GROUP BY tok),

@@ -307,10 +307,18 @@ object Warc {
     // headers may legally carry multi-byte UTF-8, shifting offsets)
     val m = CharsetParam.matcher(
       new String(bytes, bodyStart, payloadStart - bodyStart, utf8))
+    // isSupported THROWS (not false) on syntactically illegal names —
+    // the token regex admits e.g. a leading '-' — and a garbage header
+    // in one record must never kill the task (review r15 #1)
     val cs =
-      if (m.find() && java.nio.charset.Charset.isSupported(m.group(1)))
-        java.nio.charset.Charset.forName(m.group(1))
-      else utf8
+      if (!m.find()) utf8
+      else try {
+        if (java.nio.charset.Charset.isSupported(m.group(1)))
+          java.nio.charset.Charset.forName(m.group(1))
+        else utf8
+      } catch {
+        case _: java.nio.charset.IllegalCharsetNameException => utf8
+      }
     head + new String(bytes, payloadStart, bytes.length - payloadStart, cs)
   }
 
@@ -333,6 +341,35 @@ object Warc {
   private[graft] def splitGzipMembers(bytes: Array[Byte]): Seq[String] =
     gzipMemberIterator(new java.io.ByteArrayInputStream(bytes))
       .map(decodeRecord).toVector
+
+  /** Write records as one-gzip-member-per-record (the CommonCrawl
+    * segment layout) — the writer twin of [[gzipMemberIterator]],
+    * shared by the gate fixture and the scale harness (review r15
+    * #3/#5: the per-record `new GZIPOutputStream` pattern leaked one
+    * un-ended native Deflater per record; this reuses a single
+    * reset Deflater for the whole segment and hand-frames the
+    * RFC-1952 header/trailer, symmetric with the reader). */
+  private[graft] def writeGzMembers(out: java.io.OutputStream,
+      recs: Iterator[Array[Byte]]): Unit = {
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val buf = new Array[Byte](64 * 1024)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    try recs.foreach { data =>
+      // magic, CM=8 deflate, FLG=0, MTIME=0, XFL=0, OS=255 (unknown)
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+        0xff.toByte))
+      defl.reset(); defl.setInput(data); defl.finish()
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      le32(crc.getValue)
+      le32(data.length.toLong & 0xffffffffL)
+    } finally defl.end()
+  }
 
   /** SQL twins of the parser (same header-block scoping). */
   private def sqlHeaderBlock(recExpr: String): String = {

@@ -60,17 +60,15 @@ object DevScaleWarc {
       val fos = new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(dir.resolve("seg-0.warc.gz").toFile),
         1 << 20)
-      var r = 0
-      while (r < nRecs) {
-        val body = s"<p>record $r</p>" + filler(recBytes)
-        val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
-          s"WARC-Target-URI: http://s.example/doc/$r\r\n" +
-          s"Content-Length: ${body.length}\r\n\r\n" + body + "\r\n\r\n"
-        val gz = new java.util.zip.GZIPOutputStream(fos)
-        gz.write(rec.getBytes("UTF-8")); gz.finish()
-        r += 1
-      }
-      fos.close()
+      try graft.text.Warc.writeGzMembers(fos,
+        Iterator.range(0, nRecs).map { r =>
+          val body = s"<p>record $r</p>" + filler(recBytes)
+          ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://s.example/doc/$r\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n" + body + "\r\n\r\n")
+            .getBytes("UTF-8")
+        })
+      finally fos.close()
       val segActualMB =
         dir.resolve("seg-0.warc.gz").toFile.length() / 1024.0 / 1024.0
       println(f"segment: $nRecs records, $segActualMB%.0f MB compressed")

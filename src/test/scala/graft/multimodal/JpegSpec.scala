@@ -172,6 +172,13 @@ class JpegSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // not a JPEG
       JpegCodec.decode("not a jpeg at all".getBytes("US-ASCII"))
     }
+    // a DHT whose declared length passes the OUTER segment check but
+    // truncates the fixed 17-byte table header (review r15 #2) — must
+    // raise the module contract, not ArrayIndexOutOfBounds
+    val truncDht = Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 0x00, 0x00)
+      .map(_.toByte)
+    val e2 = intercept[IllegalArgumentException] { JpegCodec.decode(truncDht) }
+    assert(e2.getMessage.contains("truncated DHT"))
     val progressive = good.clone() // flip SOF0 -> SOF2 (progressive)
     val sof = {
       var i = 2

@@ -265,6 +265,35 @@ class WarcSpec extends SparkSpec {
     assert(out._1 == 200 && out._2 == payload)
   }
 
+  test("writeGzMembers round-trips through the member walker (writer/reader symmetry)") {
+    // the shared segment writer (review r15 #3): hand-framed RFC-1952
+    // members over ONE reused Deflater — the reader must recover every
+    // record bit-for-bit, CRC/ISIZE included
+    val recs = (0 until 40).map(i => s"record $i " + ("x" * (i * 7)))
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.writeGzMembers(bos, recs.iterator.map(_.getBytes("UTF-8")))
+    assert(Warc.splitGzipMembers(bos.toByteArray) == recs)
+    // and a JDK GZIPInputStream agrees the stream is valid gzip
+    val gz = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val all = new String(gz.readAllBytes(), "UTF-8")
+    assert(all == recs.mkString(""))
+  }
+
+  test("a syntactically illegal charset name falls back to UTF-8, never throws") {
+    // review r15 #1: Charset.isSupported THROWS on names like '-8859-1'
+    // (the token regex admits a leading '-'); one garbage header must
+    // not kill the task
+    val payload = "plain body".getBytes("US-ASCII")
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=-8859-1\r\n\r\n")
+      .getBytes("US-ASCII") ++ payload
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+      http ++ "\r\n\r\n".getBytes("US-ASCII")
+    val decoded = Warc.decodeRecord(rec)
+    assert(decoded.endsWith("plain body\r\n\r\n"))
+  }
+
   test("a truncated record fails body_ok instead of passing silently") {
     val rec = recOf(5L, "<p>full payload body</p>")
     val truncated = rec.substring(0, rec.length - 12)
