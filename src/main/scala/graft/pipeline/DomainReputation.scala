@@ -92,9 +92,9 @@ object DomainReputation {
     * signal folds as `n_docs − size(collect_set(fp))` — the same
     * number, with the distinct-fp set carried in the aggregation
     * state. State is per-domain distinct-doc bounded; a deployment
-    * whose single domains outgrow executor state swaps the set for
-    * the KMV estimator ([[graft.sketch.Sketches]]) at a documented
-    * dup-rate tolerance. DomainReputationSpec pins final emission ≡
+    * whose single domains outgrow executor state uses
+    * [[rollupStreamSketched]] — the KMV swap, implemented r15 with
+    * hard bottom-k state. DomainReputationSpec pins final emission ≡
     * the batch rollup over the same rows. */
   def rollupStream(docStream: DataFrame): DataFrame =
     verdicts(signals(docStream)
@@ -104,6 +104,88 @@ object DomainReputation {
         (count(lit(1)) - size(collect_set(col("fp"))).cast("long"))
           .as("n_dup_extra"),
         sum(col("pii")).as("n_pii_docs")))
+
+  /** Per-domain rollup state of [[rollupStreamSketched]]: exact
+    * counters + a bottom-k KMV sketch of the fingerprint hashes —
+    * AT MOST k longs per domain, the bound [[rollupStream]]'s
+    * collect_set lacks. */
+  private[pipeline] final case class KmvRollupState(nDocs: Long, nBad: Long,
+      nPii: Long, bottom: Vector[Long])
+
+  /** [[Sketches.longHash]]'s arithmetic on a driver long, sign-safe
+    * (fingerprints are full-range xxhash64). */
+  private[pipeline] def kmvHash(fp: Long): Long =
+    Math.floorMod(Math.floorMod(fp, TextFunctions.HashMod) * 2654435761L,
+      TextFunctions.HashMod)
+
+  /** Insert into a sorted bottom-k vector (no-op when present or
+    * above the kth). */
+  private[pipeline] def kmvInsert(bottom: Vector[Long], h: Long, k: Int)
+      : Vector[Long] = {
+    val i = bottom.search(h)(Ordering.Long)
+    i match {
+      case scala.collection.Searching.Found(_) => bottom
+      case scala.collection.Searching.InsertionPoint(p) =>
+        if (bottom.length >= k && p >= k) bottom
+        else {
+          val grown = bottom.patch(p, Seq(h), 0)
+          if (grown.length > k) grown.take(k) else grown
+        }
+    }
+  }
+
+  /** The distinct estimate of a bottom-k state: EXACT while
+    * under-full (fewer than k distinct hashes seen), the standard
+    * (k−1)·M / h_k KMV read-out once full. */
+  private[pipeline] def kmvDistinct(bottom: Vector[Long], k: Int): Long =
+    if (bottom.length < k) bottom.length.toLong
+    else ((k - 1).toLong * TextFunctions.HashMod) / math.max(bottom.last, 1L)
+
+  final case class DomainVerdict(source: String, n_docs: Long,
+      n_quality_bad: Long, n_dup_extra: Long, n_pii_docs: Long,
+      risk: Long, reputation: String)
+
+  /** [[rollupStream]] with BOUNDED per-domain state — the KMV swap
+    * the r14 scaladoc documented as the deployment's move when single
+    * domains outgrow executor state, now implemented (r15, VERDICT
+    * r14 watch item): custom state via mapGroupsWithState (the
+    * Structured Streaming surface for it), one KmvRollupState per
+    * domain — three counters plus AT MOST k fingerprint hashes, vs
+    * collect_set's per-domain-distinct-doc growth. The dup signal is
+    * exact while a domain has fewer than k distinct docs (spec-pinned
+    * ≡ [[rollup]]) and degrades to the (k−1)·M/h_k KMV estimate past
+    * it, at the standard ~1/√k relative error — a documented
+    * tolerance on n_dup_extra only; the quality/PII counters stay
+    * exact. Emits the running verdict per domain each batch (Update
+    * mode). */
+  def rollupStreamSketched(docStream: DataFrame, k: Int)
+      : org.apache.spark.sql.Dataset[DomainVerdict] = {
+    import docStream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    require(k >= 2, s"bottom-$k sketch needs k >= 2")
+    signals(docStream).as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvRollupState, DomainVerdict](
+        GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[(String, Long, Long, Long)],
+            state: GroupState[KmvRollupState]) =>
+          var s = state.getOption
+            .getOrElse(KmvRollupState(0L, 0L, 0L, Vector.empty))
+          it.foreach { case (_, bad, pii, fp) =>
+            s = KmvRollupState(s.nDocs + 1, s.nBad + bad, s.nPii + pii,
+              kmvInsert(s.bottom, kmvHash(fp), k))
+          }
+          state.update(s)
+          val distinct = math.min(kmvDistinct(s.bottom, k), s.nDocs)
+          val dupExtra = s.nDocs - distinct
+          val risk = s.nBad + dupExtra + s.nPii
+          val rep =
+            if (risk * BlockDen > s.nDocs * BlockNum) "blocked"
+            else if (risk * ReviewDen > s.nDocs * ReviewNum) "review"
+            else "clean"
+          DomainVerdict(src, s.nDocs, s.nBad, dupExtra, s.nPii, risk, rep)
+      }
+  }
 
   /** The feedback filter: every document joined with its domain's
     * reputation; kept (1/0) iff the domain is not blocked AND the

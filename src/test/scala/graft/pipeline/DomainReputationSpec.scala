@@ -104,6 +104,84 @@ class DomainReputationSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("sketched rollup stream: bounded state, exact while under-full (r15 KMV swap)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = DomainReputation.rollup(docs)
+      .as[(String, Long, Long, Long, Long, Long, String)].collect().toSet
+    val in = MemoryStream[(Long, String, String)]
+    // k = 4096 >> any domain's distinct docs at sf0.001: the sketch is
+    // under-full everywhere, so the final emission must equal the
+    // exact batch rollup bit-for-bit
+    val q = DomainReputation.rollupStreamSketched(
+        in.toDF().toDF("doc_id", "source", "text"), k = 4096)
+      .writeStream.format("memory").queryName("domain_rollup_kmv")
+      .outputMode(OutputMode.Update()).start()
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (a, b) = rows.splitAt(rows.length / 3)
+    in.addData(a); q.processAllAvailable()
+    in.addData(b); q.processAllAvailable()
+    q.stop()
+    // Update mode re-emits a domain's row each batch it changes in —
+    // the final state is the row with the largest n_docs per domain
+    val got = spark.table("domain_rollup_kmv")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+    assert(got == batch)
+  }
+
+  test("sketched rollup: the full sketch estimates dups within KMV error, counters stay exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // a template farm: 3000 docs but only 300 distinct texts — with
+    // k=64 the sketch saturates, n_dup_extra reads from the KMV
+    // estimate (~1/sqrt(64) = 12.5% relative error class), and the
+    // state stays 64 longs where collect_set would hold 300
+    val distinctTexts = (0 until 300).map(i => goodText + s" farm variant $i")
+    val rows = (0 until 3000).map(i => (i.toLong, "farm", distinctTexts(i % 300)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = DomainReputation.rollupStreamSketched(
+        in.toDF().toDF("doc_id", "source", "text"), k = 64)
+      .writeStream.format("memory").queryName("domain_rollup_kmv_full")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(rows); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("domain_rollup_kmv_full")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+      .maxBy(_._2)
+    assert(got._2 == 3000L, "n_docs exact")
+    assert(got._3 == 0L && got._5 == 0L, "quality/PII counters exact")
+    // ground truth = the batch rollup's EXACT count_distinct over the
+    // same fingerprint signal (the rolling fingerprint itself collides
+    // on number-suffix variants — the sketch must track the signal it
+    // actually sees, not the text cardinality)
+    val exact = DomainReputation.rollup(rows.toDF("doc_id", "source", "text"))
+      .as[(String, Long, Long, Long, Long, Long, String)].collect().head
+    val exactDistinct = exact._2 - exact._4
+    val estDistinct = got._2 - got._4
+    assert(math.abs(estDistinct - exactDistinct) <= exactDistinct / 4,
+      s"KMV distinct read $estDistinct, exact $exactDistinct (want +-25%)")
+  }
+
+  test("kmv bottom-k state: bounded, deduplicating, exact under-full (unit)") {
+    val k = 8
+    var b = Vector.empty[Long]
+    val hs = Seq(50L, 10L, 30L, 10L, 90L, 70L, 20L, 40L, 60L, 80L, 5L, 30L)
+    hs.foreach(h => b = DomainReputation.kmvInsert(b, h, k))
+    assert(b.length <= k, "state must stay bounded by k")
+    assert(b == b.sorted && b.distinct == b, "sorted, deduplicated")
+    // the bottom 8 of the 10 distinct values
+    assert(b == Vector(5L, 10L, 20L, 30L, 40L, 50L, 60L, 70L))
+    // under-full: exact count of distinct insertions
+    var u = Vector.empty[Long]
+    Seq(3L, 1L, 3L, 2L).foreach(h => u = DomainReputation.kmvInsert(u, h, k))
+    assert(DomainReputation.kmvDistinct(u, k) == 3L)
+  }
+
   test("filterWith: blocked domains drop wholesale; review keeps only quality-ok docs") {
     val docs = Seq(
       (0L, "okdom", goodText), (1L, "okdom", goodText + " u1"),
