@@ -471,10 +471,12 @@ object TextOps {
 
   /** The `.warc.gz` source end-to-end (r15, promoting the streaming
     * source to a declared query): write the fixture corpus as REAL
-    * crawl segment files — HTTP-wrapped, WARC-framed records, one
-    * gzip member per record, hash-partitioned across 4 segment
-    * files — then read them back through [[graft.text.Warc.readWarcGz]]
-    * (binaryFiles + the streaming member walker) and run the full
+    * crawl segment files — HTTP-wrapped, WARC-framed response records
+    * INTERLEAVED with their request twins (the CommonCrawl raw-segment
+    * layout), one gzip member per record, hash-partitioned across 4
+    * segment files — then read them back through
+    * [[graft.text.Warc.readWarcGz]] (binaryFiles + the streaming
+    * member walker), SELECT responses by WARC-Type, and run the full
     * envelope→payload→clean-text chain, grouped by HTTP status. The
     * oracle computes the same aggregate straight from the documents
     * table: only a byte-faithful gzip-member round trip (framing,
@@ -488,8 +490,14 @@ object TextOps {
       import graft.text.Warc
       val rec = Warc.warcify(col("doc_id"),
         Warc.httpWrap(col("doc_id"), htmlize(col("doc_id"), col("text"))))
+      // real segments interleave request records with responses (r15):
+      // each doc writes its request twin too, and the read side must
+      // SELECT responses by WARC-Type — if the type parse or filter
+      // were wrong, every group's n_records doubles and the oracle
+      // (which counts responses only) hash-mismatches
+      val req = Warc.requestify(col("doc_id"), Warc.fixtureUri(col("doc_id")))
       t(spark, dir, "documents")
-        .select(col("doc_id"), rec.as("rec"))
+        .select(col("doc_id"), explode(array(req, rec)).as("rec"))
         .repartition(4, col("doc_id"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -503,6 +511,7 @@ object TextOps {
           finally fos.close()
         }
       Warc.readWarcGz(spark, root)
+        .filter(Warc.warcType(col("rec")) === "response")
         .select(Warc.bodyOf(col("rec")).as("body"),
           when(Warc.bodyOk(col("rec")), 1L).otherwise(0L).as("ok"),
           fingerprint(Warc.targetUri(col("rec"))).as("fp_uri"))

@@ -37,10 +37,15 @@ object Warc {
     * layout variants by id band: canonical order, an extra
     * WARC-IP-Address header, Content-Length BEFORE the URI header,
     * and an extra WARC-Concurrent-To header. */
+  /** The fixture's per-doc target URI — shared by the response and
+    * request synthesis. */
+  private[graft] def fixtureUri(docId: Column): Column =
+    concat(lit("http://src"), (docId % 20).cast("string"),
+      lit(".example/doc/"), docId.cast("string"))
+
   private[graft] def warcify(docId: Column, payload: Column): Column = {
     val idStr = docId.cast("string")
-    val uri = concat(lit("http://src"), (docId % 20).cast("string"),
-      lit(".example/doc/"), idStr)
+    val uri = fixtureUri(docId)
     val clen = length(payload).cast("string")
     val head = concat(lit("WARC/1.0" + Crlf +
       "WARC-Type: response" + Crlf +
@@ -120,6 +125,32 @@ object Warc {
       "\r\nWARC-Target-URI: ([^\r\n]+)", 1)
     when(v =!= "", v)
   }
+
+  /** WARC-Type header value (r15 — real crawl segments interleave
+    * `warcinfo`/`request`/`response`/`metadata` records, and the
+    * extraction chain must SELECT responses, not assume them; null
+    * when absent/malformed). */
+  def warcType(rec: Column): Column = {
+    val v = regexp_extract(headerBlock(rec), "\r\nWARC-Type: ([^\r\n]+)", 1)
+    when(v =!= "", v)
+  }
+
+  /** Synthesize the REQUEST twin of a response record — the member a
+    * real crawl writes right before each response (the fixture's
+    * interleaving material; the body is the HTTP request message). */
+  private[graft] def requestify(docId: Column, uri: Column): Column = {
+    val body = concat(lit("GET "), uri, lit(" HTTP/1.1" + Crlf +
+      "Host: crawl-fixture" + Crlf + "Accept: text/html" + Crlf))
+    concat(lit("WARC/1.0" + Crlf + "WARC-Type: request" + Crlf +
+      "WARC-Record-ID: <urn:uuid:req-"), docId.cast("string"), lit(">" + Crlf +
+      "WARC-Target-URI: "), uri, lit(Crlf + "Content-Length: "),
+      length(body).cast("string"), lit(Crlf + Crlf), body, lit(Crlf + Crlf))
+  }
+
+  /** SQL twin of [[warcType]]. */
+  def sqlWarcType(recExpr: String): String =
+    s"""nullif(regexp_extract(${sqlHeaderBlock(recExpr)},
+        '\\r\\nWARC-Type: ([^\\r\\n]+)', 1), '')"""
 
   /** Declared Content-Length in octets (null when absent/malformed —
     * the empty extract casts to null, never to a number). */

@@ -265,6 +265,25 @@ class WarcSpec extends SparkSpec {
     assert(out._1 == 200 && out._2 == payload)
   }
 
+  test("warcType selects record kinds; request twins are conformant records (r15)") {
+    val rows = Seq((7L, "<p>seven</p>")).toDF("doc_id", "payload")
+      .select(
+        Warc.warcify(col("doc_id"), col("payload")).as("resp"),
+        Warc.requestify(col("doc_id"), Warc.fixtureUri(col("doc_id"))).as("req"))
+      .select(Warc.warcType(col("resp")).as("tresp"),
+        Warc.warcType(col("req")).as("treq"),
+        Warc.targetUri(col("req")).as("requri"),
+        Warc.bodyOk(col("req")).as("reqok"))
+      .as[(String, String, String, Boolean)].head()
+    assert(rows._1 == "response" && rows._2 == "request")
+    assert(rows._3 == "http://src7.example/doc/7", "request carries the same URI")
+    assert(rows._4, "request body frames by its declared length")
+    // a record with no type header surfaces null, never a guess
+    val none = Seq("WARC/1.0\r\nX: y\r\n\r\n").toDF("rec")
+      .select(Warc.warcType(col("rec"))).as[Option[String]].head()
+    assert(none.isEmpty)
+  }
+
   test("writeGzMembers round-trips through the member walker (writer/reader symmetry)") {
     // the shared segment writer (review r15 #3): hand-framed RFC-1952
     // members over ONE reused Deflater — the reader must recover every
