@@ -469,6 +469,68 @@ object TextOps {
         sum(col("fp_clean")).as("fp_clean_sum"))
   }
 
+  /** Wire-side end-to-end (r15): the crawl FRONT half as one query,
+    * complementing q_pipeline_e2e's curation back half — WARC record
+    * → HTTP envelope strip with a REAL status gate (404s drop;
+    * envelope-less `resource`-style records pass, the curation
+    * default for legacy crawls) → HTML extraction → the shared
+    * quality conjunction over the flattened clean text → exact dedup
+    * on the EXTRACTED text (duplicate raw pages stay duplicates
+    * after extraction) → surviving token mass. Emitted as the stage
+    * funnel (pos, stage, n) like q_pipeline_e2e, so any stage's
+    * wrong drop shows as its own row. */
+  def qWireE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{HtmlExtract, Warc}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = t(spark, dir, "documents")
+    // every 25th page is RE-CRAWLED under a fresh record id (what a
+    // real crawl does) — the page content keys on page_id, so the
+    // re-crawl's clean text is byte-identical to the original's and
+    // the dedup stage is load-bearing at EVERY SF (the corpus's own
+    // dup texts never share an htmlize band at the gate SFs)
+    val corpus = docs
+      .select(col("doc_id"), col("doc_id").as("page_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("doc_id").as("page_id"), col("text")))
+    val rec = Warc.warcify(col("doc_id"),
+      Warc.httpWrap(col("doc_id"), htmlize(col("page_id"), col("text"))))
+    val parsed = corpus.select(col("doc_id"), rec.as("rec"))
+      .select(col("doc_id"), Warc.bodyOf(col("rec")).as("body"))
+      .select(col("doc_id"), Warc.httpStatus(col("body")).as("status"),
+        Warc.httpPayload(col("body")).as("payload"))
+    val kept = parsed.filter(col("status") === 200 || col("status").isNull)
+      .persist(MEMORY_AND_DISK)
+    val clean = kept.select(col("doc_id"),
+        HtmlExtract.cleanText(col("payload")).as("clean"))
+      .withColumn("flat",
+        call_function("replace", col("clean"), lit("\n"), lit(" ")))
+    // dedup BEFORE the quality gate (the fetch-side order: identical
+    // pages are identical before anyone scores them — and at the gate
+    // SFs the corpus's dup texts are short ones quality would drop,
+    // so the reverse order would leave this stage provably inert)
+    val keepW = Window.partitionBy(col("clean")).orderBy(col("doc_id"))
+    val deduped = clean.withColumn("rn", row_number().over(keepW))
+      .filter(col("rn") === 1).drop("rn")
+      .persist(MEMORY_AND_DISK)
+    val ok = deduped.filter(TextFunctions.qualityOk(col("flat")))
+      .persist(MEMORY_AND_DISK)
+    val tokens = ok
+      .agg(coalesce(sum(size(split(col("flat"), " ")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    import spark.implicits._
+    val out = Seq(
+      (1, "wire_records", corpus.count()),
+      (2, "http_keep", kept.count()),
+      (3, "dedup_keep", deduped.count()),
+      (4, "quality_ok", ok.count()),
+      (5, "tokens", tokens))
+      .toDF("pos", "stage", "n")
+    Seq(kept, ok, deduped).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** The `.warc.gz` source end-to-end (r15, promoting the streaming
     * source to a declared query): write the fixture corpus as REAL
     * crawl segment files — HTTP-wrapped, WARC-framed response records
@@ -1485,6 +1547,7 @@ object TextOps {
     "q_warc_extract" -> (qWarcExtract _),
     "q_http_extract" -> (qHttpExtract _),
     "q_warcgz_extract" -> (qWarcgzExtract _),
+    "q_wire_e2e" -> (qWireE2e _),
     "q_html_quality" -> (qHtmlQuality _),
     "q_blocklist" -> (qBlocklist _),
     "q_text_quality" -> (qTextQuality _),
@@ -2140,6 +2203,50 @@ object TextOps {
            COUNT(cs) AS n_charset,
            CAST(SUM(fp_clean) AS BIGINT) AS fp_clean_sum
          FROM q GROUP BY variant"""
+    },
+    // the wire-side funnel: each CTE is one stage, counted once — a
+    // wrong drop at any stage shows as its own row
+    "q_wire_e2e" -> {
+      import graft.text.{HtmlExtract, Warc}
+      // page synthesis keys on page_id (a re-crawl reproduces its
+      // original page byte-for-byte); WARC/HTTP identity on doc_id
+      val rec = Warc.sqlWarcify("doc_id",
+        Warc.sqlHttpWrap("doc_id", sqlHtmlize("page_id", "text")))
+      // every stage MATERIALIZED: the scalar-subquery counts reference
+      // each CTE a second time, and inlined re-expansion of the
+      // extraction chain blew DuckDB past its memory limit at sf0.1
+      // (observed r15) — materialization bounds each stage to its
+      // actual row count
+      s"""WITH corpus AS MATERIALIZED (
+           SELECT doc_id, doc_id AS page_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, doc_id, text FROM documents
+           WHERE doc_id % 25 = 0),
+         r AS MATERIALIZED (SELECT doc_id, $rec AS rec FROM corpus),
+         p AS MATERIALIZED (
+           SELECT doc_id, ${Warc.sqlHttpStatus("body")} AS status,
+             ${Warc.sqlHttpPayload("body")} AS payload
+           FROM (SELECT doc_id, ${Warc.sqlBody("rec")} AS body FROM r)),
+         k AS MATERIALIZED (SELECT doc_id, payload FROM p
+           WHERE status = 200 OR status IS NULL),
+         c AS MATERIALIZED (
+           SELECT doc_id, clean, replace(clean, chr(10), ' ') AS flat
+           FROM (SELECT doc_id, ${HtmlExtract.sqlCleanText("payload")}
+               AS clean FROM k)),
+         d AS MATERIALIZED (SELECT doc_id, clean, flat FROM (
+             SELECT doc_id, clean, flat, row_number() OVER (
+               PARTITION BY clean ORDER BY doc_id) AS rn FROM c)
+           WHERE rn = 1),
+         q AS MATERIALIZED (SELECT doc_id, flat FROM d
+           WHERE ${TextFunctions.sqlQualityOk("flat")})
+         SELECT 1 AS pos, 'wire_records' AS stage,
+           (SELECT COUNT(1) FROM r) AS n
+         UNION ALL SELECT 2, 'http_keep', (SELECT COUNT(1) FROM k)
+         UNION ALL SELECT 3, 'dedup_keep', (SELECT COUNT(1) FROM d)
+         UNION ALL SELECT 4, 'quality_ok', (SELECT COUNT(1) FROM q)
+         UNION ALL SELECT 5, 'tokens',
+           (SELECT CAST(COALESCE(SUM(len(string_split(flat, ' '))), 0)
+              AS BIGINT) FROM q)"""
     },
     // the gz layer is transparent to the oracle: same synthesis +
     // parse as q_http_extract, grouped by recovered status — only a
