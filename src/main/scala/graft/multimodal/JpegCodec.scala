@@ -208,6 +208,88 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode a grayscale PROGRESSIVE (SOF2) JPEG of flat blocks —
+    * three scans: DC first at Al=1 (point-transformed diffs), DC
+    * refinement (one raw bit per block), and an AC band scan that is
+    * pure end-of-band runs (flat blocks have no AC), encoded with
+    * real EOBn codes — so a decoder must buffer coefficients across
+    * scans, apply the successive-approximation DC fold, and decode
+    * EOBRUN to recover the SAME raster the baseline encoding of these
+    * blocks yields (bit-exact: the DC-quant-8 regime). */
+  def encodeGrayFlatProgressive(wb: Int, hb: Int, dcs: Array[Int],
+      quant: Array[Int] = FlatQuant): Array[Byte] = {
+    require(dcs.length == wb * hb, s"${dcs.length} DCs != $wb x $hb")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def marker(m: Int): Unit = { b(0xff); b(m) }
+    def be16(v: Int): Unit = { b(v >>> 8); b(v) }
+    marker(0xd8)
+    marker(0xdb); be16(2 + 1 + 64); b(0x00)
+    (0 until 64).foreach(k => b(quant(Zigzag(k))))
+    marker(0xc2); be16(2 + 6 + 3) // SOF2 progressive
+    b(8); be16(8 * hb); be16(8 * wb); b(1)
+    b(1); b(0x11); b(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); b(cls << 4)
+      bits.foreach(b); vals.foreach(b)
+    }
+    dht(0, DcBits, DcVals)
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    // the Annex-K AC table has NO EOBn symbols (baseline never uses
+    // them) — the band scan needs its own table: the 15 EOBn symbols
+    // (run r, size 0) at code length 4, redefined as AC table 0
+    // before the scan (a DHT between scans legally replaces tables)
+    val eobBits = Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val eobVals = Array.tabulate(15)(r => r << 4)
+    val acCodes = canonicalCodes(eobBits, eobVals)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); be16(2 + 1 + 2 + 3)
+      b(1); b(1); b(0x00); b(ss); b(se); b((ah << 4) | al)
+    }
+    // scan 1: DC first, Al=1 — diffs of the point-transformed values
+    sos(0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      var pred = 0
+      dcs.foreach { dc =>
+        val v = dc >> 1 // arithmetic shift = the T.81 point transform
+        val diff = v - pred
+        pred = v
+        val s = category(diff)
+        val (c, l) = dcCodes(s)
+        bw.put(c, l)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      bw.align()
+    }
+    // scan 2: DC refinement, Ah=1 Al=0 — the low bit, raw
+    sos(0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      dcs.foreach(dc => bw.put(dc & 1, 1))
+      bw.align()
+    }
+    // scan 3: AC band 1..63 — all zero, emitted as greedy EOBn runs
+    dht(1, eobBits, eobVals)
+    sos(1, 63, 0, 0)
+    locally {
+      val bw = new BitWriter(out)
+      var remaining = dcs.length
+      while (remaining > 0) {
+        var r = 0
+        while ((1 << (r + 1)) <= remaining && r < 14) r += 1
+        val run = math.min(remaining, (1 << (r + 1)) - 1)
+        val (c, l) = acCodes(r << 4) // EOBn symbol: size 0, run r
+        bw.put(c, l)
+        if (r > 0) bw.put(run - (1 << r), r)
+        remaining -= run
+      }
+      bw.align()
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** The gate fixture: flat 8×8 blocks whose values are the doc's
     * text bytes cycled ([[MediaCodec.encodeDoc]] spirit) — block
     * (row-major index b) has every pixel equal to byte b mod len, so
@@ -230,6 +312,20 @@ object JpegCodec {
   /** Fixture block dims from payload length (oracle-replicable). */
   def blockDims(textLen: Int): (Int, Int) =
     (1 + textLen % 7, 1 + (textLen * 31) % 6)
+
+  /** The PROGRESSIVE gate fixture (r15): the SAME flat blocks as
+    * [[encodeDocJpeg]] in the three-scan SOF2 wire form, so the
+    * q_jpeg_decode closed-form oracle carries over verbatim — only a
+    * decoder that buffers coefficients across scans, folds the DC
+    * successive approximation, and decodes EOBRUN reproduces it. */
+  def encodeDocJpegProgressive(docId: Long, text: Array[Byte])
+      : (String, Array[Byte]) = {
+    val (wb, hb) = blockDims(text.length)
+    val dcs = Array.tabulate(wb * hb) { b =>
+      (if (text.isEmpty) 0 else text(b % text.length) & 0xff) - 128
+    }
+    ("jpeg_prog", encodeGrayFlatProgressive(wb, hb, dcs))
+  }
 
   // ---- decoder ---------------------------------------------------------
 
@@ -357,8 +453,18 @@ object JpegCodec {
     var td = 0; var ta = 0
   }
 
-  /** Decode a baseline JPEG to dims + top-down row-major RGB
-    * (grayscale replicated) — the [[MediaCodec.Image]] contract. */
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  /** Decode a baseline (SOF0) or PROGRESSIVE (SOF2, r15) JPEG to
+    * dims + top-down row-major RGB (grayscale replicated) — the
+    * [[MediaCodec.Image]] contract. Progressive decode keeps one
+    * QUANTIZED coefficient buffer per block for the whole frame and
+    * folds each scan into it: DC first scans (point transform << Al,
+    * diff-predicted), DC refinement (one raw bit per block OR-ed at
+    * Al), AC first scans (per-component, run-length with shared
+    * EOBRUN end-of-band runs), and AC successive-approximation
+    * refinement (the T.81 G.1.2.3 correction-bit walk). IDCT runs
+    * once at EOI over the assembled coefficients. */
   def decode(p: Array[Byte]): MediaCodec.Image = {
     require(p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8,
       "bad JPEG SOI")
@@ -367,18 +473,194 @@ object JpegCodec {
     val huffAc = new Array[HuffTable](4)
     var comps: Array[Component] = null
     var w = 0; var hImg = 0
+    var progressive = false
     var restartInterval = 0
+    var maxH = 1; var maxV = 1
+    var mcusX = 0; var mcusY = 0
+    // per comp: padded block-grid width (interleaved layout), the
+    // comp's REAL block counts (non-interleaved scan order), and the
+    // per-block QUANTIZED zigzag coefficient buffers
+    var gridW: Array[Int] = null
+    var compBW: Array[Int] = null
+    var compBH: Array[Int] = null
+    var coef: Array[Array[Array[Int]]] = null
     var pos = 2
     def be16(o: Int): Int = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
-    var sosAt = -1
-    while (sosAt < 0) {
-      require(pos + 4 <= p.length, "truncated JPEG marker stream")
+
+    /** One entropy-coded scan: decodes into the coefficient buffers,
+      * returns the byte offset just past its entropy data. */
+    def decodeScan(scanComps: Array[Int], ss: Int, se: Int, ah: Int,
+        al: Int, startPos: Int): Int = {
+      val br = new BitReader(p, startPos)
+      val preds = new Array[Int](comps.length)
+      var eobrun = 0
+      val interleaved = scanComps.length > 1
+
+      def decodeBlock(ci: Int, blk: Array[Int]): Unit = {
+        val c = comps(ci)
+        if (!progressive) {
+          val dcT = huffDc(c.td); val acT = huffAc(c.ta)
+          require(dcT != null && acT != null, "missing Huffman table")
+          val s = br.decodeSym(dcT)
+          require(s <= 11, s"bad DC category $s")
+          preds(ci) += extend(br.bits(s), s)
+          blk(0) = preds(ci)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = br.decodeSym(acT)
+            val r = rs >> 4; val sz = rs & 0x0f
+            if (sz == 0) {
+              if (r == 15) k += 16 // ZRL
+              else eob = true
+            } else {
+              k += r
+              require(k < 64, "JPEG AC run past block end")
+              blk(k) = extend(br.bits(sz), sz)
+              k += 1
+            }
+          }
+        } else if (ss == 0 && ah == 0) { // DC first
+          val dcT = huffDc(c.td)
+          require(dcT != null, "missing Huffman table")
+          val s = br.decodeSym(dcT)
+          require(s <= 11, s"bad DC category $s")
+          preds(ci) += extend(br.bits(s), s)
+          blk(0) = preds(ci) << al
+        } else if (ss == 0) { // DC refinement: one raw bit at Al
+          if (br.nextBit() == 1) blk(0) |= 1 << al
+        } else if (ah == 0) { // AC first scan
+          val acT = huffAc(c.ta)
+          require(acT != null, "missing Huffman table")
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var stop = false
+            while (k <= se && !stop) {
+              val rs = br.decodeSym(acT)
+              val r = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16
+                else {
+                  eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+                  stop = true
+                }
+              } else {
+                k += r
+                require(k <= se, "JPEG AC run past band end")
+                blk(k) = extend(br.bits(sz), sz) << al
+                k += 1
+              }
+            }
+          }
+        } else { // AC refinement — the T.81 G.1.2.3 correction walk
+          val acT = huffAc(c.ta)
+          require(acT != null, "missing Huffman table")
+          val p1 = 1 << al; val m1 = -1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var stop = false
+            while (k <= se && !stop) {
+              val rs = br.decodeSym(acT)
+              var r = rs >> 4; val sz = rs & 0x0f
+              var newval = 0
+              if (sz == 0) {
+                if (r < 15) {
+                  // NOTE the off-by-one trap: unlike the first-scan
+                  // case, eobrun here keeps the FULL (1<<r)+bits value
+                  // — the current block still consumes correction bits
+                  // for its remaining nonzero history in the tail walk
+                  // below, and only THEN does the run decrement
+                  eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+                  stop = true
+                } // r == 15: ZRL — pass 16 zero-history coefficients
+              } else {
+                require(sz == 1, s"bad AC refinement size $sz")
+                newval = if (br.nextBit() == 1) p1 else m1
+              }
+              if (!stop) {
+                // advance over r zero-history positions; every nonzero
+                // passed takes a correction bit
+                var placed = false
+                while (k <= se && !placed) {
+                  if (blk(k) != 0) {
+                    if (br.nextBit() == 1 && (blk(k) & p1) == 0)
+                      blk(k) += (if (blk(k) >= 0) p1 else m1)
+                  } else {
+                    if (r == 0) {
+                      if (newval != 0) blk(k) = newval
+                      placed = true
+                    } else r -= 1
+                  }
+                  k += 1
+                }
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // end-of-band: the rest of THIS block still takes
+            // correction bits on its nonzero history
+            while (k <= se) {
+              if (blk(k) != 0) {
+                if (br.nextBit() == 1 && (blk(k) & p1) == 0)
+                  blk(k) += (if (blk(k) >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+
+      val nUnits =
+        if (interleaved) mcusX * mcusY
+        else compBW(scanComps(0)) * compBH(scanComps(0))
+      var rst = 0
+      var u = 0
+      while (u < nUnits) {
+        if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+          br.restart(rst % 8)
+          rst += 1
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+        if (interleaved) {
+          val my = u / mcusX; val mx = u % mcusX
+          scanComps.foreach { ci =>
+            val c = comps(ci)
+            var bv = 0
+            while (bv < c.v) {
+              var bu = 0
+              while (bu < c.h) {
+                decodeBlock(ci,
+                  coef(ci)((my * c.v + bv) * gridW(ci) + mx * c.h + bu))
+                bu += 1
+              }
+              bv += 1
+            }
+          }
+        } else {
+          val ci = scanComps(0)
+          val by = u / compBW(ci); val bx = u % compBW(ci)
+          decodeBlock(ci, coef(ci)(by * gridW(ci) + bx))
+        }
+        u += 1
+      }
+      br.bytePos
+    }
+
+    var sawEoi = false
+    while (!sawEoi) {
+      require(pos + 2 <= p.length, "truncated JPEG marker stream")
       require((p(pos) & 0xff) == 0xff, f"expected marker at offset $pos")
       val m = p(pos + 1) & 0xff
-      require(m != 0xd9, "JPEG EOI before SOS")
+      if (m == 0xd9) { sawEoi = true; pos += 2 }
+      else {
+      require(pos + 4 <= p.length, "truncated JPEG marker stream")
       val len = be16(pos + 2)
       require(len >= 2 && pos + 2L + len <= p.length, "truncated JPEG segment")
       val seg = pos + 4
+      var nextPos = pos + 2 + len
       m match {
         case 0xdb => // DQT: one or more tables
           var o = seg
@@ -409,13 +691,15 @@ object JpegCodec {
             if (tc == 0) huffDc(th) = t else huffAc(th) = t
             o += 17 + total
           }
-        case 0xc0 => // SOF0 baseline
-          require(len >= 8, "truncated SOF0")
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive (r15)
+          require(comps == null, "multiple JPEG frames not supported")
+          progressive = m == 0xc2
+          require(len >= 8, "truncated SOF")
           require(p(seg) == 8, "only 8-bit JPEG precision supported")
           hImg = be16(seg + 1); w = be16(seg + 3)
           val nc = p(seg + 5) & 0xff
           require(nc == 1 || nc == 3, s"unsupported JPEG component count $nc")
-          require(len >= 8 + 3 * nc, "truncated SOF0 component specs")
+          require(len >= 8 + 3 * nc, "truncated SOF component specs")
           comps = Array.tabulate(nc) { i =>
             val o = seg + 6 + i * 3
             Component(p(o) & 0xff, (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f,
@@ -425,115 +709,103 @@ object JpegCodec {
             require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4 && c.tq < 4,
               "bad JPEG sampling/quant spec")
           }
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          require(w > 0 && hImg > 0 && w.toLong * hImg <= Int.MaxValue / 3,
+            s"unsupported JPEG dims ${w}x$hImg")
+          maxH = comps.map(_.h).max
+          maxV = comps.map(_.v).max
+          comps.foreach { c =>
+            require(maxH % c.h == 0 && maxV % c.v == 0,
+              s"unsupported JPEG sampling ${c.h}x${c.v} vs ${maxH}x$maxV")
+          }
+          mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+          mcusY = (hImg + 8 * maxV - 1) / (8 * maxV)
+          gridW = comps.map(c => mcusX * c.h)
+          compBW = comps.map(c => (ceilDiv(w * c.h, maxH) + 7) / 8)
+          compBH = comps.map(c => (ceilDiv(hImg * c.v, maxV) + 7) / 8)
+          comps.indices.foreach { i =>
+            require(gridW(i).toLong * (mcusY.toLong * comps(i).v) * 64 <=
+              Int.MaxValue, "unsupported JPEG plane size")
+          }
+          coef = comps.indices.map { i =>
+            Array.fill(gridW(i) * mcusY * comps(i).v)(new Array[Int](64))
+          }.toArray
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
-            f"unsupported JPEG mode (SOF marker 0xff$m%02x — baseline only)")
+            f"unsupported JPEG mode (SOF marker 0xff$m%02x — baseline/progressive only)")
         case 0xdd =>
           require(len >= 4, "truncated DRI")
           restartInterval = be16(seg)
         case 0xda =>
-          require(comps != null, "JPEG SOS before SOF0")
+          require(comps != null, "JPEG SOS before SOF")
           require(len >= 3, "truncated SOS")
           val ns = p(seg) & 0xff
-          require(ns == comps.length, "partial-scan JPEG not supported")
+          require(ns >= 1 && ns <= comps.length, s"bad SOS component count $ns")
           require(len >= 6 + 2 * ns, "truncated SOS component specs")
-          (0 until ns).foreach { i =>
+          val scanComps = (0 until ns).map { i =>
             val cid = p(seg + 1 + i * 2) & 0xff
-            val c = comps.find(_.id == cid).getOrElse(
-              throw new IllegalArgumentException(s"SOS references unknown component $cid"))
-            c.td = (p(seg + 2 + i * 2) & 0xff) >> 4
-            c.ta = p(seg + 2 + i * 2) & 0x0f
+            val ci = comps.indexWhere(_.id == cid)
+            require(ci >= 0, s"SOS references unknown component $cid")
+            comps(ci).td = (p(seg + 2 + i * 2) & 0xff) >> 4
+            comps(ci).ta = p(seg + 2 + i * 2) & 0x0f
+            ci
+          }.toArray
+          val ss = p(seg + 1 + 2 * ns) & 0xff
+          val se = p(seg + 2 + 2 * ns) & 0xff
+          val ax = p(seg + 3 + 2 * ns) & 0xff
+          val ah = ax >> 4; val al = ax & 0x0f
+          if (!progressive) {
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "bad baseline scan header")
+            require(ns == comps.length, "partial baseline scans not supported")
+          } else {
+            require(se >= ss && se <= 63 && al <= 13, "bad progressive band")
+            if (ss == 0) require(se == 0, "progressive DC scan must be DC-only")
+            else require(ns == 1, "progressive AC scans are per-component")
           }
-          sosAt = pos + 2 + len
+          nextPos = decodeScan(scanComps, ss, se, ah, al, pos + 2 + len)
         case _ => () // APPn / COM / others: skip
       }
-      pos += 2 + len
+      pos = nextPos
+      }
     }
-    require(w > 0 && hImg > 0 && w.toLong * hImg <= Int.MaxValue / 3,
-      s"unsupported JPEG dims ${w}x$hImg")
-    val maxH = comps.map(_.h).max
-    val maxV = comps.map(_.v).max
-    comps.foreach { c =>
-      require(maxH % c.h == 0 && maxV % c.v == 0,
-        s"unsupported JPEG sampling ${c.h}x${c.v} vs ${maxH}x$maxV")
-    }
-    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
-    val mcusY = (hImg + 8 * maxV - 1) / (8 * maxV)
-    // per-component padded planes
-    val planeW = comps.map(c => mcusX * c.h * 8)
-    val planeH = comps.map(c => mcusY * c.v * 8)
-    comps.indices.foreach { i =>
-      require(planeW(i).toLong * planeH(i) <= Int.MaxValue,
-        "unsupported JPEG plane size")
-    }
+    require(comps != null, "JPEG EOI before SOF")
+    // dequantize + IDCT every block into per-component planes
+    val planeW = comps.indices.map(i => gridW(i) * 8).toArray
     val planes = comps.indices.map(i =>
-      new Array[Byte](planeW(i) * planeH(i))).toArray
-    val br = new BitReader(p, sosAt)
-    val pred = new Array[Int](comps.length)
-    var rst = 0
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        br.restart(rst % 8)
-        rst += 1
-        java.util.Arrays.fill(pred, 0)
-      }
-      val my = mcu / mcusX; val mx = mcu % mcusX
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        val q = quant(c.tq)
-        require(q != null, s"missing quant table ${c.tq}")
-        val dcT = huffDc(c.td); val acT = huffAc(c.ta)
-        require(dcT != null && acT != null, "missing Huffman table")
-        var bv = 0
-        while (bv < c.v) {
-          var bu = 0
-          while (bu < c.h) {
-            // decode one block
-            val coeff = new Array[Double](64)
-            val s = br.decodeSym(dcT)
-            require(s <= 11, s"bad DC category $s")
-            pred(ci) += extend(br.bits(s), s)
-            coeff(0) = pred(ci).toDouble * q(0)
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = br.decodeSym(acT)
-              val r = rs >> 4; val sz = rs & 0x0f
-              if (sz == 0) {
-                if (r == 15) k += 16 // ZRL
-                else eob = true
-              } else {
-                k += r
-                require(k < 64, "JPEG AC run past block end")
-                coeff(Zigzag(k)) = extend(br.bits(sz), sz).toDouble * q(Zigzag(k))
-                k += 1
-              }
-            }
-            val px = idct(coeff)
-            val plane = planes(ci)
-            val pw = planeW(ci)
-            val ox = (mx * c.h + bu) * 8; val oy = (my * c.v + bv) * 8
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                plane((oy + yy) * pw + ox + xx) =
-                  clamp(math.round(px(yy * 8 + xx) + 128.0).toInt).toByte
-                xx += 1
-              }
-              yy += 1
-            }
-            bu += 1
-          }
-          bv += 1
+      new Array[Byte](gridW(i) * 8 * mcusY * comps(i).v * 8)).toArray
+    var ci = 0
+    while (ci < comps.length) {
+      val q = quant(comps(ci).tq)
+      require(q != null, s"missing quant table ${comps(ci).tq}")
+      val blocks = coef(ci)
+      val plane = planes(ci)
+      val pw = planeW(ci)
+      var bi = 0
+      while (bi < blocks.length) {
+        val blk = blocks(bi)
+        val coeff = new Array[Double](64)
+        var k = 0
+        while (k < 64) {
+          val n = Zigzag(k)
+          coeff(n) = blk(k).toDouble * q(n)
+          k += 1
         }
-        ci += 1
+        val px = idct(coeff)
+        val ox = (bi % gridW(ci)) * 8; val oy = (bi / gridW(ci)) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            plane((oy + yy) * pw + ox + xx) =
+              clamp(math.round(px(yy * 8 + xx) + 128.0).toInt).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        bi += 1
       }
-      mcu += 1
+      ci += 1
     }
     // assemble RGB with replication upsampling
     val rgb = new Array[Byte](w * hImg * 3)

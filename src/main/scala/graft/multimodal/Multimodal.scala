@@ -67,6 +67,11 @@ object Multimodal {
   def asJpegTable(docs: DataFrame): DataFrame =
     mediaTableVia(docs, JpegCodec.encodeDocJpeg)
 
+  /** Progressive (SOF2) sibling of [[asJpegTable]] — same raster,
+    * three-scan wire form (r15). */
+  def asJpegProgressiveTable(docs: DataFrame): DataFrame =
+    mediaTableVia(docs, JpegCodec.encodeDocJpegProgressive)
+
   /** Wrap a per-partition decode stream so `close` fires when the
     * iterator drains — the one subtle pattern (close inside hasNext)
     * shared by every batched-codec operator here. */

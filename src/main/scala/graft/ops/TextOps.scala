@@ -588,6 +588,22 @@ object TextOps {
           sum(col("fp_clean")).as("fp_clean_sum"))
     }
 
+  /** Progressive-JPEG decode (r15): the SAME flat-block raster as
+    * q_jpeg_decode in the three-scan SOF2 wire form — DC first with
+    * point transform, DC refinement bits, and an all-EOBRUN AC band
+    * scan. The oracle is the identical closed form: only a decoder
+    * that carries coefficients across scans and folds the successive
+    * approximation reproduces it. The REAL refinement scans (AC
+    * correction walk over ImageIO-written files) are spec-pinned in
+    * JpegSpec, the gate pins the multi-scan machinery. */
+  def qJpegProgressive(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelChecksums(
+        Multimodal.asJpegProgressiveTable(t(spark, dir, "documents")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("px_sum")).as("sum_px"),
+        sum(col("px_wsum")).as("wsum_px"))
+
   /** Banned 3-token phrases for [[qBlocklist]] — two that occur in
     * the fixture corpus, one that can occur at other SFs, one that
     * never matches (the empty-result leg). */
@@ -1578,6 +1594,7 @@ object TextOps {
     "q_multimodal" -> (qMultimodal _),
     "q_png_decode" -> (qPngDecode _),
     "q_jpeg_decode" -> (qJpegDecode _),
+    "q_jpeg_progressive" -> (qJpegProgressive _),
     "q_multimodal_pixels" -> (qMultimodalPixels _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -2731,6 +2748,28 @@ object TextOps {
                AS px_wsum
            FROM x GROUP BY doc_id)
          SELECT 'jpeg' AS format, COUNT(1) AS n_media,
+           CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
+           CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
+         FROM m LEFT JOIN d ON m.doc_id = d.doc_id""",
+    // progressive sibling: identical closed form, SOF2 wire format
+    "q_jpeg_progressive" ->
+      """WITH m AS (
+           SELECT doc_id, text, strlen(text) AS len,
+             1 + strlen(text) % 7 AS wb,
+             1 + (strlen(text) * 31) % 6 AS hb
+           FROM documents),
+         x AS (
+           SELECT doc_id,
+             ascii(substr(text, CAST(b % len + 1 AS INT), 1)) AS v,
+             b // wb AS by, b % wb AS bx, wb * 8 AS w
+           FROM m, unnest(range(0, wb * hb)) AS t(b)
+           WHERE len > 0),
+         d AS (
+           SELECT doc_id, SUM(192 * v) AS px_sum,
+             SUM(v * (9 * (512 * w * by + 224 * w + 512 * bx + 224) + 384))
+               AS px_wsum
+           FROM x GROUP BY doc_id)
+         SELECT 'jpeg_prog' AS format, COUNT(1) AS n_media,
            CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
            CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
          FROM m LEFT JOIN d ON m.doc_id = d.doc_id""",

@@ -164,6 +164,88 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive flat fixture: three scans fold to the EXACT baseline raster (r15)") {
+    val values = Seq(0, 1, 37, 128, 200, 255, 64, 99, 250, 5, 180, 42,
+      7, 130, 251, 128, 127, 126)
+    val base = JpegCodec.decode(
+      JpegCodec.encodeGrayCoeffs(6, 3, flatBlocks(values)))
+    val progBytes = JpegCodec.encodeGrayFlatProgressive(6, 3,
+      values.map(_ - 128).toArray)
+    val prog = JpegCodec.decode(progBytes)
+    assert(prog.width == base.width && prog.height == base.height)
+    assert(prog.rgb.sameElements(base.rgb),
+      "DC first + refinement + EOBRUN must reproduce the baseline raster")
+    // and the independent decoder agrees the progressive wire form is real
+    val (w, h, ref) = imageioDecode(progBytes)
+    assert(w == prog.width && h == prog.height && maxDelta(prog.rgb, ref) == 0)
+  }
+
+  test("ImageIO-written progressive gray (real AC refinement scans) decodes within ±1") {
+    // the default progressive scan script uses successive
+    // approximation (Ah/Al chains) — the AC-refinement correction walk
+    // is load-bearing here, against an independent encoder AND decoder
+    val w = 64; val h = 48
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var seed = 99L
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        val v = ((x * 3 + y * 2) % 200 + ((seed >>> 40) % 56)).toInt
+        src.getRaster.setSample(x, y, 0, v)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val prm = writer.getDefaultWriteParam
+    prm.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), prm)
+    writer.dispose(); ios.close()
+    val bytes = out.toByteArray
+    // confirm the file really is SOF2
+    val isProg = bytes.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2)
+    assert(isProg, "ImageIO did not write a progressive file")
+    val img = JpegCodec.decode(bytes)
+    val (w2, h2, ref) = imageioDecode(bytes)
+    assert(w2 == img.width && h2 == img.height)
+    val d = maxDelta(img.rgb, ref)
+    assert(d <= 1, s"progressive gray decode diverges from imageio by $d")
+  }
+
+  test("ImageIO-written progressive color decodes within the color tolerance") {
+    val w = 64; val h = 48
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val r = (x * 255) / (w - 1)
+        val g = (y * 255) / (h - 1)
+        val bl = ((x + y) * 255) / (w + h - 2)
+        src.setRGB(x, y, (r << 16) | (g << 8) | bl)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val prm = writer.getDefaultWriteParam
+    prm.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionQuality(0.8f)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), prm)
+    writer.dispose(); ios.close()
+    val bytes = out.toByteArray
+    val img = JpegCodec.decode(bytes)
+    val (_, _, ref) = imageioDecode(bytes)
+    val deltas = img.rgb.indices
+      .map(i => math.abs((img.rgb(i) & 0xff) - (ref(i) & 0xff)))
+    assert(deltas.max <= 8 && deltas.sum.toDouble / deltas.length <= 1.5,
+      s"progressive color max ${deltas.max} mean ${deltas.sum.toDouble / deltas.length}")
+  }
+
   test("corrupt input fails loudly, never a garbage raster") {
     val good = JpegCodec.encodeGrayCoeffs(2, 2, flatBlocks(Seq(10, 20, 30, 40)))
     intercept[IllegalArgumentException] { // truncated mid-entropy
@@ -179,20 +261,21 @@ class JpegSpec extends AnyFunSuite {
       .map(_.toByte)
     val e2 = intercept[IllegalArgumentException] { JpegCodec.decode(truncDht) }
     assert(e2.getMessage.contains("truncated DHT"))
-    val progressive = good.clone() // flip SOF0 -> SOF2 (progressive)
-    val sof = {
+    def sofAt(bytes: Array[Byte]): Int = {
       var i = 2
-      var at = -1
-      while (at < 0) {
-        if ((progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0)
-          at = i
-        else i += 1
-      }
-      at
+      while (!((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0)) i += 1
+      i
     }
-    progressive(sof + 1) = 0xc2.toByte
-    val e = intercept[IllegalArgumentException] { JpegCodec.decode(progressive) }
-    assert(e.getMessage.contains("baseline only"))
+    val lossless = good.clone() // flip SOF0 -> SOF3 (lossless): unsupported mode
+    lossless(sofAt(lossless) + 1) = 0xc3.toByte
+    val e = intercept[IllegalArgumentException] { JpegCodec.decode(lossless) }
+    assert(e.getMessage.contains("baseline/progressive only"))
+    // SOF2 with a BASELINE full-band scan header is a malformed
+    // progressive stream (DC scans are DC-only) — loud, not garbage
+    val badProg = good.clone()
+    badProg(sofAt(badProg) + 1) = 0xc2.toByte
+    val e3 = intercept[IllegalArgumentException] { JpegCodec.decode(badProg) }
+    assert(e3.getMessage.contains("DC-only"))
   }
 
   test("the media table carries real JPEG bytes and round numbers") {
