@@ -650,11 +650,18 @@ object JpegCodec {
     }
 
     var sawEoi = false
+    var sawScan = false
     while (!sawEoi) {
       require(pos + 2 <= p.length, "truncated JPEG marker stream")
       require((p(pos) & 0xff) == 0xff, f"expected marker at offset $pos")
+      // legal 0xFF fill bytes before a marker (T.81 B.1.1.2)
+      while (pos + 2 <= p.length && (p(pos + 1) & 0xff) == 0xff) pos += 1
+      require(pos + 2 <= p.length, "truncated JPEG marker stream")
       val m = p(pos + 1) & 0xff
       if (m == 0xd9) { sawEoi = true; pos += 2 }
+      else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        pos += 2 // standalone RSTn/TEM outside a scan: skip, no length
+      }
       else {
       require(pos + 4 <= p.length, "truncated JPEG marker stream")
       val len = be16(pos + 2)
@@ -764,12 +771,16 @@ object JpegCodec {
             else require(ns == 1, "progressive AC scans are per-component")
           }
           nextPos = decodeScan(scanComps, ss, se, ah, al, pos + 2 + len)
+          sawScan = true
         case _ => () // APPn / COM / others: skip
       }
       pos = nextPos
       }
     }
     require(comps != null, "JPEG EOI before SOF")
+    // a header-only/scan-stripped file must fail loudly, never
+    // return an all-gray raster (review r15 #1)
+    require(sawScan, "JPEG EOI before any SOS scan")
     // dequantize + IDCT every block into per-component planes
     val planeW = comps.indices.map(i => gridW(i) * 8).toArray
     val planes = comps.indices.map(i =>

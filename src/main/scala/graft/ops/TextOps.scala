@@ -517,7 +517,8 @@ object TextOps {
     val ok = deduped.filter(TextFunctions.qualityOk(col("flat")))
       .persist(MEMORY_AND_DISK)
     val tokens = ok
-      .agg(coalesce(sum(size(split(col("flat"), " ")).cast("long")), lit(0L)))
+      .agg(coalesce(sum(TextFunctions.nTokens(col("flat")).cast("long")),
+        lit(0L)))
       .head().getLong(0)
     import spark.implicits._
     val out = Seq(
@@ -587,6 +588,38 @@ object TextOps {
           sum(col("fp_uri")).as("fp_uri_sum"),
           sum(col("fp_clean")).as("fp_clean_sum"))
     }
+
+  /** The JPEG gate oracle, shared by the baseline and progressive
+    * legs (they differ in WIRE FORM only — the decoded raster is the
+    * same flat-block closed form): block b's 64 pixels all equal
+    * text byte b mod len; gray replicates to rgb. Per block at
+    * (bx,by) with w = 8·wb, the sum of the rgb (i+1) weights is
+    * 9·q+6 per pixel q=y·w+x, and Σq over the block is
+    * 512·w·by + 224·w + 512·bx + 224 — so a wrong block placement
+    * (restart resync, DC prediction, MCU/scan order) or a wrong
+    * decoded value (dequant, IDCT, level shift, successive-
+    * approximation fold) breaks the weighted sum. */
+  private def sqlJpegRasterOracle(format: String): String =
+    s"""WITH m AS (
+         SELECT doc_id, text, strlen(text) AS len,
+           1 + strlen(text) % 7 AS wb,
+           1 + (strlen(text) * 31) % 6 AS hb
+         FROM documents),
+       x AS (
+         SELECT doc_id,
+           ascii(substr(text, CAST(b % len + 1 AS INT), 1)) AS v,
+           b // wb AS by, b % wb AS bx, wb * 8 AS w
+         FROM m, unnest(range(0, wb * hb)) AS t(b)
+         WHERE len > 0),
+       d AS (
+         SELECT doc_id, SUM(192 * v) AS px_sum,
+           SUM(v * (9 * (512 * w * by + 224 * w + 512 * bx + 224) + 384))
+             AS px_wsum
+         FROM x GROUP BY doc_id)
+       SELECT '$format' AS format, COUNT(1) AS n_media,
+         CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
+         CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
+       FROM m LEFT JOIN d ON m.doc_id = d.doc_id"""
 
   /** Progressive-JPEG decode (r15): the SAME flat-block raster as
     * q_jpeg_decode in the three-scan SOF2 wire form — DC first with
@@ -2723,56 +2756,10 @@ object TextOps {
            CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
            CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
          FROM m LEFT JOIN d ON m.doc_id = d.doc_id""",
-    // JPEG leg: flat 8x8 blocks (block b's 64 pixels all equal text
-    // byte b mod len; gray replicates to rgb). Per block at (bx,by)
-    // with w = 8*wb: sum over the rgb indices i of (i+1) weights is
-    // 9*q+6 per pixel q=y*w+x, and sum of q over the block is
-    // 512*w*by + 224*w + 512*bx + 224 — so a wrong block placement
-    // (restart resync, DC prediction, MCU order) or a wrong decoded
-    // value (dequant, IDCT, level shift) breaks the weighted sum
-    "q_jpeg_decode" ->
-      """WITH m AS (
-           SELECT doc_id, text, strlen(text) AS len,
-             1 + strlen(text) % 7 AS wb,
-             1 + (strlen(text) * 31) % 6 AS hb
-           FROM documents),
-         x AS (
-           SELECT doc_id,
-             ascii(substr(text, CAST(b % len + 1 AS INT), 1)) AS v,
-             b // wb AS by, b % wb AS bx, wb * 8 AS w
-           FROM m, unnest(range(0, wb * hb)) AS t(b)
-           WHERE len > 0),
-         d AS (
-           SELECT doc_id, SUM(192 * v) AS px_sum,
-             SUM(v * (9 * (512 * w * by + 224 * w + 512 * bx + 224) + 384))
-               AS px_wsum
-           FROM x GROUP BY doc_id)
-         SELECT 'jpeg' AS format, COUNT(1) AS n_media,
-           CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
-           CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
-         FROM m LEFT JOIN d ON m.doc_id = d.doc_id""",
-    // progressive sibling: identical closed form, SOF2 wire format
-    "q_jpeg_progressive" ->
-      """WITH m AS (
-           SELECT doc_id, text, strlen(text) AS len,
-             1 + strlen(text) % 7 AS wb,
-             1 + (strlen(text) * 31) % 6 AS hb
-           FROM documents),
-         x AS (
-           SELECT doc_id,
-             ascii(substr(text, CAST(b % len + 1 AS INT), 1)) AS v,
-             b // wb AS by, b % wb AS bx, wb * 8 AS w
-           FROM m, unnest(range(0, wb * hb)) AS t(b)
-           WHERE len > 0),
-         d AS (
-           SELECT doc_id, SUM(192 * v) AS px_sum,
-             SUM(v * (9 * (512 * w * by + 224 * w + 512 * bx + 224) + 384))
-               AS px_wsum
-           FROM x GROUP BY doc_id)
-         SELECT 'jpeg_prog' AS format, COUNT(1) AS n_media,
-           CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
-           CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
-         FROM m LEFT JOIN d ON m.doc_id = d.doc_id""",
+    // baseline + progressive share ONE oracle builder (review r15 #5)
+    // — the wire forms differ, the decoded raster must not
+    "q_jpeg_decode" -> sqlJpegRasterOracle("jpeg"),
+    "q_jpeg_progressive" -> sqlJpegRasterOracle("jpeg_prog"),
     // encoder-replay oracle for the decoded RASTER (not just headers):
     // the fixture's pixels are text bytes cycled to fill n raster
     // positions (n = w*h*3 rgb for ppm/bmp; w*h gray for pgm, which

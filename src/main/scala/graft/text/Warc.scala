@@ -33,16 +33,16 @@ object Warc {
 
   private val Crlf = "\r\n"
 
-  /** Synthesize a WARC/1.0 response record around a payload. Four
-    * layout variants by id band: canonical order, an extra
-    * WARC-IP-Address header, Content-Length BEFORE the URI header,
-    * and an extra WARC-Concurrent-To header. */
   /** The fixture's per-doc target URI — shared by the response and
     * request synthesis. */
   private[graft] def fixtureUri(docId: Column): Column =
     concat(lit("http://src"), (docId % 20).cast("string"),
       lit(".example/doc/"), docId.cast("string"))
 
+  /** Synthesize a WARC/1.0 response record around a payload. Four
+    * layout variants by id band: canonical order, an extra
+    * WARC-IP-Address header, Content-Length BEFORE the URI header,
+    * and an extra WARC-Concurrent-To header. */
   private[graft] def warcify(docId: Column, payload: Column): Column = {
     val idStr = docId.cast("string")
     val uri = fixtureUri(docId)
@@ -147,10 +147,10 @@ object Warc {
       length(body).cast("string"), lit(Crlf + Crlf), body, lit(Crlf + Crlf))
   }
 
-  /** SQL twin of [[warcType]]. */
-  def sqlWarcType(recExpr: String): String =
-    s"""nullif(regexp_extract(${sqlHeaderBlock(recExpr)},
-        '\\r\\nWARC-Type: ([^\\r\\n]+)', 1), '')"""
+  // no SQL twin for warcType: the type SELECTION is a Spark-side
+  // source concern (the oracle counts responses straight from the
+  // documents table, which pins the filter's outcome) — an untested
+  // twin would be dead surface (review r15 #4)
 
   /** Declared Content-Length in octets (null when absent/malformed —
     * the empty extract casts to null, never to a number). */

@@ -261,6 +261,19 @@ class JpegSpec extends AnyFunSuite {
       .map(_.toByte)
     val e2 = intercept[IllegalArgumentException] { JpegCodec.decode(truncDht) }
     assert(e2.getMessage.contains("truncated DHT"))
+    // a header-only file (every scan stripped) must fail loudly, not
+    // return an all-gray raster (review r15 #1)
+    val sosStart = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)) i += 1
+      i
+    }
+    val headerOnly = java.util.Arrays.copyOfRange(good, 0, sosStart) ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val eNoScan = intercept[IllegalArgumentException] {
+      JpegCodec.decode(headerOnly)
+    }
+    assert(eNoScan.getMessage.contains("before any SOS"))
     def sofAt(bytes: Array[Byte]): Int = {
       var i = 2
       while (!((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0)) i += 1
