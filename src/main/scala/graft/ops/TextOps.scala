@@ -482,7 +482,6 @@ object TextOps {
   def qWireE2e(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.{HtmlExtract, Warc}
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = t(spark, dir, "documents")
     // every 25th page is RE-CRAWLED under a fresh record id (what a
     // real crawl does) — the page content keys on page_id, so the
@@ -494,14 +493,28 @@ object TextOps {
       .unionByName(docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + lit(10000000L)).as("doc_id"),
           col("doc_id").as("page_id"), col("text")))
-    val rec = Warc.warcify(col("doc_id"),
-      Warc.httpWrap(col("doc_id"), htmlize(col("page_id"), col("text"))))
-    val parsed = corpus.select(col("doc_id"), rec.as("rec"))
+    // the synthesis and parse run as SEPARATE materialized stages
+    // (eager localCheckpoint barriers): fused into one projection,
+    // the htmlize+httpWrap+warcify+parse expression stack generates
+    // an ~18k-line codegen class that Janino refuses, and the whole
+    // stage — including the regex-heavy extraction — silently drops
+    // to interpreted mode at ~20× the cost (measured r15: 35 s → 2 s
+    // at sf0.1). A FIXTURE-ONLY concern: deployments read records
+    // from the source (q_warcgz_extract's path), where parse+extract
+    // alone codegens fine.
+    val pages = corpus.select(col("doc_id"),
+        htmlize(col("page_id"), col("text")).as("page"))
+      .localCheckpoint(true)
+    val recs = pages.select(col("doc_id"),
+        Warc.warcify(col("doc_id"),
+          Warc.httpWrap(col("doc_id"), col("page"))).as("rec"))
+      .localCheckpoint(true)
+    val kept = recs
       .select(col("doc_id"), Warc.bodyOf(col("rec")).as("body"))
       .select(col("doc_id"), Warc.httpStatus(col("body")).as("status"),
         Warc.httpPayload(col("body")).as("payload"))
-    val kept = parsed.filter(col("status") === 200 || col("status").isNull)
-      .persist(MEMORY_AND_DISK)
+      .filter(col("status") === 200 || col("status").isNull)
+      .localCheckpoint(true)
     val clean = kept.select(col("doc_id"),
         HtmlExtract.cleanText(col("payload")).as("clean"))
       .withColumn("flat",
@@ -513,23 +526,21 @@ object TextOps {
     val keepW = Window.partitionBy(col("clean")).orderBy(col("doc_id"))
     val deduped = clean.withColumn("rn", row_number().over(keepW))
       .filter(col("rn") === 1).drop("rn")
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val ok = deduped.filter(TextFunctions.qualityOk(col("flat")))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val tokens = ok
       .agg(coalesce(sum(TextFunctions.nTokens(col("flat")).cast("long")),
         lit(0L)))
       .head().getLong(0)
     import spark.implicits._
-    val out = Seq(
-      (1, "wire_records", corpus.count()),
+    Seq(
+      (1, "wire_records", recs.count()),
       (2, "http_keep", kept.count()),
       (3, "dedup_keep", deduped.count()),
       (4, "quality_ok", ok.count()),
       (5, "tokens", tokens))
       .toDF("pos", "stage", "n")
-    Seq(kept, ok, deduped).foreach(_.unpersist(blocking = false))
-    out
   }
 
   /** The `.warc.gz` source end-to-end (r15, promoting the streaming

@@ -252,6 +252,72 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: HTTP envelope strip round-trips adversarial payloads (r15)") {
+    import graft.text.Warc
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // payloads carry CR/LF (blank-line look-alikes) AND lines shaped
+    // like HTTP headers — the strip must split at the envelope's
+    // first blank line only, and status/charset must come from the
+    // envelope, never the payload
+    val chGen = Gen.frequency(
+      (16, Gen.chooseNum(32, 126).map(_.toChar)),
+      (1, Gen.const('\r')), (1, Gen.const('\n')))
+    for (round <- 1 to 10) {
+      val n = sample(Gen.chooseNum(1, 300), 1800L + round)
+      val noise = sample(Gen.listOfN(n, chGen), 1900L + round).mkString
+      val payload = s"HTTP/1.1 500 Fake\r\ncharset=ko-KR\r\n\r\n$noise"
+      val id = sample(Gen.chooseNum(0L, 1000L), 2000L + round)
+      val out = Seq((id, payload)).toDF("doc_id", "payload")
+        .select(Warc.warcify(col("doc_id"),
+          Warc.httpWrap(col("doc_id"), col("payload"))).as("rec"))
+        .select(Warc.bodyOf(col("rec")).as("body"))
+        .select(Warc.httpStatus(col("body")).as("s"),
+          Warc.httpCharset(col("body")).as("cs"),
+          Warc.httpPayload(col("body")).as("p"))
+        .as[(Option[Int], Option[String], String)].head()
+      (id % 3) match {
+        case 0 =>
+          assert(out._1.contains(200) && out._2.contains("utf-8"),
+            s"round $round envelope fields")
+          assert(out._3 == payload, s"round $round payload strip diverged")
+        case 1 =>
+          assert(out._1.contains(404) && out._2.isEmpty)
+          assert(out._3 == payload)
+        case _ =>
+          // envelope-less band: the body IS the payload, which here
+          // starts with "HTTP/" — the strip honestly treats it as an
+          // envelope and splits at ITS first blank line (a real
+          // resource record whose body is a raw HTTP capture looks
+          // exactly like a response record; content-addressing cannot
+          // distinguish them). Fields come from the payload's line.
+          assert(out._1.contains(500) && out._3 == noise)
+      }
+    }
+  }
+
+  test("property: gz member writer/walker round-trip arbitrary binary records (r15)") {
+    import graft.text.Warc
+    // raw BYTE records (not just printable text): the writer/reader
+    // pair must be byte-faithful for any content, any member sizes
+    for (round <- 1 to 8) {
+      val nRecs = sample(Gen.chooseNum(1, 30), 2100L + round)
+      val recs = (0 until nRecs).map { i =>
+        val len = sample(Gen.chooseNum(0, 4000), 2200L + round * 31 + i)
+        sample(Gen.listOfN(len, Gen.chooseNum(-128, 127).map(_.toByte)),
+          2300L + round * 31 + i).toArray
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      Warc.writeGzMembers(bos, recs.iterator)
+      val got = Warc.gzipMemberIterator(
+        new java.io.ByteArrayInputStream(bos.toByteArray)).toVector
+      assert(got.length == nRecs, s"round $round member count")
+      got.zip(recs).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g.sameElements(e), s"round $round member $i diverged")
+      }
+    }
+  }
+
   test("property: asof join equals the local latest-at-or-before model") {
     val rowGen = for {
       k <- Gen.chooseNum(0L, 4L)
