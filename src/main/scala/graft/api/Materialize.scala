@@ -27,9 +27,30 @@ object Materialize {
     caches.foreach(_.unpersist(blocking = true))
     // same audit stash as withTempRoot: the checkpoint hides the real
     // plan, and the plan audits want the pre-checkpoint shape
-    lastAuditPlan = Some(result.queryExecution.executedPlan.toString)
-    lastAuditAnalyzed = Some(result.queryExecution.analyzed)
+    stashAuditPlans(result)
     out
+  }
+
+  /** Stash the audit plan string BOUNDED: the fixpoint lifecycle
+    * queries' stacked plans can render to heap-exhausting strings
+    * (observed r15: OutOfMemoryError inside executedPlan.toString
+    * during the full suite), so the string builds under a 16 MiB
+    * spark.sql.maxPlanStringLength cap — Spark truncates with an
+    * explicit marker, and ~200k lines is far beyond any node-bearing
+    * region the plan audits grep. The analyzed-plan stash is the
+    * tree itself (no string), unaffected. */
+  private def stashAuditPlans(result: DataFrame): Unit = {
+    val conf = result.sparkSession.conf
+    val key = "spark.sql.maxPlanStringLength"
+    val prev = conf.getOption(key)
+    try {
+      conf.set(key, (16 * 1024 * 1024).toString)
+      lastAuditPlan = Some(result.queryExecution.executedPlan.toString)
+    } finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+    lastAuditAnalyzed = Some(result.queryExecution.analyzed)
   }
 
   /** Run `body` against a fresh driver-local temp root (the
@@ -49,8 +70,7 @@ object Materialize {
       // stash the executed (AQE-final — the eager checkpoint just ran
       // it) plan of the returned shape so PlanAuditSpec's suite-wide
       // audits keep covering lifecycle queries (review r12 #3)
-      lastAuditPlan = Some(result.queryExecution.executedPlan.toString)
-      lastAuditAnalyzed = Some(result.queryExecution.analyzed)
+      stashAuditPlans(result)
       out
     } finally {
       import scala.jdk.CollectionConverters._
