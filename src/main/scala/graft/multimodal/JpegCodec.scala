@@ -753,8 +753,14 @@ object JpegCodec {
             val cid = p(seg + 1 + i * 2) & 0xff
             val ci = comps.indexWhere(_.id == cid)
             require(ci >= 0, s"SOS references unknown component $cid")
-            comps(ci).td = (p(seg + 2 + i * 2) & 0xff) >> 4
-            comps(ci).ta = p(seg + 2 + i * 2) & 0x0f
+            val td = (p(seg + 2 + i * 2) & 0xff) >> 4
+            val ta = p(seg + 2 + i * 2) & 0x0f
+            // td/ta are 4-bit wire fields (0..15) but only 4 table
+            // slots exist — a hostile id must fail the contract, not
+            // index out of bounds (ADVICE r15 #1)
+            require(td <= 3 && ta <= 3, s"bad SOS Huffman table id $td/$ta")
+            comps(ci).td = td
+            comps(ci).ta = ta
             ci
           }.toArray
           val ss = p(seg + 1 + 2 * ns) & 0xff

@@ -213,8 +213,13 @@ object DomainReputation {
 
   // ---- oracle twins ----------------------------------------------------
 
-  /** Shared rollup CTE (ends in `rep`). */
-  def sqlRollupCte: String = {
+  /** Shared rollup CTE over the documents table (ends in `rep`). */
+  def sqlRollupCte: String = sqlRollupCteOver("documents")
+
+  /** Shared rollup CTE over any relation with (source, text) columns
+    * (r16: the URL-canonicalized rollup re-keys on the registrable
+    * domain, so the source relation is a parameter). */
+  def sqlRollupCteOver(rel: String): String = {
     val pii =
       s"""CASE WHEN ${Scrub.sqlEmailCount("text")}
             + ${Scrub.sqlPhoneCount("text")}
@@ -225,7 +230,7 @@ object DomainReputation {
                 THEN 1 ELSE 0 END AS bad,
            $pii AS pii,
            ${TextFunctions.sqlFingerprint("text")} AS fp
-         FROM documents),
+         FROM $rel),
        r AS (SELECT source, COUNT(1) AS n_docs,
            CAST(SUM(bad) AS BIGINT) AS n_quality_bad,
            COUNT(1) - COUNT(DISTINCT fp) AS n_dup_extra,

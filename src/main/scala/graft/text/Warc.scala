@@ -232,8 +232,11 @@ object Warc {
       else if (eof) false
       else {
         start = 0
-        end = math.max(in.read(buf), 0)
-        if (end == 0) { eof = true; false } else true
+        // a 0-byte read is NOT end-of-stream (InputStream contract:
+        // only -1 is) — loop, and set eof only on -1 (ADVICE r15 #2)
+        var n = in.read(buf)
+        while (n == 0) n = in.read(buf)
+        if (n < 0) { eof = true; false } else { end = n; true }
       }
     }
     private def readByte(): Int = {
@@ -319,7 +322,22 @@ object Warc {
     * otherwise (documented contract; unsupported/absent charset
     * never throws — decode is best-effort, conformance is the
     * parser's body_ok job). Records without an HTTP envelope decode
-    * UTF-8 whole. */
+    * UTF-8 whole.
+    *
+    * r16 (VERDICT r15 missing #1): the payload's WIRE encodings are
+    * decoded too — `Transfer-Encoding: chunked` framing is removed
+    * first, then `Content-Encoding: gzip/deflate` is inflated (TE is
+    * applied last on the wire, so decode is de-chunk → inflate; the
+    * majority of real crawl response payloads are gzip). When a
+    * transform ran, the WARC Content-Length header is REWRITTEN to
+    * the decoded body's length so downstream framing ([[bodyOf]] /
+    * [[bodyOk]]) stays exact; the HTTP envelope headers are kept
+    * VERBATIM as wire-form metadata — [[httpContentEncoding]] /
+    * [[httpChunked]] read them as the curation signal of what the
+    * wire carried. A record that DECLARES an encoding but carries a
+    * corrupt or truncated payload throws (a crawl reader must fail
+    * the record loudly, never emit silently-mangled text); identity
+    * payloads keep the r15 behavior byte-for-byte. */
   private[graft] def decodeRecord(bytes: Array[Byte]): String = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val warcEnd = indexOfCrlfCrlf(bytes, 0)
@@ -332,15 +350,14 @@ object Warc {
     val httpEnd = if (isHttp) indexOfCrlfCrlf(bytes, bodyStart) else -1
     if (httpEnd < 0) return new String(bytes, utf8)
     val payloadStart = httpEnd + 4
-    val head = new String(bytes, 0, payloadStart, utf8)
-    // charset match runs on the HTTP envelope region decoded from its
-    // own byte range (not a char-offset substring of `head` — WARC
-    // headers may legally carry multi-byte UTF-8, shifting offsets)
-    val m = CharsetParam.matcher(
-      new String(bytes, bodyStart, payloadStart - bodyStart, utf8))
+    // the HTTP envelope region decoded from its own byte range (not a
+    // char-offset substring — WARC headers may legally carry
+    // multi-byte UTF-8, shifting offsets)
+    val envelope = new String(bytes, bodyStart, payloadStart - bodyStart, utf8)
     // isSupported THROWS (not false) on syntactically illegal names —
     // the token regex admits e.g. a leading '-' — and a garbage header
     // in one record must never kill the task (review r15 #1)
+    val m = CharsetParam.matcher(envelope)
     val cs =
       if (!m.find()) utf8
       else try {
@@ -350,11 +367,197 @@ object Warc {
       } catch {
         case _: java.nio.charset.IllegalCharsetNameException => utf8
       }
-    head + new String(bytes, payloadStart, bytes.length - payloadStart, cs)
+    val chunked = ChunkedParam.matcher(envelope).find()
+    val ceM = ContentEncodingParam.matcher(envelope)
+    val contentEncoding =
+      if (ceM.find()) ceM.group(1).toLowerCase(java.util.Locale.ROOT) else ""
+    val needsTransform = chunked ||
+      contentEncoding == "gzip" || contentEncoding == "x-gzip" ||
+      contentEncoding == "deflate"
+    if (!needsTransform) {
+      val head = new String(bytes, 0, payloadStart, utf8)
+      return head + new String(bytes, payloadStart,
+        bytes.length - payloadStart, cs)
+    }
+    // transform path: frame the wire payload by the WARC
+    // Content-Length (payload = declared body minus the envelope),
+    // de-chunk, inflate, then charset-decode; anything after the
+    // declared body (the record's trailing CRLFCRLF) passes through
+    val warcHead = new String(bytes, 0, bodyStart, utf8)
+    val clM = WarcLengthParam.matcher(warcHead)
+    require(clM.find(), "encoded HTTP payload without a WARC Content-Length")
+    val declared = clM.group(1).toLong
+    val payloadEnd = bodyStart + declared
+    require(declared >= payloadStart - bodyStart && payloadEnd <= bytes.length,
+      s"WARC Content-Length $declared out of bounds for encoded payload")
+    var payload = java.util.Arrays.copyOfRange(bytes, payloadStart,
+      payloadEnd.toInt)
+    if (chunked) payload = dechunk(payload)
+    if (contentEncoding.nonEmpty) payload =
+      inflatePayload(payload, contentEncoding)
+    val decodedPayload = new String(payload, cs)
+    val tail = new String(bytes, payloadEnd.toInt,
+      bytes.length - payloadEnd.toInt, utf8)
+    // rewrite the WARC Content-Length to the DECODED body length (in
+    // the string domain the parser slices by) so bodyOf/bodyOk frame
+    // the decoded record exactly
+    val newLen = envelope.length + decodedPayload.length
+    val newHead = clM.replaceFirst(
+      java.util.regex.Matcher.quoteReplacement(
+        s"\r\nContent-Length: $newLen"))
+    newHead + envelope + decodedPayload + tail
   }
 
+  private val ChunkedParam = java.util.regex.Pattern.compile(
+    "(?i)\r\ntransfer-encoding:[ \t]*chunked")
+  private val ContentEncodingParam = java.util.regex.Pattern.compile(
+    "(?i)\r\ncontent-encoding:[ \t]*([A-Za-z0-9_\\-]+)")
+  private val WarcLengthParam = java.util.regex.Pattern.compile(
+    "\r\nContent-Length: ([0-9]+)")
+
+  /** Remove `Transfer-Encoding: chunked` framing (RFC 9112 §7.1):
+    * hex-size line, chunk bytes, CRLF, repeated; a 0-size chunk ends
+    * the body, followed by optional trailer header lines and a final
+    * CRLF. Chunk extensions (`;name=value` after the size) are
+    * allowed and ignored. Malformed framing throws — truncated or
+    * garbled chunks must fail the record, never emit a partial. */
+  private[graft] def dechunk(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var i = 0
+    def requireAt(ok: Boolean, what: String): Unit =
+      require(ok, s"bad chunked framing: $what at offset $i")
+    def readLine(): String = {
+      val start = i
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      requireAt(i + 1 < bytes.length, "missing CRLF")
+      val s = new String(bytes, start, i - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      i += 2
+      s
+    }
+    var done = false
+    while (!done) {
+      val sizeLine = readLine()
+      val hexPart = sizeLine.indexOf(';') match {
+        case -1 => sizeLine
+        case p  => sizeLine.substring(0, p)
+      }
+      val hex = hexPart.trim
+      requireAt(hex.nonEmpty && hex.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F')) && hex.length <= 8,
+        s"bad chunk size '$hexPart'")
+      val size = java.lang.Long.parseLong(hex, 16)
+      if (size == 0) {
+        // optional trailer headers, then the final blank line
+        var line = readLine()
+        while (line.nonEmpty) line = readLine()
+        done = true
+      } else {
+        requireAt(i + size + 2 <= bytes.length, "truncated chunk data")
+        out.write(bytes, i, size.toInt)
+        i += size.toInt
+        requireAt(bytes(i) == '\r' && bytes(i + 1) == '\n',
+          "missing chunk-data CRLF")
+        i += 2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Inflate a `Content-Encoding`-compressed HTTP payload: `gzip` /
+    * `x-gzip` walks RFC-1952 members (reusing [[gzipMemberIterator]]
+    * — CRC32/ISIZE verified, multi-member tolerated), `deflate` is
+    * zlib (RFC 1950) with the standard raw-deflate fallback for the
+    * broken servers that send it bare. Unknown encodings and corrupt
+    * streams throw. */
+  private[graft] def inflatePayload(bytes: Array[Byte],
+      encoding: String): Array[Byte] = encoding match {
+    case "gzip" | "x-gzip" =>
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      gzipMemberIterator(new java.io.ByteArrayInputStream(bytes))
+        .foreach(out.write)
+      out.toByteArray
+    case "deflate" =>
+      def inflateWith(raw: Boolean): Array[Byte] = {
+        val inf = new java.util.zip.Inflater(raw)
+        try {
+          inf.setInput(bytes)
+          val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+          val tmp = new Array[Byte](64 * 1024)
+          while (!inf.finished()) {
+            val n = inf.inflate(tmp)
+            require(n > 0 || inf.finished(),
+              "corrupt deflate payload (stalled inflate)")
+            out.write(tmp, 0, n)
+          }
+          out.toByteArray
+        } finally inf.end()
+      }
+      try inflateWith(raw = false)
+      catch {
+        case _: java.util.zip.DataFormatException |
+            _: IllegalArgumentException =>
+          try inflateWith(raw = true)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"corrupt deflate payload: ${e.getMessage}")
+          }
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported Content-Encoding '$other'")
+  }
+
+  /** Apply `Transfer-Encoding: chunked` framing (the encode twin of
+    * [[dechunk]], fixture/synthesis side): fixed-size chunks, final
+    * 0-chunk, empty trailer. */
+  private[graft] def chunkifyBytes(data: Array[Byte],
+      chunkLen: Int): Array[Byte] = {
+    require(chunkLen > 0, "chunkLen must be positive")
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(chunkLen, data.length - i)
+      out.write(java.lang.Integer.toHexString(n).getBytes(ascii))
+      out.write('\r'); out.write('\n')
+      out.write(data, i, n)
+      out.write('\r'); out.write('\n')
+      i += n
+    }
+    out.write("0\r\n\r\n".getBytes(ascii))
+    out.toByteArray
+  }
+
+  /** One-member gzip of a payload (encode twin of the gzip leg of
+    * [[inflatePayload]]) — [[writeGzMembers]] with a single record. */
+  private[graft] def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    writeGzMembers(out, Iterator(data))
+    out.toByteArray
+  }
+
+  /** zlib (RFC 1950) compression of a payload — the `deflate`
+    * Content-Encoding's correct wire form. */
+  private[graft] def zlibBytes(data: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    try {
+      defl.setInput(data); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val tmp = new Array[Byte](64 * 1024)
+      while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+      out.toByteArray
+    } finally defl.end()
+  }
+
+  // parameter whitespace is SAME-LINE blanks only — \s would let a
+  // Content-Type line ending in ';' swallow a next header line that
+  // happens to start with 'charset=' (ADVICE r15 #4)
   private val CharsetParam =
-    java.util.regex.Pattern.compile("(?i)\r\ncontent-type:[^\r\n]*;\\s*charset=\"?([A-Za-z0-9_.:\\-]+)")
+    java.util.regex.Pattern.compile("(?i)\r\ncontent-type:[^\r\n]*;[ \t]*charset=\"?([A-Za-z0-9_.:\\-]+)")
 
   private def indexOfCrlfCrlf(bytes: Array[Byte], from: Int): Int = {
     var i = from
@@ -400,6 +603,52 @@ object Warc {
       le32(crc.getValue)
       le32(data.length.toLong & 0xffffffffL)
     } finally defl.end()
+  }
+
+  /** Synthesize the HTTP response message BYTES for the encoded-wire
+    * fixture (the byte-domain sibling of [[httpWrap]] — string-domain
+    * synthesis cannot express gzip bytes). Five bands by id:
+    * identity, `Content-Encoding: gzip`, `Content-Encoding: deflate`
+    * (zlib), `Transfer-Encoding: chunked` (no Content-Length — RFC
+    * 9112 forbids it with chunked), and chunked-over-gzip (TE applied
+    * last on the wire, so the decoder must de-chunk FIRST). */
+  private[graft] def encodeHttpBand(docId: Long,
+      payload: Array[Byte]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def msg(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nServer: crawler-fixture/1.0\r\n$headers\r\n")
+        .getBytes(ascii) ++ body
+    (docId % 5) match {
+      case 0 => msg("Content-Type: text/html; charset=utf-8\r\n" +
+          s"Content-Length: ${payload.length}\r\n", payload)
+      case 1 =>
+        val gz = gzipBytes(payload)
+        msg("Content-Type: text/html\r\nContent-Encoding: gzip\r\n" +
+          s"Content-Length: ${gz.length}\r\n", gz)
+      case 2 =>
+        val zz = zlibBytes(payload)
+        msg("Content-Type: text/html\r\nContent-Encoding: deflate\r\n" +
+          s"Content-Length: ${zz.length}\r\n", zz)
+      case 3 => msg("Content-Type: text/html\r\n" +
+          "Transfer-Encoding: chunked\r\n", chunkifyBytes(payload, 100))
+      case _ => msg("Content-Type: text/html\r\n" +
+          "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+          chunkifyBytes(gzipBytes(payload), 100))
+    }
+  }
+
+  /** WARC-frame a response body as BYTES (the byte-domain sibling of
+    * [[warcify]], for fixtures whose bodies are not valid strings):
+    * canonical header layout, Content-Length = exact octet count. */
+  private[graft] def warcifyBytes(docId: Long,
+      body: Array[Byte]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val uri = s"http://src${docId % 20}.example/doc/$docId"
+    (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:uuid:rec-$docId>\r\n" +
+      s"WARC-Target-URI: $uri\r\nContent-Type: application/http\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii) ++
+      body ++ "\r\n\r\n".getBytes(ascii)
   }
 
   /** SQL twins of the parser (same header-block scoping). */
@@ -467,9 +716,26 @@ object Warc {
     * when undeclared) — the signal [[decodeRecord]] decodes by. */
   def httpCharset(body: Column): Column = {
     val v = regexp_extract(httpHeaderBlock(body),
-      "(?i)\r\ncontent-type:[^\r\n]*;\\s*charset=\"?([A-Za-z0-9_.:\\-]+)", 1)
+      "(?i)\r\ncontent-type:[^\r\n]*;[ \t]*charset=\"?([A-Za-z0-9_.:\\-]+)", 1)
     when(v =!= "", v)
   }
+
+  /** Declared Content-Encoding of the payload's WIRE form (null when
+    * identity) — after [[decodeRecord]] the payload is already
+    * decoded, and this header is the preserved metadata of what the
+    * wire carried (the curation signal: encoding mix per crawl). */
+  def httpContentEncoding(body: Column): Column = {
+    val v = regexp_extract(httpHeaderBlock(body),
+      "(?i)\r\ncontent-encoding:[ \t]*([A-Za-z0-9_\\-]+)", 1)
+    when(v =!= "", lower(v))
+  }
+
+  /** Whether the wire form carried `Transfer-Encoding: chunked`
+    * framing (false for bare payloads — never null, it is a wire
+    * FACT, not a parse). */
+  def httpChunked(body: Column): Column =
+    httpHeaderBlock(body)
+      .rlike("(?i)\r\ntransfer-encoding:[ \t]*chunked")
 
   /** The HTTP payload: everything after the envelope's blank line —
     * or the body unchanged when it carries no envelope. */
@@ -532,7 +798,13 @@ object Warc {
         '(?i)\\r\\ncontent-type: *([^\\r\\n;]+)', 1), '')"""
   def sqlHttpCharset(bodyExpr: String): String =
     s"""nullif(regexp_extract(${sqlHttpHeaderBlock(bodyExpr)},
-        '(?i)\\r\\ncontent-type:[^\\r\\n]*;\\s*charset="?([A-Za-z0-9_.:\\-]+)', 1), '')"""
+        '(?i)\\r\\ncontent-type:[^\\r\\n]*;[ \\t]*charset="?([A-Za-z0-9_.:\\-]+)', 1), '')"""
+  def sqlHttpContentEncoding(bodyExpr: String): String =
+    s"""lower(nullif(regexp_extract(${sqlHttpHeaderBlock(bodyExpr)},
+        '(?i)\\r\\ncontent-encoding:[ \\t]*([A-Za-z0-9_\\-]+)', 1), ''))"""
+  def sqlHttpChunked(bodyExpr: String): String =
+    s"""regexp_matches(${sqlHttpHeaderBlock(bodyExpr)},
+        '(?i)\\r\\ntransfer-encoding:[ \\t]*chunked')"""
   def sqlHttpPayload(bodyExpr: String): String = {
     val crlf2 = "(chr(13)||chr(10)||chr(13)||chr(10))"
     s"""(CASE WHEN starts_with($bodyExpr, 'HTTP/')

@@ -289,6 +289,14 @@ class JpegSpec extends AnyFunSuite {
     badProg(sofAt(badProg) + 1) = 0xc2.toByte
     val e3 = intercept[IllegalArgumentException] { JpegCodec.decode(badProg) }
     assert(e3.getMessage.contains("DC-only"))
+    // SOS Huffman table ids are 4-bit wire fields but only 4 slots
+    // exist — a hostile td/ta > 3 must raise the module contract, not
+    // ArrayIndexOutOfBounds (ADVICE r15 #1). SOS comp spec layout:
+    // FFDA len ns [cid tdta]... → tdta byte is sosStart+6 for ns=1.
+    val badTable = good.clone()
+    badTable(sosStart + 6) = 0x44.toByte // td=4, ta=4
+    val e4 = intercept[IllegalArgumentException] { JpegCodec.decode(badTable) }
+    assert(e4.getMessage.contains("bad SOS Huffman table id"))
   }
 
   test("the media table carries real JPEG bytes and round numbers") {

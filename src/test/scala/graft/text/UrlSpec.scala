@@ -1,0 +1,80 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Url.canonicalize(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  private def site(urls: String*): Seq[String] =
+    urls.toDF("u")
+      .select(Url.canonicalize(col("u")).as("c"))
+      .select(Url.registrableDomain(Url.hostOf(col("c"))).as("s"))
+      .as[String].collect().toSeq
+
+  test("every pinned canonicalization step, one case each") {
+    assert(canon(
+      "HTTP://WWW.Site.Example/a?b=2&a=1#frag", // case+www+sort+fragment
+      "https://x.example:443/p",                // https default port
+      "http://x.example:80/p",                  // http default port
+      "http://x.example:8080/p",                // non-default port KEPT
+      "https://x.example//a//b/",               // dup slashes + trailing
+      "http://x.example",                       // empty path -> /
+      "http://x.example/?utm_source=a&gclid=g", // all params tracking
+      "http://x.example/p?z=1&fbclid=f&a=9"     // mixed, sorted
+    ) == Seq(
+      "http://site.example/a?a=1&b=2",
+      "https://x.example/p",
+      "http://x.example/p",
+      "http://x.example:8080/p",
+      "https://x.example/a/b",
+      "http://x.example/",
+      "http://x.example/",
+      "http://x.example/p?a=9&z=1"))
+  }
+
+  test("canonicalization is idempotent and schemeless passes through") {
+    val messy = Seq(
+      "HTTP://WWW.Site.Example/a?b=2&a=1#frag",
+      "https://x.example:443//p/?utm_x=1&c=2",
+      "relative/path?x=1", // no scheme: untouched
+      "mailto-ish-opaque")
+    val once = canon(messy: _*)
+    assert(canon(once: _*) == once, "canonicalize must be idempotent")
+    assert(once(2) == "relative/path?x=1" && once(3) == "mailto-ish-opaque")
+  }
+
+  test("registrable domain: plain, two-level suffix, subdomains, ipv4, single label") {
+    assert(site(
+      "http://a.example/",
+      "http://news.deep.site.co.uk/x",
+      "http://a.b.c.d.site.example/x",
+      "http://10.0.0.1/x",
+      "http://localhost/x",
+      "http://site.com.au:9999/x"
+    ) == Seq("a.example", "site.co.uk", "site.example", "10.0.0.1",
+      "localhost", "site.com.au"))
+  }
+
+  test("urlize bands canonicalize to the shapes the gate groups by") {
+    val got = (0L to 5L).toDF("doc_id")
+      .select(col("doc_id"), Url.urlize(col("doc_id")).as("u"))
+      .select(col("doc_id"), Url.canonicalize(col("u")).as("c"))
+      .select(col("doc_id"), col("c"),
+        Url.registrableDomain(Url.hostOf(col("c"))).as("s"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got(0)._2 == "http://src0.example/path/a?a=1&b=2")
+    assert(got(1)._2 == "https://src1.example/login?q=1")
+    assert(got(2)._2 == "http://src2.example:8080/path/c?a=0&z=9")
+    assert(got(3)._2 == "http://news.src3.co.uk/story?id=7")
+    assert(got(4)._2 == "https://a.b.src4.example/")
+    assert(got(5)._2 == "http://src5.example/")
+    // the site key folds subdomain/port/www variants into one domain
+    assert(got.map(_._3).toSeq == Seq("src0.example", "src1.example",
+      "src2.example", "src3.co.uk", "src4.example", "src5.example"))
+  }
+}

@@ -299,6 +299,151 @@ class WarcSpec extends SparkSpec {
     assert(all == recs.mkString(""))
   }
 
+  test("encoded wire payloads decode: chunked, gzip, deflate, stacked (r16)") {
+    // ASCII page for the band loop: the IDENTITY band keeps the r15
+    // octet-domain framing (the documented multi-byte caveat); the
+    // transform bands' char-domain rewrite is pinned separately below
+    val page = "<p>body with cafe text</p>" * 8
+    (0L to 9L).foreach { id =>
+      val rec = Warc.warcifyBytes(id,
+        Warc.encodeHttpBand(id, page.getBytes("UTF-8")))
+      val dec = Warc.decodeRecord(rec)
+      assert(dec.contains("cafe text"), s"band ${id % 5} lost the payload")
+      // the decoded record frames exactly: bodyOf slices by the
+      // REWRITTEN Content-Length and the payload strip recovers the
+      // original page byte-for-byte
+      val (p, ok, enc, ch) = Seq(dec).toDF("rec")
+        .select(Warc.httpPayload(Warc.bodyOf(col("rec"))).as("p"),
+          Warc.bodyOk(col("rec")).as("ok"),
+          Warc.httpContentEncoding(Warc.bodyOf(col("rec"))).as("enc"),
+          Warc.httpChunked(Warc.bodyOf(col("rec"))).as("ch"))
+        .as[(String, Boolean, Option[String], Boolean)].head()
+      assert(p == page, s"band ${id % 5} payload mismatch")
+      assert(ok, s"band ${id % 5} must pass body_ok after the length rewrite")
+      // wire-form metadata preserved verbatim
+      val band = (id % 5).toInt
+      assert(enc == (band match {
+        case 1 | 4 => Some("gzip"); case 2 => Some("deflate"); case _ => None
+      }), s"band $band encoding column")
+      assert(ch == (band == 3 || band == 4), s"band $band chunked column")
+    }
+    // a TRANSFORMED multi-byte payload frames exactly: the decode
+    // layer rewrites the WARC Content-Length in the char domain, so
+    // gzip'd UTF-8 text passes body_ok where an identity multi-byte
+    // record hits the documented octet/char caveat
+    val utf8Page = "<p>body with café crème</p>" * 4
+    val rec = Warc.warcifyBytes(1L,
+      Warc.encodeHttpBand(1L, utf8Page.getBytes("UTF-8"))) // band 1: gzip
+    val (p2, ok2) = Seq(Warc.decodeRecord(rec)).toDF("rec")
+      .select(Warc.httpPayload(Warc.bodyOf(col("rec"))).as("p"),
+        Warc.bodyOk(col("rec")).as("ok"))
+      .as[(String, Boolean)].head()
+    assert(p2 == utf8Page && ok2,
+      "char-domain length rewrite must frame multi-byte decoded payloads")
+  }
+
+  test("chunked framing: extensions skipped, trailers skipped, negatives throw") {
+    val data = ("0123456789" * 37).getBytes("US-ASCII")
+    assert(Warc.dechunk(Warc.chunkifyBytes(data, 100)).sameElements(data))
+    assert(Warc.dechunk(Warc.chunkifyBytes(data, 7)).sameElements(data))
+    // chunk extension after the size + a trailer header after the 0-chunk
+    val fancy = ("a;ext=1\r\n0123456789\r\n" + "0\r\nX-Trailer: v\r\n\r\n")
+      .getBytes("US-ASCII")
+    assert(new String(Warc.dechunk(fancy), "US-ASCII") == "0123456789")
+    val good = Warc.chunkifyBytes(data, 64)
+    intercept[IllegalArgumentException] { // cut mid-chunk
+      Warc.dechunk(java.util.Arrays.copyOfRange(good, 0, good.length / 2))
+    }
+    intercept[IllegalArgumentException] { // garbage size line
+      Warc.dechunk("zz\r\nabc\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // missing terminal 0-chunk
+      Warc.dechunk("3\r\nabc\r\n".getBytes("US-ASCII"))
+    }
+  }
+
+  test("content-encoding inflate: corrupt streams throw, raw-deflate fallback works") {
+    val data = ("payload " * 50).getBytes("UTF-8")
+    assert(Warc.inflatePayload(Warc.gzipBytes(data), "gzip").sameElements(data))
+    assert(Warc.inflatePayload(Warc.zlibBytes(data), "deflate").sameElements(data))
+    // the broken-server case: raw deflate sent under 'deflate'
+    val raw = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      try {
+        d.setInput(data); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+        out.toByteArray
+      } finally d.end()
+    }
+    assert(Warc.inflatePayload(raw, "deflate").sameElements(data))
+    val badGz = Warc.gzipBytes(data)
+    badGz(badGz.length / 2) = (badGz(badGz.length / 2) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { Warc.inflatePayload(badGz, "gzip") }
+    intercept[IllegalArgumentException] {
+      Warc.inflatePayload("not deflate at all!!".getBytes, "deflate")
+    }
+    intercept[IllegalArgumentException] {
+      Warc.inflatePayload(data, "br") // unsupported encoding is loud
+    }
+    // a record DECLARING gzip but carrying garbage must fail the
+    // record loudly, never emit silently-mangled text
+    val lying = Warc.warcifyBytes(7L,
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n").getBytes("US-ASCII")
+        ++ "this is not gzip".getBytes("US-ASCII"))
+    intercept[IllegalArgumentException] { Warc.decodeRecord(lying) }
+  }
+
+  test("charset parameter match is same-line only (ADVICE r15 #4)") {
+    // a Content-Type header ending in ';' followed by a DIFFERENT
+    // header line starting with 'charset=' — \s in the old pattern
+    // matched across the CRLF and misattributed that token; the
+    // parameter whitespace is now [ \t] so the match must fail and
+    // the payload decode fall back to UTF-8
+    val payload = "café".getBytes("UTF-8")
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html;\r\n" +
+      "charset=iso-8859-1: not-a-charset-header\r\n\r\n")
+      .getBytes("US-ASCII") ++ payload
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+      http ++ "\r\n\r\n".getBytes("US-ASCII")
+    // JVM-side decode: UTF-8 fallback keeps the é intact (an
+    // iso-8859-1 misread would mangle the two UTF-8 bytes)
+    assert(Warc.decodeRecord(rec).contains("café"))
+    // Column-side: httpCharset must be null for the split header
+    val cs = Seq(new String(rec, "UTF-8")).toDF("rec")
+      .select(Warc.httpCharset(Warc.bodyOf(col("rec"))).as("cs"))
+      .as[Option[String]].head()
+    assert(cs.isEmpty, s"cross-line charset must not match, got $cs")
+    // and a legitimate same-line parameter still matches
+    val ok = Seq("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\nx")
+      .toDF("body").select(Warc.httpCharset(col("body")).as("cs"))
+      .as[Option[String]].head()
+    assert(ok.contains("utf-8"))
+  }
+
+  test("a 0-byte read never truncates the member walk (ADVICE r15 #2)") {
+    // an InputStream may legally return 0 bytes without being at EOF;
+    // the walker must keep reading, not declare end-of-segment
+    val recs = (0 until 5).map(i => s"rec $i")
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.writeGzMembers(bos, recs.iterator.map(_.getBytes("UTF-8")))
+    val inner = new java.io.ByteArrayInputStream(bos.toByteArray)
+    val teasing = new java.io.InputStream {
+      private var flip = true
+      override def read(): Int = inner.read()
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        flip = !flip
+        if (flip) 0 else inner.read(b, off, math.min(len, 7))
+      }
+    }
+    val got = Warc.gzipMemberIterator(teasing)
+      .map(new String(_, "UTF-8")).toVector
+    assert(got == recs, s"0-byte reads truncated the walk: $got")
+  }
+
   test("a syntactically illegal charset name falls back to UTF-8, never throws") {
     // review r15 #1: Charset.isSupported THROWS on names like '-8859-1'
     // (the token regex admits a leading '-'); one garbage header must
