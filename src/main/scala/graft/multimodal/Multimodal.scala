@@ -72,6 +72,14 @@ object Multimodal {
   def asJpegProgressiveTable(docs: DataFrame): DataFrame =
     mediaTableVia(docs, JpegCodec.encodeDocJpegProgressive)
 
+  /** GIF leg of the media fixture (r16): every doc as a REAL
+    * grayscale GIF of the PGM regime's raster (256-gray palette,
+    * genuine LZW compression, odd ids interlaced) — lossless, so the
+    * closed-form pixel checksums pin the LZW decode + deinterlace +
+    * palette walk byte-exactly ([[GifCodec]]). */
+  def asGifTable(docs: DataFrame): DataFrame =
+    mediaTableVia(docs, GifCodec.encodeDocGif)
+
   /** Wrap a per-partition decode stream so `close` fires when the
     * iterator drains — the one subtle pattern (close inside hasNext)
     * shared by every batched-codec operator here. */

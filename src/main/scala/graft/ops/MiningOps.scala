@@ -255,6 +255,21 @@ object MiningOps {
     graft.text.Bpe.docTokenCountsFast(spark, t(spark, dir, "documents"),
       BpeMerges)
 
+  /** Byte-fallback BPE training (r16, VERDICT r15 missing #5 — the
+    * GPT-2-lineage leg): same trainer and argmax over the 256-symbol
+    * BYTE alphabet (`b` + lowercase hex), which segments ANY input —
+    * the no-OOV closure of the tokenizer family; the merge machinery
+    * is [[graft.text.MergeMachine]] reused wholesale. */
+  def qBpeBytesTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainFastBytes(spark, t(spark, dir, "documents"),
+      BpeMerges)
+
+  /** Per-doc subword counts under the learned byte-level vocabulary
+    * ([[graft.text.Bpe.docTokenCountsFastBytes]]). */
+  def qBpeBytesTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.docTokenCountsFastBytes(spark,
+      t(spark, dir, "documents"), BpeMerges)
+
   /** WordPiece tokenizer training ([[graft.text.Wordpiece]]): the
     * BERT-lineage sibling of qBpeTrain — merges chosen by the
     * quantized likelihood-gain score floor(c(ab)·10¹²/(c(a)·c(b)))
@@ -667,6 +682,8 @@ object MiningOps {
     "q_bm25_compact_tiered" -> (qBm25CompactTiered _),
     "q_bm25_phrase" -> (qBm25Phrase _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_bytes_train" -> (qBpeBytesTrain _),
+    "q_bpe_bytes_tokens" -> (qBpeBytesTokens _),
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_unigram_train" -> (qUnigramTrain _),
     "q_unigram_tokens" -> (qUnigramTokens _),
@@ -766,6 +783,9 @@ object MiningOps {
          WHERE h.k = plen.m
          GROUP BY 1, 2""",
     "q_bpe_train" -> graft.text.Bpe.sqlTrain(BpeMerges),
+    "q_bpe_bytes_train" -> graft.text.Bpe.sqlTrainBytes(BpeMerges),
+    "q_bpe_bytes_tokens" ->
+      graft.text.Bpe.sqlDocTokenCountsBytes(BpeMerges),
     "q_wordpiece_train" -> graft.text.Wordpiece.sqlTrain(BpeMerges),
     "q_unigram_train" -> graft.text.Unigram.sqlTrain,
     "q_unigram_tokens" -> graft.text.Unigram.sqlDocTokenCounts,

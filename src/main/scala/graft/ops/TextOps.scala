@@ -696,6 +696,22 @@ object TextOps {
         Url.registrableDomain(Url.hostOf(col("canon"))).as("site"))
   }
 
+  /** URL-KEYED dedup (r16, the other half of VERDICT r16 item #3):
+    * docs sharing a page spell its URL four messy ways
+    * ([[graft.text.Url.urlizeDup]]); canonicalization folds them to
+    * ONE key and the dedup keeps the first fetch per key — the
+    * re-fetch collapse every crawl runs before content dedup ever
+    * sees the bytes. One grouped agg on the (short-string) canonical
+    * key. */
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Url
+    t(spark, dir, "documents")
+      .select(col("doc_id"), Url.urlizeDup(col("doc_id")).as("u"))
+      .select(col("doc_id"), Url.canonicalize(col("u")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
+  }
+
   /** Domain reputation RE-KEYED on the registrable domain (r16, the
     * composed half of VERDICT r16 item #3): the rollup every real
     * curation stage runs — `www.x.example:8080/...` and
@@ -1601,6 +1617,22 @@ object TextOps {
         sum(col("px_sum")).as("sum_px"),
         sum(col("px_wsum")).as("wsum_px"))
 
+  /** GIF decode (r16, VERDICT r15 missing #3): every doc as a REAL
+    * grayscale GIF89a — 256-gray global palette, genuine
+    * variable-width LZW compression (width growth, KwKwK, CLEAR
+    * resets on the fixture's repetitive rasters), odd ids INTERLACED,
+    * comment + graphic-control extensions in every stream so block
+    * skipping is load-bearing. GIF is lossless, so the closed-form
+    * checksums pin the whole decode (the PGM gray closed form:
+    * gray replicates to rgb, Σ weights per pixel q is 9q+6). */
+  def qGifDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelChecksums(
+        Multimodal.asGifTable(t(spark, dir, "documents")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("px_sum")).as("sum_px"),
+        sum(col("px_wsum")).as("wsum_px"))
+
   /** Baseline JPEG decode (r15): every doc as a REAL grayscale JPEG
     * of flat 8×8 blocks (the one regime where JPEG decode is
     * bit-exact — [[graft.multimodal.JpegCodec]]), odd ids with
@@ -1730,6 +1762,7 @@ object TextOps {
     "q_warcgz_extract" -> (qWarcgzExtract _),
     "q_http_encoded" -> (qHttpEncoded _),
     "q_url_canon" -> (qUrlCanon _),
+    "q_url_dedup" -> (qUrlDedup _),
     "q_domain_canon" -> (qDomainCanon _),
     "q_wire_e2e" -> (qWireE2e _),
     "q_html_quality" -> (qHtmlQuality _),
@@ -1761,6 +1794,7 @@ object TextOps {
     "q_embed_gram" -> (qEmbedGram _),
     "q_multimodal" -> (qMultimodal _),
     "q_png_decode" -> (qPngDecode _),
+    "q_gif_decode" -> (qGifDecode _),
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_jpeg_progressive" -> (qJpegProgressive _),
     "q_multimodal_pixels" -> (qMultimodalPixels _),
@@ -2488,6 +2522,16 @@ object TextOps {
          FROM (SELECT doc_id, ${Url.sqlCanonSteps(Url.sqlUrlize("doc_id"))}
            FROM documents)"""
     },
+    // URL-keyed dedup: four spellings per page must fold to one
+    // canonical key; count + keep-first per key
+    "q_url_dedup" -> {
+      import graft.text.Url
+      s"""SELECT uc_canon AS canon, COUNT(1) AS n_dups,
+           MIN(doc_id) AS keep_doc
+         FROM (SELECT doc_id, ${Url.sqlCanonSteps(Url.sqlUrlizeDup("doc_id"))}
+           FROM documents)
+         GROUP BY 1"""
+    },
     // the registrable-domain-keyed reputation rollup: the shared
     // rollup CTE over a relation whose source IS the site key
     "q_domain_canon" -> {
@@ -2915,6 +2959,29 @@ object TextOps {
     // case — if the inflate or any of the five filter reconstructions
     // were wrong, the decoded sums would not match this replay of the
     // pre-compression raster
+    // GIF leg: grayscale palette raster (the PGM regime), lossless —
+    // pixel q carries text byte (q mod len) replicated to rgb, so the
+    // weight sum per pixel is 9q+6; a wrong LZW decode, a skipped
+    // deinterlace, or a palette off-by-one all shift wsum_px
+    "q_gif_decode" ->
+      """WITH m AS (
+           SELECT doc_id, text, strlen(text) AS len,
+             (8 + strlen(text) % 57) * (8 + (strlen(text) * 31) % 43) AS n
+           FROM documents),
+         x AS (
+           SELECT doc_id,
+             ascii(substr(text, CAST(j + 1 AS INT), 1)) AS b,
+             j, len, n, (n - 1 - j) // len + 1 AS cj
+           FROM m, unnest(range(0, least(len, n))) AS t(j)),
+         d AS (
+           SELECT doc_id, SUM(3 * b * cj) AS px_sum,
+             SUM(b * (9 * (cj * j + len * (cj * (cj - 1) // 2)) + 6 * cj))
+               AS px_wsum
+           FROM x GROUP BY doc_id)
+         SELECT 'gif' AS format, COUNT(1) AS n_media,
+           CAST(SUM(COALESCE(d.px_sum, 0)) AS BIGINT) AS sum_px,
+           CAST(SUM(COALESCE(d.px_wsum, 0)) AS BIGINT) AS wsum_px
+         FROM m LEFT JOIN d ON m.doc_id = d.doc_id""",
     "q_png_decode" ->
       """WITH m AS (
            SELECT doc_id, text, strlen(text) AS len,

@@ -89,6 +89,22 @@ object Bpe {
       .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_subwords"))
   }
 
+  /** Byte-fallback sibling of [[wordFrame]] (r16, VERDICT r15 missing
+    * #5 — the GPT-2-lineage leg): initial symbols are UTF-8 BYTES
+    * spelled `b` + two lowercase hex digits, a 256-symbol alphabet
+    * that segments ANY input — no OOV story, the reserved-character
+    * precondition lifted (symbols never contain raw text characters).
+    * Everything downstream (pair counts, merges, the `(l)(r)`→`(lr)`
+    * rewrite, token counting) is representation-agnostic and reused
+    * verbatim. */
+  def wordFrameBytes(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(col("tok"),
+        concat(regexp_replace(lower(hex(encode(col("tok"), "UTF-8"))),
+          "(..)", "(b$1)"), lit("(_)")).as("s"),
+        col("cnt"))
+
   /** Adjacent-pair counts of a word frame: (l, r, c). */
   def pairCounts(words: DataFrame): DataFrame = {
     val ss = symbolsOf
@@ -177,10 +193,11 @@ object Bpe {
     *
     * Returns the merge trajectory and the final per-word
     * segmentation (tok, symbols, cnt). */
-  def trainLocalMerges(vocab: Seq[(String, Long)], m: Int)
+  def trainLocalMerges(vocab: Seq[(String, Long)], m: Int,
+      segmenter: String => Array[String] = MergeMachine.codePointSegmenter)
       : (Seq[(Int, String, String, Long)], Array[(String, Array[String], Long)]) = {
     import scala.collection.mutable
-    val mm = new MergeMachine(vocab)
+    val mm = new MergeMachine(vocab, segmenter)
     // max-heap ordered exactly like the distributed argmax:
     // count desc, then l asc, r asc (code-point order of the symbols)
     val ord = new Ordering[(Long, Long)] { // (count, pairKey)
@@ -262,6 +279,64 @@ object Bpe {
     docTokenCountsFromLens(docs, dict.toSeq
       .map { case (tok, syms, c) => (tok, syms.length.toLong, c) }
       .toDF("tok", "n_sub", "cnt"))
+  }
+
+  /** [[trainFast]] on the byte-fallback alphabet (r16). */
+  def trainFastBytes(spark: SparkSession, docs: DataFrame, m: Int)
+      : DataFrame = {
+    import spark.implicits._
+    trainLocalMerges(collectHistogram(docs), m, MergeMachine.byteSegmenter)
+      ._1.toDF("rank", "l", "r", "c")
+  }
+
+  /** [[docTokenCountsFast]] on the byte-fallback alphabet (r16):
+    * per-word subword lengths from the byte-segmented local dict,
+    * joined with the same skew-safe hybrid weight join. */
+  def docTokenCountsFastBytes(spark: SparkSession, docs: DataFrame, m: Int)
+      : DataFrame = {
+    import spark.implicits._
+    val (_, dict) = trainLocalMerges(collectHistogram(docs), m,
+      MergeMachine.byteSegmenter)
+    docTokenCountsFromLens(docs, dict.toSeq
+      .map { case (tok, syms, c) => (tok, syms.length.toLong, c) }
+      .toDF("tok", "n_sub", "cnt"))
+  }
+
+  /** Distributed twin of [[trainFastBytes]] — the plan-expressible
+    * byte-alphabet trajectory the oracle CTEs mirror (BpeSpec pins
+    * local ≡ distributed, same as the char leg). */
+  def trainBytes(spark: SparkSession, docs: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dict = wordFrameBytes(docs).persist(MEMORY_AND_DISK)
+    val (merges, _) = trainLoop(dict, m)
+    import spark.implicits._
+    graft.api.Materialize.releasing(
+      merges.toDF("rank", "l", "r", "c"), Seq(dict))
+  }
+
+  /** Serve a trained byte-level merge table on ONE word — the
+    * no-OOV contract: any Unicode string (supplementary planes,
+    * emoji, raw controls) segments to byte symbols and the merges
+    * apply in rank order, exactly the greedy left-to-right
+    * non-overlapping order of the training rewrite. Driver/executor
+    * utility (a per-row serving head); the gate's corpus-shaped
+    * paths go through the dictionary join. */
+  def encodeWordBytes(merges: Seq[(String, String)], word: String)
+      : Seq[String] = {
+    var syms = MergeMachine.byteSegmenter(word).toVector :+ "_"
+    merges.foreach { case (l, r) =>
+      if (syms.length >= 2) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
   }
 
   /** Train `m` merges; returns the merge table
@@ -353,8 +428,10 @@ object Bpe {
   /** Trajectory CTEs + the per-doc subword-count frame `dt`
     * (doc_id, n_subwords) — composable with downstream stages
     * (packing). */
-  def sqlDocTokenCtes(m: Int): String =
-    s"""${sqlTrainCtes(m)},
+  def sqlDocTokenCtes(m: Int): String = sqlDocTokenCtesFrom(m, sqlWordFrameCte)
+
+  private def sqlDocTokenCtesFrom(m: Int, w0: String): String =
+    s"""${sqlTrainCtes(m, w0)},
        dt AS (SELECT doc_id,
            CAST(SUM(len(string_split(w.s[2:-2], ')('))) AS BIGINT)
              AS n_subwords
@@ -389,8 +466,19 @@ object Bpe {
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY 1, 2)"""
 
-  private def sqlTrainCtes(m: Int): String = {
-    val w0 = sqlWordFrameCte
+  /** Byte-alphabet word frame (r16): the same paren string, symbols
+    * spelled `b` + lowercase hex via hex(encode(tok)) — byte-for-byte
+    * the [[wordFrameBytes]] synthesis. */
+  private[text] val sqlWordFrameBytesCte: String =
+    s"""w0 AS MATERIALIZED (
+         SELECT tok,
+                regexp_replace(lower(hex(encode(tok))), '(..)', '(b\\1)', 'g')
+                || '(_)' AS s,
+                COUNT(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY 1, 2)"""
+
+  private def sqlTrainCtes(m: Int, w0: String = sqlWordFrameCte): String = {
     val epochs = (1 to m).map { e =>
       val p = e - 1
       s"""p$e AS (SELECT ss[i] AS l, ss[i+1] AS r,
@@ -419,6 +507,20 @@ object Bpe {
     s"""WITH ${sqlTrainCtes(m)}
        $sel"""
   }
+
+  /** SQL twin of [[trainBytes]]/[[trainFastBytes]] (r16): the same
+    * trajectory CTEs seeded with the byte-alphabet word frame. */
+  def sqlTrainBytes(m: Int): String = {
+    val sel = (1 to m).map(e => s"SELECT rank, l, r, c FROM b$e")
+      .mkString("\n       UNION ALL ")
+    s"""WITH ${sqlTrainCtes(m, sqlWordFrameBytesCte)}
+       $sel"""
+  }
+
+  /** SQL twin of [[docTokenCountsFastBytes]] (r16). */
+  def sqlDocTokenCountsBytes(m: Int): String =
+    s"""WITH ${sqlDocTokenCtesFrom(m, sqlWordFrameBytesCte)}
+       SELECT doc_id, n_subwords FROM dt"""
 
   /** SQL twin of [[encodeVocab]]: the trajectory CTEs ending in the
     * symbol histogram of the final dictionary. */

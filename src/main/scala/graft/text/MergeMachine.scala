@@ -21,7 +21,8 @@ import scala.collection.mutable
   * `onWordRewrite` (word segmentation changed: WordPiece re-folds its
   * symbol counts) callbacks.
   */
-private[text] final class MergeMachine(vocab: Seq[(String, Long)]) {
+private[text] final class MergeMachine(vocab: Seq[(String, Long)],
+    segmenter: String => Array[String] = MergeMachine.codePointSegmenter) {
   val toks: Array[String] = vocab.iterator.map(_._1).toArray
   val cnts: Array[Long] = vocab.iterator.map(_._2).toArray
 
@@ -31,8 +32,11 @@ private[text] final class MergeMachine(vocab: Seq[(String, Long)]) {
   // encoding (and the oracle CTEs that mirror it) garbles them —
   // accepting such a vocabulary would let the paths silently diverge
   // instead of failing the documented contract. Cheap: the
-  // vocabulary is already driver-local.
-  toks.foreach { t =>
+  // vocabulary is already driver-local. A CUSTOM segmenter (r16: the
+  // byte-fallback leg) lifts the precondition — its symbols are its
+  // own alphabet (e.g. `b63`), never raw token characters, so the
+  // paren encoding stays unambiguous for ANY input text.
+  if (segmenter eq MergeMachine.codePointSegmenter) toks.foreach { t =>
     require(t.indexOf('(') < 0 && t.indexOf(')') < 0 && t.indexOf('_') < 0,
       s"token '$t' contains a reserved character ( ) _ — " +
         "strip/escape in normalization first (Bpe module precondition)")
@@ -59,16 +63,15 @@ private[text] final class MergeMachine(vocab: Seq[(String, Long)]) {
   def symCompare(a: Int, b: Int): Int =
     MergeMachine.cpCompare(symbolArr(a), symbolArr(b))
 
-  // initial segmentation: one symbol per code point + the `_` end
-  // marker (the `(?s)(.)` split of Bpe.wordFrame works on code points)
+  // initial segmentation: the segmenter's symbols + the `_` end
+  // marker (default: one symbol per code point, matching the
+  // `(?s)(.)` split of Bpe.wordFrame)
   val words: Array[Array[Int]] = toks.map { t =>
-    val cps = t.codePoints().toArray
-    val a = new Array[Int](cps.length + 1)
+    val syms = segmenter(t)
+    val a = new Array[Int](syms.length + 1)
     var i = 0
-    while (i < cps.length) {
-      a(i) = intern(new String(Character.toChars(cps(i)))); i += 1
-    }
-    a(cps.length) = intern("_")
+    while (i < syms.length) { a(i) = intern(syms(i)); i += 1 }
+    a(syms.length) = intern("_")
     a
   }
 
@@ -159,6 +162,18 @@ private[text] final class MergeMachine(vocab: Seq[(String, Long)]) {
 }
 
 private[text] object MergeMachine {
+  /** The default initial segmentation: one symbol per code point. */
+  val codePointSegmenter: String => Array[String] = t =>
+    t.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Byte-fallback segmentation (r16, the GPT-2-lineage leg): one
+    * symbol per UTF-8 BYTE, spelled `b` + two lowercase hex digits —
+    * a 256-symbol alphabet that segments ANY input (no OOV), in a
+    * spelling both engines synthesize (`hex(encode(tok))`). */
+  val byteSegmenter: String => Array[String] = t =>
+    t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"b${b & 0xff}%02x")
+
   /** Lexicographic CODE-POINT comparison — equals unsigned UTF-8 byte
     * order, the collation of Spark's UTF8String and DuckDB VARCHAR. */
   def cpCompare(a: String, b: String): Int = {

@@ -218,6 +218,37 @@ object Url {
       .otherwise(concat(lit("http://src"), k, lit(".example")))
   }
 
+  /** Synthesize the URL-dedup fixture (r16): docs share a PAGE key
+    * (doc_id % 97) and each spells that page's URL one of four messy
+    * ways — case+www+fragment, explicit default port + tracking,
+    * duplicate slashes + trailing slash + tracking, and already-
+    * canonical — ALL of which must canonicalize to the same string
+    * for URL-keyed dedup to fold them. */
+  private[graft] def urlizeDup(docId: Column): Column = {
+    val p = (docId % 97).cast("string")
+    val k = ((docId % 97) % 20).cast("string")
+    val m = docId % 4
+    when(m === 0, concat(lit("HTTP://WWW.Src"), k, lit(".Example/page/"),
+        p, lit("?b=2&a=1#frag")))
+      .when(m === 1, concat(lit("http://src"), k, lit(".example:80/page/"),
+        p, lit("?a=1&b=2&utm_source=z")))
+      .when(m === 2, concat(lit("http://src"), k, lit(".example//page//"),
+        p, lit("/?b=2&gclid=g&a=1")))
+      .otherwise(concat(lit("http://src"), k, lit(".example/page/"),
+        p, lit("?a=1&b=2")))
+  }
+
+  /** SQL twin of [[urlizeDup]]. */
+  private[graft] def sqlUrlizeDup(idExpr: String): String = {
+    val p = s"CAST($idExpr % 97 AS VARCHAR)"
+    val k = s"CAST(($idExpr % 97) % 20 AS VARCHAR)"
+    s"""(CASE CAST($idExpr % 4 AS INT)
+      WHEN 0 THEN 'HTTP://WWW.Src' || $k || '.Example/page/' || $p || '?b=2&a=1#frag'
+      WHEN 1 THEN 'http://src' || $k || '.example:80/page/' || $p || '?a=1&b=2&utm_source=z'
+      WHEN 2 THEN 'http://src' || $k || '.example//page//' || $p || '/?b=2&gclid=g&a=1'
+      ELSE 'http://src' || $k || '.example/page/' || $p || '?a=1&b=2' END)"""
+  }
+
   /** SQL twin of [[urlize]] — byte-for-byte the same synthesis. */
   private[graft] def sqlUrlize(idExpr: String): String = {
     val k = s"CAST($idExpr % 20 AS VARCHAR)"

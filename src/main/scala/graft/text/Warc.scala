@@ -204,6 +204,22 @@ object Warc {
       .toDF("path", "member", "rec")
   }
 
+  /** The shared wire-to-clean-text projection over a [[readWarcGz]]
+    * frame (r16): SELECT response records, strip the HTTP envelope,
+    * extract clean text — one codegen'd per-row pass, shared by the
+    * batch funnel and the streaming segment-ingestion twin
+    * ([[graft.streaming.StreamOps.ingestWarcSegmentsStream]]) so the
+    * two paths cannot drift. */
+  def extractResponses(recs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    recs.filter(warcType(col("rec")) === "response")
+      .select(col("path"), col("member"),
+        targetUri(col("rec")).as("uri"),
+        bodyOf(col("rec")).as("body"))
+      .select(col("path"), col("member"), col("uri"),
+        httpStatus(col("body")).as("status"),
+        HtmlExtract.cleanText(httpPayload(col("body"))).as("clean"))
+
   /** Walk the CONCATENATED gzip members of an open stream, emitting
     * one decoded byte array per member AS PARSED — nothing beyond
     * the 256 KiB read buffer and the current member's inflated bytes

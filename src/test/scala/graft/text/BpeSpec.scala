@@ -169,6 +169,48 @@ class BpeSpec extends SparkSpec {
     assert(wpLocal.map(t => (t._1, t._2, t._3, t._4)) == wpDist)
   }
 
+  test("byte leg: local trainer replays the distributed byte trajectory (r16)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = Bpe.trainBytes(spark, docs, 12)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val fast = Bpe.trainFastBytes(spark, docs, 12)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(fast == dist)
+    assert(dist.nonEmpty && dist.forall { case (_, l, r, _) =>
+      (l + r).grouped(3).forall(s => s.startsWith("b") || s == "_")
+    }, "byte symbols are b-hex triplets")
+    // char and byte trajectories are genuinely different families:
+    // the byte leg's merge elements live in the b-hex alphabet
+    val char = Bpe.trainFast(spark, docs, 12)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(char.map(t => (t._2, t._3)) != dist.map(t => (t._2, t._3)))
+  }
+
+  test("byte leg: no OOV on arbitrary Unicode incl. supplementary planes (r16)") {
+    // train on a tiny ASCII corpus, then serve words the trainer
+    // NEVER saw — emoji, CJK, reserved characters, raw controls: the
+    // 256-symbol byte alphabet segments everything, and concatenating
+    // the emitted symbols (modulo the _ marker) recovers the word's
+    // exact UTF-8 bytes
+    val merges = Bpe.trainLocalMerges(
+      Seq(("the", 50L), ("then", 20L), ("than", 10L)), 6,
+      MergeMachine.byteSegmenter)._1.map(t => (t._2, t._3))
+    assert(merges.nonEmpty)
+    Seq("日本語", "🙂🚀", "naïve", "a(b)_c", " ", "the", "theme")
+      .foreach { w =>
+        val toks = Bpe.encodeWordBytes(merges, w)
+        assert(toks.last == "_" || toks.last.endsWith("_"), s"'$w' end marker")
+        val hex = toks.mkString("").replace("_", "")
+        val roundTrip = hex.split("b").filter(_.nonEmpty)
+          .map(Integer.parseInt(_, 16).toByte)
+        assert(roundTrip.sameElements(w.getBytes("UTF-8")),
+          s"'$w' byte round trip through served tokens")
+      }
+    // the trained merges actually apply: 'the' compresses below its
+    // byte count + marker
+    assert(Bpe.encodeWordBytes(merges, "the").length < 4)
+  }
+
   test("local trainer rejects reserved characters loudly (module precondition)") {
     // review r14 #3: the local trainer could segment ( ) _ correctly
     // while the distributed paren encoding garbles them — it must

@@ -60,6 +60,17 @@ class UrlSpec extends SparkSpec {
       "localhost", "site.com.au"))
   }
 
+  test("urlizeDup: all four spellings of a page fold to ONE canonical key") {
+    // ids 0..3 share page 0..3? no — page = id % 97, so ids p, p+97,
+    // p+194, p+291 share page p across all four variant bands
+    val ids = Seq(5L, 102L, 199L, 296L) // page 5, bands 1,2,3,0
+    val got = ids.toDF("doc_id")
+      .select(Url.canonicalize(Url.urlizeDup(col("doc_id"))).as("c"))
+      .as[String].collect().toSet
+    assert(got == Set("http://src5.example/page/5?a=1&b=2"),
+      s"four spellings must canonicalize identically: $got")
+  }
+
   test("urlize bands canonicalize to the shapes the gate groups by") {
     val got = (0L to 5L).toDF("doc_id")
       .select(col("doc_id"), Url.urlize(col("doc_id")).as("u"))
