@@ -576,31 +576,11 @@ object TextOps {
       // were wrong, every group's n_records doubles and the oracle
       // (which counts responses only) hash-mismatches
       val req = Warc.requestify(col("doc_id"), Warc.fixtureUri(col("doc_id")))
-      t(spark, dir, "documents")
-        .select(col("doc_id"), explode(array(req, rec)).as("rec"))
-        .repartition(4, col("doc_id"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          // write under an attempt-unique temp name and rename into
-          // place: a retried/speculative attempt must never interleave
-          // bytes with the original into one corrupt segment
-          // (ADVICE r15 #3)
-          val f = new java.io.File(root, f"segment-$pid%05d.warc.gz")
-          val tmp = new java.io.File(root,
-            f"segment-$pid%05d.warc.gz.tmp-${tc.taskAttemptId()}")
-          val fos = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(tmp))
-          // one member per record (CommonCrawl layout), one reused
-          // Deflater for the whole segment
-          try graft.text.Warc.writeGzMembers(fos,
-            it.map(_.getString(1).getBytes("UTF-8")))
-          finally fos.close()
-          if (!tmp.renameTo(f)) {
-            tmp.delete()
-            require(f.exists(), s"segment commit failed for $f")
-          }
-        }
+      Warc.writeSegmentFiles(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), explode(array(req, rec)).as("rec"))
+          .repartition(4, col("doc_id")),
+        root)(_.getString(1).getBytes("UTF-8"))
       Warc.readWarcGz(spark, root)
         .filter(Warc.warcType(col("rec")) === "response")
         .select(Warc.bodyOf(col("rec")).as("body"),
@@ -637,28 +617,15 @@ object TextOps {
   def qHttpEncoded(spark: SparkSession, dir: String): DataFrame =
     graft.api.Materialize.withTempRoot("httpenc") { root =>
       import graft.text.Warc
-      t(spark, dir, "documents")
-        .select(col("doc_id"), htmlize(col("doc_id"), col("text")).as("page"))
-        .repartition(4, col("doc_id"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val f = new java.io.File(root, f"segment-$pid%05d.warc.gz")
-          val tmp = new java.io.File(root,
-            f"segment-$pid%05d.warc.gz.tmp-${tc.taskAttemptId()}")
-          val fos = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(tmp))
-          try graft.text.Warc.writeGzMembers(fos, it.map { r =>
-            val id = r.getLong(0)
-            Warc.warcifyBytes(id,
-              Warc.encodeHttpBand(id, r.getString(1).getBytes("UTF-8")))
-          })
-          finally fos.close()
-          if (!tmp.renameTo(f)) {
-            tmp.delete()
-            require(f.exists(), s"segment commit failed for $f")
-          }
-        }
+      Warc.writeSegmentFiles(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), htmlize(col("doc_id"), col("text")).as("page"))
+          .repartition(4, col("doc_id")),
+        root) { r =>
+        val id = r.getLong(0)
+        Warc.warcifyBytes(id,
+          Warc.encodeHttpBand(id, r.getString(1).getBytes("UTF-8")))
+      }
       Warc.readWarcGz(spark, root)
         .select(Warc.bodyOf(col("rec")).as("body"),
           when(Warc.bodyOk(col("rec")), 1L).otherwise(0L).as("ok"))
@@ -689,11 +656,18 @@ object TextOps {
     * shuffle. */
   def qUrlCanon(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Url
-    t(spark, dir, "documents")
-      .select(col("doc_id"), Url.urlize(col("doc_id")).as("u"))
-      .select(col("doc_id"), Url.canonicalize(col("u")).as("canon"))
+    // staged form (Url.withCanonical): the one-Column composition is
+    // a single interpreted Project (its HOF leg is CodegenFallback) —
+    // measured ~17× slower per row; the staged chain keeps all but
+    // one tiny projection inside codegen
+    Url.withCanonical(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), Url.urlize(col("doc_id")).as("u")),
+        col("u"), "canon")
       .select(col("doc_id"), col("canon"),
-        Url.registrableDomain(Url.hostOf(col("canon"))).as("site"))
+        Url.hostOf(col("canon")).as("host"))
+      .select(col("doc_id"), col("canon"),
+        Url.registrableDomain(col("host")).as("site"))
   }
 
   /** URL-KEYED dedup (r16, the other half of VERDICT r16 item #3):
@@ -705,9 +679,10 @@ object TextOps {
     * key. */
   def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Url
-    t(spark, dir, "documents")
-      .select(col("doc_id"), Url.urlizeDup(col("doc_id")).as("u"))
-      .select(col("doc_id"), Url.canonicalize(col("u")).as("canon"))
+    Url.withCanonical(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), Url.urlizeDup(col("doc_id")).as("u")),
+        col("u"), "canon")
       .groupBy(col("canon"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
   }
@@ -726,12 +701,12 @@ object TextOps {
     // every sub-expression reference, so the fused
     // registrable(hostOf(canonicalize(urlize(id)))) stack multiplies
     // to millions of Catalyst nodes and OOMs the driver during
-    // analysis (measured r16); attribute boundaries keep each tree
-    // small and CollapseProject knows not to re-inline non-cheap
-    // projections
-    val keyed = t(spark, dir, "documents")
-      .select(Url.urlize(col("doc_id")).as("u"), col("text"))
-      .select(Url.canonicalize(col("u")).as("canon"), col("text"))
+    // analysis (measured r16) — and the staged Url.withCanonical
+    // additionally keeps all but the HOF leg inside codegen
+    val keyed = Url.withCanonical(
+        t(spark, dir, "documents")
+          .select(Url.urlize(col("doc_id")).as("u"), col("text")),
+        col("u"), "canon")
       .select(Url.hostOf(col("canon")).as("host"), col("text"))
       .select(Url.registrableDomain(col("host")).as("source"), col("text"))
     graft.pipeline.DomainReputation.rollup(keyed)

@@ -36,8 +36,13 @@ import org.apache.spark.sql.functions._
   * Single-label hosts and IPv4 literals pass through whole.
   *
   * Everything is per-row string/array functions shared verbatim by the
-  * Spark Columns and the DuckDB SQL twins — one codegen'd projection,
-  * no shuffle, no UDF. */
+  * Spark Columns and the DuckDB SQL twins — no shuffle, no UDF. The
+  * corpus-scale entry point is [[withCanonical]] (staged projections,
+  * all codegen'd except the one tiny lambda-HOF stage over the
+  * extracted query string); the one-Column [[canonicalize]] is the
+  * compositional form for fixtures — as a single Project its HOF leg
+  * makes the WHOLE projection CodegenFallback, ~17× slower per row
+  * (measured r16). */
 object Url {
 
   /** Exact-name tracking parameters (plus the `utm_` prefix rule). */
@@ -67,11 +72,21 @@ object Url {
       when(quest > 0, quest).otherwise(length(rest) + 1))
     val authority = lower(rest.substr(lit(1), cut - 1))
     val tail = rest.substr(cut, length(rest)) // starts with '/' or '?' or ''
-    val hostRaw = substring_index(authority, ":", 1)
-    val host = when(hostRaw.startsWith("www."),
-      hostRaw.substr(lit(5), length(hostRaw))).otherwise(hostRaw)
-    val port = when(authority.contains(":"),
-      substring_index(authority, ":", -1)).otherwise(lit(""))
+    // port = trailing :digits after the LAST colon (one anchored
+    // regex BOTH engines share — review r16 #3: split-based parsing
+    // diverged between the twins on multi-colon/IPv6 authorities);
+    // a bracketed IPv6 host without a port has no trailing :digits
+    // and passes through whole
+    val hostPart = regexp_extract(authority, "^(.*):([0-9]+)$", 1)
+    val port = regexp_extract(authority, "^(.*):([0-9]+)$", 2)
+    val hostRaw = when(port =!= "", hostPart).otherwise(authority)
+    // strip ONE trailing dot (a legal FQDN spelling — review r16 #5:
+    // 'example.com.' must key with 'example.com', and the registrable
+    // fold must never read the empty last label)
+    val hostNoDot = when(hostRaw.endsWith("."),
+      hostRaw.substr(lit(1), length(hostRaw) - 1)).otherwise(hostRaw)
+    val host = when(hostNoDot.startsWith("www."),
+      hostNoDot.substr(lit(5), length(hostNoDot))).otherwise(hostNoDot)
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
@@ -97,6 +112,84 @@ object Url {
     name.startsWith("utm_") ||
       TrackingParams.foldLeft(lit(false))((acc, t) => acc || name === t)
 
+  /** STAGED canonicalization over a DataFrame — the corpus-scale
+    * shape (r16 review follow-up, the codegen-cliff lesson applied):
+    * [[canonicalize]] as one Column is a single Project whose
+    * query-param leg uses a lambda HOF — a CodegenFallback — so the
+    * WHOLE projection drops to interpreted eval, where every
+    * duplicated subtree re-computes per row (measured ~0.5 ms/row at
+    * the gate: ~17× the staged form). This variant lands each step
+    * group on its own column so CollapseProject keeps the non-cheap
+    * multi-referenced steps at attribute boundaries: everything
+    * codegens except ONE tiny projection over the already-extracted
+    * query string. Returns `df` with `out` = the canonical URL (and
+    * drops its working columns). */
+  def withCanonical(df: org.apache.spark.sql.DataFrame, url: Column,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val noFrag = col("_uc_nofrag")
+    val rest = col("_uc_rest")
+    val auth = col("_uc_auth")
+    val tail = col("_uc_tail")
+    val port = col("_uc_port")
+    val squash = col("_uc_squash")
+    val d1 = df.withColumn("_uc_u", url)
+      .withColumn("_uc_nofrag", substring_index(col("_uc_u"), "#", 1))
+    val d2 = d1
+      .withColumn("_uc_scheme",
+        lower(noFrag.substr(lit(1), locate("://", noFrag) - 1)))
+      .withColumn("_uc_rest",
+        noFrag.substr(locate("://", noFrag) + 3, length(noFrag)))
+    val slash = locate("/", rest)
+    val quest = locate("?", rest)
+    val d3 = d2.withColumn("_uc_cut", least(
+      when(slash > 0, slash).otherwise(length(rest) + 1),
+      when(quest > 0, quest).otherwise(length(rest) + 1)))
+    val d4 = d3
+      .withColumn("_uc_auth", lower(rest.substr(lit(1), col("_uc_cut") - 1)))
+      .withColumn("_uc_tail", rest.substr(col("_uc_cut"), length(rest)))
+    val d5 = d4
+      .withColumn("_uc_port", regexp_extract(auth, "^(.*):([0-9]+)$", 2))
+      .withColumn("_uc_hp", regexp_extract(auth, "^(.*):([0-9]+)$", 1))
+    val hostRaw = when(port =!= "", col("_uc_hp")).otherwise(auth)
+    val d6 = d5.withColumn("_uc_hostdot", hostRaw)
+    val hd = col("_uc_hostdot")
+    val hostNoDot = when(hd.endsWith("."),
+      hd.substr(lit(1), length(hd) - 1)).otherwise(hd)
+    val d7 = d6.withColumn("_uc_hostnd", hostNoDot)
+    val hnd = col("_uc_hostnd")
+    val d8 = d7.withColumn("_uc_host", when(hnd.startsWith("www."),
+      hnd.substr(lit(5), length(hnd))).otherwise(hnd))
+    val d9 = d8
+      .withColumn("_uc_squash",
+        regexp_replace(substring_index(tail, "?", 1), "/+", "/"))
+      .withColumn("_uc_qry", when(tail.contains("?"),
+        tail.substr(locate("?", tail) + 1, length(tail))).otherwise(lit("")))
+    val d10 = d9.withColumn("_uc_path",
+      when(squash === "", lit("/"))
+        .when(length(squash) > 1 && squash.endsWith("/"),
+          squash.substr(lit(1), length(squash) - 1))
+        .otherwise(squash))
+    // the ONE interpreted stage: the lambda HOF over the short,
+    // already-extracted query string — nothing else rides in it
+    val d11 = d10.withColumn("_uc_sortedq",
+      array_join(array_sort(filter(split(col("_uc_qry"), "&"),
+        p => p =!= "" && !isTracking(substring_index(p, "=", 1)))), "&"))
+    val keepPort = col("_uc_port") =!= "" &&
+      !((col("_uc_scheme") === "http" && col("_uc_port") === "80") ||
+        (col("_uc_scheme") === "https" && col("_uc_port") === "443"))
+    val d12 = d11.withColumn(out,
+      when(locate("://", noFrag) === 0, col("_uc_u")).otherwise(
+        concat(col("_uc_scheme"), lit("://"), col("_uc_host"),
+          when(keepPort, concat(lit(":"), col("_uc_port"))).otherwise(lit("")),
+          col("_uc_path"),
+          when(col("_uc_sortedq") =!= "",
+            concat(lit("?"), col("_uc_sortedq"))).otherwise(lit("")))))
+    d12.drop("_uc_u", "_uc_nofrag", "_uc_scheme", "_uc_rest", "_uc_cut",
+      "_uc_auth", "_uc_tail", "_uc_port", "_uc_hp", "_uc_hostdot",
+      "_uc_hostnd", "_uc_host", "_uc_squash", "_uc_qry", "_uc_path",
+      "_uc_sortedq")
+  }
+
   /** SQL twin of [[canonicalize]] + [[hostOf]] + [[registrableDomain]]
     * as a SELECT-list STEP CHAIN over DuckDB lateral column aliases —
     * linear, where a single nested expression would re-expand every
@@ -118,11 +211,15 @@ object Url {
               ELSE length(uc_rest) + 1 END) AS uc_cut,
        lower(substring(uc_rest, 1, uc_cut - 1)) AS uc_auth,
        substring(uc_rest, uc_cut) AS uc_tail,
-       (CASE WHEN starts_with(split_part(uc_auth, ':', 1), 'www.')
-             THEN substring(split_part(uc_auth, ':', 1), 5)
-             ELSE split_part(uc_auth, ':', 1) END) AS uc_host,
-       (CASE WHEN position(':' IN uc_auth) > 0
-             THEN split_part(uc_auth, ':', 2) ELSE '' END) AS uc_port,
+       regexp_extract(uc_auth, '^(.*):([0-9]+)$$', 2) AS uc_port,
+       (CASE WHEN uc_port <> ''
+             THEN regexp_extract(uc_auth, '^(.*):([0-9]+)$$', 1)
+             ELSE uc_auth END) AS uc_host0,
+       (CASE WHEN ends_with(uc_host0, '.')
+             THEN substring(uc_host0, 1, length(uc_host0) - 1)
+             ELSE uc_host0 END) AS uc_host1,
+       (CASE WHEN starts_with(uc_host1, 'www.')
+             THEN substring(uc_host1, 5) ELSE uc_host1 END) AS uc_host,
        (CASE WHEN uc_port <> ''
              AND NOT ((uc_scheme = 'http' AND uc_port = '80')
                    OR (uc_scheme = 'https' AND uc_port = '443'))
@@ -154,14 +251,16 @@ object Url {
   def registrableDomain(host: Column): Column = {
     val parts = split(host, "\\.")
     val n = size(parts)
-    val isIpv4 = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+    // IPv4 and bracketed-IPv6 literals have no registrable structure
+    val isIpLiteral = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$") ||
+      host.contains("[") || host.contains(":")
     val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
     val last3 = concat_ws(".",
       element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
     val isTwoLevel = TwoLevelSuffixes
       .foldLeft(lit(false))((acc, s) => acc || last2 === s)
     when(host.isNull, lit(null))
-      .when(n <= 1 || isIpv4, host)
+      .when(n <= 1 || isIpLiteral, host)
       .when(n >= 3 && isTwoLevel, last3)
       .otherwise(last2)
   }
@@ -177,8 +276,12 @@ object Url {
     val cut = least(
       when(slash > 0, slash).otherwise(length(rest) + 1),
       when(quest > 0, quest).otherwise(length(rest) + 1))
+    val auth = rest.substr(lit(1), cut - 1)
+    // same trailing-:digits port rule as canonicalize — a bracketed
+    // IPv6 host must come back whole, not cut at its first colon
+    val hostPart = regexp_extract(auth, "^(.*):([0-9]+)$", 1)
     when(locate("://", canonicalUrl) === 0, lit(null))
-      .otherwise(substring_index(rest.substr(lit(1), cut - 1), ":", 1))
+      .otherwise(when(hostPart =!= "", hostPart).otherwise(auth))
   }
 
   /** SQL twin of [[registrableDomain]]. */

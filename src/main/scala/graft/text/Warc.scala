@@ -249,10 +249,14 @@ object Warc {
       else {
         start = 0
         // a 0-byte read is NOT end-of-stream (InputStream contract:
-        // only -1 is) — loop, and set eof only on -1 (ADVICE r15 #2)
+        // only -1 is) — loop, and set eof only on -1 (ADVICE r15 #2).
+        // On EOF, `end` must reset too (review r16 #2): a stale end
+        // would make the NEXT hasNext call re-read consumed buffer
+        // bytes (start was reset to 0 above) — hasNext must stay
+        // false forever once exhausted, per the Iterator contract.
         var n = in.read(buf)
         while (n == 0) n = in.read(buf)
-        if (n < 0) { eof = true; false } else { end = n; true }
+        if (n < 0) { eof = true; end = 0; false } else { end = n; true }
       }
     }
     private def readByte(): Int = {
@@ -350,9 +354,14 @@ object Warc {
     * [[bodyOk]]) stays exact; the HTTP envelope headers are kept
     * VERBATIM as wire-form metadata — [[httpContentEncoding]] /
     * [[httpChunked]] read them as the curation signal of what the
-    * wire carried. A record that DECLARES an encoding but carries a
-    * corrupt or truncated payload throws (a crawl reader must fail
-    * the record loudly, never emit silently-mangled text); identity
+    * wire carried. A record declaring a DECODABLE encoding
+    * (gzip/x-gzip/deflate, or chunked framing) whose payload is
+    * corrupt or truncated throws — a crawl reader must fail the
+    * record loudly, never emit silently-mangled text. Encodings this
+    * layer does NOT decode (br, zstd, compress…) pass through
+    * UNDECODED (still de-chunked if chunked) with the header
+    * preserved: [[httpContentEncoding]] is the signal a pipeline
+    * filters or diverts them by BEFORE text extraction. Identity
     * payloads keep the r15 behavior byte-for-byte. */
   private[graft] def decodeRecord(bytes: Array[Byte]): String = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -387,9 +396,16 @@ object Warc {
     val ceM = ContentEncodingParam.matcher(envelope)
     val contentEncoding =
       if (ceM.find()) ceM.group(1).toLowerCase(java.util.Locale.ROOT) else ""
-    val needsTransform = chunked ||
-      contentEncoding == "gzip" || contentEncoding == "x-gzip" ||
-      contentEncoding == "deflate"
+    // only the encodings this layer can decode are inflated; OTHER
+    // declared encodings (br, zstd, compress, identity) pass through
+    // UNDECODED with the header preserved — httpContentEncoding is
+    // the filter signal a pipeline drops/diverts them by, and a
+    // chunked+unknown-encoding record still gets de-chunked (review
+    // r16 #1/#4: the old guard crashed on chunked+identity and the
+    // contract is per-encoding, not per-framing)
+    val inflatable = contentEncoding == "gzip" ||
+      contentEncoding == "x-gzip" || contentEncoding == "deflate"
+    val needsTransform = chunked || inflatable
     if (!needsTransform) {
       val head = new String(bytes, 0, payloadStart, utf8)
       return head + new String(bytes, payloadStart,
@@ -409,8 +425,7 @@ object Warc {
     var payload = java.util.Arrays.copyOfRange(bytes, payloadStart,
       payloadEnd.toInt)
     if (chunked) payload = dechunk(payload)
-    if (contentEncoding.nonEmpty) payload =
-      inflatePayload(payload, contentEncoding)
+    if (inflatable) payload = inflatePayload(payload, contentEncoding)
     val decodedPayload = new String(payload, cs)
     val tail = new String(bytes, payloadEnd.toInt,
       bytes.length - payloadEnd.toInt, utf8)
@@ -666,6 +681,32 @@ object Warc {
       s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii) ++
       body ++ "\r\n\r\n".getBytes(ascii)
   }
+
+  /** Write one segment file per partition of `df` (the gate fixtures'
+    * shared writer, review r16 #6): each task renders its rows to
+    * record bytes via `recordBytes`, writes them as
+    * one-gzip-member-per-record through ONE reused Deflater, under an
+    * attempt-unique temp name, and atomically renames into place — a
+    * retried or speculative attempt can never interleave bytes with
+    * the original into a corrupt segment (ADVICE r15 #3). */
+  private[graft] def writeSegmentFiles(df: org.apache.spark.sql.DataFrame,
+      root: String)(
+      recordBytes: org.apache.spark.sql.Row => Array[Byte]): Unit =
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val f = new java.io.File(root, f"segment-$pid%05d.warc.gz")
+      val tmp = new java.io.File(root,
+        f"segment-$pid%05d.warc.gz.tmp-${tc.taskAttemptId()}")
+      val fos = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(tmp))
+      try writeGzMembers(fos, it.map(recordBytes))
+      finally fos.close()
+      if (!tmp.renameTo(f)) {
+        tmp.delete()
+        require(f.exists(), s"segment commit failed for $f")
+      }
+    }
 
   /** SQL twins of the parser (same header-block scoping). */
   private def sqlHeaderBlock(recExpr: String): String = {

@@ -196,13 +196,18 @@ class BpeSpec extends SparkSpec {
       Seq(("the", 50L), ("then", 20L), ("than", 10L)), 6,
       MergeMachine.byteSegmenter)._1.map(t => (t._2, t._3))
     assert(merges.nonEmpty)
-    Seq("日本語", "🙂🚀", "naïve", "a(b)_c", " ", "the", "theme")
+    Seq("日本語", "🙂🚀", "naïve", "a(b)_c", " ", "the", "theme", "kite")
       .foreach { w =>
         val toks = Bpe.encodeWordBytes(merges, w)
         assert(toks.last == "_" || toks.last.endsWith("_"), s"'$w' end marker")
         val hex = toks.mkString("").replace("_", "")
-        val roundTrip = hex.split("b").filter(_.nonEmpty)
-          .map(Integer.parseInt(_, 16).toByte)
+        val roundTrip = hex.grouped(3).map { sym =>
+          // fixed-width b-hex triplets — splitting on 'b' would
+          // misparse bytes like 0x6b whose hex contains it (r16 #7)
+          assert(sym.length == 3 && sym.startsWith("b"),
+            s"'$w' bad symbol '$sym'")
+          Integer.parseInt(sym.drop(1), 16).toByte
+        }.toArray
         assert(roundTrip.sameElements(w.getBytes("UTF-8")),
           s"'$w' byte round trip through served tokens")
       }

@@ -60,6 +60,45 @@ class UrlSpec extends SparkSpec {
       "localhost", "site.com.au"))
   }
 
+  test("FQDN trailing dot strips; IPv6 authorities keep their colons (review r16 #3/#5)") {
+    assert(canon(
+      "http://example.com./x",            // legal FQDN spelling
+      "http://WWW.Example.Com.:80/x",     // dot + www + default port
+      "http://[2001:DB8::1]:8080/x",      // bracketed IPv6, port kept
+      "https://[2001:db8::1]:443/x",      // bracketed IPv6, default port
+      "http://[2001:db8::1]/x"            // bracketed IPv6, no port
+    ) == Seq(
+      "http://example.com/x",
+      "http://example.com/x",
+      "http://[2001:db8::1]:8080/x",
+      "https://[2001:db8::1]/x",
+      "http://[2001:db8::1]/x"))
+    // registrable domain: dotted-FQDN hosts key like their undotted
+    // twins; IP literals pass through whole
+    assert(site(
+      "http://a.b.example.com./x",
+      "http://[2001:db8::1]:8080/x"
+    ) == Seq("example.com", "[2001:db8::1]"))
+  }
+
+  test("staged withCanonical ≡ the one-Column canonicalize (r16 codegen-cliff fix)") {
+    val urls = Seq(
+      "HTTP://WWW.Site.Example/a?b=2&a=1#frag",
+      "https://x.example:443/p?utm_x=1&c=2",
+      "http://x.example:8080//a//b/?z=1&gclid=g",
+      "http://example.com./x",
+      "http://[2001:DB8::1]:8080/x",
+      "relative/path?x=1",
+      "http://x.example")
+    val df = urls.toDF("u")
+    val staged = Url.withCanonical(df, col("u"), "canon")
+      .select("u", "canon").as[(String, String)].collect().toMap
+    val fused = df.select(col("u"),
+        Url.canonicalize(col("u")).as("canon"))
+      .as[(String, String)].collect().toMap
+    assert(staged == fused, "the staged and fused forms must agree exactly")
+  }
+
   test("urlizeDup: all four spellings of a page fold to ONE canonical key") {
     // ids 0..3 share page 0..3? no — page = id % 97, so ids p, p+97,
     // p+194, p+291 share page p across all four variant bands

@@ -342,6 +342,48 @@ class WarcSpec extends SparkSpec {
       "char-domain length rewrite must frame multi-byte decoded payloads")
   }
 
+  test("undecodable encodings pass through; chunked+identity de-chunks (review r16 #1/#4)") {
+    // Content-Encoding this layer does not decode (br) passes through
+    // UNDECODED with the header preserved as the filter signal
+    val fakeBr = "not really brotli but opaque bytes"
+    val brRec = Warc.warcifyBytes(3L,
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: br\r\n\r\n").getBytes("US-ASCII") ++
+        fakeBr.getBytes("US-ASCII"))
+    val (pBr, ceBr) = Seq(Warc.decodeRecord(brRec)).toDF("rec")
+      .select(Warc.httpPayload(Warc.bodyOf(col("rec"))).as("p"),
+        Warc.httpContentEncoding(Warc.bodyOf(col("rec"))).as("ce"))
+      .as[(String, Option[String])].head()
+    assert(pBr == fakeBr && ceBr.contains("br"),
+      "unsupported encodings must pass through with the signal column")
+    // chunked + Content-Encoding: identity must DE-CHUNK (not crash,
+    // not skip): the framing transform is independent of the encoding
+    val idPayload = "identity payload body that is chunk framed"
+    val idRec = Warc.warcifyBytes(4L,
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: identity\r\nTransfer-Encoding: chunked\r\n\r\n")
+        .getBytes("US-ASCII") ++
+        Warc.chunkifyBytes(idPayload.getBytes("US-ASCII"), 10))
+    val (pId, okId, chId) = Seq(Warc.decodeRecord(idRec)).toDF("rec")
+      .select(Warc.httpPayload(Warc.bodyOf(col("rec"))).as("p"),
+        Warc.bodyOk(col("rec")).as("ok"),
+        Warc.httpChunked(Warc.bodyOf(col("rec"))).as("ch"))
+      .as[(String, Boolean, Boolean)].head()
+    assert(pId == idPayload && okId && chId,
+      "chunked+identity must de-chunk with the length rewrite")
+  }
+
+  test("member walker hasNext stays false after exhaustion (review r16 #2)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.writeGzMembers(bos, Iterator("one".getBytes, "two".getBytes))
+    val it = Warc.gzipMemberIterator(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(it.hasNext); it.next(); assert(it.hasNext); it.next()
+    // the Iterator contract: hasNext is idempotent once exhausted —
+    // a stale buffer bound must not resurrect consumed bytes
+    assert(!it.hasNext && !it.hasNext && !it.hasNext)
+  }
+
   test("chunked framing: extensions skipped, trailers skipped, negatives throw") {
     val data = ("0123456789" * 37).getBytes("US-ASCII")
     assert(Warc.dechunk(Warc.chunkifyBytes(data, 100)).sameElements(data))
