@@ -603,7 +603,8 @@ object TextOps {
     * captures also carry `Transfer-Encoding: chunked` framing), so
     * the fixture writes REAL segment files whose payloads are
     * per-band wire-encoded BYTES — identity / gzip / deflate(zlib) /
-    * chunked / chunked-over-gzip ([[graft.text.Warc.encodeHttpBand]];
+    * chunked / chunked-over-gzip / zstd
+    * ([[graft.text.Warc.encodeHttpBand]];
     * string-domain synthesis cannot express gzip, so the encode
     * happens where the bytes live: the segment writer) — then reads
     * them back through the streaming source, whose decode layer
@@ -2476,10 +2477,11 @@ object TextOps {
       val fp = sqlFingerprint(
         graft.text.HtmlExtract.sqlCleanText(sqlHtmlize("doc_id", "text")))
       s"""SELECT
-           CASE CAST(doc_id % 5 AS INT)
+           CASE CAST(doc_id % 6 AS INT)
              WHEN 1 THEN 'gzip' WHEN 2 THEN 'deflate' WHEN 4 THEN 'gzip'
+             WHEN 5 THEN 'zstd'
              ELSE 'identity' END AS encoding,
-           CAST(doc_id % 5 AS INT) IN (3, 4) AS chunked,
+           CAST(doc_id % 6 AS INT) IN (3, 4) AS chunked,
            COUNT(1) AS n_records,
            COUNT(1) AS n_body_ok,
            COUNT(1) AS n_200,

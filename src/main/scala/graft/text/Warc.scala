@@ -358,7 +358,7 @@ object Warc {
     * (gzip/x-gzip/deflate, or chunked framing) whose payload is
     * corrupt or truncated throws — a crawl reader must fail the
     * record loudly, never emit silently-mangled text. Encodings this
-    * layer does NOT decode (br, zstd, compress…) pass through
+    * layer does NOT decode (br, compress…) pass through
     * UNDECODED (still de-chunked if chunked) with the header
     * preserved: [[httpContentEncoding]] is the signal a pipeline
     * filters or diverts them by BEFORE text extraction. Identity
@@ -404,7 +404,8 @@ object Warc {
     // r16 #1/#4: the old guard crashed on chunked+identity and the
     // contract is per-encoding, not per-framing)
     val inflatable = contentEncoding == "gzip" ||
-      contentEncoding == "x-gzip" || contentEncoding == "deflate"
+      contentEncoding == "x-gzip" || contentEncoding == "deflate" ||
+      contentEncoding == "zstd"
     val needsTransform = chunked || inflatable
     if (!needsTransform) {
       val head = new String(bytes, 0, payloadStart, utf8)
@@ -501,8 +502,9 @@ object Warc {
     * `x-gzip` walks RFC-1952 members (reusing [[gzipMemberIterator]]
     * — CRC32/ISIZE verified, multi-member tolerated), `deflate` is
     * zlib (RFC 1950) with the standard raw-deflate fallback for the
-    * broken servers that send it bare. Unknown encodings and corrupt
-    * streams throw. */
+    * broken servers that send it bare, and `zstd` (RFC 8878) decodes
+    * through the zstd-jni library Spark itself ships (no new dep).
+    * Unknown encodings and corrupt streams throw. */
   private[graft] def inflatePayload(bytes: Array[Byte],
       encoding: String): Array[Byte] = encoding match {
     case "gzip" | "x-gzip" =>
@@ -536,6 +538,22 @@ object Warc {
               throw new IllegalArgumentException(
                 s"corrupt deflate payload: ${e.getMessage}")
           }
+      }
+    case "zstd" =>
+      try {
+        val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+        val zin = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val tmp = new Array[Byte](64 * 1024)
+          var n = zin.read(tmp)
+          while (n > 0) { out.write(tmp, 0, n); n = zin.read(tmp) }
+        } finally zin.close()
+        out.toByteArray
+      } catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"corrupt zstd payload: ${e.getMessage}")
       }
     case other =>
       throw new IllegalArgumentException(
@@ -638,18 +656,20 @@ object Warc {
 
   /** Synthesize the HTTP response message BYTES for the encoded-wire
     * fixture (the byte-domain sibling of [[httpWrap]] — string-domain
-    * synthesis cannot express gzip bytes). Five bands by id:
+    * synthesis cannot express gzip bytes). Six bands by id:
     * identity, `Content-Encoding: gzip`, `Content-Encoding: deflate`
     * (zlib), `Transfer-Encoding: chunked` (no Content-Length — RFC
-    * 9112 forbids it with chunked), and chunked-over-gzip (TE applied
-    * last on the wire, so the decoder must de-chunk FIRST). */
+    * 9112 forbids it with chunked), chunked-over-gzip (TE applied
+    * last on the wire, so the decoder must de-chunk FIRST), and
+    * `Content-Encoding: zstd` (r16 — the modern crawl encoding,
+    * decoded via the zstd-jni Spark ships). */
   private[graft] def encodeHttpBand(docId: Long,
       payload: Array[Byte]): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     def msg(headers: String, body: Array[Byte]): Array[Byte] =
       (s"HTTP/1.1 200 OK\r\nServer: crawler-fixture/1.0\r\n$headers\r\n")
         .getBytes(ascii) ++ body
-    (docId % 5) match {
+    (docId % 6) match {
       case 0 => msg("Content-Type: text/html; charset=utf-8\r\n" +
           s"Content-Length: ${payload.length}\r\n", payload)
       case 1 =>
@@ -662,11 +682,19 @@ object Warc {
           s"Content-Length: ${zz.length}\r\n", zz)
       case 3 => msg("Content-Type: text/html\r\n" +
           "Transfer-Encoding: chunked\r\n", chunkifyBytes(payload, 100))
-      case _ => msg("Content-Type: text/html\r\n" +
+      case 4 => msg("Content-Type: text/html\r\n" +
           "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
           chunkifyBytes(gzipBytes(payload), 100))
+      case _ =>
+        val zs = zstdBytes(payload)
+        msg("Content-Type: text/html\r\nContent-Encoding: zstd\r\n" +
+          s"Content-Length: ${zs.length}\r\n", zs)
     }
   }
+
+  /** One-frame zstd compression (encode twin of the zstd leg). */
+  private[graft] def zstdBytes(data: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data)
 
   /** WARC-frame a response body as BYTES (the byte-domain sibling of
     * [[warcify]], for fixtures whose bodies are not valid strings):

@@ -304,7 +304,7 @@ class WarcSpec extends SparkSpec {
     // octet-domain framing (the documented multi-byte caveat); the
     // transform bands' char-domain rewrite is pinned separately below
     val page = "<p>body with cafe text</p>" * 8
-    (0L to 9L).foreach { id =>
+    (0L to 11L).foreach { id =>
       val rec = Warc.warcifyBytes(id,
         Warc.encodeHttpBand(id, page.getBytes("UTF-8")))
       val dec = Warc.decodeRecord(rec)
@@ -318,12 +318,13 @@ class WarcSpec extends SparkSpec {
           Warc.httpContentEncoding(Warc.bodyOf(col("rec"))).as("enc"),
           Warc.httpChunked(Warc.bodyOf(col("rec"))).as("ch"))
         .as[(String, Boolean, Option[String], Boolean)].head()
-      assert(p == page, s"band ${id % 5} payload mismatch")
-      assert(ok, s"band ${id % 5} must pass body_ok after the length rewrite")
+      assert(p == page, s"band ${id % 6} payload mismatch")
+      assert(ok, s"band ${id % 6} must pass body_ok after the length rewrite")
       // wire-form metadata preserved verbatim
-      val band = (id % 5).toInt
+      val band = (id % 6).toInt
       assert(enc == (band match {
-        case 1 | 4 => Some("gzip"); case 2 => Some("deflate"); case _ => None
+        case 1 | 4 => Some("gzip"); case 2 => Some("deflate")
+        case 5 => Some("zstd"); case _ => None
       }), s"band $band encoding column")
       assert(ch == (band == 3 || band == 4), s"band $band chunked column")
     }
@@ -408,6 +409,10 @@ class WarcSpec extends SparkSpec {
     val data = ("payload " * 50).getBytes("UTF-8")
     assert(Warc.inflatePayload(Warc.gzipBytes(data), "gzip").sameElements(data))
     assert(Warc.inflatePayload(Warc.zlibBytes(data), "deflate").sameElements(data))
+    assert(Warc.inflatePayload(Warc.zstdBytes(data), "zstd").sameElements(data))
+    intercept[IllegalArgumentException] { // corrupt zstd frame
+      Warc.inflatePayload("not a zstd frame at all".getBytes, "zstd")
+    }
     // the broken-server case: raw deflate sent under 'deflate'
     val raw = {
       val d = new java.util.zip.Deflater(
