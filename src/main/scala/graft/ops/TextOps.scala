@@ -688,6 +688,33 @@ object TextOps {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
   }
 
+  /** robots.txt exclusion filtering (r16): RFC 9309 Allow/Disallow
+    * with `*` wildcards and the `$` end anchor applied per
+    * registrable domain over the canonical URLs — longest-match wins,
+    * Allow breaks ties, no-match and no-rules default allow
+    * ([[graft.text.Robots]]). The fixture's pinned rule bands make
+    * every semantic load-bearing: a longer-Allow override, a
+    * wildcard carve-out under Disallow-/, an anchor that must NOT
+    * match a query-bearing path, an anchor that blocks exactly the
+    * root, and rule-less domains. Per (site, verdict): counts + the
+    * canonical-URL fingerprint sum. Rules are domain-bounded — no
+    * broadcast hint, AQE decides (the reputation-rollup rule). */
+  def qRobotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Robots, Url}
+    val urls = Url.withCanonical(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), Url.urlize(col("doc_id")).as("u")),
+        col("u"), "canon")
+      .select(col("doc_id"), col("canon"), Url.hostOf(col("canon")).as("host"))
+      .select(col("doc_id"), col("canon"),
+        Url.registrableDomain(col("host")).as("site"),
+        Robots.pathQueryOf(col("canon")).as("pathq"))
+    Robots.filter(urls, Robots.fixtureRulesFrame(spark))
+      .groupBy(col("site"), col("verdict"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(fingerprint(col("canon"))).as("fp_canon_sum"))
+  }
+
   /** Domain reputation RE-KEYED on the registrable domain (r16, the
     * composed half of VERDICT r16 item #3): the rollup every real
     * curation stage runs — `www.x.example:8080/...` and
@@ -1739,6 +1766,7 @@ object TextOps {
     "q_http_encoded" -> (qHttpEncoded _),
     "q_url_canon" -> (qUrlCanon _),
     "q_url_dedup" -> (qUrlDedup _),
+    "q_robots_filter" -> (qRobotsFilter _),
     "q_domain_canon" -> (qDomainCanon _),
     "q_wire_e2e" -> (qWireE2e _),
     "q_html_quality" -> (qHtmlQuality _),
@@ -2508,6 +2536,29 @@ object TextOps {
          FROM (SELECT doc_id, ${Url.sqlCanonSteps(Url.sqlUrlizeDup("doc_id"))}
            FROM documents)
          GROUP BY 1"""
+    },
+    // robots exclusion: the rules VALUES relation and its regexes
+    // render from the SAME fixtureRules/translate as the Spark frame;
+    // per-url argmax over (pattern_len*2 + isAllow), default allow
+    "q_robots_filter" -> {
+      import graft.text.{Robots, Url}
+      s"""WITH urls AS (
+           SELECT doc_id, uc_canon AS canon, uc_site AS site,
+             ${Robots.sqlPathQueryOf("uc_canon")} AS pathq
+           FROM (SELECT doc_id, ${Url.sqlCanonSteps(Url.sqlUrlize("doc_id"))}
+             FROM documents)),
+         m AS (
+           SELECT u.doc_id, arg_max(rules.verdict, rules.pattern_len * 2 +
+               CASE WHEN rules.verdict = 'allow' THEN 1 ELSE 0 END) AS win
+           FROM urls u
+           JOIN ${Robots.sqlFixtureRules} ON u.site = rules.site
+           WHERE regexp_matches(u.pathq, rules.regex)
+           GROUP BY u.doc_id)
+         SELECT site, COALESCE(m.win, 'allow') AS verdict,
+           COUNT(1) AS n_urls,
+           CAST(SUM(${sqlFingerprint("canon")}) AS BIGINT) AS fp_canon_sum
+         FROM urls LEFT JOIN m USING (doc_id)
+         GROUP BY 1, 2"""
     },
     // the registrable-domain-keyed reputation rollup: the shared
     // rollup CTE over a relation whose source IS the site key
