@@ -350,9 +350,19 @@ object StreamOps {
         // bounded collect: file PATHS of one arrival batch, never
         // contents (a crawl wave is thousands of names, not bytes)
         val paths = batch.collect().map(_.getString(0))
+        // binaryFiles treats each comma-separated element as a Hadoop
+        // GLOB — escape metacharacters so a literal {}[]*? in a
+        // segment path can't silently mis-resolve (ADVICE r16).
+        // A COMMA in a path has no escape in this API and is rejected
+        // loudly rather than splitting the path in two.
+        val literal = paths.map { p =>
+          require(!p.contains(","),
+            s"segment path contains a comma (unsupported by binaryFiles): $p")
+          p.replaceAll("([{}\\[\\]*?\\\\])", "\\\\$1")
+        }
         if (paths.nonEmpty)
           graft.text.Warc.extractResponses(
-              graft.text.Warc.readWarcGz(spark, paths.mkString(",")))
+              graft.text.Warc.readWarcGz(spark, literal.mkString(",")))
             .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
       }
     files.writeStream

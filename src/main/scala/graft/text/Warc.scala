@@ -255,7 +255,18 @@ object Warc {
         // bytes (start was reset to 0 above) — hasNext must stay
         // false forever once exhausted, per the Iterator contract.
         var n = in.read(buf)
-        while (n == 0) n = in.read(buf)
+        // bounded spin (ADVICE r16): a blocking PortableDataStream
+        // never returns 0 repeatedly, but a pathological non-blocking
+        // wrapper would busy-spin this task forever — fail loudly
+        // after a generous cap instead
+        var spins = 0L
+        while (n == 0) {
+          spins += 1
+          require(spins < 1000000L,
+            s"input stream returned 0 bytes $spins times at offset $filePos")
+          Thread.onSpinWait()
+          n = in.read(buf)
+        }
         if (n < 0) { eof = true; end = 0; false } else { end = n; true }
       }
     }
@@ -397,7 +408,7 @@ object Warc {
     val contentEncoding =
       if (ceM.find()) ceM.group(1).toLowerCase(java.util.Locale.ROOT) else ""
     // only the encodings this layer can decode are inflated; OTHER
-    // declared encodings (br, zstd, compress, identity) pass through
+    // declared encodings (br, compress, identity) pass through
     // UNDECODED with the header preserved — httpContentEncoding is
     // the filter signal a pipeline drops/diverts them by, and a
     // chunked+unknown-encoding record still gets de-chunked (review
