@@ -754,7 +754,7 @@ object TextOps {
     * per-row projections; the canonical chains are the staged
     * [[graft.text.Url.withCanonical]] (the codegen-cliff lesson) run
     * once for the page and once per target. */
-  private def linkFrame(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def linkFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.{Links, Url}
     val pages = Url.withCanonical(
         t(spark, dir, "documents")
@@ -765,11 +765,27 @@ object TextOps {
         explode(Links.extractHrefs(col("raw"))).as("href"))
     val resolved = Links.withResolved(pages, col("page"), col("href"), "abs")
       .filter(col("abs").isNotNull)
+    // each derivation stage lands on its OWN select (the r16 lesson:
+    // a fused registrable∘hostOf∘canonical stack re-expands to
+    // millions of Catalyst nodes and OOMs analysis — measured again
+    // r17 on this very frame), and the RESULT is materialized
+    // (eager localCheckpoint): a downstream filter like
+    // `dst_site =!= src_site` would otherwise be PUSHED DOWN through
+    // the staged projects, re-substituting both canonical chains
+    // into one predicate tree — the same OOM through the
+    // filter-pushdown door (measured r17: stage-by-stage counts all
+    // pass, the filtered consumer OOMs). A real pipeline persists
+    // its link frame at exactly this point anyway — it is the
+    // multiply-consumed corpus artifact.
     Url.withCanonical(resolved, col("abs"), "target")
+      .select(col("doc_id"), col("page"), col("target"))
+      .select(col("doc_id"), Url.hostOf(col("page")).as("src_host"),
+        col("target"), Url.hostOf(col("target")).as("dst_host"))
       .select(col("doc_id"),
-        Url.registrableDomain(Url.hostOf(col("page"))).as("src_site"),
+        Url.registrableDomain(col("src_host")).as("src_site"),
         col("target"),
-        Url.registrableDomain(Url.hostOf(col("target"))).as("dst_site"))
+        Url.registrableDomain(col("dst_host")).as("dst_site"))
+      .localCheckpoint(true)
   }
 
   /** HTML link extraction + resolution (r17): anchors are read from
@@ -796,14 +812,13 @@ object TextOps {
     * machinery, 3 supersteps, 1e-12-quantized — the oracle unrolls
     * the same arithmetic). Multi-edges are kept: each live anchor is
     * one endorsement, the same contract as q_pagerank's per-lineitem
-    * edges. The edge frame is localCheckpoint'd before the iteration
-    * joins (the r16 alias-re-expansion lesson — join-constraint
-    * inference would re-substitute the staged canonical chains). */
+    * edges. The self-loop filter and the iteration joins run over
+    * [[linkFrame]]'s MATERIALIZED output (see its scaladoc — the
+    * alias-re-expansion OOM guards). */
   def qLinkRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = linkFrame(spark, dir)
       .filter(col("dst_site") =!= col("src_site"))
       .select(col("src_site").as("src"), col("dst_site").as("dst"))
-      .localCheckpoint(true)
     graft.graph.Algorithms.pageRank(edges, iterations = 3)
       .orderBy(col("rank").desc, col("id")).limit(20)
   }
@@ -820,7 +835,6 @@ object TextOps {
     val edges = linkFrame(spark, dir)
       .filter(col("dst_site") =!= col("src_site"))
       .select(col("src_site"), col("dst_site"))
-      .localCheckpoint(true)
     val outDeg = edges.groupBy(col("src_site"))
       .agg(count(lit(1)).as("out_links"))
     val inDeg = edges.groupBy(col("dst_site"))
@@ -849,21 +863,28 @@ object TextOps {
     * `lf(doc_id, src_site, target, dst_site)`. Each step chain runs
     * in its OWN CTE — [[graft.text.Url.sqlCanonSteps]] is used twice
     * (page + target) and its lateral aliases would collide in one
-    * SELECT list. */
+    * SELECT list — and every CTE is MATERIALIZED: without the fence
+    * DuckDB's projection flattening re-substitutes one chain's
+    * lateral-alias expansions into the NEXT chain's references and
+    * the stacked chains blow past 100 GB during optimization
+    * (measured r17 — the oracle-side twin of the Catalyst
+    * alias-re-expansion lesson; with fences each query binds in a
+    * flat ~16–35 s, the same band as the existing URL-family
+    * oracles). */
   private lazy val sqlLinkCtes: String = {
     import graft.text.{Links, Url}
-    s"""lf0 AS (SELECT doc_id, ${Links.sqlLinkify("doc_id")} AS raw,
+    s"""lf0 AS MATERIALIZED (SELECT doc_id, ${Links.sqlLinkify("doc_id")} AS raw,
            ${Url.sqlCanonSteps(Url.sqlUrlize("doc_id"))}
          FROM documents),
-       lf1 AS (SELECT doc_id, uc_canon AS page, uc_site AS src_site,
+       lf1 AS MATERIALIZED (SELECT doc_id, uc_canon AS page, uc_site AS src_site,
            unnest(${Links.sqlExtractHrefs("raw")}) AS href
          FROM lf0),
-       lf2 AS (SELECT doc_id, src_site,
+       lf2 AS MATERIALIZED (SELECT doc_id, src_site,
            ${Links.sqlResolveSteps("page", "href")}
          FROM lf1),
-       lf3 AS (SELECT doc_id, src_site, ${Url.sqlCanonSteps("lr_abs")}
+       lf3 AS MATERIALIZED (SELECT doc_id, src_site, ${Url.sqlCanonSteps("lr_abs")}
          FROM lf2 WHERE lr_abs IS NOT NULL),
-       lf AS (SELECT doc_id, src_site, uc_canon AS target,
+       lf AS MATERIALIZED (SELECT doc_id, src_site, uc_canon AS target,
            uc_site AS dst_site
          FROM lf3)"""
   }

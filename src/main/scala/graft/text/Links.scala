@@ -98,19 +98,24 @@ object Links {
 
   /** Bounded dot-segment removal (pinned passes — see scaladoc):
     * `/./` twice (consecutive runs overlap on the shared slash),
-    * then `/seg/../` four times. Linear nesting: each intermediate
-    * is referenced exactly once, so the Column tree stays small. */
+    * then `/seg/../` four times. The parent segment must contain a
+    * NON-dot character (`\.*[^/.?][^/?]*`) — a bare `..` matching as
+    * the parent would collapse two dot-dots into zero (caught by the
+    * LinksSpec four-level case); all-dot segments of 3+ dots are out
+    * of scope as parents. Linear nesting: each intermediate is
+    * referenced exactly once, so the Column tree stays small. */
+  private val DotDot = "/\\.*[^/.?][^/?]*/\\.\\./"
+
   private def removeDots(u: Column): Column = {
     val noDot = regexp_replace(regexp_replace(u, "/\\./", "/"), "/\\./", "/")
-    (1 to 4).foldLeft(noDot)((c, _) =>
-      regexp_replace(c, "/[^/?]+/\\.\\./", "/"))
+    (1 to 4).foldLeft(noDot)((c, _) => regexp_replace(c, DotDot, "/"))
   }
 
   private def sqlRemoveDots(expr: String): String = {
     val noDot = s"regexp_replace(regexp_replace($expr," +
       " '/\\./', '/', 'g'), '/\\./', '/', 'g')"
     (1 to 4).foldLeft(noDot)((e, _) =>
-      s"regexp_replace($e, '/[^/?]+/\\.\\./', '/', 'g')")
+      s"regexp_replace($e, '$DotDot', '/', 'g')")
   }
 
   /** Resolve `href` against the CANONICAL page URL `page` (staged
