@@ -55,16 +55,32 @@ object Robots {
     sb.toString
   }
 
-  /** Parse a robots.txt body: the rules of the `*` user-agent group
-    * (the group a generic crawler obeys). Field names are
-    * case-insensitive; `#` comments and unknown fields are ignored;
-    * multiple user-agent lines stack onto the following group; an
-    * empty-pattern Disallow (allow-all) yields no rule, per the RFC.
-    * Returns (verdict, pattern) pairs in file order. */
-  def parseRobotsTxt(body: String): Seq[(String, String)] = {
-    val rules = Seq.newBuilder[(String, String)]
+  /** One parsed rule group: its (lowercased) user-agent tokens, its
+    * Allow/Disallow rules in file order, and its Crawl-delay (the
+    * de-facto extension — last numeric value in the group wins). */
+  final case class Group(agents: Set[String],
+      rules: Seq[(String, String)], crawlDelay: Option[Long])
+
+  /** Parse a robots.txt body into its rule GROUPS plus the GLOBAL
+    * `Sitemap:` lines (r17, VERDICT r16 missing #4 — sitemaps are
+    * not group-scoped per RFC 9309 §2.3 and collect from anywhere).
+    * Field names are case-insensitive; `#` comments and unknown
+    * fields are ignored; multiple user-agent lines STACK onto the
+    * following group; a user-agent line after rules starts a new
+    * group; an empty-pattern Allow/Disallow (allow-all) yields no
+    * rule, per the RFC. */
+  def parseRobotsGroups(body: String): (Seq[Group], Seq[String]) = {
+    val groups = Seq.newBuilder[Group]
+    val sitemaps = Seq.newBuilder[String]
     var agents = Set.empty[String]
-    var inGroup = false // saw at least one rule since the agent lines
+    var rules = Vector.empty[(String, String)]
+    var delay: Option[Long] = None
+    var inGroup = false // saw at least one rule line since the agents
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Set.empty; rules = Vector.empty; delay = None
+      inGroup = false
+    }
     body.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       if (line.nonEmpty) {
@@ -75,20 +91,53 @@ object Robots {
           val value = line.substring(i + 1).trim
           field match {
             case "user-agent" =>
-              if (inGroup) { agents = Set.empty; inGroup = false }
+              if (inGroup) flush()
               agents += value.toLowerCase(java.util.Locale.ROOT)
             case "allow" | "disallow" =>
               inGroup = true
-              if (agents.contains("*") && value.nonEmpty)
-                rules += ((if (field == "allow") "allow" else "disallow",
-                  value))
-            case _ => () // crawl-delay, sitemap, unknown: ignored
+              if (value.nonEmpty) rules :+= ((field, value))
+            case "crawl-delay" =>
+              inGroup = true
+              value.toLongOption.foreach(d => delay = Some(d))
+            case "sitemap" =>
+              if (value.nonEmpty) sitemaps += value
+            case _ => () // unknown fields: ignored
           }
         }
       }
     }
-    rules.result()
+    flush()
+    (groups.result(), sitemaps.result())
   }
+
+  /** RFC 9309 §2.2.1 group selection for a crawler product token:
+    * among groups whose agent token is a case-insensitive PREFIX of
+    * the token, the LONGEST token wins, and ALL groups carrying that
+    * winning token merge (identical-UA groups combine per the RFC);
+    * with no specific match the `*` groups merge; with neither, no
+    * rules (default allow). Crawl-delay: the first merged group's
+    * value wins. */
+  def selectGroup(groups: Seq[Group], agent: String)
+      : (Seq[(String, String)], Option[Long]) = {
+    val tok = agent.toLowerCase(java.util.Locale.ROOT)
+    val best = groups.iterator
+      .flatMap(g => g.agents.filter(a => a != "*" && tok.startsWith(a)))
+      .foldLeft("")((acc, a) => if (a.length > acc.length) a else acc)
+    val chosen =
+      if (best.nonEmpty) groups.filter(_.agents.contains(best))
+      else groups.filter(_.agents.contains("*"))
+    (chosen.flatMap(_.rules), chosen.flatMap(_.crawlDelay).headOption)
+  }
+
+  /** Rules + crawl-delay a crawler identifying as `agent` obeys. */
+  def parseRobotsTxtFor(body: String, agent: String)
+      : (Seq[(String, String)], Option[Long]) =
+    selectGroup(parseRobotsGroups(body)._1, agent)
+
+  /** The rules a GENERIC crawler obeys (the `*` group) — the r16
+    * surface, now the fallback leg of [[selectGroup]]. */
+  def parseRobotsTxt(body: String): Seq[(String, String)] =
+    selectGroup(parseRobotsGroups(body)._1, "*")._1
 
   /** The path-and-query portion of a canonical URL — what RFC 9309
     * rules match against. Null for schemeless pass-throughs. */
@@ -176,6 +225,128 @@ object Robots {
       .map { case (site, verdict, pat) =>
         (site, verdict, pat.length.toLong, translate(pat)) }
       .toDF("site", "verdict", "pattern_len", "regex")
+  }
+
+  // ---- the r17 group-selection fixture ------------------------------------
+
+  /** The gate crawler's product token. */
+  val FixtureAgent = "graftbot/1.2"
+
+  /** Per-site robots.txt BODIES (r17): the group-parser + selection
+    * path exercised end to end. Every selection semantic sees live
+    * traffic — a specific `graftbot` group shadowing a BLOCK-ALL `*`
+    * group (a selection bug = mass disallow), a shorter-prefix
+    * `graft` token beside a non-matching `graftbot-image`, a
+    * case-insensitive `GRAFTBOT` token with a junk crawl-delay, a
+    * wrong-bot-only file (no match, no `*` → default allow), stacked
+    * user-agent lines, real crawl-delays, and global sitemap lines.
+    * Selected for [[FixtureAgent]], the effective rules equal the
+    * r16 [[fixtureRules]] bands — the matching semantics stay pinned
+    * while SELECTION becomes the load-bearing layer. */
+  def fixtureRobotsBodies: Seq[(String, String)] = (0 until 20).flatMap { k =>
+    val ex = s"src$k.example"
+    val uk = s"src$k.co.uk"
+    val exBody = (k % 4) match {
+      case 0 =>
+        s"""# fixture site $k
+User-agent: graftbot
+Crawl-delay: ${k % 7 + 1}
+Disallow: /path/
+Allow: /path/a
+Disallow: /$$
+
+User-agent: *
+Disallow: /
+
+Sitemap: https://$ex/sitemap.xml
+"""
+      case 1 =>
+        s"""User-agent: graft
+Disallow: /login
+
+User-agent: graftbot-image
+Disallow: /img
+"""
+      case 2 =>
+        s"""User-agent: GRAFTBOT
+Disallow: /
+Allow: /path/*a*
+Crawl-delay: soon
+
+User-agent: otherbot
+Disallow: /elsewhere
+"""
+      case _ =>
+        s"""User-agent: otherbot
+Disallow: /
+"""
+    }
+    val ukBody = (k % 4) match {
+      case 1 => Some(
+        s"""User-agent: *
+Disallow: /story$$
+Sitemap: https://$uk/news-sitemap.xml
+Sitemap: https://$uk/archive-sitemap.xml
+""")
+      case 3 => Some(
+        s"""User-agent: graftbot
+User-agent: newsbot
+Disallow: /story
+""")
+      case _ => None
+    }
+    Seq((ex, exBody)) ++ ukBody.map((uk, _))
+  }
+
+  /** Bodies → (rules frame, meta frame) for [[FixtureAgent]]:
+    * parse + select happen at INGESTION (driver-side over the
+    * domain-bounded body list, the [[fixtureRulesFrame]] shape);
+    * rules = (site, verdict, pattern_len, regex), meta =
+    * (site, crawl_delay, n_sitemaps). */
+  def fixtureGroupFrames(spark: org.apache.spark.sql.SparkSession)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parsed = fixtureRobotsBodies.map { case (site, body) =>
+      val (groups, sitemaps) = parseRobotsGroups(body)
+      val (rules, delay) = selectGroup(groups, FixtureAgent)
+      (site, rules, delay, sitemaps.length.toLong)
+    }
+    val rules = parsed
+      .flatMap { case (site, rs, _, _) =>
+        rs.map { case (v, p) => (site, v, p.length.toLong, translate(p)) } }
+      .toDF("site", "verdict", "pattern_len", "regex")
+    val meta = parsed
+      .map { case (site, _, d, n) => (site, d, n) }
+      .toDF("site", "crawl_delay", "n_sitemaps")
+    (rules, meta)
+  }
+
+  /** SQL VALUES of the SELECTED rules — rendered through the same
+    * parse + select + translate as [[fixtureGroupFrames]] (the
+    * twins cannot drift). */
+  def sqlGroupRules: String = {
+    val rows = fixtureRobotsBodies.flatMap { case (site, body) =>
+      selectGroup(parseRobotsGroups(body)._1, FixtureAgent)._1
+        .map { case (v, p) =>
+          val re = translate(p).replace("'", "''")
+          s"('$site', '$v', ${p.length}, '$re')"
+        }
+    }
+    s"""(VALUES ${rows.mkString(",\n       ")})
+       AS rules(site, verdict, pattern_len, regex)"""
+  }
+
+  /** SQL VALUES of the per-site (crawl_delay, n_sitemaps) metadata —
+    * same rendering source. */
+  def sqlGroupMeta: String = {
+    val rows = fixtureRobotsBodies.map { case (site, body) =>
+      val (groups, sitemaps) = parseRobotsGroups(body)
+      val delay = selectGroup(groups, FixtureAgent)._2
+        .map(_.toString).getOrElse("NULL")
+      s"('$site', $delay, ${sitemaps.length})"
+    }
+    s"""(VALUES ${rows.mkString(",\n       ")})
+       AS meta(site, crawl_delay, n_sitemaps)"""
   }
 
   /** The SAME rules as a SQL VALUES relation — rendered from

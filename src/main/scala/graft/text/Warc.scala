@@ -372,8 +372,23 @@ object Warc {
     * layer does NOT decode (br, compress…) pass through
     * UNDECODED (still de-chunked if chunked) with the header
     * preserved: [[httpContentEncoding]] is the signal a pipeline
-    * filters or diverts them by BEFORE text extraction. Identity
-    * payloads keep the r15 behavior byte-for-byte. */
+    * filters or diverts them by BEFORE text extraction. All-ASCII
+    * identity payloads keep the r15 behavior byte-for-byte.
+    *
+    * r17 (VERDICT r16 missing #2): charset resolution is the PINNED
+    * priority chain `HTTP header > BOM > HTML5 meta prescan > UTF-8`
+    * ([[sniffCharset]]) — header-less or header-lying servers are
+    * the common case in older crawls, and most real pages declare
+    * their encoding in markup. A BOM that decides the charset is
+    * STRIPPED from the decoded text; a header charset wins over a
+    * disagreeing BOM/meta by the pinned order (and the BOM then
+    * stays in the text — it is content under the header's framing).
+    * Any length-CHANGING decode (multi-byte content, BOM strip, or a
+    * UTF-16/32 family charset) now frames the payload by the WARC
+    * Content-Length and REWRITES it like the r16 transform path —
+    * the old identity-payload octet/char caveat is gone; records
+    * without a parseable WARC length keep the r15 whole-rest decode
+    * (their framing was already broken). */
   private[graft] def decodeRecord(bytes: Array[Byte]): String = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val warcEnd = indexOfCrlfCrlf(bytes, 0)
@@ -390,19 +405,11 @@ object Warc {
     // char-offset substring — WARC headers may legally carry
     // multi-byte UTF-8, shifting offsets)
     val envelope = new String(bytes, bodyStart, payloadStart - bodyStart, utf8)
-    // isSupported THROWS (not false) on syntactically illegal names —
-    // the token regex admits e.g. a leading '-' — and a garbage header
-    // in one record must never kill the task (review r15 #1)
+    // tri-state header charset: null when absent or invalid — the
+    // r17 sniff below then takes over (header > BOM > meta > UTF-8)
     val m = CharsetParam.matcher(envelope)
-    val cs =
-      if (!m.find()) utf8
-      else try {
-        if (java.nio.charset.Charset.isSupported(m.group(1)))
-          java.nio.charset.Charset.forName(m.group(1))
-        else utf8
-      } catch {
-        case _: java.nio.charset.IllegalCharsetNameException => utf8
-      }
+    val headerCs: java.nio.charset.Charset =
+      if (!m.find()) null else parseCharsetName(m.group(1))
     val chunked = ChunkedParam.matcher(envelope).find()
     val ceM = ContentEncodingParam.matcher(envelope)
     val contentEncoding =
@@ -419,17 +426,41 @@ object Warc {
       contentEncoding == "zstd"
     val needsTransform = chunked || inflatable
     if (!needsTransform) {
-      val head = new String(bytes, 0, payloadStart, utf8)
-      return head + new String(bytes, payloadStart,
-        bytes.length - payloadStart, cs)
+      // r17 charset chain on the raw payload; byte==char fast path
+      // (the r15 behavior byte-for-byte) holds only when nothing can
+      // change lengths: no BOM strip, no wide charset, all-ASCII
+      val (cs, bom) = sniffCharset(headerCs, bytes, payloadStart,
+        bytes.length - payloadStart)
+      if (bom == 0 && !isWideCharset(cs) &&
+          allAscii(bytes, payloadStart, bytes.length)) {
+        val head = new String(bytes, 0, payloadStart, utf8)
+        return head + new String(bytes, payloadStart,
+          bytes.length - payloadStart, cs)
+      }
+      // length-changing decode: fall through to the framed path (no
+      // wire transform, but the same Content-Length rewrite)
     }
-    // transform path: frame the wire payload by the WARC
-    // Content-Length (payload = declared body minus the envelope),
-    // de-chunk, inflate, then charset-decode; anything after the
-    // declared body (the record's trailing CRLFCRLF) passes through
+    // framed path: frame the wire payload by the WARC Content-Length
+    // (payload = declared body minus the envelope), de-chunk,
+    // inflate, charset-resolve on the DECODED bytes (a gzip'd page's
+    // BOM/meta are only visible post-inflate), decode, and REWRITE
+    // the length; anything after the declared body (the record's
+    // trailing CRLFCRLF) passes through
     val warcHead = new String(bytes, 0, bodyStart, utf8)
     val clM = WarcLengthParam.matcher(warcHead)
-    require(clM.find(), "encoded HTTP payload without a WARC Content-Length")
+    if (!clM.find()) {
+      // a record without a parseable WARC length cannot be reframed:
+      // encoded payloads fail loudly (r16 contract); a plain payload
+      // keeps the r15 whole-rest decode (BOM still stripped when it
+      // decided the charset)
+      require(!needsTransform,
+        "encoded HTTP payload without a WARC Content-Length")
+      val (cs, bom) = sniffCharset(headerCs, bytes, payloadStart,
+        bytes.length - payloadStart)
+      val head = new String(bytes, 0, payloadStart, utf8)
+      return head + new String(bytes, payloadStart + bom,
+        bytes.length - payloadStart - bom, cs)
+    }
     val declared = clM.group(1).toLong
     val payloadEnd = bodyStart + declared
     require(declared >= payloadStart - bodyStart && payloadEnd <= bytes.length,
@@ -438,7 +469,8 @@ object Warc {
       payloadEnd.toInt)
     if (chunked) payload = dechunk(payload)
     if (inflatable) payload = inflatePayload(payload, contentEncoding)
-    val decodedPayload = new String(payload, cs)
+    val (cs, bom) = sniffCharset(headerCs, payload, 0, payload.length)
+    val decodedPayload = new String(payload, bom, payload.length - bom, cs)
     val tail = new String(bytes, payloadEnd.toInt,
       bytes.length - payloadEnd.toInt, utf8)
     // rewrite the WARC Content-Length to the DECODED body length (in
@@ -450,6 +482,77 @@ object Warc {
         s"\r\nContent-Length: $newLen"))
     newHead + envelope + decodedPayload + tail
   }
+
+  /** Charset.forName behind the lenient guards: isSupported THROWS
+    * (not false) on syntactically illegal names — the token regexes
+    * admit e.g. a leading '-' — and a garbage declaration in one
+    * record must never kill the task (review r15 #1). Null when
+    * unknown or illegal. */
+  private def parseCharsetName(name: String): java.nio.charset.Charset =
+    try {
+      if (java.nio.charset.Charset.isSupported(name))
+        java.nio.charset.Charset.forName(name)
+      else null
+    } catch {
+      case _: java.nio.charset.IllegalCharsetNameException => null
+    }
+
+  /** UTF-16/32 family charsets change ASCII byte lengths — never
+    * eligible for the byte==char fast path. */
+  private def isWideCharset(cs: java.nio.charset.Charset): Boolean = {
+    val n = cs.name
+    n.startsWith("UTF-16") || n.startsWith("UTF-32") ||
+      n.startsWith("X-UTF-16") || n.startsWith("X-UTF-32")
+  }
+
+  private def allAscii(bytes: Array[Byte], from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      if (bytes(i) < 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** r17 charset resolution (VERDICT r16 missing #2) — the PINNED
+    * priority chain over a payload byte range:
+    *   1. the HTTP header's charset parameter (when present+valid);
+    *   2. a BOM — UTF-8 `EF BB BF` (skip 3), UTF-16LE `FF FE`
+    *      (skip 2), UTF-16BE `FE FF` (skip 2);
+    *   3. the HTML5 prescan: the first 1024 bytes read
+    *      byte-transparently (latin-1) and searched for a
+    *      `<meta … charset=…>` declaration — one pattern covers both
+    *      the `charset` attribute and the `http-equiv` form's
+    *      `content="…; charset=…"` (the `charset=` token is the same
+    *      text in both); a meta claiming a UTF-16/32 family is
+    *      self-refuting (the meta itself was readable as ASCII) and
+    *      maps to UTF-8, the WHATWG rule;
+    *   4. UTF-8.
+    * Returns (charset, bomSkip) — the BOM is stripped only when it
+    * DECIDED the charset (under a header declaration it is content). */
+  private[graft] def sniffCharset(headerCs: java.nio.charset.Charset,
+      bytes: Array[Byte], off: Int, len: Int)
+      : (java.nio.charset.Charset, Int) = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (headerCs != null) return (headerCs, 0)
+    if (len >= 3 && bytes(off) == 0xEF.toByte &&
+      bytes(off + 1) == 0xBB.toByte && bytes(off + 2) == 0xBF.toByte)
+      return (utf8, 3)
+    if (len >= 2 && bytes(off) == 0xFF.toByte && bytes(off + 1) == 0xFE.toByte)
+      return (java.nio.charset.StandardCharsets.UTF_16LE, 2)
+    if (len >= 2 && bytes(off) == 0xFE.toByte && bytes(off + 1) == 0xFF.toByte)
+      return (java.nio.charset.StandardCharsets.UTF_16BE, 2)
+    val head = new String(bytes, off, math.min(1024, len),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val mm = MetaCharsetParam.matcher(head)
+    if (mm.find()) {
+      val cs = parseCharsetName(mm.group(1))
+      if (cs == null || isWideCharset(cs)) (utf8, 0) else (cs, 0)
+    } else (utf8, 0)
+  }
+
+  private val MetaCharsetParam = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]*charset[ \t]*=[ \t]*[\"']?([A-Za-z0-9_.:+\\-]+)")
 
   private val ChunkedParam = java.util.regex.Pattern.compile(
     "(?i)\r\ntransfer-encoding:[ \t]*chunked")
@@ -706,6 +809,52 @@ object Warc {
   /** One-frame zstd compression (encode twin of the zstd leg). */
   private[graft] def zstdBytes(data: Array[Byte]): Array[Byte] =
     com.github.luben.zstd.Zstd.compress(data)
+
+  /** The non-ASCII marker every meta-charset band appends — the
+    * byte sequence that makes the charset leg load-bearing (0xE9 in
+    * latin-1, 0xC3 0xA9 in UTF-8; the mojibake of reading the UTF-8
+    * spelling as latin-1 is the deterministic `Ã©`). */
+  private[graft] val CharsetMarker = "<p>café</p>"
+
+  /** Synthesize the HTTP message BYTES for the meta-charset fixture
+    * (r17, VERDICT r16 missing #2 — header-less and header-lying
+    * servers are the common case in older crawls). Six bands by id,
+    * one per leg of the pinned priority chain:
+    *   0. header `charset=utf-8`, UTF-8 bytes — the header leg;
+    *   1. NO header charset, latin-1 bytes with a leading
+    *      `<meta charset="iso-8859-1">` — the prescan leg (0xE9 is
+    *      an ILLEGAL UTF-8 byte: only the meta makes this decode);
+    *   2. UTF-8 BOM over a LYING meta (`iso-8859-1`), UTF-8 bytes —
+    *      BOM beats meta, and is stripped;
+    *   3. header `charset=iso-8859-1` (LYING) over a truthful
+    *      `<meta charset="utf-8">`, UTF-8 bytes — the header wins by
+    *      the pinned order and the marker decodes as the
+    *      deterministic mojibake (the band that pins the priority);
+    *   4. nothing declared, UTF-8 bytes — the default leg;
+    *   5. UTF-16LE BOM, UTF-16LE bytes — the wide-charset leg (every
+    *      byte pair would garble under any ASCII-compatible decode).
+    * Every band appends [[CharsetMarker]] so a wrong leg breaks its
+    * band's fingerprint. */
+  private[graft] def charsetBand(docId: Long, page: String): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def msg(ct: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nServer: crawler-fixture/1.0\r\n" +
+        s"Content-Type: $ct\r\nContent-Length: ${body.length}\r\n\r\n")
+        .getBytes(ascii) ++ body
+    val marked = page + CharsetMarker
+    (docId % 6) match {
+      case 0 => msg("text/html; charset=utf-8", marked.getBytes("UTF-8"))
+      case 1 => msg("text/html",
+        ("<meta charset=\"iso-8859-1\">" + marked).getBytes("ISO-8859-1"))
+      case 2 => msg("text/html",
+        Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          ("<meta charset=\"iso-8859-1\">" + marked).getBytes("UTF-8"))
+      case 3 => msg("text/html; charset=iso-8859-1",
+        ("<meta charset=\"utf-8\">" + marked).getBytes("UTF-8"))
+      case 4 => msg("text/html", marked.getBytes("UTF-8"))
+      case _ => msg("text/html", ("\uFEFF" + marked).getBytes("UTF-16LE"))
+    }
+  }
 
   /** WARC-frame a response body as BYTES (the byte-domain sibling of
     * [[warcify]], for fixtures whose bodies are not valid strings):

@@ -115,4 +115,94 @@ class RobotsSpec extends SparkSpec {
     // band 1 /login — no rules on src15.example) -> allow
     assert(v(55L) == "allow")
   }
+
+  // ---- r17 group parsing + RFC 9309 §2.2.1 selection ----------------------
+
+  test("group parser: stacked agents, crawl-delay, global sitemaps (r17)") {
+    val body = """# header comment
+User-agent: alpha
+User-agent: beta
+Disallow: /a
+Crawl-delay: 7
+Sitemap: https://x.example/one.xml
+
+User-agent: gamma
+Crawl-delay: 2
+Crawl-delay: 5
+Allow: /g
+Sitemap: https://x.example/two.xml
+
+User-agent: *
+Disallow: /star
+Crawl-delay: nine
+"""
+    val (groups, sitemaps) = Robots.parseRobotsGroups(body)
+    assert(groups.length == 3)
+    assert(groups(0).agents == Set("alpha", "beta"))
+    assert(groups(0).rules == Seq(("disallow", "/a")))
+    assert(groups(0).crawlDelay.contains(7L))
+    // last numeric crawl-delay in the group wins; junk is ignored
+    assert(groups(1).crawlDelay.contains(5L))
+    assert(groups(2).agents == Set("*") &&
+      groups(2).rules == Seq(("disallow", "/star")))
+    assert(groups(2).crawlDelay.isEmpty, "non-numeric delay must not parse")
+    // sitemaps are GLOBAL — collected regardless of group position
+    assert(sitemaps == Seq("https://x.example/one.xml",
+      "https://x.example/two.xml"))
+  }
+
+  test("selection matrix: longest prefix, case, merge, fallback, none (r17)") {
+    val body = """User-agent: graft
+Disallow: /short
+
+User-agent: GRAFTBOT
+Crawl-delay: 3
+Disallow: /long
+
+User-agent: graftbot
+Allow: /long/ok
+
+User-agent: graftbot-image
+Disallow: /img
+
+User-agent: *
+Disallow: /
+"""
+    val (groups, _) = Robots.parseRobotsGroups(body)
+    // longest matching token wins over the shorter prefix; matching
+    // is case-insensitive; BOTH graftbot groups merge (identical
+    // token); graftbot-image is NOT a prefix of graftbot/1.2
+    val (rules, delay) = Robots.selectGroup(groups, "graftbot/1.2")
+    assert(rules == Seq(("disallow", "/long"), ("allow", "/long/ok")))
+    assert(delay.contains(3L))
+    // a crawler matching only the shorter token
+    val (short, shortDelay) = Robots.selectGroup(groups, "grafter/9")
+    assert(short == Seq(("disallow", "/short")) && shortDelay.isEmpty)
+    // no specific match -> the * group
+    val (star, _) = Robots.selectGroup(groups, "otherbot/1.0")
+    assert(star == Seq(("disallow", "/")))
+    // the generic surface is the * leg
+    assert(Robots.parseRobotsTxt(body) == Seq(("disallow", "/")))
+    // no specific match AND no * group -> no rules (default allow)
+    val (none, _) = Robots.selectGroup(
+      Robots.parseRobotsGroups("User-agent: x\nDisallow: /")._1, "graftbot")
+    assert(none.isEmpty)
+  }
+
+  test("gate bodies select to the r16 rule bands for the fixture agent (r17)") {
+    // the group fixture's SELECTED rules must equal fixtureRules —
+    // the r16 matching semantics stay pinned under the new layer
+    val selected = Robots.fixtureRobotsBodies.flatMap { case (site, body) =>
+      Robots.parseRobotsTxtFor(body, Robots.FixtureAgent)._1
+        .map { case (v, p) => (site, v, p) }
+    }.toSet
+    assert(selected == Robots.fixtureRules.toSet,
+      "selection must recover exactly the r16 rule bands")
+    // and the block-all * shadows are REAL: selecting as an unknown
+    // bot on a band-0 body yields Disallow /
+    val band0 = Robots.fixtureRobotsBodies
+      .find(_._1 == "src0.example").get._2
+    assert(Robots.parseRobotsTxtFor(band0, "strangebot")._1 ==
+      Seq(("disallow", "/")))
+  }
 }

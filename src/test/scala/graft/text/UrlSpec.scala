@@ -127,4 +127,51 @@ class UrlSpec extends SparkSpec {
     assert(got.map(_._3).toSeq == Seq("src0.example", "src1.example",
       "src2.example", "src3.co.uk", "src4.example", "src5.example"))
   }
+
+  private def sitesUnder(rules: org.apache.spark.sql.DataFrame,
+      hosts: String*): Map[String, String] =
+    Url.withRegistrableDomain(hosts.toDF("h"), col("h"), "site", rules)
+      .select(col("h"), col("site")).as[(String, String)].collect().toMap
+
+  test("suffix rules as data: wildcard and exception semantics (r17)") {
+    val rules = Url.fixtureSuffixRulesFrame(spark)
+    val m = sitesUnder(rules,
+      "a.b.site.example",        // implicit * default: last two labels
+      "x.y.site.github.io",      // multi-label NORMAL rule
+      "a.town.kawasaki.jp",      // WILDCARD: town.kawasaki.jp is public
+      "town.kawasaki.jp",        // host IS a wildcard public suffix
+      "ward.city.kawasaki.jp",   // EXCEPTION overrides the wildcard
+      "city.kawasaki.jp",        // the exception rule itself
+      "github.io",               // host == normal suffix: pass-through
+      "shop.x.co.uk",            // pinned defaults ride along as data
+      "10.0.0.1", "localhost")   // ip / single label: pass-through
+    assert(m("a.b.site.example") == "site.example")
+    assert(m("x.y.site.github.io") == "site.github.io")
+    assert(m("a.town.kawasaki.jp") == "a.town.kawasaki.jp")
+    assert(m("town.kawasaki.jp") == "town.kawasaki.jp")
+    assert(m("ward.city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(m("city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(m("github.io") == "github.io")
+    assert(m("shop.x.co.uk") == "x.co.uk")
+    assert(m("10.0.0.1") == "10.0.0.1")
+    assert(m("localhost") == "localhost")
+  }
+
+  test("default rule table reproduces the pinned Column fold exactly (r17)") {
+    // the swap-in contract: under defaultSuffixRules the data-driven
+    // fold and registrableDomain agree on every urlize-band host
+    val hosts = (0L to 59L).toDF("doc_id")
+      .select(Url.urlize(col("doc_id")).as("u"))
+      .select(Url.canonicalize(col("u")).as("c"))
+      .select(Url.hostOf(col("c")).as("h"))
+    val both = Url.withRegistrableDomain(
+        hosts.withColumn("col_site", Url.registrableDomain(col("h"))),
+        col("h"), "data_site", Url.defaultSuffixRules(spark))
+      .select(col("h"), col("col_site"), col("data_site"))
+      .as[(String, String, String)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (h, c, d) =>
+      assert(c == d, s"host $h: column fold $c != data fold $d")
+    }
+  }
 }

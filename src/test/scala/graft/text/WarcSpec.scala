@@ -505,6 +505,105 @@ class WarcSpec extends SparkSpec {
     assert(decoded.endsWith("plain body\r\n\r\n"))
   }
 
+  // ---- r17 charset sniff (header > BOM > meta > UTF-8) -------------------
+
+  private def csRecord(http: Array[Byte]): Array[Byte] =
+    ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://src0.example/doc/0\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+      http ++ "\r\n\r\n".getBytes("US-ASCII")
+
+  private def csHttp(ct: String, body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+
+  private def payloadAndOk(recBytes: Array[Byte]): (String, Boolean) =
+    Seq(Warc.decodeRecord(recBytes)).toDF("rec")
+      .select(Warc.httpPayload(Warc.bodyOf(col("rec"))).as("p"),
+        Warc.bodyOk(col("rec")).as("ok"))
+      .as[(String, Boolean)].head()
+
+  test("meta prescan decodes a header-less latin-1 page; length rewrite frames it (r17)") {
+    val body = ("<meta charset=\"iso-8859-1\"><p>café crème</p>")
+      .getBytes("ISO-8859-1") // 0xE9/0xE8: ILLEGAL UTF-8 bytes
+    val (p, ok) = payloadAndOk(csRecord(csHttp("text/html", body)))
+    assert(p == "<meta charset=\"iso-8859-1\"><p>café crème</p>")
+    assert(ok, "identity multi-byte decode must rewrite the WARC length")
+    // the http-equiv spelling resolves through the same pattern
+    val body2 = ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=iso-8859-1\"><p>café</p>").getBytes("ISO-8859-1")
+    val (p2, ok2) = payloadAndOk(csRecord(csHttp("text/html", body2)))
+    assert(p2.endsWith("<p>café</p>") && ok2)
+  }
+
+  test("BOM beats meta and is stripped; header beats BOM and keeps it (r17)") {
+    val utf8Body = "<meta charset=\"iso-8859-1\"><p>café</p>".getBytes("UTF-8")
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    // no header charset: the BOM decides UTF-8 over the lying meta,
+    // and the decoded payload starts at the meta (BOM stripped)
+    val (p, ok) = payloadAndOk(csRecord(csHttp("text/html", bom ++ utf8Body)))
+    assert(p == "<meta charset=\"iso-8859-1\"><p>café</p>" && ok)
+    // header charset present: it wins, and the BOM is CONTENT under
+    // the header's framing (the pinned priority order)
+    val (p2, ok2) = payloadAndOk(csRecord(
+      csHttp("text/html; charset=utf-8", bom ++ utf8Body)))
+    assert(p2 == "\uFEFF<meta charset=\"iso-8859-1\"><p>café</p>" && ok2)
+  }
+
+  test("header lies, meta truth: the header wins with deterministic mojibake (r17)") {
+    val body = "<meta charset=\"utf-8\"><p>café</p>".getBytes("UTF-8")
+    val (p, ok) = payloadAndOk(csRecord(
+      csHttp("text/html; charset=iso-8859-1", body)))
+    assert(p == "<meta charset=\"utf-8\"><p>cafÃ©</p>" && ok)
+  }
+
+  test("UTF-16LE BOM routes through the framed decode (r17)") {
+    val text = "<p>wide café</p>"
+    val (p, ok) = payloadAndOk(csRecord(
+      csHttp("text/html", ("\uFEFF" + text).getBytes("UTF-16LE"))))
+    assert(p == text && ok,
+      "UTF-16 payload must decode whole and reframe by the rewritten length")
+    val (pBe, okBe) = payloadAndOk(csRecord(
+      csHttp("text/html", ("\uFEFF" + text).getBytes("UTF-16BE"))))
+    assert(pBe == text && okBe)
+  }
+
+  test("meta sniff negatives: beyond 1024 bytes, illegal names, wide claims (r17)") {
+    // a meta past the 1024-byte prescan window is ignored -> UTF-8
+    val far = ("x" * 1100) + "<meta charset=\"iso-8859-1\">café"
+    val (p, _) = payloadAndOk(csRecord(csHttp("text/html",
+      far.getBytes("UTF-8"))))
+    assert(p.endsWith("café"), "UTF-8 default must apply (meta out of window)")
+    // an illegal meta name falls back to UTF-8, never throws
+    val bad = "<meta charset=\"-8859-1\"><p>café</p>"
+    val (p2, _) = payloadAndOk(csRecord(csHttp("text/html",
+      bad.getBytes("UTF-8"))))
+    assert(p2 == bad)
+    // a meta claiming UTF-16 is self-refuting (readable as ASCII) and
+    // maps to UTF-8, the WHATWG rule
+    val wide = "<meta charset=\"utf-16le\"><p>café</p>"
+    val (p3, _) = payloadAndOk(csRecord(csHttp("text/html",
+      wide.getBytes("UTF-8"))))
+    assert(p3 == wide)
+  }
+
+  test("every charsetBand leg decodes to the marked page (r17)") {
+    val page = "<p>band page body</p>"
+    (0L to 11L).foreach { id =>
+      val rec = Warc.warcifyBytes(id, Warc.charsetBand(id, page))
+      val (p, ok) = payloadAndOk(rec)
+      val band = (id % 6).toInt
+      val expected = band match {
+        case 1 | 2 => "<meta charset=\"iso-8859-1\">" + page + Warc.CharsetMarker
+        case 3 => ("<meta charset=\"utf-8\">" + page + Warc.CharsetMarker)
+          .replace("é", "Ã©")
+        case _ => page + Warc.CharsetMarker
+      }
+      assert(p == expected, s"band $band payload")
+      assert(ok, s"band $band must pass body_ok after the length rewrite")
+    }
+  }
+
   test("a truncated record fails body_ok instead of passing silently") {
     val rec = recOf(5L, "<p>full payload body</p>")
     val truncated = rec.substring(0, rec.length - 12)
