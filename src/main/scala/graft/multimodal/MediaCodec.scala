@@ -179,6 +179,7 @@ object MediaCodec {
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
       JpegCodec.decode(payload)
     else if (m0 == 'G' && m1 == 'I') GifCodec.decode(payload) // r16
+    else if (m0 == 'R' && m1 == 'I') WebpCodec.decode(payload) // r17
     else throw new IllegalArgumentException(s"unknown image magic '$m0$m1'")
   }
 

@@ -80,6 +80,13 @@ object Multimodal {
   def asGifTable(docs: DataFrame): DataFrame =
     mediaTableVia(docs, GifCodec.encodeDocGif)
 
+  /** WebP-lossless leg (r17): the SAME gray raster in VP8L streams,
+    * bands cycling palette / subtract-green / color-cache+LZ77 /
+    * all-14-predictors so every transform family is gate-load-
+    * bearing ([[WebpCodec]]). */
+  def asWebpTable(docs: DataFrame): DataFrame =
+    mediaTableVia(docs, WebpCodec.encodeDocWebp)
+
   /** Wrap a per-partition decode stream so `close` fires when the
     * iterator drains — the one subtle pattern (close inside hasNext)
     * shared by every batched-codec operator here. */

