@@ -663,7 +663,11 @@ object WebpCodec {
   private def writeCode(lengths: Array[Int], bw: Bw): Array[(Int, Int)] = {
     val used = lengths.zipWithIndex.filter(_._1 > 0).map(_._2)
     require(used.length >= 2, "writeCode handles >= 2 symbols (singles go simple)")
-    if (used.length == 2) {
+    // simple codes spell symbols in 8 bits — a length-slot or cache
+    // symbol (>= 256) MUST take the normal-code path (r17 review #1:
+    // a uniform raster tokenizes to {literal, run} and the truncated
+    // spelling corrupted the stream)
+    if (used.length == 2 && used(1) <= 255) {
       bw.put(1, 1) // simple code, two symbols, 8-bit spellings
       bw.put(1, 1)
       bw.put(1, 1)
@@ -743,6 +747,7 @@ object WebpCodec {
   private def writeSingleOrCode(lengthsOrSingle: Either[Int, Array[Int]],
       bw: Bw, alphabet: Int): Array[(Int, Int)] = lengthsOrSingle match {
     case Left(sym) =>
+      require(sym <= 255, s"simple codes spell 8-bit symbols, got $sym")
       bw.put(1, 1) // simple
       bw.put(0, 1) // one symbol
       if (sym < 2) { bw.put(0, 1); bw.put(sym, 1) }

@@ -852,9 +852,10 @@ object TextOps {
           .select(col("doc_id"), Url.urlize(col("doc_id")).as("u"),
             Links.linkify(col("doc_id")).as("raw")),
         col("u"), "page")
-      .select(col("doc_id"), col("page"),
+      .select(col("doc_id"), col("page"), col("u"),
         explode(Links.extractHrefs(col("raw"))).as("href"))
-    val resolved = Links.withResolved(pages, col("page"), col("href"), "abs")
+    val resolved = Links.withResolved(pages, col("page"), col("u"),
+        col("href"), "abs")
       .filter(col("abs").isNotNull)
     // each derivation stage lands on its OWN select (the r16 lesson:
     // a fused registrable∘hostOf∘canonical stack re-expands to
@@ -967,11 +968,12 @@ object TextOps {
     s"""lf0 AS MATERIALIZED (SELECT doc_id, ${Links.sqlLinkify("doc_id")} AS raw,
            ${Url.sqlCanonSteps(Url.sqlUrlize("doc_id"))}
          FROM documents),
-       lf1 AS MATERIALIZED (SELECT doc_id, uc_canon AS page, uc_site AS src_site,
+       lf1 AS MATERIALIZED (SELECT doc_id, uc_canon AS page,
+           uc_u AS rawu, uc_site AS src_site,
            unnest(${Links.sqlExtractHrefs("raw")}) AS href
          FROM lf0),
        lf2 AS MATERIALIZED (SELECT doc_id, src_site,
-           ${Links.sqlResolveSteps("page", "href")}
+           ${Links.sqlResolveSteps("page", "rawu", "href")}
          FROM lf1),
        lf3 AS MATERIALIZED (SELECT doc_id, src_site, ${Url.sqlCanonSteps("lr_abs")}
          FROM lf2 WHERE lr_abs IS NOT NULL),

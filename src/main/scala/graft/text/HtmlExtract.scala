@@ -126,8 +126,9 @@ object HtmlExtract {
 
   /** SQL-literal escape + newline-safe embedding for the oracle
     * twin: ' doubles; a REAL newline in a replacement becomes a
-    * chr(10) concat (standard SQL strings don't process escapes). */
-  private def sqlLit(s: String): String = {
+    * chr(10) concat (standard SQL strings don't process escapes).
+    * Shared with [[Links]] (r17 review #6 — one helper, no drift). */
+  private[text] def sqlLit(s: String): String = {
     val body = s.replace("'", "''").replace("\n", "' || chr(10) || '")
     s"'$body'"
   }

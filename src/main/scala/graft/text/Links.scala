@@ -27,14 +27,19 @@ import org.apache.spark.sql.functions._
   *   - [[withResolved]]: RFC 3986 reference resolution, the pinned
   *     subset a curation pipeline needs: absolute http(s) refs pass
   *     through; other schemes (mailto:, javascript:, tel:, data:)
-  *     drop; `//host/...` takes the page's scheme; `/path` is
-  *     root-relative; anything else resolves against the page's
-  *     directory; empty and `#fragment`-only refs drop (self-links).
-  *     Dot-segment removal runs BOUNDED: up to 2 consecutive `./`
-  *     runs and 4 `../` levels (regex passes applied a fixed number
-  *     of times — both engines share the exact passes; deeper nests
-  *     and dot-dots above the root are out of scope and documented,
-  *     as is a `/../` appearing inside a query string).
+  *     drop; `//host/...` takes the page's scheme; `?query` keeps
+  *     the FULL base path; `/path` is root-relative; anything else
+  *     resolves against the page's base directory — the canonical
+  *     path with the RAW spelling's trailing slash restored, so a
+  *     directory page (`…/docs/`) is its own base while a file page
+  *     (`…/docs`) resolves against its parent; empty and
+  *     `#fragment`-only refs drop (self-links). Dot-segment removal
+  *     runs BOUNDED on the constructed PATH (never the authority):
+  *     up to 2 consecutive `./` runs and 4 `../` levels (regex
+  *     passes applied a fixed number of times — both engines share
+  *     the exact passes); deeper nests stay literal, and an
+  *     above-root `../` stays literal too (documented; it must
+  *     never eat into the host).
   *   - the resolved absolute string then flows through the EXISTING
   *     [[Url.withCanonical]] + [[Url.registrableDomain]] — one
   *     canonical key space for pages and link targets alike.
@@ -91,10 +96,9 @@ object Links {
          regexp_extract_all($body, ${sqlLit(HrefSq)}, 2))"""
   }
 
-  private def sqlLit(s: String): String = {
-    val body = s.replace("'", "''").replace("\n", "' || chr(10) || '")
-    s"'$body'"
-  }
+  // SQL-literal escaping shared with HtmlExtract (one helper — the
+  // two copies could drift, r17 review #6)
+  private def sqlLit(s: String): String = HtmlExtract.sqlLit(s)
 
   /** Bounded dot-segment removal (pinned passes — see scaladoc):
     * `/./` twice (consecutive runs overlap on the shared slash),
@@ -122,11 +126,23 @@ object Links {
     * projections, the Url.withCanonical discipline): adds `out` =
     * the absolute PRE-canonical URL string, or null for dropped refs
     * (empty, fragment-only, non-http(s) schemes, schemeless pages).
-    * Feed `out` through [[Url.withCanonical]] next — resolution and
-    * canonicalization stay two stages so each is oracle-pinnable. */
-  def withResolved(df: DataFrame, page: Column, href: Column,
-      out: String): DataFrame = {
+    * `rawUrl` is the page's PRE-canonical spelling: canonicalization
+    * strips a trailing slash, but RFC 3986 resolution needs it — a
+    * DIRECTORY page (`…/docs/`) is its own base, while a file page
+    * (`…/docs`) resolves against the parent — so the base path is
+    * the canonical path with the raw spelling's trailing slash
+    * restored (r17 review #3). Query-only refs (`?page=2`) keep the
+    * FULL base path per the RFC (review #4). Dot-segment removal
+    * runs on the constructed PATH only — applying it to the whole
+    * URL let an above-root `../` eat the authority through the `//`
+    * of `scheme://` (review #2); above-root dot-dots now stay
+    * literal, as documented. Feed `out` through
+    * [[Url.withCanonical]] next — resolution and canonicalization
+    * stay two stages so each is oracle-pinnable. */
+  def withResolved(df: DataFrame, page: Column, rawUrl: Column,
+      href: Column, out: String): DataFrame = {
     val d1 = df.withColumn("_lr_page", page)
+      .withColumn("_lr_raw", rawUrl)
       .withColumn("_lr_h", trim(href))
     val pg = col("_lr_page")
     val h = col("_lr_h")
@@ -136,45 +152,73 @@ object Links {
         regexp_extract(pg, "^([a-z][a-z0-9+.-]*://[^/]+)", 1))
       .withColumn("_lr_path",
         regexp_extract(pg, "^[a-z][a-z0-9+.-]*://[^/]+(/[^?]*)", 1))
-    val d3 = d2.withColumn("_lr_dir",
+      .withColumn("_lr_rawpath",
+        regexp_extract(col("_lr_raw"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1))
+    val d3 = d2.withColumn("_lr_fullpath",
       when(col("_lr_path") === "", lit("/"))
-        .otherwise(regexp_extract(col("_lr_path"), "^(.*/)", 1)))
+        .when(col("_lr_rawpath").endsWith("/") &&
+          !col("_lr_path").endsWith("/"),
+          concat(col("_lr_path"), lit("/")))
+        .otherwise(col("_lr_path")))
+    // greedy up-to-last-slash: a trailing-slash base is its own dir
+    val d4 = d3.withColumn("_lr_dir",
+      regexp_extract(col("_lr_fullpath"), "^(.*/)", 1))
     val hasScheme = h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
     val abs = when(locate("://", pg) === 0, lit(null))
       .when(h === "" || h.startsWith("#"), lit(null))
       .when(hasScheme,
         when(h.rlike("(?i)^https?://"), h).otherwise(lit(null)))
       .when(h.startsWith("//"), concat(col("_lr_scheme"), lit(":"), h))
-      .when(h.startsWith("/"), concat(col("_lr_root"), h))
-      .otherwise(concat(col("_lr_root"), col("_lr_dir"), h))
-    d3.withColumn(out, removeDots(abs))
-      .drop("_lr_page", "_lr_h", "_lr_scheme", "_lr_root", "_lr_path",
-        "_lr_dir")
+      .when(h.startsWith("?"),
+        concat(col("_lr_root"), col("_lr_fullpath"), h))
+      .otherwise(concat(col("_lr_root"), removeDots(
+        when(h.startsWith("/"), h)
+          .otherwise(concat(col("_lr_dir"), h)))))
+    d4.withColumn(out, abs)
+      .drop("_lr_page", "_lr_raw", "_lr_h", "_lr_scheme", "_lr_root",
+        "_lr_path", "_lr_rawpath", "_lr_fullpath", "_lr_dir")
   }
+
+  /** Resolution against a page whose canonical and raw forms
+    * coincide (fixtures/tests; canonical URLs never carry the
+    * trailing-slash distinction). */
+  def withResolved(df: DataFrame, page: Column, href: Column,
+      out: String): DataFrame =
+    withResolved(df, page, page, href, out)
 
   /** SQL twin of [[withResolved]] as a lateral-alias step chain
     * (`lr_`-prefixed). Embed in a SELECT list and read `lr_abs`
     * downstream; chain [[Url.sqlCanonSteps]] over it in the NEXT
     * query block (the two step chains both use generic alias names —
     * nesting them in one list would collide). */
-  def sqlResolveSteps(pageExpr: String, hrefExpr: String): String =
+  def sqlResolveSteps(pageExpr: String, rawExpr: String,
+      hrefExpr: String): String =
     s"""$pageExpr AS lr_page,
        trim($hrefExpr) AS lr_h,
        split_part(lr_page, '://', 1) AS lr_scheme,
        regexp_extract(lr_page, '^([a-z][a-z0-9+.-]*://[^/]+)', 1) AS lr_root,
        regexp_extract(lr_page,
          '^[a-z][a-z0-9+.-]*://[^/]+(/[^?]*)', 1) AS lr_path,
+       regexp_extract($rawExpr,
+         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS lr_rawpath,
        (CASE WHEN lr_path = '' THEN '/'
-             ELSE regexp_extract(lr_path, '^(.*/)', 1) END) AS lr_dir,
-       ${sqlRemoveDots(s"""(CASE
+             WHEN ends_with(lr_rawpath, '/')
+               AND NOT ends_with(lr_path, '/')
+               THEN lr_path || '/'
+             ELSE lr_path END) AS lr_fullpath,
+       regexp_extract(lr_fullpath, '^(.*/)', 1) AS lr_dir,
+       (CASE
          WHEN position('://' IN lr_page) = 0 THEN NULL
          WHEN lr_h = '' OR starts_with(lr_h, '#') THEN NULL
          WHEN regexp_matches(lr_h, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN
            (CASE WHEN regexp_matches(lr_h, '(?i)^https?://') THEN lr_h
                  ELSE NULL END)
          WHEN starts_with(lr_h, '//') THEN lr_scheme || ':' || lr_h
-         WHEN starts_with(lr_h, '/') THEN lr_root || lr_h
-         ELSE lr_root || lr_dir || lr_h END)""")} AS lr_abs"""
+         WHEN starts_with(lr_h, '?') THEN lr_root || lr_fullpath || lr_h
+         ELSE lr_root || ${sqlRemoveDots(
+           """(CASE WHEN starts_with(lr_h, '/') THEN lr_h
+                ELSE lr_dir || lr_h END)""")} END) AS lr_abs"""
 
   // ---- the gate fixture --------------------------------------------------
 
@@ -190,8 +234,10 @@ object Links {
     *   band 1: an `a/../` relative link (dot-dot removal), a
     *     fragment-only self link and a mailto: (both drop), plus a
     *     script-string href (PreSteps must remove it);
-    *   band 2: a scheme-relative CDN link and a root-relative link
-    *     carrying a tracking param (utm_ strip on targets);
+    *   band 2: a scheme-relative CDN link, a root-relative link
+    *     carrying a tracking param (utm_ strip on targets), and a
+    *     QUERY-ONLY pagination link (`?page=…` keeps the full base
+    *     path per the RFC);
     *   band 3: a directory-relative link and an absolute https link
     *     into the `.co.uk` site family (two-level-suffix keying). */
   private[graft] def linkify(docId: Column): Column = {
@@ -212,7 +258,8 @@ object Links {
         lit("<p><a href=\"//cdn.src"), kn,
         lit(".example/lib?v=1\">cdn</a> " +
           "<a href=\"/promo?utm_source=feed&id="), p,
-        lit("\">promo</a></p>")))
+        lit("\">promo</a> <a href=\"?page="), p,
+        lit("\">next page</a></p>")))
       .otherwise(concat(
         lit("<p><a href=\"sub/doc"), p,
         lit("\">rel</a> <a href=\"https://news.src"), kn,
@@ -235,7 +282,8 @@ object Links {
         || '<script>var u = ''<a href="http://evil.example/">'';</script>'
       WHEN 2 THEN '<p><a href="//cdn.src' || $kn
         || '.example/lib?v=1">cdn</a> '
-        || '<a href="/promo?utm_source=feed&id=' || $p || '">promo</a></p>'
+        || '<a href="/promo?utm_source=feed&id=' || $p || '">promo</a> '
+        || '<a href="?page=' || $p || '">next page</a></p>'
       ELSE '<p><a href="sub/doc' || $p
         || '">rel</a> <a href="https://news.src' || $kn
         || '.co.uk/story/?fbclid=f&id=' || $p || '">story</a></p>' END)"""

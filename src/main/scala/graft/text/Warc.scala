@@ -448,13 +448,23 @@ object Warc {
     // trailing CRLFCRLF) passes through
     val warcHead = new String(bytes, 0, bodyStart, utf8)
     val clM = WarcLengthParam.matcher(warcHead)
-    if (!clM.find()) {
-      // a record without a parseable WARC length cannot be reframed:
-      // encoded payloads fail loudly (r16 contract); a plain payload
-      // keeps the r15 whole-rest decode (BOM still stripped when it
-      // decided the charset)
+    val clFound = clM.find()
+    val clOk = clFound && {
+      val d = clM.group(1).toLong
+      d >= payloadStart - bodyStart && bodyStart + d <= bytes.length
+    }
+    if (!clOk) {
+      // a record without a usable WARC length cannot be reframed:
+      // encoded payloads fail loudly (the r16 contract — corrupt wire
+      // transforms must never emit mangled text); a PLAIN payload
+      // keeps the r15 whole-rest decode (r17 review #5: a
+      // length-lying identity record previously decoded whole and
+      // must not start killing the task just because its body
+      // carries a non-ASCII byte; its framing was already broken and
+      // body_ok already reports it). BOM still stripped when it
+      // decided the charset.
       require(!needsTransform,
-        "encoded HTTP payload without a WARC Content-Length")
+        "encoded HTTP payload without a usable WARC Content-Length")
       val (cs, bom) = sniffCharset(headerCs, bytes, payloadStart,
         bytes.length - payloadStart)
       val head = new String(bytes, 0, payloadStart, utf8)
@@ -463,8 +473,6 @@ object Warc {
     }
     val declared = clM.group(1).toLong
     val payloadEnd = bodyStart + declared
-    require(declared >= payloadStart - bodyStart && payloadEnd <= bytes.length,
-      s"WARC Content-Length $declared out of bounds for encoded payload")
     var payload = java.util.Arrays.copyOfRange(bytes, payloadStart,
       payloadEnd.toInt)
     if (chunked) payload = dechunk(payload)

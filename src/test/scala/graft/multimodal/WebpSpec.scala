@@ -31,6 +31,18 @@ class WebpSpec extends AnyFunSuite {
     } roundTrip(w, h, lcgBytes(w * h, w * 1000L + h * 10L + band), band)
   }
 
+  test("uniform and two-valued rasters round trip on every band (r17 review #1)") {
+    // a solid image tokenizes to {literal, run}: exactly two green
+    // symbols, one >= 256 — the case that must take the NORMAL code
+    // (the simple code spells symbols in 8 bits)
+    for (band <- 0 to 3) {
+      roundTrip(8, 8, Array.fill(64)(0.toByte), band)
+      roundTrip(8, 8, Array.fill(64)(200.toByte), band)
+      roundTrip(9, 5, Array.tabulate(45)(i => if (i % 9 < 4) 10 else 250)
+        .map(_.toByte), band)
+    }
+  }
+
   test("palette bundling: 1/2/4-bit packing legs all reconstruct") {
     // 2 grays -> widthBits 3 (8 px per green byte), 4 -> 2, 16 -> 1
     for ((distinct, w, h) <- Seq((2, 19, 7), (4, 19, 7), (16, 19, 7), (100, 19, 7))) {

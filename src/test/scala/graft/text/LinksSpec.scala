@@ -103,17 +103,40 @@ class LinksSpec extends SparkSpec {
     assert(d1 == Set("https://src1.example/up/page1.html"))
     // band 2 doc (id 2): scheme-relative cdn + tracking-stripped
     // promo (the page's non-default :8080 port survives resolution)
+    // + the query-only pagination link keeping the FULL base path
     val d2 = lf.filter(col("doc_id") === 2).select(col("target"))
       .as[String].collect().toSet
     assert(d2 == Set("http://cdn.src3.example/lib?v=1",
-      "http://src2.example:8080/promo?id=2"))
-    // band 3 doc (id 3): dir-relative + the co.uk story (fbclid is a
-    // tracking param — stripped from the TARGET too)
+      "http://src2.example:8080/promo?id=2",
+      "http://src2.example:8080/path/c?page=2"))
+    // band 3 doc (id 3): dir-relative resolves under the RAW
+    // trailing-slash base (/story/ is a directory page) + the co.uk
+    // story (fbclid is a tracking param — stripped from the TARGET)
     val d3 = lf.filter(col("doc_id") === 3)
       .select(col("target"), col("dst_site")).as[(String, String)]
       .collect().toMap
     assert(d3 == Map(
-      "http://news.src3.co.uk/sub/doc3" -> "src3.co.uk",
+      "http://news.src3.co.uk/story/sub/doc3" -> "src3.co.uk",
       "https://news.src4.co.uk/story?id=3" -> "src4.co.uk"))
+  }
+
+  test("resolve: query-only refs, directory bases, authority safety (r17 review)") {
+    // query-only href keeps the FULL base path (RFC 3986 §5.3)
+    assert(resolve("http://h.example/list/page?x=1", "?page=2")
+      .contains("http://h.example/list/page?page=2"))
+    // directory page (raw trailing slash) is its own base
+    val dirDf = Seq(("http://h.example/docs", "http://H.example/docs/",
+      "intro.html")).toDF("p", "r", "h")
+    val dirGot = Links.withResolved(dirDf, col("p"), col("r"), col("h"), "abs")
+      .select(col("abs")).as[Option[String]].collect().head
+    assert(dirGot.contains("http://h.example/docs/intro.html"))
+    // file page resolves against the parent (unchanged)
+    assert(resolve("http://h.example/docs", "intro.html")
+      .contains("http://h.example/intro.html"))
+    // above-root dot-dot must stay literal — never eat the host
+    assert(resolve("http://h.example/", "../x")
+      .contains("http://h.example/../x"))
+    assert(resolve("http://h.example/a/", "../../x")
+      .contains("http://h.example/../x"))
   }
 }

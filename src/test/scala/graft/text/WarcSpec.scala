@@ -587,6 +587,32 @@ class WarcSpec extends SparkSpec {
     assert(p3 == wide)
   }
 
+  test("a length-lying identity record with non-ASCII bytes decodes whole, never throws (r17)") {
+    // review #5: the framed routing for multi-byte identity payloads
+    // must not turn a malformed WARC length into a task-killing
+    // throw — the r15 whole-rest decode (and body_ok=false) is the
+    // contract for broken framing; only ENCODED payloads fail loudly
+    val payload = "café body".getBytes("UTF-8")
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes("US-ASCII") ++ payload
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${http.length + 999}\r\n\r\n").getBytes("US-ASCII") ++
+      http ++ "\r\n\r\n".getBytes("US-ASCII")
+    val decoded = Warc.decodeRecord(rec)
+    assert(decoded.contains("café body"), "whole-rest decode must survive")
+    val ok = Seq(decoded).toDF("rec")
+      .select(Warc.bodyOk(col("rec")).as("ok")).as[Boolean].head()
+    assert(!ok, "the lying length still fails body_ok")
+    // an ENCODED payload with the same lie fails loudly (r16 contract)
+    val gz = Warc.gzipBytes(payload)
+    val httpGz = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes("US-ASCII") ++ gz
+    val recGz = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${httpGz.length + 999}\r\n\r\n").getBytes("US-ASCII") ++
+      httpGz ++ "\r\n\r\n".getBytes("US-ASCII")
+    intercept[IllegalArgumentException] { Warc.decodeRecord(recGz) }
+  }
+
   test("every charsetBand leg decodes to the marked page (r17)") {
     val page = "<p>band page body</p>"
     (0L to 11L).foreach { id =>
