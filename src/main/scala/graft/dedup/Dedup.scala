@@ -697,36 +697,66 @@ object Dedup {
     * never create a false duplicate. */
   private def substringDupWindows(docs: DataFrame, k: Int,
       minDocs: Int): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persisted too (review r13): winsFp feeds BOTH the dup-hash
-    // aggregate and the candidate semi-join probe side — without the
-    // cache the O(corpus_windows) explode + per-window hash would
-    // run twice. 24 B/row (doc_id, start, fp), far smaller than the
-    // old per-window kg strings this layout replaced.
     val winsFp = toks
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("t")) - k),
         i => xxhash64(slice(col("t"), i + 1, lit(k)))))
         .as(Seq("start", "fp")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupFp = winsFp.groupBy(col("fp"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("fp"))
-    val candPos = winsFp.join(dupFp, Seq("fp"), "left_semi")
-      .select(col("doc_id"), col("start").cast("long").as("start"))
+    // r17 optimization (guide §2.4 — two ops keyed the same way share
+    // one exchange): at the production minDocs = 2, "≥ 2 distinct
+    // docs" ⟺ min(doc_id) ≠ max(doc_id) (the Scrub.spanScrub trick),
+    // and both the dup test AND the first-occurrence owner are
+    // key-partitioned aggregates — so each prefilter stage runs as
+    // ONE window pass over its key instead of a groupBy + join-back
+    // pair (count_distinct Expand + an extra exchange per stage).
+    // Same candidate sets, same shuffled byte mass, half the
+    // exchanges per pass; winsFp now has a single consumer, so its
+    // r13 cache is gone too. The generic minDocs path keeps the
+    // groupBy + semi-join shape.
+    val candPos =
+      if (minDocs == 2) {
+        val wfp = Window.partitionBy(col("fp"))
+        winsFp
+          .withColumn("mn", min(col("doc_id")).over(wfp))
+          .withColumn("mx", max(col("doc_id")).over(wfp))
+          .filter(col("mn") =!= col("mx"))
+          .select(col("doc_id"), col("start").cast("long").as("start"))
+      } else {
+        val dupFp = winsFp.groupBy(col("fp"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs).select(col("fp"))
+        winsFp.join(dupFp, Seq("fp"), "left_semi")
+          .select(col("doc_id"), col("start").cast("long").as("start"))
+      }
     val cand = candPos.join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("start"),
         array_join(slice(col("t"), (col("start") + 1).cast("int"), lit(k)), " ")
           .as("kg"))
-    val dupKg = cand.groupBy(col("kg"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("kg"))
-    (cand.join(dupKg, Seq("kg"), "left_semi")
-      .select(col("doc_id"), col("start"), col("kg")),
-      Seq(winsFp, toks))
+    val dupWins =
+      if (minDocs == 2) {
+        val wkg = Window.partitionBy(col("kg"))
+        cand
+          .withColumn("mn", min(col("doc_id")).over(wkg))
+          .withColumn("mx", max(col("doc_id")).over(wkg))
+          .withColumn("o", min(struct(col("doc_id"), col("start"))).over(wkg))
+          .filter(col("mn") =!= col("mx"))
+          .select(col("doc_id"), col("start"), col("kg"), col("o"))
+      } else {
+        val dupKg = cand.groupBy(col("kg"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs).select(col("kg"))
+        val owner = cand.groupBy(col("kg"))
+          .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+        cand.join(dupKg, Seq("kg"), "left_semi")
+          .join(owner, Seq("kg"))
+          .select(col("doc_id"), col("start"), col("kg"), col("o"))
+      }
+    (dupWins, Seq(toks))
   }
 
   /** Gaps-and-islands merge of window starts into maximal covered
@@ -783,36 +813,52 @@ object Dedup {
   def exactSubstringScrub(docs: DataFrame, k: Int,
       minDocs: Int = 2): DataFrame = {
     val (dupWins, cached) = substringDupWindows(docs, k, minDocs)
-    val owner = dupWins.groupBy(col("kg"))
-      .agg(min(struct(col("doc_id"), col("start"))).as("o"))
-    val cut = dupWins.join(owner, Seq("kg"))
+    val spans = scrubSpans(dupWins, k)
+    // Apply the cut per ROW, not per token (r17 optimization, guide
+    // §2.3/§2.4 + the Scrub.spanScrub precedent): fold each doc's few
+    // spans into one array and drop covered positions with a
+    // positional-filter HOF. The previous shape exploded the WHOLE
+    // corpus to (pos, tok) rows, range-anti-joined them against the
+    // span set and re-grouped with sort_array(collect_list(...)) —
+    // an O(corpus tokens) exchange carrying every token string, per
+    // pass. Now only the span frame (duplicated docs only) shuffles;
+    // the token walk stays inside the scan projection. Plan: 2
+    // Exchanges (spans agg + result) replace 4, and the widest
+    // exchange is span-rows, not corpus-token-rows.
+    val kept = filter(tokens(col("text")),
+      (_, i) => !exists(col("cut"), s =>
+        s.getField("s0") <= i && i < s.getField("s1")))
+    graft.api.Materialize.releasing(
+      docs.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("cut"),
+            array().cast("array<struct<s0:bigint,s1:bigint>>")).as("cut"))
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_before"),
+          size(kept).cast("long").as("n_after"),
+          when(size(kept) === 0, lit(0L))
+            .otherwise(graft.text.TextFunctions.fingerprint(
+              array_join(kept, " ")))
+            .as("fp_after")),
+      cached)
+  }
+
+  /** The non-first duplicated windows of `dupWins`, merged into
+    * per-doc span ARRAYS: (doc_id, cut: array<struct<s0, s1>>), one
+    * row per doc that loses at least one window. Shared by the two
+    * scrub applications; span count per doc is bounded by doc
+    * length, so the array fold is the cheap side of the pipeline. */
+  private def scrubSpans(dupWins: DataFrame, k: Int): DataFrame = {
+    // the globally-first occurrence rides dupWins as `o` (computed in
+    // the same window pass as the dup test — substringDupWindows), so
+    // the owner pick is a row-local filter, not an agg + join-back
+    val cut = dupWins
       .filter(!(col("doc_id") === col("o.doc_id") &&
         col("start") === col("o.start")))
       .select(col("doc_id"), col("start"))
-    val spans = mergeSpans(cut, k)
-      .select(col("doc_id"), col("s0"), col("s1"))
-    val toksPos = docs
-      .select(col("doc_id"), posexplode(tokens(col("text")))
-        .as(Seq("pos", "tok")))
-    val survivors = toksPos.join(spans,
-      toksPos("doc_id") === spans("doc_id") &&
-        col("pos") >= col("s0") && col("pos") < col("s1"),
-      "left_anti")
-    val agg = survivors.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_after"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("scrubbed"))
-    val base = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_before"))
-    graft.api.Materialize.releasing(
-      base.join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"),
-          when(coalesce(col("n_after"), lit(0L)) === 0L, lit(0L))
-            .otherwise(graft.text.TextFunctions.fingerprint(col("scrubbed")))
-            .as("fp_after")),
-      cached)
+    mergeSpans(cut, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s0"), col("s1"))).as("cut"))
   }
 
   /** One text-to-text scrub pass (the [[exactSubstringScrub]] cut
@@ -823,27 +869,20 @@ object Dedup {
   private def scrubPassText(docs: DataFrame, k: Int,
       minDocs: Int): (DataFrame, Seq[DataFrame]) = {
     val (dupWins, cached) = substringDupWindows(docs, k, minDocs)
-    val owner = dupWins.groupBy(col("kg"))
-      .agg(min(struct(col("doc_id"), col("start"))).as("o"))
-    val cut = dupWins.join(owner, Seq("kg"))
-      .filter(!(col("doc_id") === col("o.doc_id") &&
-        col("start") === col("o.start")))
-      .select(col("doc_id"), col("start"))
-    val spans = mergeSpans(cut, k)
-      .select(col("doc_id"), col("s0"), col("s1"))
-    val toksPos = docs
-      .select(col("doc_id"), posexplode(tokens(col("text")))
-        .as(Seq("pos", "tok")))
-    val survivors = toksPos.join(spans,
-      toksPos("doc_id") === spans("doc_id") &&
-        col("pos") >= col("s0") && col("pos") < col("s1"),
-      "left_anti")
-    val agg = survivors.groupBy(col("doc_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("tok")))),
-        s => s.getField("tok")), " ").as("scrubbed"))
-    (docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("scrubbed"), lit("")).as("text")),
+    // same row-local cut application as [[exactSubstringScrub]] (r17
+    // optimization): the span arrays join back to the corpus and the
+    // covered positions drop inside one projection — no corpus-token
+    // explode, range join or collect_list regroup per pass. A doc
+    // with no spans keeps all tokens, so its text re-joins to the
+    // identical single-spaced form the old all-tokens regroup built.
+    val kept = filter(tokens(col("text")),
+      (_, i) => !exists(col("cut"), s =>
+        s.getField("s0") <= i && i < s.getField("s1")))
+    (docs.join(scrubSpans(dupWins, k), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("cut"),
+          array().cast("array<struct<s0:bigint,s1:bigint>>")).as("cut"))
+      .select(col("doc_id"), array_join(kept, " ").as("text")),
       cached)
   }
 
