@@ -106,15 +106,30 @@ object PostingsIndex {
     try {
       graft.api.Bucketing.writeBucketed(
         postingsOf(tok), table, Seq("tok"), buckets)
+      // the corpus stats RIDE the doc-side write as observed metrics
+      // (r17, guide §1 job-count discipline): same values the old
+      // third cache scan computed, zero extra pass — the stats table
+      // then writes from a 1-row local relation
+      val obs = org.apache.spark.sql.Observation()
       graft.api.Bucketing.writeBucketed(
-        tok.select(col("doc_id"), col("dl")),
+        tok.select(col("doc_id"), col("dl"))
+          .observe(obs, count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("total_toks")),
         docsTable(table), Seq("doc_id"), buckets)
-      tok.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
-        .coalesce(1)
-        .write.mode("overwrite").format("parquet")
-        .saveAsTable(statsTable(table))
+      writeStatsRow(spark, obs, statsTable(table))
     } finally tok.unpersist(blocking = true)
+  }
+
+  /** Persist an observed (n_docs, total_toks) pair as the 1-row stats
+    * table — a local-relation write, no data scan. */
+  private def writeStatsRow(spark: SparkSession,
+      obs: org.apache.spark.sql.Observation, table: String): Unit = {
+    import spark.implicits._
+    val m = obs.get
+    Seq((m("n_docs").asInstanceOf[Long], m("total_toks").asInstanceOf[Long]))
+      .toDF("n_docs", "total_toks")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(table)
   }
 
   /** Drop all parts of a persisted index. */
@@ -178,14 +193,14 @@ object PostingsIndex {
       .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
     graft.api.Bucketing.writeBucketed(
       parts.map(_._1).reduce(_ unionByName _), outTable, Seq("tok"), buckets)
+    // merged stats ride the doc-side write as observed metrics (r17)
+    val obs = org.apache.spark.sql.Observation()
     graft.api.Bucketing.writeBucketed(
-      parts.map(_._2).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _)
+        .observe(obs, count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_toks")),
       docsTable(outTable), Seq("doc_id"), buckets)
-    spark.table(docsTable(outTable))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
-      .coalesce(1).write.mode("overwrite").format("parquet")
-      .saveAsTable(statsTable(outTable))
+    writeStatsRow(spark, obs, statsTable(outTable))
   }
 
   private def dirExists(spark: SparkSession, dir: String): Boolean = {
@@ -250,10 +265,18 @@ object PostingsIndex {
     try {
       postingsOf(tok).write.mode("overwrite")
         .parquet(s"${postingsPath(growPath)}/batch_id=$batchId")
-      tok.select(col("doc_id"), col("dl")).write.mode("overwrite")
-        .parquet(s"${docsPath(growPath)}/batch_id=$batchId")
-      tok.agg(count(lit(1)).as("n_docs"),
+      // stats delta rides the doc-side extent write as observed
+      // metrics (r17) — same values, one fewer cache scan per batch
+      val obs = org.apache.spark.sql.Observation()
+      tok.select(col("doc_id"), col("dl"))
+        .observe(obs, count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+        .write.mode("overwrite")
+        .parquet(s"${docsPath(growPath)}/batch_id=$batchId")
+      val m = obs.get
+      import spark.implicits._
+      Seq((m("n_docs").asInstanceOf[Long], m("total_toks").asInstanceOf[Long]))
+        .toDF("n_docs", "total_toks")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"${statsPath(growPath)}/batch_id=$batchId")
     } finally tok.unpersist(blocking = true)
@@ -332,12 +355,20 @@ object PostingsIndex {
       statsExtents: Seq[DataFrame], queries: DataFrame, k: Int,
       excludeSelf: Boolean): DataFrame = {
     // the query set is bounded by the Retrieval contract (a benchmark
-    // suite, not a corpus), so its distinct terms collect driver-side
-    // — that is what turns the term filter into a LITERAL predicate
-    // each part's parquet scan can push down and prune buckets with
-    // (the loadCentroids discipline applied to text)
-    val terms: Seq[String] = queries.select(col("tok")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // suite, not a corpus), so it collects driver-side ONCE — the
+    // (qid, tok) rows become a local relation and the distinct terms
+    // the LITERAL predicate each part's parquet scan pushes down and
+    // prunes buckets with (the loadCentroids discipline applied to
+    // text). r17: previously only the terms collected and the query
+    // frame's source plan (a corpus scan + explode) re-executed as
+    // the broadcast build side of the score join — one extra corpus
+    // scan per search, per part-set. One collect now feeds both.
+    val qProj = queries.select(col("qid"), col("tok"))
+    val qRows = qProj.collect()
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
+    val terms: Seq[String] =
+      qRows.map(_.get(1).asInstanceOf[String]).distinct.toSeq
     val termFilter: Column = col("tok").isin(terms: _*)
     val cand = postingsParts
       .map(_.filter(termFilter)
@@ -370,7 +401,7 @@ object PostingsIndex {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_toks")).as("total_toks"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    val scored = Retrieval.scorePostings(live, dfreq, stats, queries)
+    val scored = Retrieval.scorePostings(live, dfreq, stats, qLocal)
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("w")).as("score"))
     (if (excludeSelf) scored.filter(col("qid") =!= col("doc_id")) else scored)
@@ -459,15 +490,15 @@ object PostingsIndex {
       .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
     graft.api.Bucketing.writeBucketed(
       spark.read.parquet(staging + "/postings"), table, Seq("tok"), buckets)
+    // stats ride the doc-side rewrite as observed metrics (r17): same
+    // values the old post-write table scan recomputed
+    val obs = org.apache.spark.sql.Observation()
     graft.api.Bucketing.writeBucketed(
-      spark.read.parquet(staging + "/docs"), docsTable(table),
-      Seq("doc_id"), buckets)
-    spark.table(docsTable(table))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
-      .coalesce(1)
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(statsTable(table))
+      spark.read.parquet(staging + "/docs")
+        .observe(obs, count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_toks")),
+      docsTable(table), Seq("doc_id"), buckets)
+    writeStatsRow(spark, obs, statsTable(table))
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(postingsPath(growPath), docsPath(growPath), statsPath(growPath),
@@ -544,13 +575,19 @@ object PostingsIndex {
     // had them)
     liveExt(extPostings).write.mode("overwrite")
       .parquet(staging + "/postings")
-    liveExt(extDocs).write.mode("overwrite").parquet(staging + "/docs")
-    // consolidated stats delta recomputed exactly from the staged
-    // consolidated doc side (applied tombstones stop counting, as
-    // searchGrown's correction had them)
-    spark.read.schema("doc_id LONG, dl LONG").parquet(staging + "/docs")
-      .agg(count(lit(1)).as("n_docs"),
+    // consolidated stats delta rides the staged doc-side write as
+    // observed metrics (r17) — exactly the staged consolidated doc
+    // side's (count, Σdl): applied tombstones stop counting, as
+    // searchGrown's correction had them
+    val obs = org.apache.spark.sql.Observation()
+    liveExt(extDocs)
+      .observe(obs, count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+      .write.mode("overwrite").parquet(staging + "/docs")
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_docs").asInstanceOf[Long], m("total_toks").asInstanceOf[Long]))
+      .toDF("n_docs", "total_toks")
       .coalesce(1).write.mode("overwrite").parquet(staging + "/stats")
     // tombstones that did NOT hit an extent doc survive (base docs
     // and stray ids — strays stay benign: every correction joins by
