@@ -429,8 +429,16 @@ object PostingsIndex {
     * anything counts. */
   def phraseSearchGrown(spark: SparkSession, table: String,
       growPath: String, phrases: DataFrame): DataFrame = {
-    val terms: Seq[String] = phrases.select(col("tok")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // bounded phrase set collects ONCE (r17, the searchParts
+    // treatment): the collected rows feed the literal term filter AND
+    // replace the phrase frame in both joins below — previously the
+    // phrase frame's source plan re-executed per join side
+    val pProj = phrases.select(col("qid"), col("off"), col("tok"))
+    val pRows = pProj.collect()
+    val pLocal = spark.createDataFrame(
+      java.util.Arrays.asList(pRows: _*), pProj.schema)
+    val terms: Seq[String] =
+      pRows.map(_.get(2).asInstanceOf[String]).distinct.toSeq
     val parts: Seq[DataFrame] =
       spark.table(table) +:
         (if (dirExists(spark, postingsPath(growPath)))
@@ -445,11 +453,11 @@ object PostingsIndex {
       cand.join(ts, Seq("doc_id"), "left_anti"))
     // phrase length per qid: the tiny frame every occurrence test
     // joins against (bounded by the query contract; plan-visible cap)
-    val plen = phrases.groupBy(col("qid"))
+    val plen = pLocal.groupBy(col("qid"))
       .agg(count_distinct(col("off")).as("m"))
     val hits = live
       .select(col("tok"), col("doc_id"), explode(col("pos")).as("p"))
-      .join(phrases.select(col("qid"), col("off").cast("long").as("off"),
+      .join(pLocal.select(col("qid"), col("off").cast("long").as("off"),
         col("tok")), Seq("tok"))
       .groupBy(col("qid"), col("doc_id"), (col("p") - col("off")).as("start"))
       .agg(count_distinct(col("off")).as("k"))
