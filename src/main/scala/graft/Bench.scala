@@ -9,6 +9,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r17 engine default (scale-independent: planning cost, not
+      // data cost). Catalyst constraint propagation is O(plan²) on
+      // the deep lifecycle/staged plans this suite runs, and its
+      // inference is the documented source of two pathologies here
+      // (r16: join-constraint alias re-expansion OOM; r17: filter
+      // pushdown as a third re-expansion door — docs/SCALE.md).
+      // Iteration loops already ran with it off (measured, r5);
+      // extending engine-wide measured q_bm25_compact 9.9 -> 7.2 s /
+      // q_substring_fixpoint 4.0 -> 2.7 s warm same-box A/B, flat
+      // elsewhere. Every filter in this engine is explicit, so no
+      // query depends on inferred predicates; Verify runs under the
+      // same conf, so the oracle gate covers exactly this engine
+      // configuration.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up JVM/codegen/scheduler and parquet footers before timing:
