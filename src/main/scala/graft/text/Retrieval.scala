@@ -76,7 +76,17 @@ object Retrieval {
     * `queries`: (qid, tok) — MUST be bounded (it is broadcast);
     * `docs`: (doc_id, text). Output: (qid, doc_id, tok, w). */
   private def termScores(docs: DataFrame, queries: DataFrame): DataFrame = {
-    val qTerms = queries.select(col("tok")).distinct()
+    // bounded-by-contract query set (it is broadcast) collects ONCE
+    // (r17, the PostingsIndex.searchParts treatment): the collected
+    // rows feed BOTH broadcast sides below — previously the query
+    // frame's source plan (typically a corpus scan + explode)
+    // re-executed as each side's build
+    val spark = docs.sparkSession
+    val qProj = queries.select(col("qid"), col("tok"))
+    val qRows = qProj.collect()
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
+    val qTerms = qLocal.select(col("tok")).distinct()
     val sp = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
     // one ungrouped aggregate → 1-row scalar frame (broadcast-safe)
     val stats = sp.agg(count(lit(1)).as("n_docs"),
@@ -92,7 +102,7 @@ object Retrieval {
     // ≤ |query terms| rows by construction (grouped on the term key
     // of the broadcast-filtered postings)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    scorePostings(tf, dfreq, stats, queries)
+    scorePostings(tf, dfreq, stats, qLocal)
   }
 
   /** Per-(query, doc) summed BM25 scores: (qid, doc_id, score). */
