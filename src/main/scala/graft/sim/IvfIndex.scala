@@ -49,6 +49,20 @@ object IvfIndex {
       table, Seq("cell"), buckets)
   }
 
+
+  /** Bounded-by-contract query frames collect ONCE and feed the
+    * broadcast side as a local relation (r17, the
+    * PostingsIndex.searchParts treatment): the broadcast was already
+    * a driver collect of these rows — this just stops the query
+    * frame's SOURCE plan (a filtered corpus scan) from re-executing
+    * as the broadcast build. */
+  private def localQueries(queries: DataFrame): DataFrame = {
+    val qProj = queries.select(col("vec_id"), col("embedding"))
+    val rows = qProj.collect()
+    queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), qProj.schema)
+  }
+
   /** Load the centroid matrix back (row index = cell id). */
   def loadCentroids(spark: SparkSession, table: String): Array[Array[Double]] =
     spark.table(s"${table}_centroids")
@@ -73,7 +87,8 @@ object IvfIndex {
     val cb = spark.table(table)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("cell"))
     val qb = broadcast(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      localQueries(queries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
     val cand = qb.join(cb, Seq("cell"))
       .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
@@ -242,7 +257,8 @@ object IvfIndex {
     import graft.sim.Similarity.simRounded
     val cells = loadCentroids(spark, table)
     val qb = broadcast(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      localQueries(queries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
     val parts: Seq[DataFrame] =
       spark.table(table) +:
@@ -480,7 +496,7 @@ object IvfIndex {
         col("normq"), col("cell"))
     val qb = broadcast(
       graft.sim.Quantize.withInt8Codes(
-          queries.select(col("vec_id").as("qid"), col("embedding")))
+          localQueries(queries).select(col("vec_id").as("qid"), col("embedding")))
         .select(col("qid"), col("embedding").as("qv"), col("codes").as("qcodes"))
         .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
     val scoreq = when(col("normq") === 0, lit(-1e9)).otherwise(
@@ -578,7 +594,7 @@ object IvfIndex {
     val cells = loadCentroids(spark, table)
     val qb = broadcast(
       graft.sim.Quantize.withInt8Codes(
-          queries.select(col("vec_id").as("qid"), col("embedding")))
+          localQueries(queries).select(col("vec_id").as("qid"), col("embedding")))
         .select(col("qid"), col("embedding").as("qv"), col("codes").as("qcodes"))
         .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
     val codesParts: Seq[DataFrame] =
