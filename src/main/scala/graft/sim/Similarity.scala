@@ -53,10 +53,24 @@ object Similarity {
   def sqlSimRounded(a: String, b: String, dim: Int): String =
     s"CAST(round((${sqlCosine(a, b, dim)}) * 1e6) AS BIGINT) / 1e6"
 
+
+  /** Bounded-by-contract query frames collect ONCE and feed their
+    * broadcast side as a local relation (r17, the IvfIndex/
+    * PostingsIndex treatment): the broadcast is already a driver
+    * collect of these rows — this stops the frame's source plan (a
+    * filtered corpus scan) from re-executing as the build. Callers
+    * pass the PROJECTED bounded frame. */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // queries are the bounded side -> broadcast them; the corpus side
     // streams partition-parallel with no shuffle before the rank
-    val qc = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val qc = broadcast(localized(
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))))
       .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("cv")),
         col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
@@ -75,8 +89,8 @@ object Similarity {
     * At corpus scale, swap the streamed side for the IVF-probed
     * candidate set exactly as [[ivfTopK]] does for positives. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val qc = broadcast(queries.select(col("vec_id").as("qid"),
-        col("embedding").as("qv"), col("label").as("qlabel")))
+    val qc = broadcast(localized(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("label").as("qlabel"))))
       .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"),
           col("label").as("clabel")),
         col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
@@ -150,7 +164,7 @@ object Similarity {
     val cb = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
       .withColumn("cell", NearestCell.nearestCell(col("cv"), cells))
     val qb = broadcast(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      localized(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
         .withColumn("cell", explode(NearestCell.nearestCells(col("qv"), cells, nprobe))))
     val cand = qb.join(cb, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), simRounded(col("qv"), col("cv")).as("sim"))
@@ -216,8 +230,8 @@ object Similarity {
       marginMicro: Long = 100000L): DataFrame = {
     def simq(a: Column, b: Column): Column =
       round(graft.functions.CosineSim.cosineSim(a, b) * lit(1e6)).cast("long")
-    val qs = queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qv"), col("label").as("qlabel"))
+    val qs = localized(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"), col("label").as("qlabel")))
     val cb = corpus.select(col("vec_id").as("cid"),
       col("embedding").as("cv"), col("label").as("clabel"))
     val pos = broadcast(qs)
@@ -416,8 +430,9 @@ object Similarity {
       concat(acc, array(col("bucket0").bitwiseXOR(lit(1 << p))))
     }
     val qb = broadcast(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          lshBucket(col("embedding"), planes, dim).as("bucket0"))
+      localized(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+        .select(col("qid"), col("qv"),
+          lshBucket(col("qv"), planes, dim).as("bucket0"))
         .withColumn("bucket", explode(probes))
         .drop("bucket0"))
     val cand = qb.join(cb, Seq("bucket")).filter(col("qid") =!= col("cid"))
