@@ -17,6 +17,9 @@ object DevQueryBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // match the committed Bench/Verify engine conf (r17) so focused
+      // A/B numbers are taken under the configuration the driver times
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
