@@ -70,15 +70,22 @@ object DedupIndex {
     val signed = Dedup.signedBands(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      graft.api.Bucketing.writeBucketed(
-        signed.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
-        bandsTable(table), Seq("band_key"), buckets)
-      graft.api.Bucketing.writeBucketed(
-        signed.select(col("doc_id"), col("sv")),
-        svTable(table), Seq("doc_id"), buckets)
-      writeHot(signed.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key"))), table)
+      // the three writes are independent readers of the one cached
+      // signing pass — primed once, then overlapped (guide §2.6, r18):
+      // the per-write fixed cost (scheduling + AQE + commit) leaves
+      // the critical path, and at cluster scale each write's commit +
+      // straggler tail hides behind its siblings' compute
+      graft.api.Overlap.prime(signed)
+      graft.api.Overlap.run(
+        () => graft.api.Bucketing.writeBucketed(
+          signed.select(col("doc_id"),
+            posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
+          bandsTable(table), Seq("band_key"), buckets),
+        () => graft.api.Bucketing.writeBucketed(
+          signed.select(col("doc_id"), col("sv")),
+          svTable(table), Seq("doc_id"), buckets),
+        () => writeHot(signed.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_key"))), table))
     } finally signed.unpersist(blocking = true)
   }
 
@@ -370,17 +377,29 @@ object DedupIndex {
             Seq("dup_of"), "left_anti"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        dropped.write.mode("overwrite")
-          .parquet(s"$sinkPath/batch_id=$batchId")
+        // sink + the two admission extents are independent consumers
+        // of the cached pair/signing frames — overlapped (guide §2.6,
+        // r18). Crash windows are unchanged in kind: all three writes
+        // are idempotent per-partition overwrites and every replay
+        // guard keys on per-partition existence (the tombstone
+        // exemption above already unions sink AND sv-extent ids), so
+        // any committed subset replays exactly as under sequential
+        // order.
         val survivors = signed.join(
           dropped.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        survivors
-          .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-          .write.mode("overwrite")
-          .parquet(s"${extentBandsPath(growPath)}/batch_id=$batchId")
-        survivors.select(col("doc_id"), col("sv"))
-          .write.mode("overwrite")
-          .parquet(s"${extentSvPath(growPath)}/batch_id=$batchId")
+        // priming dropped also fills signed's cache (its lineage reads
+        // the signed frame), so all three readers start warm
+        graft.api.Overlap.prime(dropped)
+        graft.api.Overlap.run(
+          () => dropped.write.mode("overwrite")
+            .parquet(s"$sinkPath/batch_id=$batchId"),
+          () => survivors
+            .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+            .write.mode("overwrite")
+            .parquet(s"${extentBandsPath(growPath)}/batch_id=$batchId"),
+          () => survivors.select(col("doc_id"), col("sv"))
+            .write.mode("overwrite")
+            .parquet(s"${extentSvPath(growPath)}/batch_id=$batchId"))
       } finally dropped.unpersist(blocking = true)
     } finally signed.unpersist(blocking = true)
   }
@@ -407,22 +426,31 @@ object DedupIndex {
     // masked their pairs until now)
     def live(df: DataFrame) =
       tombs.fold(df)(ts => df.join(ts, Seq("doc_id"), "left_anti"))
-    live(withExtents(spark.table(bandsTable(table)),
-        extentBandsPath(growPath), extBandsSchema))
-      .write.mode("overwrite").parquet(staging + "/bands")
-    live(withExtents(spark.table(svTable(table)),
-        extentSvPath(growPath), extSvSchema))
-      .write.mode("overwrite").parquet(staging + "/sv")
+    // the two staged folds are independent (bands vs sv side) —
+    // overlapped (guide §2.6, r18), as are the three rebuild writes
+    // below
+    graft.api.Overlap.run(
+      () => live(withExtents(spark.table(bandsTable(table)),
+          extentBandsPath(growPath), extBandsSchema))
+        .write.mode("overwrite").parquet(staging + "/bands"),
+      () => live(withExtents(spark.table(svTable(table)),
+          extentSvPath(growPath), extSvSchema))
+        .write.mode("overwrite").parquet(staging + "/sv"))
     resetManaged(spark, bandsTable(table))
     resetManaged(spark, svTable(table))
     resetManaged(spark, hotTable(table))
-    graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/bands"),
-      bandsTable(table), Seq("band_key"), buckets)
-    graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/sv"),
-      svTable(table), Seq("doc_id"), buckets)
     // the hot sidecar covers the whole compacted index again — the
-    // admitted extents' buckets re-enter the guard here
-    writeHot(spark.table(bandsTable(table)), table)
+    // admitted extents' buckets re-enter the guard here. It rebuilds
+    // from the STAGED bands (row-identical to the bucketed rewrite of
+    // the same staging data), so all three writes are independent.
+    graft.api.Overlap.run(
+      () => graft.api.Bucketing.writeBucketed(
+        spark.read.parquet(staging + "/bands"),
+        bandsTable(table), Seq("band_key"), buckets),
+      () => graft.api.Bucketing.writeBucketed(
+        spark.read.parquet(staging + "/sv"),
+        svTable(table), Seq("doc_id"), buckets),
+      () => writeHot(spark.read.parquet(staging + "/bands"), table))
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(extentBandsPath(growPath), extentSvPath(growPath),
@@ -457,8 +485,11 @@ object DedupIndex {
     if (!hasExt) return compact(spark, table, growPath, buckets)
     val extSv = spark.read.schema(extSvSchema)
       .parquet(extentSvPath(growPath)).drop("batch_id")
-    val baseN = spark.table(svTable(table)).count()
-    val extN = extSv.count()
+    // two independent metadata-count jobs — overlapped (guide §2.6, r18)
+    val counts = graft.api.Overlap.all(Seq(
+      () => spark.table(svTable(table)).count(),
+      () => extSv.count()))
+    val (baseN, extN) = (counts(0), counts(1))
     if (baseN <= 0 || extN.toDouble / baseN >= maxExtentFraction)
       return compact(spark, table, growPath, buckets)
     val staging = graft.api.Lsm.stagingRoot(growPath)
@@ -467,19 +498,27 @@ object DedupIndex {
       .parquet(extentBandsPath(growPath)).drop("batch_id")
     def live(df: DataFrame) =
       ts.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
-    live(extBands).write.mode("overwrite").parquet(staging + "/bands")
-    live(extSv).write.mode("overwrite").parquet(staging + "/sv")
-    val remainingCnt = ts.map { t =>
-      t.distinct()
-        .join(extSv.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(staging + "/tombstones")
-      spark.read.schema("doc_id LONG")
-        .parquet(staging + "/tombstones").count()
-    }.getOrElse(0L)
+    // the three staged writes are independent (bands / sv / surviving
+    // tombstones) — overlapped; the survivor count rides the tombstone
+    // write as an observed metric instead of a read-back count job
+    // (the PostingsIndex r17 stats-on-write pattern; same local-mode/
+    // no-speculation note as PostingsIndex.writeStatsRow)
+    val remainingCnt = new java.util.concurrent.atomic.AtomicLong(0L)
+    graft.api.Overlap.run(Seq(
+      () => live(extBands).write.mode("overwrite").parquet(staging + "/bands"),
+      () => live(extSv).write.mode("overwrite").parquet(staging + "/sv")) ++
+      ts.toSeq.map { t => () =>
+        val obs = org.apache.spark.sql.Observation()
+        t.distinct()
+          .join(extSv.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(staging + "/tombstones")
+        remainingCnt.set(obs.get("n").asInstanceOf[Long])
+      }: _*)
     graft.api.Lsm.swapConsolidated(spark, staging,
       Seq(staging + "/bands" -> extentBandsPath(growPath),
         staging + "/sv" -> extentSvPath(growPath)),
-      if (remainingCnt > 0) Some(staging + "/tombstones") else None,
+      if (remainingCnt.get > 0) Some(staging + "/tombstones") else None,
       tombstonePath(growPath))
   }
 }

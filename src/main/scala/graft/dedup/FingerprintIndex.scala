@@ -195,11 +195,20 @@ object FingerprintIndex {
             Seq("dup_of"), "left_anti"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        flagged.select(col("id"), col("dup_of"), col("hamming"))
-          .write.mode("overwrite").parquet(s"$sinkPath/batch_id=$batchId")
-        delta.join(flagged.select(col("id")).distinct(), Seq("id"), "left_anti")
-          .write.mode("overwrite")
-          .parquet(s"${extentPath(growPath)}/batch_id=$batchId")
+        // sink and admission extent are independent consumers of the
+        // cached flag/band frames — primed once (filling the delta
+        // cache through flagged's lineage), then overlapped (guide
+        // §2.6, r18); both idempotent per-partition overwrites, and
+        // the rebirth exemption above already unions both partitions'
+        // ids
+        graft.api.Overlap.prime(flagged)
+        graft.api.Overlap.run(
+          () => flagged.select(col("id"), col("dup_of"), col("hamming"))
+            .write.mode("overwrite").parquet(s"$sinkPath/batch_id=$batchId"),
+          () => delta
+            .join(flagged.select(col("id")).distinct(), Seq("id"), "left_anti")
+            .write.mode("overwrite")
+            .parquet(s"${extentPath(growPath)}/batch_id=$batchId"))
       } finally flagged.unpersist(blocking = true)
     } finally delta.unpersist(blocking = true)
   }
@@ -250,23 +259,35 @@ object FingerprintIndex {
     if (!hasExt) return compact(spark, table, growPath, buckets)
     val ext = spark.read.schema(extSchema)
       .parquet(extentPath(growPath)).drop("batch_id")
-    val baseN = spark.table(bandsTable(table)).count()
-    val extN = ext.count()
+    // two independent metadata-count jobs — overlapped (guide §2.6)
+    val counts = graft.api.Overlap.all(Seq(
+      () => spark.table(bandsTable(table)).count(),
+      () => ext.count()))
+    val (baseN, extN) = (counts(0), counts(1))
     if (baseN <= 0 || extN.toDouble / baseN >= maxExtentFraction)
       return compact(spark, table, growPath, buckets)
     val staging = graft.api.Lsm.stagingRoot(growPath)
     val ts = tombstonesFor(spark, growPath)
-    ts.fold(ext)(t => ext.join(t, Seq("id"), "left_anti"))
-      .write.mode("overwrite").parquet(staging + "/fbands")
-    val remainingCnt = ts.map { t =>
-      t.distinct()
-        .join(ext.select(col("id")), Seq("id"), "left_anti")
-        .write.mode("overwrite").parquet(staging + "/tombstones")
-      spark.read.schema("id LONG").parquet(staging + "/tombstones").count()
-    }.getOrElse(0L)
+    // staged consolidated extent and surviving-tombstone writes are
+    // independent — overlapped; the survivor count rides the write as
+    // an observed metric instead of a read-back count job (the
+    // PostingsIndex.writeStatsRow pattern and deployment note)
+    val remainingCnt = new java.util.concurrent.atomic.AtomicLong(0L)
+    graft.api.Overlap.run(Seq(
+      () => ts.fold(ext)(t => ext.join(t, Seq("id"), "left_anti"))
+        .write.mode("overwrite").parquet(staging + "/fbands")) ++
+      ts.toSeq.map { t => () =>
+        val obs = org.apache.spark.sql.Observation()
+        t.distinct()
+          .join(ext.select(col("id")), Seq("id"), "left_anti")
+          .observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.mode("overwrite").parquet(staging + "/tombstones")
+        remainingCnt.set(obs.get("n").asInstanceOf[Long])
+      }: _*)
     graft.api.Lsm.swapConsolidated(spark, staging,
       Seq(staging + "/fbands" -> extentPath(growPath)),
-      if (remainingCnt > 0) Some(staging + "/tombstones") else None,
+      if (remainingCnt.get > 0) Some(staging + "/tombstones") else None,
       tombstonePath(growPath))
   }
 }

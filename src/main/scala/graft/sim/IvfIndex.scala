@@ -37,16 +37,20 @@ object IvfIndex {
     val pts = corpus.select(col("vec_id").as("id"), col("embedding").as("features"))
     val cells = Algorithms.kMeansCentroids(pts, nlist, iterations)
     import spark.implicits._
-    cells.zipWithIndex
-      .map { case (cent, cid) => (cid, cent.toSeq) }.toSeq
-      .toDF("cid", "cent")
-      .coalesce(1)
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_centroids")
-    graft.api.Bucketing.writeBucketed(
-      corpus.select(col("*"),
-        NearestCell.nearestCell(col("embedding"), cells).as("cell")),
-      table, Seq("cell"), buckets)
+    // centroid sidecar and bucketed corpus are independent consumers
+    // of the trained (driver-local) centroids — overlapped (guide
+    // §2.6, r18)
+    graft.api.Overlap.run(
+      () => cells.zipWithIndex
+        .map { case (cent, cid) => (cid, cent.toSeq) }.toSeq
+        .toDF("cid", "cent")
+        .coalesce(1)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_centroids"),
+      () => graft.api.Bucketing.writeBucketed(
+        corpus.select(col("*"),
+          NearestCell.nearestCell(col("embedding"), cells).as("cell")),
+        table, Seq("cell"), buckets))
   }
 
 
@@ -229,12 +233,15 @@ object IvfIndex {
     }
     Seq(outTable, s"${outTable}_centroids")
       .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
-    spark.table(s"${shards.head._1}_centroids")
-      .coalesce(1).write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${outTable}_centroids")
-    graft.api.Bucketing.writeBucketed(
-      (Seq(primary) ++ reassigned).reduce(_ unionByName _),
-      outTable, Seq("cell"), buckets)
+    // centroid copy and merged bucketed write are independent —
+    // overlapped (guide §2.6, r18)
+    graft.api.Overlap.run(
+      () => spark.table(s"${shards.head._1}_centroids")
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${outTable}_centroids"),
+      () => graft.api.Bucketing.writeBucketed(
+        (Seq(primary) ++ reassigned).reduce(_ unionByName _),
+        outTable, Seq("cell"), buckets))
   }
 
   /** Top-k cosine search against base + every admitted extent. Same
@@ -347,24 +354,34 @@ object IvfIndex {
     if (!hasExt) return compact(spark, table, growPath, buckets)
     val ext = spark.read.schema(extSchema(spark, table))
       .parquet(extentPath(growPath)).drop("batch_id")
-    val baseN = spark.table(table).count()
-    val extN = ext.count()
+    // two independent metadata-count jobs — overlapped (guide §2.6)
+    val counts = graft.api.Overlap.all(Seq(
+      () => spark.table(table).count(),
+      () => ext.count()))
+    val (baseN, extN) = (counts(0), counts(1))
     if (baseN <= 0 || extN.toDouble / baseN >= maxExtentFraction)
       return compact(spark, table, growPath, buckets)
     val staging = graft.api.Lsm.stagingRoot(growPath)
     val ts = tombstones(spark, growPath)
-    ts.fold(ext)(t => ext.join(t, Seq("vec_id"), "left_anti"))
-      .write.mode("overwrite").parquet(staging + "/cells")
-    val remainingCnt = ts.map { t =>
-      t.distinct()
-        .join(ext.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .write.mode("overwrite").parquet(staging + "/tombstones")
-      spark.read.schema("vec_id LONG")
-        .parquet(staging + "/tombstones").count()
-    }.getOrElse(0L)
+    // staged consolidated extent and surviving-tombstone writes are
+    // independent — overlapped; the survivor count rides the write as
+    // an observed metric instead of a read-back count job (the
+    // PostingsIndex.writeStatsRow pattern and deployment note)
+    val remainingCnt = new java.util.concurrent.atomic.AtomicLong(0L)
+    graft.api.Overlap.run(Seq(
+      () => ts.fold(ext)(t => ext.join(t, Seq("vec_id"), "left_anti"))
+        .write.mode("overwrite").parquet(staging + "/cells")) ++
+      ts.toSeq.map { t => () =>
+        val obs = org.apache.spark.sql.Observation()
+        t.distinct()
+          .join(ext.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(staging + "/tombstones")
+        remainingCnt.set(obs.get("n").asInstanceOf[Long])
+      }: _*)
     graft.api.Lsm.swapConsolidated(spark, staging,
       Seq(staging + "/cells" -> extentPath(growPath)),
-      if (remainingCnt > 0) Some(staging + "/tombstones") else None,
+      if (remainingCnt.get > 0) Some(staging + "/tombstones") else None,
       tombstonePath(growPath))
   }
 
@@ -438,12 +455,6 @@ object IvfIndex {
     val pts = corpus.select(col("vec_id").as("id"), col("embedding").as("features"))
     val cells = Algorithms.kMeansCentroids(pts, nlist, iterations)
     import spark.implicits._
-    cells.zipWithIndex
-      .map { case (cent, cid) => (cid, cent.toSeq) }.toSeq
-      .toDF("cid", "cent")
-      .coalesce(1)
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_centroids")
     val coded = graft.sim.Quantize.withInt8Codes(corpus)
       .withColumn("normq",
         graft.functions.Int8Dot.int8Dot(col("codes"), col("codes")))
@@ -452,14 +463,23 @@ object IvfIndex {
     // filtered search must prune on metadata at the codes scan
     val meta = corpus.columns.toSeq
       .filterNot(Set("vec_id", "embedding")).map(col)
-    graft.api.Bucketing.writeBucketed(
-      coded.select(Seq(col("vec_id"),
-        NearestCell.nearestCell(col("embedding"), cells).as("cell"),
-        col("codes"), col("scale_q"), col("normq")) ++ meta: _*),
-      table, Seq("cell"), buckets)
-    graft.api.Bucketing.writeBucketed(
-      corpus.select(col("vec_id"), col("embedding")),
-      vecsTable(table), Seq("vec_id"), buckets)
+    // the three writes (centroid sidecar, codes table, float side
+    // table) are independent — overlapped (guide §2.6, r18)
+    graft.api.Overlap.run(
+      () => cells.zipWithIndex
+        .map { case (cent, cid) => (cid, cent.toSeq) }.toSeq
+        .toDF("cid", "cent")
+        .coalesce(1)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_centroids"),
+      () => graft.api.Bucketing.writeBucketed(
+        coded.select(Seq(col("vec_id"),
+          NearestCell.nearestCell(col("embedding"), cells).as("cell"),
+          col("codes"), col("scale_q"), col("normq")) ++ meta: _*),
+        table, Seq("cell"), buckets),
+      () => graft.api.Bucketing.writeBucketed(
+        corpus.select(col("vec_id"), col("embedding")),
+        vecsTable(table), Seq("vec_id"), buckets))
   }
 
   /** Top-k cosine search against a persisted int8 index, two-stage:
@@ -556,14 +576,18 @@ object IvfIndex {
         graft.functions.Int8Dot.int8Dot(col("codes"), col("codes")))
     val meta = batch.columns.toSeq
       .filterNot(Set("vec_id", "embedding")).map(col)
-    coded.select(Seq(col("vec_id").cast("long").as("vec_id"),
-        NearestCell.nearestCell(col("embedding"), cells).as("cell"),
-        col("codes"), col("scale_q"), col("normq")) ++ meta: _*)
-      .write.mode("overwrite")
-      .parquet(s"${int8CodesPath(growPath)}/batch_id=$batchId")
-    batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-      .write.mode("overwrite")
-      .parquet(s"${int8VecsPath(growPath)}/batch_id=$batchId")
+    // codes extent and float extent are independent — overlapped
+    // (guide §2.6, r18); both are idempotent per-partition overwrites,
+    // so crash/replay semantics are unchanged
+    graft.api.Overlap.run(
+      () => coded.select(Seq(col("vec_id").cast("long").as("vec_id"),
+          NearestCell.nearestCell(col("embedding"), cells).as("cell"),
+          col("codes"), col("scale_q"), col("normq")) ++ meta: _*)
+        .write.mode("overwrite")
+        .parquet(s"${int8CodesPath(growPath)}/batch_id=$batchId"),
+      () => batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        .write.mode("overwrite")
+        .parquet(s"${int8VecsPath(growPath)}/batch_id=$batchId"))
   }
 
   private def int8ExtSchema(spark: SparkSession, table: String) =
@@ -707,14 +731,19 @@ object IvfIndex {
         spark.read.schema(int8VecsExtSchema(spark, table))
           .parquet(int8VecsPath(growPath)).drop("batch_id"))
       else spark.table(vecsTable(table))
-    live(codes).write.mode("overwrite").parquet(staging + "/codes")
-    live(vecs).write.mode("overwrite").parquet(staging + "/vecs")
+    // staged folds, then bucketed rewrites: each pair's two sides are
+    // independent — overlapped (guide §2.6, r18)
+    graft.api.Overlap.run(
+      () => live(codes).write.mode("overwrite").parquet(staging + "/codes"),
+      () => live(vecs).write.mode("overwrite").parquet(staging + "/vecs"))
     graft.api.Bucketing.resetManaged(spark, table)
     graft.api.Bucketing.resetManaged(spark, vecsTable(table))
-    graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/codes"),
-      table, Seq("cell"), buckets)
-    graft.api.Bucketing.writeBucketed(spark.read.parquet(staging + "/vecs"),
-      vecsTable(table), Seq("vec_id"), buckets)
+    graft.api.Overlap.run(
+      () => graft.api.Bucketing.writeBucketed(
+        spark.read.parquet(staging + "/codes"), table, Seq("cell"), buckets),
+      () => graft.api.Bucketing.writeBucketed(
+        spark.read.parquet(staging + "/vecs"),
+        vecsTable(table), Seq("vec_id"), buckets))
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(int8CodesPath(growPath), int8VecsPath(growPath),

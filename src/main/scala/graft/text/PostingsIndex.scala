@@ -104,24 +104,41 @@ object PostingsIndex {
     val tok = tokenized(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      graft.api.Bucketing.writeBucketed(
-        postingsOf(tok), table, Seq("tok"), buckets)
-      // the corpus stats RIDE the doc-side write as observed metrics
-      // (r17, guide §1 job-count discipline): same values the old
-      // third cache scan computed, zero extra pass — the stats table
-      // then writes from a 1-row local relation
-      val obs = org.apache.spark.sql.Observation()
-      graft.api.Bucketing.writeBucketed(
-        tok.select(col("doc_id"), col("dl"))
-          .observe(obs, count(lit(1)).as("n_docs"),
-            coalesce(sum(col("dl")), lit(0L)).as("total_toks")),
-        docsTable(table), Seq("doc_id"), buckets)
-      writeStatsRow(spark, obs, statsTable(table))
+      // postings side and doc side are independent readers of the one
+      // tokenize cache — primed once, then overlapped (guide §2.6,
+      // r18). The corpus stats RIDE the doc-side write as observed
+      // metrics (r17, guide §1 job-count discipline): same values the
+      // old third cache scan computed, zero extra pass — the stats
+      // table then writes from a 1-row local relation, chained after
+      // its own obs.
+      graft.api.Overlap.prime(tok)
+      graft.api.Overlap.run(
+        () => graft.api.Bucketing.writeBucketed(
+          postingsOf(tok), table, Seq("tok"), buckets),
+        () => {
+          val obs = org.apache.spark.sql.Observation()
+          graft.api.Bucketing.writeBucketed(
+            tok.select(col("doc_id"), col("dl"))
+              .observe(obs, count(lit(1)).as("n_docs"),
+                coalesce(sum(col("dl")), lit(0L)).as("total_toks")),
+            docsTable(table), Seq("doc_id"), buckets)
+          writeStatsRow(spark, obs, statsTable(table))
+        })
     } finally tok.unpersist(blocking = true)
   }
 
   /** Persist an observed (n_docs, total_toks) pair as the 1-row stats
-    * table — a local-relation write, no data scan. */
+    * table — a local-relation write, no data scan.
+    *
+    * Deployment note (ADVICE r17 #3): Observation metrics are
+    * accumulator-backed; under speculative execution or stage retries
+    * a duplicated successful task can over-count them. This engine
+    * runs local[] with speculation off (Spark's default), where
+    * observed values equal the written table's by construction; a
+    * cluster deployment that enables `spark.speculation` should gate
+    * the observe-derived stats behind a recompute-from-table flag.
+    * The same note covers every observe-rides-the-write site in the
+    * LSM families (stats deltas, tombstone survivor counts). */
   private def writeStatsRow(spark: SparkSession,
       obs: org.apache.spark.sql.Observation, table: String): Unit = {
     import spark.implicits._
@@ -191,16 +208,21 @@ object PostingsIndex {
     val parts = shards.map { case (tbl, grow) => live(tbl, grow) }
     Seq(outTable, docsTable(outTable), statsTable(outTable))
       .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
-    graft.api.Bucketing.writeBucketed(
-      parts.map(_._1).reduce(_ unionByName _), outTable, Seq("tok"), buckets)
-    // merged stats ride the doc-side write as observed metrics (r17)
-    val obs = org.apache.spark.sql.Observation()
-    graft.api.Bucketing.writeBucketed(
-      parts.map(_._2).reduce(_ unionByName _)
-        .observe(obs, count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("total_toks")),
-      docsTable(outTable), Seq("doc_id"), buckets)
-    writeStatsRow(spark, obs, statsTable(outTable))
+    // merged postings side and doc side are independent — overlapped
+    // (guide §2.6, r18); merged stats ride the doc-side write as
+    // observed metrics (r17)
+    graft.api.Overlap.run(
+      () => graft.api.Bucketing.writeBucketed(
+        parts.map(_._1).reduce(_ unionByName _), outTable, Seq("tok"), buckets),
+      () => {
+        val obs = org.apache.spark.sql.Observation()
+        graft.api.Bucketing.writeBucketed(
+          parts.map(_._2).reduce(_ unionByName _)
+            .observe(obs, count(lit(1)).as("n_docs"),
+              coalesce(sum(col("dl")), lit(0L)).as("total_toks")),
+          docsTable(outTable), Seq("doc_id"), buckets)
+        writeStatsRow(spark, obs, statsTable(outTable))
+      })
   }
 
   private def dirExists(spark: SparkSession, dir: String): Boolean = {
@@ -263,22 +285,32 @@ object PostingsIndex {
     val tok = tokenized(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      postingsOf(tok).write.mode("overwrite")
-        .parquet(s"${postingsPath(growPath)}/batch_id=$batchId")
-      // stats delta rides the doc-side extent write as observed
-      // metrics (r17) — same values, one fewer cache scan per batch
-      val obs = org.apache.spark.sql.Observation()
-      tok.select(col("doc_id"), col("dl"))
-        .observe(obs, count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
-        .write.mode("overwrite")
-        .parquet(s"${docsPath(growPath)}/batch_id=$batchId")
-      val m = obs.get
-      import spark.implicits._
-      Seq((m("n_docs").asInstanceOf[Long], m("total_toks").asInstanceOf[Long]))
-        .toDF("n_docs", "total_toks")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"${statsPath(growPath)}/batch_id=$batchId")
+      // postings extent and docs extent (+ its stats delta) are
+      // independent readers of the one tokenize cache — primed once,
+      // then overlapped (guide §2.6, r18). The tombstone-rebirth
+      // exemption above already unions BOTH partitions' ids, so a
+      // crash leaving either write committed replays exactly as
+      // before.
+      graft.api.Overlap.prime(tok)
+      graft.api.Overlap.run(
+        () => postingsOf(tok).write.mode("overwrite")
+          .parquet(s"${postingsPath(growPath)}/batch_id=$batchId"),
+        () => {
+          // stats delta rides the doc-side extent write as observed
+          // metrics (r17) — same values, one fewer cache scan per batch
+          val obs = org.apache.spark.sql.Observation()
+          tok.select(col("doc_id"), col("dl"))
+            .observe(obs, count(lit(1)).as("n_docs"),
+              coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+            .write.mode("overwrite")
+            .parquet(s"${docsPath(growPath)}/batch_id=$batchId")
+          val m = obs.get
+          import spark.implicits._
+          Seq((m("n_docs").asInstanceOf[Long], m("total_toks").asInstanceOf[Long]))
+            .toDF("n_docs", "total_toks")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"${statsPath(growPath)}/batch_id=$batchId")
+        })
     } finally tok.unpersist(blocking = true)
   }
 
@@ -492,21 +524,27 @@ object PostingsIndex {
         spark.read.schema(DocsExtSchema)
           .parquet(docsPath(growPath)).drop("batch_id"))
       else spark.table(docsTable(table))
-    live(postings).write.mode("overwrite").parquet(staging + "/postings")
-    live(docs).write.mode("overwrite").parquet(staging + "/docs")
+    // staged folds, then bucketed rewrites: each pair's two sides are
+    // independent — overlapped (guide §2.6, r18)
+    graft.api.Overlap.run(
+      () => live(postings).write.mode("overwrite").parquet(staging + "/postings"),
+      () => live(docs).write.mode("overwrite").parquet(staging + "/docs"))
     Seq(table, docsTable(table), statsTable(table))
       .foreach(n => graft.api.Bucketing.resetManaged(spark, n))
-    graft.api.Bucketing.writeBucketed(
-      spark.read.parquet(staging + "/postings"), table, Seq("tok"), buckets)
-    // stats ride the doc-side rewrite as observed metrics (r17): same
-    // values the old post-write table scan recomputed
-    val obs = org.apache.spark.sql.Observation()
-    graft.api.Bucketing.writeBucketed(
-      spark.read.parquet(staging + "/docs")
-        .observe(obs, count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("total_toks")),
-      docsTable(table), Seq("doc_id"), buckets)
-    writeStatsRow(spark, obs, statsTable(table))
+    graft.api.Overlap.run(
+      () => graft.api.Bucketing.writeBucketed(
+        spark.read.parquet(staging + "/postings"), table, Seq("tok"), buckets),
+      () => {
+        // stats ride the doc-side rewrite as observed metrics (r17):
+        // same values the old post-write table scan recomputed
+        val obs = org.apache.spark.sql.Observation()
+        graft.api.Bucketing.writeBucketed(
+          spark.read.parquet(staging + "/docs")
+            .observe(obs, count(lit(1)).as("n_docs"),
+              coalesce(sum(col("dl")), lit(0L)).as("total_toks")),
+          docsTable(table), Seq("doc_id"), buckets)
+        writeStatsRow(spark, obs, statsTable(table))
+      })
     val root = new org.apache.hadoop.fs.Path(growPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(postingsPath(growPath), docsPath(growPath), statsPath(growPath),
@@ -560,12 +598,15 @@ object PostingsIndex {
       // the base, which the tiered path never rewrites — full fold
       return compact(spark, table, growPath, buckets)
     }
-    val baseDocs = spark.table(statsTable(table))
-      .select(col("n_docs")).head().getLong(0)
-    val extDeltas = spark.read.schema(StatsExtSchema)
-      .parquet(statsPath(growPath))
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"))
-      .head().getLong(0)
+    // two independent 1-row threshold reads — overlapped (guide §2.6)
+    val heads = graft.api.Overlap.all(Seq(
+      () => spark.table(statsTable(table))
+        .select(col("n_docs")).head().getLong(0),
+      () => spark.read.schema(StatsExtSchema)
+        .parquet(statsPath(growPath))
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"))
+        .head().getLong(0)))
+    val (baseDocs, extDeltas) = (heads(0), heads(1))
     if (baseDocs <= 0 || extDeltas.toDouble / baseDocs >= maxExtentFraction)
       return compact(spark, table, growPath, buckets)
 
@@ -581,30 +622,40 @@ object PostingsIndex {
     // recomputed exactly from the consolidated doc side (so applied
     // tombstones stop counting, exactly as searchGrown's correction
     // had them)
-    liveExt(extPostings).write.mode("overwrite")
-      .parquet(staging + "/postings")
-    // consolidated stats delta rides the staged doc-side write as
-    // observed metrics (r17) — exactly the staged consolidated doc
-    // side's (count, Σdl): applied tombstones stop counting, as
-    // searchGrown's correction had them
-    val obs = org.apache.spark.sql.Observation()
-    liveExt(extDocs)
-      .observe(obs, count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
-      .write.mode("overwrite").parquet(staging + "/docs")
-    val m = obs.get
-    import spark.implicits._
-    Seq((m("n_docs").asInstanceOf[Long], m("total_toks").asInstanceOf[Long]))
-      .toDF("n_docs", "total_toks")
-      .coalesce(1).write.mode("overwrite").parquet(staging + "/stats")
-    // tombstones that did NOT hit an extent doc survive (base docs
-    // and stray ids — strays stay benign: every correction joins by
-    // id). DISTINCT: a twice-forgotten id must survive as one row.
-    val remainingCnt = ts.map { t =>
-      t.distinct().join(extDocs, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(staging + "/tombstones")
-      spark.read.schema("doc_id LONG").parquet(staging + "/tombstones").count()
-    }.getOrElse(0L)
+    // the three staged writes (postings / docs+stats / surviving
+    // tombstones) are independent — overlapped (guide §2.6, r18); the
+    // survivor count rides the tombstone write as an observed metric
+    // instead of a read-back count job
+    val remainingCnt = new java.util.concurrent.atomic.AtomicLong(0L)
+    graft.api.Overlap.run(Seq(
+      () => liveExt(extPostings).write.mode("overwrite")
+        .parquet(staging + "/postings"),
+      () => {
+        // consolidated stats delta rides the staged doc-side write as
+        // observed metrics (r17) — exactly the staged consolidated doc
+        // side's (count, Σdl): applied tombstones stop counting, as
+        // searchGrown's correction had them
+        val obs = org.apache.spark.sql.Observation()
+        liveExt(extDocs)
+          .observe(obs, count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+          .write.mode("overwrite").parquet(staging + "/docs")
+        val m = obs.get
+        import spark.implicits._
+        Seq((m("n_docs").asInstanceOf[Long], m("total_toks").asInstanceOf[Long]))
+          .toDF("n_docs", "total_toks")
+          .coalesce(1).write.mode("overwrite").parquet(staging + "/stats")
+      }) ++
+      // tombstones that did NOT hit an extent doc survive (base docs
+      // and stray ids — strays stay benign: every correction joins by
+      // id). DISTINCT: a twice-forgotten id must survive as one row.
+      ts.toSeq.map { t => () =>
+        val obsT = org.apache.spark.sql.Observation()
+        t.distinct().join(extDocs, Seq("doc_id"), "left_anti")
+          .observe(obsT, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(staging + "/tombstones")
+        remainingCnt.set(obsT.get("n").asInstanceOf[Long])
+      }: _*)
     // crash-ordered checked swap — graft.api.Lsm.swapConsolidated
     // (survivor mask lands additively first, extent dirs swap checked,
     // old tombstone partitions leave last)
@@ -612,7 +663,7 @@ object PostingsIndex {
       Seq(staging + "/postings" -> postingsPath(growPath),
         staging + "/docs" -> docsPath(growPath),
         staging + "/stats" -> statsPath(growPath)),
-      if (remainingCnt > 0) Some(staging + "/tombstones") else None,
+      if (remainingCnt.get > 0) Some(staging + "/tombstones") else None,
       tombstonePath(growPath))
   }
 }
