@@ -51,7 +51,14 @@ object Tables {
     * don't re-infer). A SCHEMA memo only — every action still reads
     * the data from parquet; results never cache here. Keyed on the
     * applicationId so a fresh session (or a test's own session)
-    * re-infers. */
+    * re-infers.
+    *
+    * IMMUTABLE-INPUT assumption (ADVICE r17 #2): the driver testdata
+    * tables never change within one application, so the memo has no
+    * invalidation. A deployment that regenerates a table AT THE SAME
+    * PATH with a different schema inside one Spark application would
+    * read it with the stale schema — key the memo on a footer
+    * fingerprint / file mtime before enabling in-app regeneration. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String), org.apache.spark.sql.types.StructType]
   private def inferredSchema(spark: SparkSession, dir: String,

@@ -715,9 +715,14 @@ object Dedup {
     // ONE window pass over its key instead of a groupBy + join-back
     // pair (count_distinct Expand + an extra exchange per stage).
     // Same candidate sets, same shuffled byte mass, half the
-    // exchanges per pass; winsFp now has a single consumer, so its
-    // r13 cache is gone too. The generic minDocs path keeps the
-    // groupBy + semi-join shape.
+    // exchanges per pass; on THIS branch winsFp has a single
+    // consumer, so its r13 cache is gone. The generic minDocs branch
+    // keeps the groupBy + semi-join shape — there winsFp feeds BOTH
+    // the count_distinct aggregate and the semi-join probe, so the
+    // r13 cache stays (ADVICE r17 #1: without it the O(corpus-window)
+    // explode + per-window xxhash64 recomputes per consumer),
+    // released with toks below.
+    var genericCaches: Seq[DataFrame] = Nil
     val candPos =
       if (minDocs == 2) {
         val wfp = Window.partitionBy(col("fp"))
@@ -727,10 +732,13 @@ object Dedup {
           .filter(col("mn") =!= col("mx"))
           .select(col("doc_id"), col("start").cast("long").as("start"))
       } else {
-        val dupFp = winsFp.groupBy(col("fp"))
+        val winsFpC = winsFp
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        genericCaches = Seq(winsFpC)
+        val dupFp = winsFpC.groupBy(col("fp"))
           .agg(count_distinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= minDocs).select(col("fp"))
-        winsFp.join(dupFp, Seq("fp"), "left_semi")
+        winsFpC.join(dupFp, Seq("fp"), "left_semi")
           .select(col("doc_id"), col("start").cast("long").as("start"))
       }
     val cand = candPos.join(toks, Seq("doc_id"))
@@ -756,7 +764,7 @@ object Dedup {
           .join(owner, Seq("kg"))
           .select(col("doc_id"), col("start"), col("kg"), col("o"))
       }
-    (dupWins, Seq(toks))
+    (dupWins, Seq(toks) ++ genericCaches)
   }
 
   /** Gaps-and-islands merge of window starts into maximal covered

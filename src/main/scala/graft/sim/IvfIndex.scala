@@ -62,7 +62,15 @@ object IvfIndex {
     * as the broadcast build. */
   private def localQueries(queries: DataFrame): DataFrame = {
     val qProj = queries.select(col("vec_id"), col("embedding"))
+    // bounded-contract guard (ADVICE r17 #4): post-collect row-count
+    // assertion — see Similarity.localized for why the guard is NOT a
+    // limit pushed into the collect (measured 2-4 sequential take
+    // jobs) and how spark.driver.maxResultSize covers the far end
     val rows = qProj.collect()
+    require(rows.length <= Similarity.MaxLocalRows,
+      s"bounded-query contract violated: ${rows.length} query rows " +
+        s"collected to the driver (cap ${Similarity.MaxLocalRows} — " +
+        "queries are a bounded suite, never a corpus)")
     queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), qProj.schema)
   }

@@ -61,10 +61,27 @@ object Similarity {
     * filtered corpus scan) from re-executing as the build. Callers
     * pass the PROJECTED bounded frame. */
   private def localized(df: DataFrame): DataFrame = {
+    // bounded-contract guard (ADVICE r17 #4): a post-collect row-count
+    // assertion fails contract violations with a clear error. Two
+    // layers on purpose: collects past spark.driver.maxResultSize
+    // (1 GB default) already abort with that conf's own named error
+    // BEFORE driver memory is at risk, and anything under it lands
+    // here and trips the cap. (A limit(cap+1) pushed INTO the collect
+    // was measured slower — Spark's incremental take runs 2-4
+    // sequential jobs per collect — so the guard stays post-collect.)
     val rows = df.collect()
+    require(rows.length <= MaxLocalRows,
+      s"bounded-query contract violated: ${rows.length} rows collected " +
+        s"to the driver (cap $MaxLocalRows — queries are a bounded " +
+        "suite, never a corpus)")
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }
+
+  /** Driver-collect cap for bounded-by-contract query frames (see
+    * [[localized]]; shared by [[graft.sim.IvfIndex]]). Far above any
+    * real query suite, far below a corpus. */
+  private[sim] val MaxLocalRows: Int = 1 << 20
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // queries are the bounded side -> broadcast them; the corpus side
