@@ -39,15 +39,14 @@ object Scrub {
     * token sequence; 0 when nothing remains).
     *
     * 100 TB shape: one span explode (cost class of the shingle
-    * pipelines in graft.dedup), one span-keyed min/max aggregate for
-    * the duplicate set, one span-keyed join back (duplicate set is
-    * corpus-sized — no broadcast hint; AQE may still broadcast it at
-    * small scale, which is the right adaptive call), one doc-keyed
-    * fold of start positions (per-doc array, bounded by doc length),
-    * one doc-keyed join to the corpus. The per-token coverage test
-    * then runs as a codegen'd HOF over (tokens x starts) with no
-    * further shuffle. The exploded span frame is persisted — it feeds
-    * both the duplicate-set aggregate and the join back. Span keys
+    * pipelines in graft.dedup), ONE span-keyed window pass marking
+    * duplicated spans in place (min/max over the span key — r18; the
+    * previous aggregate + join-back shape crossed the exploded frame
+    * through a span-keyed exchange twice and persisted it for the two
+    * consumers), one doc-keyed fold of start positions (per-doc
+    * array, bounded by doc length), one doc-keyed join to the corpus.
+    * The per-token coverage test then runs as a codegen'd HOF over
+    * (tokens x starts) with no further shuffle. Span keys
     * stay STRINGS: the hashed-span variant (rolling hash mod 1e15)
     * measured SLOWER (2.8s vs 2.3s warm at sf0.1, DevSpanProfile) —
     * the per-span HOF fold costs more than shuffling the short
@@ -60,28 +59,42 @@ object Scrub {
     */
   def spanScrub(docs: DataFrame, k: Int = 3, minDocs: Int = 2,
       materialize: Boolean = false): DataFrame = {
-    // persisted: sh feeds both the duplicate-set aggregate and the
-    // join back (cache-lifetime contract of the dedup pipelines —
-    // Dedup.scala header; registry queries pass materialize = true)
-    val sh = docs
+    import org.apache.spark.sql.expressions.Window
+    val sh0 = docs
       .select(col("doc_id"), posexplode(positionalSpans(col("text"), k)).as(Seq("pos", "s")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // minDocs == 2 (the production setting) needs no distinct
-    // aggregate: a span sits in >= 2 documents iff min(doc_id) !=
-    // max(doc_id) — plain min/max partials, no Expand, measured
-    // 2.3 -> 2.0s warm at sf0.1 for the dup-set half of the query
-    val dup = (if (minDocs == 2)
-      sh.groupBy(col("s"))
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .filter(col("mn") =!= col("mx"))
-    else
-      sh.groupBy(col("s"))
-        .agg(count_distinct(col("doc_id")).as("ddf"))
-        .filter(col("ddf") >= minDocs))
-      .select(col("s"))
-    val starts = sh.join(dup, "s")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    // minDocs == 2 (the production setting): "span sits in >= 2 docs"
+    // ⟺ min(doc_id) != max(doc_id) OVER the span key — since r18 as
+    // ONE window pass (the substringDupWindows r17 trick, guide §2.4:
+    // two ops keyed the same way share one exchange). The old shape
+    // aggregated sh by span AND joined sh back against the dup set —
+    // the exploded span frame crossed a span-keyed exchange TWICE and
+    // had to be persisted for its two consumers; the window form
+    // shuffles it once, has one consumer (cache gone), and on this
+    // corpus (40-word vocab ⇒ nearly every span duplicated) removes
+    // the heaviest join in the query. The generic minDocs branch
+    // keeps the distinct-count aggregate + join-back (with the
+    // two-consumer cache).
+    val (starts, caches) =
+      if (minDocs == 2) {
+        val ws = Window.partitionBy(col("s"))
+        (sh0
+          .withColumn("mn", min(col("doc_id")).over(ws))
+          .withColumn("mx", max(col("doc_id")).over(ws))
+          .filter(col("mn") =!= col("mx"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("pos"))).as("starts")),
+          Seq.empty[DataFrame])
+      } else {
+        val sh = sh0.persist(StorageLevel.MEMORY_AND_DISK)
+        val dup = sh.groupBy(col("s"))
+          .agg(count_distinct(col("doc_id")).as("ddf"))
+          .filter(col("ddf") >= minDocs)
+          .select(col("s"))
+        (sh.join(dup, "s")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("pos"))).as("starts")),
+          Seq(sh))
+      }
     val kept = filter(tokens(col("text")),
       (w, i) => !exists(col("starts"), d => d <= i && i < d + k))
     val out = docs.join(starts, Seq("doc_id"), "left")
@@ -91,7 +104,7 @@ object Scrub {
         (nTokens(col("text")) - size(kept)).cast("long").as("n_covered"),
         when(size(kept) > 0, fingerprint(concat_ws(" ", kept)))
           .otherwise(lit(0L)).as("scrubbed_fp"))
-    if (materialize) graft.api.Materialize.releasing(out, Seq(sh))
+    if (materialize) graft.api.Materialize.releasing(out, caches)
     else out
   }
 
