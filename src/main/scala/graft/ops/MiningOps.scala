@@ -383,13 +383,21 @@ object MiningOps {
   def qHybridIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val emb = t(spark, dir, "embeddings")
-    graft.text.PostingsIndex.write(docs, "graft_q_hybrid_index")
-    val sem = graft.sim.Similarity.ivfTopK(emb, bm25QVecs(emb), HybridEach)
-      .select(col("qid"), col("cid").as("id"), col("rk"))
+    // the lex-index build and the dense leg's eager driver work (the
+    // oracle-pinned kMeans iteration collects + the bounded query
+    // collect inside ivfTopK) touch disjoint inputs — overlapped
+    // (guide §2.6, r18); the served lex search below still strictly
+    // follows the write it reads
+    val sem = new java.util.concurrent.atomic.AtomicReference[DataFrame]
+    graft.api.Overlap.run(
+      () => graft.text.PostingsIndex.write(docs, "graft_q_hybrid_index"),
+      () => sem.set(
+        graft.sim.Similarity.ivfTopK(emb, bm25QVecs(emb), HybridEach)
+          .select(col("qid"), col("cid").as("id"), col("rk"))))
     Retrieval.hybridFuse(
       graft.text.PostingsIndex.lexRanked(spark, "graft_q_hybrid_index",
         bm25QuerySet(docs), HybridEach),
-      sem, HybridK)
+      sem.get, HybridK)
   }
 
   /** Quality-classifier distillation
