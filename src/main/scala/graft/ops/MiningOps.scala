@@ -104,8 +104,12 @@ object MiningOps {
     val docs = t(spark, dir, "documents")
     val (a, b, out) = ("graft_q_bm25_merge_a", "graft_q_bm25_merge_b",
       "graft_q_bm25_merge_out")
-    graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 4 === 0), a)
-    graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 2 === 1), b)
+    // the two shard builds are the "build shards in parallel" half of
+    // the merge story — actually overlapped since r18 (guide §2.6;
+    // disjoint doc slices, disjoint tables)
+    graft.api.Overlap.run(
+      () => graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 4 === 0), a),
+      () => graft.text.PostingsIndex.write(docs.filter(col("doc_id") % 2 === 1), b))
     graft.api.Materialize.withTempRoot("graft_q_bm25_merge") { root =>
       graft.text.PostingsIndex.admit(spark, a, root,
         docs.filter(col("doc_id") % 4 === 2), 0L)
