@@ -334,11 +334,20 @@ object Similarity {
     * Runs the rounds eagerly (state checkpointed per round). */
   def propagateLabels(g: DataFrame, seeds: DataFrame, rounds: Int)
       : DataFrame = {
-    var labels = seeds
+    // r18: checkpoint each round's NEWLY-labeled rows only and keep
+    // the label state as a union of the checkpointed pieces — the old
+    // form re-materialized the WHOLE accumulated label set every
+    // round (round t wrote |seeds| + Σ newly rows again), so the
+    // per-round barrier cost grew with coverage instead of with the
+    // delta. The union of ≤ rounds+1 checkpointed pieces is a shallow
+    // plan whose pieces never recompute (truncated lineage), and
+    // every join below reads it as cached blocks.
+    var pieces: Seq[DataFrame] = Seq(seeds
       .select(col("vec_id"), col("label").cast("int").as("label"),
         lit(0).as("round"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true))
     for (t <- 1 to rounds) {
+      val labels = pieces.reduce(_ unionByName _)
       val votes = g
         .join(labels.select(col("vec_id").as("cid"), col("label")), Seq("cid"))
         .join(labels.select(col("vec_id").as("qid")), Seq("qid"), "left_anti")
@@ -347,9 +356,9 @@ object Similarity {
       val newly = votes.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qid").as("vec_id"), col("label"), lit(t).as("round"))
-      labels = labels.unionByName(newly).localCheckpoint(eager = true)
+      pieces = pieces :+ newly.localCheckpoint(eager = true)
     }
-    labels
+    pieces.reduce(_ unionByName _)
   }
 
   /** Margin-based bitext mining (the Artetxe/Schwenk 2019 criterion):
