@@ -283,16 +283,22 @@ object Similarity {
       nprobe: Int = 4, iterations: Int = 3): DataFrame = {
     val g = knnGraph(corpus, k, nlist, nprobe, iterations)
       .select(col("qid"), col("cid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mutual = g.alias("a").join(g.alias("b"),
-        col("a.qid") === col("b.cid") && col("a.cid") === col("b.qid"))
-      .filter(col("a.qid") < col("a.cid"))
-      .select(col("a.qid").as("src"), col("a.cid").as("dst"))
-    // connectedComponents runs its superstep loop eagerly and returns
-    // checkpointed state, so the graph cache is dead on return
-    val cc = graft.graph.Algorithms.connectedComponents(mutual)
-    g.unpersist(blocking = false)
-    cc.groupBy(col("component").as("cluster_id"))
+    // mutuality as ONE grouped pass over unordered endpoints (r18,
+    // guide §2.4): (qid, cid) rows are unique per direction (top-k
+    // per qid) and qid != cid, so an unordered pair occurs exactly
+    // twice iff BOTH directions are in the graph — the old a⋈b
+    // self-join shuffled g twice (each side keyed by a different
+    // column order) and needed g persisted for its two readers; the
+    // count==2 form shuffles g once and has a single consumer (cache
+    // gone). Identical pair set by construction.
+    val mutual = g
+      .select(least(col("qid"), col("cid")).as("src"),
+        greatest(col("qid"), col("cid")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n2"))
+      .filter(col("n2") === 2)
+      .select(col("src"), col("dst"))
+    graft.graph.Algorithms.connectedComponents(mutual)
+      .groupBy(col("component").as("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"), max(col("vertex")).as("max_vec"),
         sum(col("vertex")).as("sum_vec"))
   }
