@@ -4,6 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Focused tests for the r18 lifecycle-overlap helper. */
 class OverlapSpec extends AnyFunSuite {
+  // the Spark-touching test below uses the JVM-shared test session —
+  // never a private one (stopping it would kill every other suite)
 
   test("all returns results in submission order") {
     val out = Overlap.all(Seq(
@@ -43,20 +45,16 @@ class OverlapSpec extends AnyFunSuite {
   }
 
   test("prime materializes a persisted frame once for overlapped readers") {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").appName("overlap-spec")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.SparkSpec.session
+    val df = spark.range(1000).selectExpr("id", "id * 2 as v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val df = spark.range(1000).selectExpr("id", "id * 2 as v")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        Overlap.prime(df)
-        // cache is fully materialized: both overlapped readers see it
-        val sums = Overlap.all(Seq(
-          () => df.selectExpr("sum(v)").head().getLong(0),
-          () => df.selectExpr("count(1)").head().getLong(0)))
-        assert(sums === Seq(999000L, 1000L))
-      } finally df.unpersist(blocking = true)
-    } finally spark.stop()
+      Overlap.prime(df)
+      // cache is fully materialized: both overlapped readers see it
+      val sums = Overlap.all(Seq(
+        () => df.selectExpr("sum(v)").head().getLong(0),
+        () => df.selectExpr("count(1)").head().getLong(0)))
+      assert(sums === Seq(999000L, 1000L))
+    } finally df.unpersist(blocking = true)
   }
 }
