@@ -38,9 +38,24 @@ object Multimodal {
     * between them ([[variantsVia]] is its perturbed-variant
     * sibling). */
   private def mediaTableVia(docs: DataFrame,
-      encode: (Long, Array[Byte]) => (String, Array[Byte])): DataFrame = {
+      encode: (Long, Array[Byte]) => (String, Array[Byte]),
+      spread: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread=true before an ENTROPY-CODED leg (guide §2.5): a few-file
+    // input caps the scan's task count, and the whole encode→decode
+    // chain is narrow, so the codec work otherwise runs on that
+    // handful of tasks no matter the core count (r18: those queries'
+    // 8→32-core ratios sat at ~1.0 over a one-file fixture table).
+    // Deliberately NOT applied to the raw-container legs (PPM/BMP/PGM
+    // ≈ a header + memcpy per row): there the per-row work is far
+    // below an exchange's cost and the A/B measured the spread as a
+    // pure regression (q_image_dedup_index 1.25 → 2.43 s) while the
+    // entropy codecs won 1.5-3x (q_png_decode 1.23 → 0.40 s,
+    // q_webp_decode 2.46 → 0.89 s warm min-of-3). The split is a
+    // property of the operator (per-row CPU vs one narrow exchange),
+    // not of the fixture scale.
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    (if (spread) graft.api.Spread.forCompute(rows) else rows)
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val (fmt, payload) = encode(id, text.getBytes("UTF-8"))
@@ -57,7 +72,7 @@ object Multimodal {
     * checksums make the inflate + five-filter reconstruction itself
     * oracle-checkable. */
   def asPngTable(docs: DataFrame): DataFrame =
-    mediaTableVia(docs, MediaCodec.encodeDocPng)
+    mediaTableVia(docs, MediaCodec.encodeDocPng, spread = true)
 
   /** JPEG leg of the media fixture (r15): every doc encoded as a
     * REAL baseline grayscale JPEG of flat 8×8 blocks (values = text
@@ -65,12 +80,12 @@ object Multimodal {
     * where JPEG decode is bit-exact and therefore oracle-checkable in
     * closed form — see [[JpegCodec]]. */
   def asJpegTable(docs: DataFrame): DataFrame =
-    mediaTableVia(docs, JpegCodec.encodeDocJpeg)
+    mediaTableVia(docs, JpegCodec.encodeDocJpeg, spread = true)
 
   /** Progressive (SOF2) sibling of [[asJpegTable]] — same raster,
     * three-scan wire form (r15). */
   def asJpegProgressiveTable(docs: DataFrame): DataFrame =
-    mediaTableVia(docs, JpegCodec.encodeDocJpegProgressive)
+    mediaTableVia(docs, JpegCodec.encodeDocJpegProgressive, spread = true)
 
   /** GIF leg of the media fixture (r16): every doc as a REAL
     * grayscale GIF of the PGM regime's raster (256-gray palette,
@@ -78,14 +93,14 @@ object Multimodal {
     * closed-form pixel checksums pin the LZW decode + deinterlace +
     * palette walk byte-exactly ([[GifCodec]]). */
   def asGifTable(docs: DataFrame): DataFrame =
-    mediaTableVia(docs, GifCodec.encodeDocGif)
+    mediaTableVia(docs, GifCodec.encodeDocGif, spread = true)
 
   /** WebP-lossless leg (r17): the SAME gray raster in VP8L streams,
     * bands cycling palette / subtract-green / color-cache+LZ77 /
     * all-14-predictors so every transform family is gate-load-
     * bearing ([[WebpCodec]]). */
   def asWebpTable(docs: DataFrame): DataFrame =
-    mediaTableVia(docs, WebpCodec.encodeDocWebp)
+    mediaTableVia(docs, WebpCodec.encodeDocWebp, spread = true)
 
   /** Wrap a per-partition decode stream so `close` fires when the
     * iterator drains — the one subtle pattern (close inside hasNext)

@@ -492,11 +492,15 @@ object TextOps {
     // re-crawl's clean text is byte-identical to the original's and
     // the dedup stage is load-bearing at EVERY SF (the corpus's own
     // dup texts never share an htmlize band at the gate SFs)
-    val corpus = docs
+    // spread before the synthesis+parse chain (guide §2.5): the
+    // localCheckpoint barriers below inherit the scan's partitioning,
+    // and a few-file input would run the whole htmlize/warcify/parse/
+    // extract chain on that handful of tasks (r18)
+    val corpus = graft.api.Spread.forCompute(docs
       .select(col("doc_id"), col("doc_id").as("page_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          col("doc_id").as("page_id"), col("text")))
+          col("doc_id").as("page_id"), col("text"))))
     // the synthesis and parse run as SEPARATE materialized stages
     // (eager localCheckpoint barriers): fused into one projection,
     // the htmlize+httpWrap+warcify+parse expression stack generates
