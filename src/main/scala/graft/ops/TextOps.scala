@@ -592,7 +592,11 @@ object TextOps {
           .select(col("doc_id"), explode(array(req, rec)).as("rec"))
           .repartition(4, col("doc_id")),
         root)(_.getString(1).getBytes("UTF-8"))
-      Warc.readWarcGz(spark, root)
+      // spread the decoded records before the parse/extract chain
+      // (guide §2.5): member decode parallelism is capped at the
+      // segment-file count (4 here), and the regex-heavy extraction
+      // is narrow, so without this it runs on those 4 tasks (r18)
+      graft.api.Spread.forCompute(Warc.readWarcGz(spark, root))
         .filter(Warc.warcType(col("rec")) === "response")
         .select(Warc.bodyOf(col("rec")).as("body"),
           when(Warc.bodyOk(col("rec")), 1L).otherwise(0L).as("ok"),
@@ -638,7 +642,8 @@ object TextOps {
         Warc.warcifyBytes(id,
           Warc.encodeHttpBand(id, r.getString(1).getBytes("UTF-8")))
       }
-      Warc.readWarcGz(spark, root)
+      // same §2.5 spread as q_warcgz_extract's read side (r18)
+      graft.api.Spread.forCompute(Warc.readWarcGz(spark, root))
         .select(Warc.bodyOf(col("rec")).as("body"),
           when(Warc.bodyOk(col("rec")), 1L).otherwise(0L).as("ok"))
         .select(
@@ -683,7 +688,8 @@ object TextOps {
         val id = r.getLong(0)
         Warc.warcifyBytes(id, Warc.charsetBand(id, r.getString(1)))
       }
-      Warc.readWarcGz(spark, root)
+      // same §2.5 spread as q_warcgz_extract's read side (r18)
+      graft.api.Spread.forCompute(Warc.readWarcGz(spark, root))
         .select(Warc.targetUri(col("rec")).as("uri"),
           when(Warc.bodyOk(col("rec")), 1L).otherwise(0L).as("ok"),
           fingerprint(graft.text.HtmlExtract.cleanText(
