@@ -393,7 +393,8 @@ object TextOps {
     * carries the signals a curation run would keep. */
   def qHtmlQuality(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.HtmlExtract
-    val docs = t(spark, dir, "documents")
+    // §2.5 spread before the htmlize+extract regex chain (r18)
+    val docs = graft.api.Spread.forCompute(t(spark, dir, "documents"))
     val raw = htmlize(col("doc_id"), col("text"))
     val flat = call_function("replace",
       HtmlExtract.cleanText(raw), lit("\n"), lit(" "))
@@ -857,8 +858,12 @@ object TextOps {
     * once for the page and once per target. */
   private[graft] def linkFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.{Links, Url}
+    // §2.5 spread before the staged regex chains (r18): this whole
+    // frame — linkify, href explode, resolution, two canonical chains
+    // — is narrow and ends in the eager checkpoint, so a few-file
+    // input would run all of it on the scan's task count
     val pages = Url.withCanonical(
-        t(spark, dir, "documents")
+        graft.api.Spread.forCompute(t(spark, dir, "documents"))
           .select(col("doc_id"), Url.urlize(col("doc_id")).as("u"),
             Links.linkify(col("doc_id")).as("raw")),
         col("u"), "page")
@@ -941,8 +946,10 @@ object TextOps {
       .agg(count(lit(1)).as("out_links"))
     val inDeg = edges.groupBy(col("dst_site"))
       .agg(count(lit(1)).as("in_links"))
+    // §2.5 spread before the canonical/reputation chain (r18, same
+    // reasoning as linkFrame)
     val keyed = Url.withCanonical(
-        t(spark, dir, "documents")
+        graft.api.Spread.forCompute(t(spark, dir, "documents"))
           .select(Url.urlize(col("doc_id")).as("u"), col("text")),
         col("u"), "canon")
       .select(Url.hostOf(col("canon")).as("host"), col("text"))
@@ -1061,7 +1068,8 @@ object TextOps {
           array(Blocklist.map(lit): _*))).as("phrase"))
 
   def qLangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    // §2.5 spread before the per-row language scorer (r18)
+    graft.api.Spread.forCompute(t(spark, dir, "documents"))
       .select(col("lang"), predictedLang(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
