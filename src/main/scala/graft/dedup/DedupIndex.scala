@@ -372,24 +372,31 @@ object DedupIndex {
             "prior output (forget() ids must reference INDEXED documents; " +
             "reusing an id for a new document is not supported)")
       }
-      val dropped = tombs.fold(flagged)(ts =>
+      // eager localCheckpoint instead of persist+prime (r18): the same
+      // one materialization job (computing it also fills signed's
+      // cache, so every reader below starts warm), but the checkpoint
+      // additionally TRUNCATES the lineage — the flag tree here is the
+      // batch's deepest plan (three flag legs, each a candidate join +
+      // distinct + two verify joins, unioned), and with a plain persist
+      // Catalyst re-optimizes that whole tree for EACH of the three
+      // writes below (job-trace: ~0.4-0.5 s driver gaps per batch).
+      // Freed right after the writes (freeCheckpoint) — the blocks are
+      // dead once the partitions are committed.
+      val dropped = graft.api.Iterations.checkpoint(
+        tombs.fold(flagged)(ts =>
           flagged.join(ts.select(col("doc_id").as("dup_of")),
-            Seq("dup_of"), "left_anti"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            Seq("dup_of"), "left_anti")))
       try {
         // sink + the two admission extents are independent consumers
-        // of the cached pair/signing frames — overlapped (guide §2.6,
-        // r18). Crash windows are unchanged in kind: all three writes
-        // are idempotent per-partition overwrites and every replay
-        // guard keys on per-partition existence (the tombstone
-        // exemption above already unions sink AND sv-extent ids), so
-        // any committed subset replays exactly as under sequential
-        // order.
+        // of the checkpointed pair frame + signing cache — overlapped
+        // (guide §2.6, r18). Crash windows are unchanged in kind: all
+        // three writes are idempotent per-partition overwrites and
+        // every replay guard keys on per-partition existence (the
+        // tombstone exemption above already unions sink AND sv-extent
+        // ids), so any committed subset replays exactly as under
+        // sequential order.
         val survivors = signed.join(
           dropped.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        // priming dropped also fills signed's cache (its lineage reads
-        // the signed frame), so all three readers start warm
-        graft.api.Overlap.prime(dropped)
         graft.api.Overlap.run(
           () => dropped.write.mode("overwrite")
             .parquet(s"$sinkPath/batch_id=$batchId"),
@@ -400,7 +407,7 @@ object DedupIndex {
           () => survivors.select(col("doc_id"), col("sv"))
             .write.mode("overwrite")
             .parquet(s"${extentSvPath(growPath)}/batch_id=$batchId"))
-      } finally dropped.unpersist(blocking = true)
+      } finally graft.api.Iterations.freeCheckpoint(dropped)
     } finally signed.unpersist(blocking = true)
   }
 

@@ -190,18 +190,21 @@ object FingerprintIndex {
           pairFilter = col("dup_of") < col("id")))
       // forgotten items must not witness: pair-side anti-join
       // (O(pairs), never an index rescan)
-      val flagged = tombs.fold(flagged0)(ts =>
+      // eager localCheckpoint instead of persist+prime (r18, the
+      // DedupIndex.flagAndAdmit rationale): one materialization job
+      // (filling the delta cache through flagged's lineage), and the
+      // truncated lineage stops Catalyst re-optimizing the deep flag
+      // tree once per write below. Freed after the writes.
+      val flagged = graft.api.Iterations.checkpoint(
+        tombs.fold(flagged0)(ts =>
           flagged0.join(ts.select(col("id").as("dup_of")),
-            Seq("dup_of"), "left_anti"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            Seq("dup_of"), "left_anti")))
       try {
         // sink and admission extent are independent consumers of the
-        // cached flag/band frames — primed once (filling the delta
-        // cache through flagged's lineage), then overlapped (guide
+        // checkpointed flag frame + band cache — overlapped (guide
         // §2.6, r18); both idempotent per-partition overwrites, and
         // the rebirth exemption above already unions both partitions'
         // ids
-        graft.api.Overlap.prime(flagged)
         graft.api.Overlap.run(
           () => flagged.select(col("id"), col("dup_of"), col("hamming"))
             .write.mode("overwrite").parquet(s"$sinkPath/batch_id=$batchId"),
@@ -209,7 +212,7 @@ object FingerprintIndex {
             .join(flagged.select(col("id")).distinct(), Seq("id"), "left_anti")
             .write.mode("overwrite")
             .parquet(s"${extentPath(growPath)}/batch_id=$batchId"))
-      } finally flagged.unpersist(blocking = true)
+      } finally graft.api.Iterations.freeCheckpoint(flagged)
     } finally delta.unpersist(blocking = true)
   }
 
